@@ -1,0 +1,446 @@
+"""Lazy N-d array over a Spark DataFrame in cell/COO form.
+
+Parity target: the reference's ``Array`` collection
+(/root/reference/dask_array/_collection.py:110) whose expression carries
+``chunks`` / ``_meta`` / dtype metadata
+(/root/reference/dask_array/_expr.py:202-246).  Here the "expression
+tree" IS the Spark logical plan: every method builds DataFrame
+operations declaratively and Catalyst performs the reference's
+simplify/lower/fuse pipeline (predicate pushdown == slice pushdown,
+whole-stage codegen == blockwise fusion, partial aggregation == tree
+reduction; SURVEY.md section 4.2).
+
+Encoding
+--------
+An ``ndim``-d array is a DataFrame with columns ``i0 .. i{ndim-1}``
+(BIGINT, zero-based positions) and one value column ``v``.  Missing
+values (NumPy NaN) are encoded as SQL NULL; plain reductions propagate
+them like NumPy, ``nan*`` variants skip them (FIXTURES.md).
+
+Fusion
+------
+To avoid self-joins for chains like ``x*2 + x/3``, an ``Array`` holds a
+*base* DataFrame plus a value Column expression over it.  Elemwise ops
+between arrays sharing the same base object combine expressions with no
+join (the analogue of the reference's ``FusedBlockwise``,
+/root/reference/dask_array/_blockwise.py:1574); arrays with different
+bases align via an equi-join on index columns, with NumPy broadcasting
+realised as a join on the shared non-degenerate axes
+(/root/reference/dask_array/_blockwise.py:1243 ``_broadcast_block_id``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterable, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["Array", "VALUE_COL", "idx_cols"]
+
+VALUE_COL = "v"
+
+
+def idx_cols(ndim: int) -> list[str]:
+    return [f"i{k}" for k in range(ndim)]
+
+
+def _is_scalar(x: Any) -> bool:
+    return isinstance(x, (int, float, bool, np.integer, np.floating, np.bool_))
+
+
+class Array:
+    """Lazy, distributed N-d array (cell/COO form).
+
+    Parameters
+    ----------
+    base : DataFrame with columns ``i0..i{ndim-1}`` plus whatever the
+        value expression references.
+    shape : tuple of int (or None for data-dependent / unknown sizes,
+        the analogue of the reference's NaN chunk lengths,
+        /root/reference/dask_array/slicing/_bool_index.py:118-141).
+    vcol : Column expression over ``base`` producing the cell value.
+    """
+
+    def __init__(self, base: DataFrame, shape: Sequence[int | None], vcol: Column | None = None):
+        self._base = base
+        self.shape = tuple(shape)
+        self._vcol = vcol if vcol is not None else F.col(VALUE_COL)
+
+    # -- metadata ---------------------------------------------------------
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def index_cols(self) -> list[str]:
+        return idx_cols(self.ndim)
+
+    @property
+    def size(self) -> int | None:
+        n = 1
+        for s in self.shape:
+            if s is None:
+                return None
+            n *= s
+        return n
+
+    @property
+    def df(self) -> DataFrame:
+        """Canonical cell-form DataFrame: ``i0..i{n-1}, v``."""
+        cols = [F.col(c) for c in self.index_cols] + [self._vcol.alias(VALUE_COL)]
+        return self._base.select(*cols)
+
+    @property
+    def spark(self) -> SparkSession:
+        return self._base.sparkSession
+
+    @property
+    def dtype(self):
+        return self.df.schema[VALUE_COL].dataType
+
+    def _materialized(self) -> "Array":
+        """Collapse vcol into a concrete ``v`` column (new base)."""
+        return Array(self.df, self.shape)
+
+    def explain(self, mode: str = "formatted") -> None:
+        """EXPLAIN surface (reference ``pprint``/``explain``,
+        /root/reference/dask_array/_diagnostics.py:285)."""
+        self.df.explain(mode)
+
+    def persist(self, storage_level=None):
+        """Sharing-aware fan-out caching (reference declines pushdown at
+        shared subtrees, /root/reference/dask_array/_expr.py:336-399; in
+        Spark the equivalent is an explicit persist at the fan-out)."""
+        d = self.df
+        d = d.persist() if storage_level is None else d.persist(storage_level)
+        return Array(d, self.shape)
+
+    # -- elemwise machinery ----------------------------------------------
+    def _unary(self, fn) -> "Array":
+        return Array(self._base, self.shape, fn(self._vcol))
+
+    def _binary(self, other: Any, fn, reflected: bool = False) -> "Array":
+        f = (lambda a, b: fn(b, a)) if reflected else fn
+        if _is_scalar(other):
+            lit = F.lit(other.item() if isinstance(other, np.generic) else other)
+            return Array(self._base, self.shape, f(self._vcol, lit))
+        if not isinstance(other, Array):
+            return NotImplemented
+        if other._base is self._base:
+            # fused path: same base -> pure expression combination
+            shape = _broadcast_shapes(self.shape, other.shape)
+            if shape == self.shape == other.shape:
+                return Array(self._base, shape, f(self._vcol, other._vcol))
+        return _broadcast_binary(self, other, f)
+
+    # operator overloads (reference _collection.py:716-877)
+    def __add__(self, o):
+        return self._binary(o, lambda a, b: a + b)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        return self._binary(o, lambda a, b: a - b)
+
+    def __rsub__(self, o):
+        return self._binary(o, lambda a, b: a - b, reflected=True)
+
+    def __mul__(self, o):
+        return self._binary(o, lambda a, b: a * b)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        return self._binary(o, lambda a, b: a / b)
+
+    def __rtruediv__(self, o):
+        return self._binary(o, lambda a, b: a / b, reflected=True)
+
+    def __floordiv__(self, o):
+        return self._binary(o, lambda a, b: F.floor(a / b))
+
+    def __rfloordiv__(self, o):
+        return self._binary(o, lambda a, b: F.floor(a / b), reflected=True)
+
+    def __mod__(self, o):
+        # Python/NumPy modulo (sign of divisor), not SQL pmod-of-dividend
+        return self._binary(o, lambda a, b: ((a % b) + b) % b)
+
+    def __rmod__(self, o):
+        return self._binary(o, lambda a, b: ((a % b) + b) % b, reflected=True)
+
+    def __pow__(self, o):
+        return self._binary(o, lambda a, b: F.pow(a, b))
+
+    def __rpow__(self, o):
+        return self._binary(o, lambda a, b: F.pow(a, b), reflected=True)
+
+    def __neg__(self):
+        return self._unary(lambda c: -c)
+
+    def __pos__(self):
+        return self
+
+    def __abs__(self):
+        return self._unary(F.abs)
+
+    def __invert__(self):
+        return self._unary(lambda c: ~c)
+
+    def __and__(self, o):
+        return self._binary(o, lambda a, b: a & b)
+
+    __rand__ = __and__
+
+    def __or__(self, o):
+        return self._binary(o, lambda a, b: a | b)
+
+    __ror__ = __or__
+
+    def __xor__(self, o):
+        return self._binary(o, lambda a, b: (a | b) & ~(a & b))
+
+    __rxor__ = __xor__
+
+    def __eq__(self, o):  # type: ignore[override]
+        return self._binary(o, lambda a, b: a == b)
+
+    def __ne__(self, o):  # type: ignore[override]
+        return self._binary(o, lambda a, b: a != b)
+
+    def __lt__(self, o):
+        return self._binary(o, lambda a, b: a < b)
+
+    def __le__(self, o):
+        return self._binary(o, lambda a, b: a <= b)
+
+    def __gt__(self, o):
+        return self._binary(o, lambda a, b: a > b)
+
+    def __ge__(self, o):
+        return self._binary(o, lambda a, b: a >= b)
+
+    def __matmul__(self, o):
+        from ..operators import linalg
+
+        return linalg.matmul(self, o)
+
+    def __hash__(self):  # __eq__ is elemwise; keep hashable by identity
+        return id(self)
+
+    def astype(self, spark_type) -> "Array":
+        """reference _collection.py:1569 (``astype``)."""
+        return self._unary(lambda c: c.cast(spark_type))
+
+    # -- indexing ---------------------------------------------------------
+    def __getitem__(self, key):
+        from ..operators import slicing
+
+        return slicing.getitem(self, key)
+
+    @property
+    def T(self) -> "Array":
+        from ..operators import manipulation
+
+        return manipulation.transpose(self)
+
+    def transpose(self, *axes):
+        from ..operators import manipulation
+
+        return manipulation.transpose(self, axes if axes else None)
+
+    def reshape(self, *shape):
+        from ..operators import manipulation
+
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+            shape = tuple(shape[0])
+        return manipulation.reshape(self, shape)
+
+    def ravel(self):
+        return self.reshape(-1)
+
+    flatten = ravel
+
+    def squeeze(self, axis=None):
+        from ..operators import manipulation
+
+        return manipulation.squeeze(self, axis)
+
+    # -- reductions (delegate) -------------------------------------------
+    def _reduce(self, name, axis=None, **kw):
+        from ..operators import reductions
+
+        return getattr(reductions, name)(self, axis=axis, **kw)
+
+    def sum(self, axis=None):
+        return self._reduce("sum", axis)
+
+    def mean(self, axis=None):
+        return self._reduce("mean", axis)
+
+    def min(self, axis=None):
+        return self._reduce("amin", axis)
+
+    def max(self, axis=None):
+        return self._reduce("amax", axis)
+
+    def prod(self, axis=None):
+        return self._reduce("prod", axis)
+
+    def any(self, axis=None):
+        return self._reduce("any_", axis)
+
+    def all(self, axis=None):
+        return self._reduce("all_", axis)
+
+    def var(self, axis=None, ddof=0):
+        return self._reduce("var", axis, ddof=ddof)
+
+    def std(self, axis=None, ddof=0):
+        return self._reduce("std", axis, ddof=ddof)
+
+    def argmin(self, axis=None):
+        return self._reduce("argmin", axis)
+
+    def argmax(self, axis=None):
+        return self._reduce("argmax", axis)
+
+    def cumsum(self, axis=0):
+        from ..operators import windows
+
+        return windows.cumsum(self, axis)
+
+    def cumprod(self, axis=0):
+        from ..operators import windows
+
+        return windows.cumprod(self, axis)
+
+    def dot(self, other):
+        from ..operators import linalg
+
+        return linalg.matmul(self, other)
+
+    def round(self, decimals=0):
+        return self._unary(lambda c: F.round(c, decimals))
+
+    def clip(self, lo=None, hi=None):
+        def _clip(c):
+            if lo is not None:
+                c = F.greatest(c, F.lit(lo))
+            if hi is not None:
+                c = F.least(c, F.lit(hi))
+            return c
+
+        return self._unary(_clip)
+
+    # -- materialization --------------------------------------------------
+    def compute(self) -> np.ndarray:
+        """Materialize to a NumPy ndarray on the driver (reference
+        ``compute``, /root/reference/dask_array/_collection.py:282).
+        Dense fill; NULL cells become NaN for float dtypes."""
+        pdf = self.df.toPandas()
+        shape = list(self.shape)
+        icols = self.index_cols
+        for ax, s in enumerate(shape):
+            if s is None:
+                shape[ax] = int(pdf[icols[ax]].max()) + 1 if len(pdf) else 0
+        if self.ndim == 0:
+            if len(pdf) == 0:
+                return np.array(np.nan)
+            val = pdf[VALUE_COL].iloc[0]
+            return np.array(np.nan if val is None else val)
+        kind = self.dtype.simpleString()
+        if kind in ("double", "float"):
+            out = np.full(shape, np.nan, dtype="float64" if kind == "double" else "float32")
+        elif kind == "boolean":
+            out = np.zeros(shape, dtype=bool)
+        else:
+            out = np.zeros(shape, dtype="int64")
+        if len(pdf):
+            idx = tuple(pdf[c].to_numpy(dtype="int64") for c in icols)
+            vals = pdf[VALUE_COL].to_numpy()
+            if out.dtype.kind == "f":
+                vals = np.asarray(vals, dtype=out.dtype)
+            else:
+                mask = np.array([x is not None for x in vals])
+                idx = tuple(ix[mask] for ix in idx)
+                vals = np.asarray(vals[mask], dtype=out.dtype)
+            out[idx] = vals
+        return out
+
+    def count_rows(self) -> int:
+        return self.df.count()
+
+    def __repr__(self):
+        return f"Array(shape={self.shape}, dtype={self.dtype.simpleString() if hasattr(self.dtype, 'simpleString') else self.dtype})"
+
+
+# -- broadcasting helpers -------------------------------------------------
+
+def _broadcast_shapes(s1, s2):
+    n = max(len(s1), len(s2))
+    s1 = (1,) * (n - len(s1)) + tuple(s1)
+    s2 = (1,) * (n - len(s2)) + tuple(s2)
+    out = []
+    for a, b in zip(s1, s2):
+        if a == 1:
+            out.append(b)
+        elif b == 1 or a == b or a is None or b is None:
+            out.append(a if a is not None else b)
+        else:
+            raise ValueError(f"shapes not broadcastable: {s1} vs {s2}")
+    return tuple(out)
+
+
+def _broadcast_binary(a: Array, b: Array, fn) -> Array:
+    """Align two arrays by equi-join on shared axes; NumPy broadcasting
+    == joining only on non-degenerate shared axes (reference
+    ``Elemwise._broadcast_block_id``,
+    /root/reference/dask_array/_blockwise.py:1243).  Degenerate (size-1)
+    and missing axes contribute no join key -- their partner's index
+    column flows through.  The small side of such joins is typically a
+    vector/scalar: AQE turns it into a broadcast hash join at runtime.
+    """
+    out_shape = _broadcast_shapes(a.shape, b.shape)
+    n = len(out_shape)
+
+    def prep(x: Array, tag: str):
+        d = x.df
+        # rename axes to output positions (right-aligned)
+        off = n - x.ndim
+        sel = []
+        join_axes = []
+        for k in range(x.ndim):
+            out_ax = k + off
+            if x.shape[k] == 1 and out_shape[out_ax] != 1:
+                continue  # degenerate: constant 0 index, partner provides it
+            sel.append(F.col(f"i{k}").alias(f"{tag}_i{out_ax}"))
+            join_axes.append(out_ax)
+        sel.append(F.col(VALUE_COL).alias(f"{tag}_v"))
+        return d.select(*sel), set(join_axes)
+
+    da, axes_a = prep(a, "l")
+    db, axes_b = prep(b, "r")
+    shared = sorted(axes_a & axes_b)
+    if shared:
+        cond = [F.col(f"l_i{ax}") == F.col(f"r_i{ax}") for ax in shared]
+        joined = da.join(db, on=cond, how="inner")
+    else:
+        # outer-product broadcast (e.g. (m,1)+(1,k)) or 0-d operand
+        small = db
+        if b.ndim > a.ndim or (b.size or 0) > (a.size or 0):
+            small, da = da, db  # broadcast the smaller side
+        joined = da.crossJoin(F.broadcast(small))
+    out_cols = []
+    for ax in range(n):
+        if ax in axes_a:
+            out_cols.append(F.col(f"l_i{ax}").alias(f"i{ax}"))
+        elif ax in axes_b:
+            out_cols.append(F.col(f"r_i{ax}").alias(f"i{ax}"))
+        else:
+            out_cols.append(F.lit(0).cast("long").alias(f"i{ax}"))
+    out_cols.append(fn(F.col("l_v"), F.col("r_v")).alias(VALUE_COL))
+    return Array(joined.select(*out_cols), out_shape)

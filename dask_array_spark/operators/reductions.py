@@ -1,0 +1,404 @@
+"""Reductions: axis aggregations in partial/final form.
+
+Parity: the reference's ``Reduction`` -> ``PartialReduce`` tree
+(/root/reference/dask_array/reductions/_reduction.py:25,154-257) is
+exactly Spark's partial/final HashAggregate -- ``groupBy`` on the kept
+axes compiles to map-side partial aggregation, a shuffle on the group
+key, and a final merge, so the reference's ``split_every`` fan-in
+machinery needs no re-implementation (SURVEY.md section 2.5).
+
+NaN semantics: NumPy default reductions PROPAGATE NaN; ``nan*``
+variants skip.  NaN is encoded as SQL NULL, so plain reductions wrap
+the aggregate in an any-null guard while nan* variants are the bare
+(null-skipping) Spark aggregates (reference NaN-skipping chunk fns,
+/root/reference/dask_array/reductions/_common.py:172-268).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.array import VALUE_COL, Array, idx_cols
+
+__all__ = [
+    "sum",
+    "nansum",
+    "prod",
+    "nanprod",
+    "amin",
+    "amax",
+    "nanmin",
+    "nanmax",
+    "mean",
+    "nanmean",
+    "var",
+    "std",
+    "nanvar",
+    "nanstd",
+    "any_",
+    "all_",
+    "argmin",
+    "argmax",
+    "nanargmin",
+    "nanargmax",
+    "median",
+    "nanmedian",
+    "quantile",
+    "percentile_approx",
+    "count_nonzero",
+    "average",
+    "ptp",
+    "moment",
+    "topk",
+    "argtopk",
+    "bincount",
+    "histogram",
+    "unique_table",
+    "reduce_axes",
+]
+
+
+
+def _norm_axes(a: Array, axis) -> tuple[list[int], list[int]]:
+    """-> (reduced_axes, kept_axes), both in original order."""
+    if axis is None:
+        red = list(range(a.ndim))
+    elif isinstance(axis, (tuple, list)):
+        red = sorted(ax % a.ndim for ax in axis)
+    else:
+        red = [axis % a.ndim]
+    kept = [ax for ax in range(a.ndim) if ax not in red]
+    return red, kept
+
+
+def _propagate(agg: Column, c: Column) -> Column:
+    """NumPy NaN propagation: any NULL in the group -> NULL result."""
+    return F.when(F.count(F.lit(1)) > F.count(c), F.lit(None)).otherwise(agg)
+
+
+def reduce_axes(a: Array, axis, aggs: Callable[[Column], list[Column]]) -> Array:
+    """Shared groupBy-on-kept-axes skeleton.  ``aggs(valuecol)`` returns
+    one aggregate Column aliased ``v`` (first element used)."""
+    red, kept = _norm_axes(a, axis)
+    d = a.df
+    exprs = aggs(F.col(VALUE_COL))
+    if not kept:
+        out = d.agg(exprs[0].alias(VALUE_COL))
+        return Array(out, ())
+    gb = d.groupBy(*[F.col(f"i{ax}") for ax in kept])
+    out = gb.agg(exprs[0].alias(VALUE_COL))
+    # renumber kept axes to i0..i{m-1}
+    sel = [F.col(f"i{ax}").alias(f"i{k}") for k, ax in enumerate(kept)] + [F.col(VALUE_COL)]
+    return Array(out.select(*sel), tuple(a.shape[ax] for ax in kept))
+
+
+# -- basic family ---------------------------------------------------------
+
+def sum(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [_propagate(F.sum(c), c)])
+
+
+def nansum(a: Array, axis=None) -> Array:
+    zero = F.lit(0).cast(a.dtype)
+    return reduce_axes(a, axis, lambda c: [F.coalesce(F.sum(c), zero)])
+
+
+def amin(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [_propagate(F.min(c), c)])
+
+
+def amax(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [_propagate(F.max(c), c)])
+
+
+def nanmin(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [F.min(c)])
+
+
+def nanmax(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [F.max(c)])
+
+
+def mean(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [_propagate(F.avg(c), c)])
+
+
+def nanmean(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [F.avg(c)])
+
+
+def any_(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [F.max(c.cast("boolean"))])
+
+
+def all_(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [F.min(c.cast("boolean"))])
+
+
+def _prod_agg(c: Column) -> Column:
+    """Distributed product via the exp(sum(ln|x|)) decomposition with
+    explicit zero and sign handling (reference carries a product kernel,
+    /root/reference/dask_array/reductions/_common.py:57-170; SQL has no
+    product aggregate, SURVEY.md section 4.4 'cumprod log-trick')."""
+    nonzero = F.when(c != 0, F.abs(c))
+    magnitude = F.exp(F.sum(F.log(nonzero)))
+    n_zero = F.count(F.when(c == 0, F.lit(1)))
+    n_neg = F.count(F.when(c < 0, F.lit(1)))
+    sign = F.when(n_neg % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return F.when(n_zero > 0, F.lit(0.0)).otherwise(sign * magnitude)
+
+
+def prod(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [_propagate(_prod_agg(c), c)])
+
+
+def nanprod(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [F.coalesce(_prod_agg(c), F.lit(1.0))])
+
+
+# -- variance family ------------------------------------------------------
+
+def _var_agg(c: Column, ddof: int) -> Column:
+    if ddof == 0:
+        return F.var_pop(c)
+    if ddof == 1:
+        return F.var_samp(c)
+    # general ddof: var_pop * n / (n - ddof)
+    n = F.count(c)
+    return F.var_pop(c) * n / (n - F.lit(ddof))
+
+
+def var(a: Array, axis=None, ddof: int = 0) -> Array:
+    return reduce_axes(a, axis, lambda c: [_propagate(_var_agg(c, ddof), c)])
+
+
+def std(a: Array, axis=None, ddof: int = 0) -> Array:
+    return reduce_axes(a, axis, lambda c: [_propagate(F.sqrt(_var_agg(c, ddof)), c)])
+
+
+def nanvar(a: Array, axis=None, ddof: int = 0) -> Array:
+    return reduce_axes(a, axis, lambda c: [_var_agg(c, ddof)])
+
+
+def nanstd(a: Array, axis=None, ddof: int = 0) -> Array:
+    return reduce_axes(a, axis, lambda c: [F.sqrt(_var_agg(c, ddof))])
+
+
+def moment(a: Array, order: int, axis=None) -> Array:
+    """Central moment E[(x-mean)^k]; the reference merges power sums
+    (/root/reference/dask_array/reductions/_common.py:368-673).  Here:
+    expand the binomial over raw power sums in ONE aggregation pass --
+    m_k = (1/n) * sum_j C(k,j) * S_j * (-mu)^(k-j) -- instead of a
+    two-pass mean-then-deviation plan."""
+    import math
+
+    def aggs(c: Column) -> list[Column]:
+        n = F.count(c)
+        mu = F.sum(c) / n
+        total = F.lit(0.0)
+        for j in range(order + 1):
+            coef = math.comb(order, j)
+            s_j = F.sum(F.pow(c, F.lit(j)))
+            total = total + F.lit(coef) * s_j * F.pow(-mu, F.lit(order - j))
+        return [_propagate(total / n, c)]
+
+    return reduce_axes(a, axis, aggs)
+
+
+# -- arg reductions -------------------------------------------------------
+
+def _arg_reduce(a: Array, axis, best: Callable[[Column], Column], skipna: bool) -> Array:
+    """Deterministic argmin/argmax: smallest index among ties (NumPy
+    'first occurrence'; reference re-bases per-chunk winners with global
+    offsets, /root/reference/dask_array/reductions/_common.py:675-830 --
+    unnecessary here because the global index is a column).
+
+    Implemented as best-value-per-group + semi-join-back + min(index):
+    two partial aggregations, no window, fully parallel.
+    """
+    red, kept = _norm_axes(a, axis)
+    if len(red) != 1:
+        raise ValueError("argmin/argmax reduce exactly one axis (or flatten first)")
+    ax = red[0]
+    d = a.df
+    kcols = [f"i{x}" for x in kept]
+    bestv = d.groupBy(*kcols).agg(best(F.col(VALUE_COL)).alias("__best")) if kcols else d.agg(best(F.col(VALUE_COL)).alias("__best"))
+    j = d.join(F.broadcast(bestv), on=kcols, how="inner") if kcols else d.crossJoin(F.broadcast(bestv))
+    j = j.filter(F.col(VALUE_COL) == F.col("__best"))
+    agg = F.min(F.col(f"i{ax}")).alias(VALUE_COL)
+    out = j.groupBy(*kcols).agg(agg) if kcols else j.agg(agg)
+    if not skipna:
+        # propagate: any NULL in group -> NULL argresult
+        nulls = d.filter(F.col(VALUE_COL).isNull()).select(*kcols).distinct().withColumn("__hasnull", F.lit(1))
+        if kcols:
+            out = out.join(nulls, on=kcols, how="left")
+        else:
+            out = out.crossJoin(nulls.limit(1)) if nulls.take(1) else out.withColumn("__hasnull", F.lit(None))
+        out = out.select(*kcols, F.when(F.col("__hasnull").isNotNull(), None).otherwise(F.col(VALUE_COL)).alias(VALUE_COL))
+    sel = [F.col(f"i{x}").alias(f"i{k}") for k, x in enumerate(kept)] + [F.col(VALUE_COL)]
+    return Array(out.select(*sel), tuple(a.shape[x] for x in kept))
+
+
+def argmin(a: Array, axis=None) -> Array:
+    return _arg_reduce(a, 0 if axis is None else axis, F.min, skipna=False)
+
+
+def argmax(a: Array, axis=None) -> Array:
+    return _arg_reduce(a, 0 if axis is None else axis, F.max, skipna=False)
+
+
+def nanargmin(a: Array, axis=None) -> Array:
+    return _arg_reduce(a, 0 if axis is None else axis, F.min, skipna=True)
+
+
+def nanargmax(a: Array, axis=None) -> Array:
+    return _arg_reduce(a, 0 if axis is None else axis, F.max, skipna=True)
+
+
+# -- quantiles ------------------------------------------------------------
+
+def quantile(a: Array, q: float, axis=None) -> Array:
+    """Exact quantile (linear interpolation), reference rechunks the
+    axis to one chunk then takes an in-core quantile
+    (/root/reference/dask_array/reductions/_common.py:844-920); Spark's
+    ``percentile`` aggregate is the same single-owner exact algorithm,
+    but distributed per group."""
+    return reduce_axes(a, axis, lambda c: [_propagate(F.percentile(c, F.lit(q)), c)])
+
+
+def median(a: Array, axis=None) -> Array:
+    return quantile(a, 0.5, axis)
+
+
+def nanmedian(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [F.percentile(c, F.lit(0.5))])
+
+
+def percentile_approx(a: Array, q: float, axis=None, accuracy: int = 10000) -> Array:
+    """Approximate percentile -- the scale path (reference merges
+    per-chunk percentiles / t-digest,
+    /root/reference/dask_array/reductions/_percentile.py:21-256; Spark's
+    QuantileSummaries plays the t-digest role)."""
+    return reduce_axes(
+        a, axis, lambda c: [F.percentile_approx(c, F.lit(q), F.lit(accuracy))]
+    )
+
+
+# -- misc reductions ------------------------------------------------------
+
+def count_nonzero(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [F.count(F.when(c.cast("double") != 0, F.lit(1)))])
+
+
+def ptp(a: Array, axis=None) -> Array:
+    return reduce_axes(a, axis, lambda c: [_propagate(F.max(c) - F.min(c), c)])
+
+
+def average(a: Array, weights: Array, axis=None) -> Array:
+    """Weighted mean sum(v*w)/sum(w) (reference
+    /root/reference/dask_array/routines/_statistics.py:27)."""
+    vw = a * weights
+    num = sum(vw, axis=axis)
+    den = sum(weights, axis=axis)
+    return num / den
+
+
+def topk(a: Array, k: int, axis=-1) -> Array:
+    """Per-group top-k by value (reference per-chunk k-buffers merged in
+    a tree, /root/reference/dask_array/routines/_topk.py:14).  Spark:
+    rank within kept-axis partitions; with a kept axis this is a
+    parallel window; ties broken by smallest index for determinism."""
+    from pyspark.sql import Window
+
+    red, kept = _norm_axes(a, axis)
+    ax = red[0]
+    d = a.df
+    kcols = [f"i{x}" for x in kept]
+    w = Window.partitionBy(*kcols).orderBy(F.col(VALUE_COL).desc(), F.col(f"i{ax}").asc())
+    ranked = d.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k)
+    sel = [F.col(f"i{x}").alias(f"i{j}") for j, x in enumerate(kept)]
+    sel.append((F.col("__r") - 1).cast("long").alias(f"i{len(kept)}"))
+    sel.append(F.col(VALUE_COL))
+    return Array(ranked.select(*sel), tuple(a.shape[x] for x in kept) + (k,))
+
+
+def argtopk(a: Array, k: int, axis=-1) -> Array:
+    """Indices of the top-k values (reference routines/_topk.py:43)."""
+    from pyspark.sql import Window
+
+    red, kept = _norm_axes(a, axis)
+    ax = red[0]
+    d = a.df
+    kcols = [f"i{x}" for x in kept]
+    w = Window.partitionBy(*kcols).orderBy(F.col(VALUE_COL).desc(), F.col(f"i{ax}").asc())
+    ranked = d.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k)
+    sel = [F.col(f"i{x}").alias(f"i{j}") for j, x in enumerate(kept)]
+    sel.append((F.col("__r") - 1).cast("long").alias(f"i{len(kept)}"))
+    sel.append(F.col(f"i{ax}").alias(VALUE_COL))
+    return Array(ranked.select(*sel), tuple(a.shape[x] for x in kept) + (k,))
+
+
+def bincount(a: Array, weights: Array | None = None, minlength: int = 0) -> Array:
+    """Count occurrences of nonnegative ints (reference per-chunk
+    bincount + tree-sum,
+    /root/reference/dask_array/routines/_bincount.py:39) == groupBy on
+    the VALUE with count/sum -- a single shuffle on the value."""
+    d = a.df
+    if weights is not None:
+        wd = weights.df.withColumnRenamed(VALUE_COL, "__w")
+        d = d.join(wd, on=a.index_cols, how="inner")
+        agg = F.sum(F.col("__w"))
+    else:
+        agg = F.count(F.lit(1)).cast("long")
+    out = d.groupBy(F.col(VALUE_COL).cast("long").alias("i0")).agg(agg.alias(VALUE_COL))
+    return Array(out, (None,))
+
+
+def histogram(a: Array, bins: int, range: tuple[float, float]) -> Array:
+    """Uniform-bin histogram counts (reference per-block bin + sum,
+    /root/reference/dask_array/_histogram.py:41).  Bucket arithmetic is
+    written out explicitly (floor of the affine map, last edge
+    inclusive, NumPy convention) so an SQL oracle can reproduce it
+    bit-for-bit."""
+    lo, hi = range
+    c = F.col(VALUE_COL).cast("double")
+    bucket = F.least(
+        F.floor((c - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(bins)).cast("long"),
+        F.lit(bins - 1).cast("long"),
+    )
+    d = (
+        a.df.filter((c >= lo) & (c <= hi))
+        .groupBy(bucket.alias("i0"))
+        .agg(F.count(F.lit(1)).cast("long").alias(VALUE_COL))
+    )
+    return Array(d, (bins,))
+
+
+def unique_table(a: Array) -> DataFrame:
+    """Distinct values with counts and first flat index (reference
+    ``unique`` with return_counts/return_index,
+    /root/reference/dask_array/routines/_unique.py:51-226).  Returned as
+    a DataFrame keyed by value: a dense 0..k-1 result index would force
+    a global rank; the (value, count, first_index) table carries the
+    same information shuffle-cheaply and sorts on demand."""
+    d = a.df
+    flat = None
+    if a.ndim == 1:
+        flat = F.col("i0")
+    else:
+        strides = []
+        mul = 1
+        for s in reversed(a.shape):
+            strides.append(mul)
+            mul *= s if s else 1
+        strides = list(reversed(strides))
+        flat = F.lit(0).cast("long")
+        for k, st in enumerate(strides):
+            flat = flat + F.col(f"i{k}") * F.lit(st)
+    return d.groupBy(F.col(VALUE_COL).alias("value")).agg(
+        F.count(F.lit(1)).cast("long").alias("count"),
+        F.min(flat).alias("first_index"),
+    )

@@ -1,0 +1,154 @@
+"""Sources: build cell-form arrays from parquet tables / local data.
+
+Parity: the reference's IO layer (``from_array``
+/root/reference/dask_array/io/_from_array.py:60, ``from_map``
+/root/reference/dask_array/io/_from_map.py:199).  Spark-first reading:
+``spark.read.parquet`` gives partitioned scans with predicate pushdown
+and column pruning -- the reference's deferred ``_region`` reads
+(io/_from_array.py:446) are exactly Catalyst's scan pushdown, so no
+custom machinery is needed.
+
+Scale note: ``with_dense_index`` provides a deterministic dense 0-based
+index WITHOUT a single-partition global window.  It range-partitions by
+the order key, computes per-partition counts (one small job), and adds
+``offset[pid] + local_rank`` via ``mapInPandas`` -- the standard
+two-pass zipWithIndex pattern that scales to any table size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.array import VALUE_COL, Array
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # session conf is settable at runtime; required because the
+        # driver's own session may not carry the builder-time config
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanosAsLong mode: ts arrives as BIGINT nanoseconds; expose both
+        # the raw nanos (exact, oracle-friendly) and a usable timestamp.
+        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def from_table_column(
+    df: DataFrame,
+    index_expr: str,
+    value_expr: str,
+    length: int | None = None,
+) -> Array:
+    """1-D array from a table: ``i0 = index_expr`` (must be a unique,
+    0-based-ish bigint expression), ``v = value_expr``.
+
+    Using a natural key expression instead of a global rank keeps the
+    scan shuffle-free (no window over a single partition) -- at 100 TB a
+    ``row_number() OVER ()`` global sort would serialize on one task.
+    """
+    d = df.select(
+        F.expr(index_expr).cast("long").alias("i0"),
+        F.expr(value_expr).alias(VALUE_COL),
+    )
+    return Array(d, (length,))
+
+
+def from_table_matrix(
+    df: DataFrame,
+    row_expr: str,
+    col_expr: str,
+    value_expr: str,
+    shape: tuple[int | None, int | None] = (None, None),
+) -> Array:
+    """2-D array from a table; (row_expr, col_expr) must be unique."""
+    d = df.select(
+        F.expr(row_expr).cast("long").alias("i0"),
+        F.expr(col_expr).cast("long").alias("i1"),
+        F.expr(value_expr).alias(VALUE_COL),
+    )
+    return Array(d, shape)
+
+
+def with_dense_index(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    index_name: str = "i0",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic dense 0-based rank by ``order_cols`` (must be a
+    unique key), scalable two-pass zipWithIndex:
+
+    1. range-partition + sort within partitions by the key,
+    2. small job: per-partition row counts -> cumulative offsets,
+    3. mapInPandas adds ``offset[pid] + running local index``.
+
+    Output equals ``row_number() OVER (ORDER BY order_cols) - 1`` but
+    with no single-partition exchange.  The intermediate is persisted so
+    both passes see identical partitioning.
+    """
+    from pyspark import TaskContext
+
+    parted = df.repartitionByRange(*(num_partitions,) if num_partitions else (), *order_cols)
+    parted = parted.sortWithinPartitions(*order_cols).persist()
+    counts = (
+        parted.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .count()
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["__pid"]):
+        offsets[row["__pid"]] = acc
+        acc += row["count"]
+    schema = parted.schema.add(index_name, "long")
+
+    def add_index(it):
+        pid = TaskContext.get().partitionId()
+        pos = offsets.get(pid, 0)
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[index_name] = np.arange(pos, pos + len(pdf), dtype="int64")
+            pos += len(pdf)
+            yield pdf
+
+    return parted.mapInPandas(add_index, schema=schema)
+
+
+def from_numpy(spark: SparkSession, arr: np.ndarray, npartitions: int | None = None) -> Array:
+    """Driver-local ndarray -> cell-form Array (reference ``from_array``
+    for in-memory sources).  Test/bench helper; big data should arrive
+    via parquet."""
+    arr = np.asarray(arr)
+    idx = np.indices(arr.shape).reshape(arr.ndim, -1)
+    cols = {f"i{k}": idx[k].astype("int64") for k in range(arr.ndim)}
+    flat = arr.reshape(-1)
+    if arr.dtype.kind == "f":
+        vals = pd.Series(flat).where(~np.isnan(flat), None)
+    elif arr.dtype.kind == "b":
+        vals = pd.Series(flat.astype(bool))
+    else:
+        vals = pd.Series(flat.astype("int64"))
+    pdf = pd.DataFrame({**cols, VALUE_COL: vals})
+    if arr.ndim == 0:
+        pdf = pd.DataFrame({VALUE_COL: [arr.item()]})
+    sdf = spark.createDataFrame(pdf)
+    if npartitions:
+        sdf = sdf.repartition(npartitions)
+    return Array(sdf, arr.shape)

@@ -1,0 +1,163 @@
+"""Core Array: elemwise, broadcasting, reductions vs NumPy oracle
+(test strategy mirrors the reference: small arrays, assert_eq against
+the in-core oracle -- /root/reference/AGENTS.md:78-87)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import assert_eq
+
+
+@pytest.fixture(scope="module")
+def x2(spark, rng):
+    from dask_array_spark import from_numpy
+
+    a = np.arange(30, dtype="float64").reshape(5, 6)
+    return from_numpy(spark, a), a
+
+
+@pytest.fixture(scope="module")
+def x1(spark):
+    from dask_array_spark import from_numpy
+
+    a = np.arange(10, dtype="float64") + 0.25
+    return from_numpy(spark, a), a
+
+
+def test_roundtrip(x2):
+    arr, a = x2
+    assert_eq(arr, a)
+
+
+def test_elemwise_fused(x2):
+    arr, a = x2
+    assert_eq(arr * 2 + arr / 3 - 1, a * 2 + a / 3 - 1)
+
+
+def test_elemwise_scalar_reflected(x1):
+    arr, a = x1
+    assert_eq(10 - arr, 10 - a)
+    assert_eq(2 / (arr + 1), 2 / (a + 1))
+
+
+def test_binary_join_same_shape(spark, x2):
+    from dask_array_spark import from_numpy
+
+    arr, a = x2
+    b = np.arange(30, dtype="float64").reshape(5, 6) * 2 + 1
+    brr = from_numpy(spark, b)
+    assert_eq(arr + brr, a + b)
+    assert_eq(arr * brr - arr, a * b - a)
+
+
+def test_broadcast_vector(spark, x2):
+    from dask_array_spark import from_numpy
+
+    arr, a = x2
+    v = np.arange(6, dtype="float64") + 0.5
+    vr = from_numpy(spark, v)
+    assert_eq(arr + vr, a + v)
+
+
+def test_broadcast_outer(spark):
+    from dask_array_spark import from_numpy
+
+    a = np.arange(5, dtype="float64").reshape(5, 1)
+    b = np.arange(6, dtype="float64").reshape(1, 6) * 3
+    assert_eq(from_numpy(spark, a) + from_numpy(spark, b), a + b)
+
+
+def test_transpose_add(x2):
+    arr, a = x2
+    t = arr.T
+    assert_eq(t, a.T)
+    # x + x.T requires a real self-join on swapped indices
+    sq_a = a[:5, :5]
+    from dask_array_spark.operators import slicing
+
+    sq = arr[:, :5]
+    assert_eq(sq + sq.T, sq_a + sq_a.T)
+
+
+def test_reductions_full(x2):
+    arr, a = x2
+    assert_eq(arr.sum(), a.sum())
+    assert_eq(arr.mean(), a.mean())
+    assert_eq(arr.min(), a.min())
+    assert_eq(arr.max(), a.max())
+    assert_eq(arr.var(), a.var())
+    assert_eq(arr.std(), a.std())
+
+
+def test_reductions_axis(x2):
+    arr, a = x2
+    assert_eq(arr.sum(axis=0), a.sum(axis=0))
+    assert_eq(arr.sum(axis=1), a.sum(axis=1))
+    assert_eq(arr.mean(axis=1), a.mean(axis=1))
+    assert_eq(arr.max(axis=0), a.max(axis=0))
+    assert_eq(arr.var(axis=1), a.var(axis=1))
+
+
+def test_nan_semantics(spark):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import reductions as R
+
+    a = np.arange(12, dtype="float64").reshape(3, 4)
+    a[1, 2] = np.nan
+    arr = from_numpy(spark, a)
+    assert_eq(R.sum(arr, axis=1), a.sum(axis=1))  # row 1 -> NaN
+    assert_eq(R.nansum(arr, axis=1), np.nansum(a, axis=1))
+    assert_eq(R.nanmean(arr, axis=1), np.nanmean(a, axis=1))
+    assert_eq(R.amax(arr, axis=1), a.max(axis=1))
+    assert_eq(R.nanmax(arr, axis=1), np.nanmax(a, axis=1))
+
+
+def test_prod(spark):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import reductions as R
+
+    a = np.array([[1.0, -2.0, 3.0], [0.0, 4.0, -5.0]])
+    arr = from_numpy(spark, a)
+    assert_eq(R.prod(arr, axis=1), a.prod(axis=1), rtol=1e-9)
+    assert_eq(R.prod(arr), a.prod())
+
+
+def test_argminmax(spark):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import reductions as R
+
+    a = np.array([[3.0, 1.0, 2.0], [1.0, 5.0, 5.0]])
+    arr = from_numpy(spark, a)
+    assert_eq(R.argmin(arr, axis=1), a.argmin(axis=1))
+    assert_eq(R.argmax(arr, axis=1), a.argmax(axis=1))
+
+
+def test_median_quantile(spark, rng):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import reductions as R
+
+    a = rng.random((4, 7))
+    arr = from_numpy(spark, a)
+    assert_eq(R.median(arr, axis=1), np.median(a, axis=1))
+    assert_eq(R.quantile(arr, 0.25, axis=1), np.quantile(a, 0.25, axis=1))
+
+
+def test_comparisons_where(spark, x2):
+    from dask_array_spark.operators import elemwise as E
+
+    arr, a = x2
+    m = arr > 10
+    assert_eq(m, a > 10)
+    assert_eq(E.where(m, arr, -1.0), np.where(a > 10, a, -1.0))
+
+
+def test_ufuncs(spark, x1):
+    from dask_array_spark.operators import elemwise as E
+
+    arr, a = x1
+    assert_eq(E.sqrt(arr), np.sqrt(a))
+    assert_eq(E.exp(arr * 0.1), np.exp(a * 0.1), rtol=1e-12)
+    assert_eq(E.log(arr + 1), np.log(a + 1), rtol=1e-12)
+    assert_eq(E.sin(arr), np.sin(a), rtol=1e-12)
+    assert_eq(E.floor(arr), np.floor(a))
+    assert_eq(E.sign(arr - 5), np.sign(a - 5))
