@@ -11,7 +11,9 @@ simplify/lower/fuse + Frisky tiers (SURVEY.md sections 3-4).
 from .core.array import Array, VALUE_COL
 from .operators import creation, elemwise, linalg, manipulation, reductions, slicing, windows
 from .sources import (
+    densify,
     from_numpy,
+    from_table_arrays,
     from_table_column,
     from_table_matrix,
     read_table,
@@ -30,7 +32,9 @@ __all__ = [
     "reductions",
     "slicing",
     "windows",
+    "densify",
     "from_numpy",
+    "from_table_arrays",
     "from_table_column",
     "from_table_matrix",
     "read_table",

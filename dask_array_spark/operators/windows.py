@@ -92,10 +92,17 @@ def diff(a: Array, axis: int = 0) -> Array:
     axis window; output length n-1."""
     w, ax = _axis_window(a, axis)
     nxt = F.lead(F.col(VALUE_COL), 1).over(w)
-    d = a.df.select(*a.index_cols, (nxt - F.col(VALUE_COL)).alias(VALUE_COL))
-    d = d.filter(F.col(f"i{ax}") < F.lit(a.shape[ax] - 1))
+    d = a.df.select(
+        *a.index_cols, nxt.alias("__nxt"), F.col(VALUE_COL).alias("__cur")
+    )
+    if a.shape[ax] is not None:
+        d = d.filter(F.col(f"i{ax}") < F.lit(a.shape[ax] - 1))
+    else:
+        # unknown length (sparse index): drop the last row per partition
+        d = d.filter(F.col("__nxt").isNotNull() | F.col("__cur").isNull())
+    d = d.select(*a.index_cols, (F.col("__nxt") - F.col("__cur")).alias(VALUE_COL))
     shape = list(a.shape)
-    shape[ax] = shape[ax] - 1
+    shape[ax] = None if shape[ax] is None else shape[ax] - 1
     return Array(d, tuple(shape))
 
 
@@ -161,7 +168,8 @@ def coarsen(a: Array, factor: int, agg: str = "sum", axis: int = 0) -> Array:
     ]
     d = a.df.groupBy(*keys).agg(_AGGS[agg](F.col(VALUE_COL)).alias(VALUE_COL))
     shape = list(a.shape)
-    shape[axis] = (shape[axis] + factor - 1) // factor
+    if shape[axis] is not None:
+        shape[axis] = (shape[axis] + factor - 1) // factor
     return Array(d.select(*[f"i{k}" for k in range(a.ndim)], VALUE_COL), tuple(shape))
 
 

@@ -1,0 +1,939 @@
+"""Operator-coverage query registry: one entry per implemented
+operator family from SURVEY.md section 2, each with a DuckDB oracle.
+
+Every query runs THROUGH the engine's Array operators (not raw SQL) so
+the driver's oracle check exercises the operator implementations.  The
+oracle is independent ANSI SQL over the same parquet views.
+
+Determinism rules (both engines must produce bit-identical values):
+- money aggregates go through integer cents: ``cast(round(x*100) as
+  bigint)`` summed exactly, order-independent (double sums are NOT);
+- quantity sums stay double (integer-valued doubles sum exactly);
+- transcendental outputs are rounded in-query to 6 decimals;
+- counts/sums cast to bigint on both sides (DuckDB sum(bigint) is
+  hugeint);
+- ties in arg/topk reductions break on the smallest index.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .core.array import Array
+from .operators import creation, elemwise as E, linalg, manipulation as M, reductions as R
+from .operators import slicing as S, windows as W
+from .sources import (
+    densify,
+    from_table_arrays,
+    from_table_column,
+    from_table_matrix,
+    read_table,
+)
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+# NOTE: (l_orderkey, l_linenumber) is NOT unique in the driver's
+# synthetic lineitem.  LI_IDX is fine as a (possibly duplicated) cell
+# index for projection/aggregation queries -- both engines see the same
+# multiset -- but any op that SELF-JOINS on the index (mask indexing,
+# setitem) needs the truly unique LI_RID rank below.
+LI_IDX = "l_orderkey * 8 + l_linenumber"
+_LI_ORDER = (
+    "l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity, "
+    "l_extendedprice, l_discount, l_tax, l_shipdate"
+)
+LI_RID_SQL = f"row_number() OVER (ORDER BY {_LI_ORDER}) - 1"
+CENTS = "cast(round(l_extendedprice * 100) as bigint)"
+FLAG_IDX = "CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END"
+# customer-nation x ship-month quantity matrix, the workhorse dense
+# matrix for matmul/manipulation queries (25 x 12, int-valued)
+NM_SQL = """
+    SELECT c.c_nationkey AS i0,
+           month(l.l_shipdate) - 1 AS i1,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS v
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+"""
+DAY0 = "DATE '1995-01-02'"
+NDAYS = 3000
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _li(spark, sf):
+    return read_table(spark, sf, "lineitem")
+
+
+def _nation_month_matrix(spark, sf) -> Array:
+    """25 x 12 customer-nation x month quantity matrix (exact ints)."""
+    l = _li(spark, sf)
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    cells = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            c.c_nationkey.cast("long").alias("i0"),
+            (F.month(F.col("l_shipdate")) - 1).cast("long").alias("i1"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("v"))
+    )
+    return Array(cells, (25, 12))
+
+
+def _daily_cents(spark, sf) -> Array:
+    """1-D daily revenue-cents series on a dense 0..NDAYS-1 day grid
+    (sparse natural-key cells densified; gaps -> NULL)."""
+    l = _li(spark, sf)
+    arr2 = from_table_matrix(
+        l,
+        f"datediff(l_shipdate, {DAY0})",
+        LI_IDX,
+        f"cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)",
+        (NDAYS, None),
+    )
+    daily = R.nansum(arr2, axis=1)
+    return daily
+
+
+# ---------------------------------------------------------------------------
+# Elemwise / projection family (SURVEY section 2.2)
+# ---------------------------------------------------------------------------
+
+@query(
+    "elemwise_arith",
+    f"""
+    SELECT {LI_IDX} AS i0,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS v
+    FROM lineitem
+    """,
+)
+def q_elemwise_arith(spark, sf):
+    """Fused scalar arithmetic chain (reference _ufunc.py:18-125) --
+    one projection, no joins (FusedBlockwise analogue)."""
+    arrs = from_table_arrays(
+        _li(spark, sf), LI_IDX,
+        {"p": "l_extendedprice", "d": "l_discount", "t": "l_tax"},
+    )
+    out = arrs["p"] * (1 - arrs["d"]) * (1 + arrs["t"])
+    return out.df
+
+
+@query(
+    "elemwise_math",
+    f"""
+    SELECT {LI_IDX} AS i0,
+           round(sqrt(l_quantity) + ln(l_extendedprice) + sin(l_discount), 6) AS v
+    FROM lineitem
+    """,
+)
+def q_elemwise_math(spark, sf):
+    """Transcendental ufuncs (reference _ufunc.py:128-141)."""
+    arrs = from_table_arrays(
+        _li(spark, sf), LI_IDX,
+        {"q": "l_quantity", "p": "l_extendedprice", "d": "l_discount"},
+    )
+    out = E.sqrt(arrs["q"]) + E.log(arrs["p"]) + E.sin(arrs["d"])
+    return out.round(6).df
+
+
+@query(
+    "elemwise_where_clip",
+    f"""
+    SELECT {LI_IDX} AS i0,
+           least(greatest(CASE WHEN l_quantity > 25 THEN l_extendedprice
+                               ELSE -l_extendedprice END,
+                          -50000.0), 50000.0) AS v
+    FROM lineitem
+    """,
+)
+def q_where_clip(spark, sf):
+    """where/select + clip (reference routines/_where.py:8,
+    _collection clip)."""
+    arrs = from_table_arrays(
+        _li(spark, sf), LI_IDX, {"q": "l_quantity", "p": "l_extendedprice"}
+    )
+    out = E.where(arrs["q"] > 25, arrs["p"], -arrs["p"]).clip(-50000.0, 50000.0)
+    return out.df
+
+
+@query(
+    "elemwise_comparison_logical",
+    f"""
+    SELECT {LI_IDX} AS i0,
+           CAST((l_quantity > 25 AND l_discount < 0.05)
+                OR NOT (l_tax >= 0.03) AS BIGINT) AS v
+    FROM lineitem
+    """,
+)
+def q_comparison_logical(spark, sf):
+    """comparison + logical ufuncs (reference _ufunc.py table)."""
+    a = from_table_arrays(
+        _li(spark, sf), LI_IDX,
+        {"q": "l_quantity", "d": "l_discount", "t": "l_tax"},
+    )
+    out = ((a["q"] > 25) & (a["d"] < 0.05)) | E.logical_not(a["t"] >= 0.03)
+    return out.astype("long").df
+
+
+@query(
+    "elemwise_rounding_sign",
+    f"""
+    SELECT {LI_IDX} AS i0,
+           floor(l_extendedprice / 1000) + ceil(l_discount * 10)
+             + sign(l_quantity - 25.0) + abs(l_tax - 0.04) AS v
+    FROM lineitem
+    """,
+)
+def q_rounding_sign(spark, sf):
+    a = from_table_arrays(
+        _li(spark, sf), LI_IDX,
+        {"p": "l_extendedprice", "d": "l_discount", "q": "l_quantity", "t": "l_tax"},
+    )
+    out = (
+        E.floor(a["p"] / 1000)
+        + E.ceil(a["d"] * 10)
+        + E.sign(a["q"] - 25.0)
+        + abs(a["t"] - 0.04)
+    )
+    return out.df
+
+
+@query(
+    "cast_astype",
+    f"SELECT {LI_IDX} AS i0, CAST(l_quantity AS BIGINT) AS v FROM lineitem",
+)
+def q_astype(spark, sf):
+    """astype (reference _collection.py:1569)."""
+    x = from_table_column(_li(spark, sf), LI_IDX, "l_quantity")
+    return x.astype("long").df
+
+
+@query(
+    "digitize_uniform",
+    """
+    SELECT o_orderkey AS i0,
+           CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE CAST(floor(o_totalprice / 600000 * 12) AS BIGINT) + 1 END AS v
+    FROM orders
+    """,
+)
+def q_digitize(spark, sf):
+    """digitize (reference routines/_select.py digitize)."""
+    o = read_table(spark, sf, "orders")
+    x = from_table_column(o, "o_orderkey", "o_totalprice")
+    return E.digitize_uniform(x, 0.0, 600000.0, 12).df
+
+
+# ---------------------------------------------------------------------------
+# Slicing / indexing (SURVEY section 2.3)
+# ---------------------------------------------------------------------------
+
+@query(
+    "slice_basic",
+    f"""
+    SELECT ({LI_IDX} - 1000) // 7 AS i0, l_extendedprice AS v
+    FROM lineitem
+    WHERE {LI_IDX} >= 1000 AND {LI_IDX} < 50000 AND ({LI_IDX} - 1000) % 7 = 0
+    """,
+)
+def q_slice_basic(spark, sf):
+    """basic slice [1000:50000:7] == pushed-down range predicate +
+    affine remap (reference slicing/_basic.py:357)."""
+    x = from_table_column(_li(spark, sf), LI_IDX, "l_extendedprice", length=200000)
+    return x[1000:50000:7].df
+
+
+@query(
+    "take_fancy",
+    """
+    SELECT t.pos AS i0, cast(round(p.p_retailprice * 100) as bigint) AS v
+    FROM (VALUES (0, 5), (1, 3), (2, 11), (3, 7), (4, 3)) t(pos, idx)
+    JOIN part p ON p.p_partkey = t.idx
+    """,
+)
+def q_take(spark, sf):
+    """fancy integer indexing with duplicates (reference
+    slicing/_basic.py:75) == broadcast join against the indexer."""
+    p = read_table(spark, sf, "part")
+    x = from_table_column(p, "p_partkey", "cast(round(p_retailprice * 100) as bigint)")
+    return S.take(x, [5, 3, 11, 7, 3]).df
+
+
+@query(
+    "boolean_mask",
+    f"""
+    SELECT i0, v FROM (
+      SELECT {LI_RID_SQL} AS i0, l_quantity AS v FROM lineitem) t
+    WHERE v > 45
+    """,
+)
+def q_boolean_mask(spark, sf):
+    """x[x > 45] -- unknown output size (reference
+    slicing/_bool_index.py:118); original flat index kept.  Uses the
+    unique row-id index because mask selection self-joins on the index."""
+    from pyspark.sql import Window as SW
+
+    l = _li(spark, sf).withColumn(
+        "rid", F.row_number().over(SW.orderBy(*[c.strip() for c in _LI_ORDER.split(",")])) - 1
+    )
+    a = from_table_arrays(l, "rid", {"q": "l_quantity"})
+    x = a["q"]
+    return x[x > 45].df
+
+
+@query(
+    "setitem_masked",
+    f"""
+    SELECT {LI_RID_SQL} AS i0,
+           CASE WHEN l_quantity > 40 THEN 40.0 ELSE l_quantity END AS v
+    FROM lineitem
+    """,
+)
+def q_setitem(spark, sf):
+    """functional x[mask] = 40 (reference slicing/_setitem.py:294);
+    unique row-id index (left join back on the index)."""
+    from pyspark.sql import Window as SW
+
+    l = _li(spark, sf).withColumn(
+        "rid", F.row_number().over(SW.orderBy(*[c.strip() for c in _LI_ORDER.split(",")])) - 1
+    )
+    a = from_table_arrays(l, "rid", {"q": "l_quantity"})
+    x = a["q"]
+    return S.set_index_value(x, x > 40, 40.0).df
+
+
+@query(
+    "isin_semi",
+    """
+    SELECT c_custkey AS i0,
+           CAST(c_nationkey IN (1, 3, 5) AS BIGINT) AS v
+    FROM customer
+    """,
+)
+def q_isin(spark, sf):
+    """membership == semi-join semantics (reference
+    routines/_search.py:101)."""
+    c = read_table(spark, sf, "customer")
+    x = from_table_column(c, "c_custkey", "c_nationkey")
+    return S.isin(x, [1, 3, 5]).astype("long").df
+
+
+@query(
+    "searchsorted_range_join",
+    """
+    SELECT o.o_orderkey AS i0,
+           CAST((SELECT count(*) FROM (VALUES (100000.0), (200000.0),
+                 (300000.0), (400000.0)) b(e) WHERE b.e <= o.o_totalprice)
+                AS BIGINT) AS v
+    FROM orders o
+    """,
+)
+def q_searchsorted(spark, sf):
+    """searchsorted == range join vs sorted boundaries (reference
+    routines/_search.py:20)."""
+    o = read_table(spark, sf, "orders")
+    vals = from_table_column(o, "o_orderkey", "o_totalprice")
+    edges = creation.arange(spark, 100000.0, 500000.0, 100000.0)
+    return S.searchsorted(edges, vals, side="right").df
+
+
+# ---------------------------------------------------------------------------
+# Reductions (SURVEY section 2.5)
+# ---------------------------------------------------------------------------
+
+@query(
+    "reduce_sum_axis",
+    f"""
+    SELECT l_orderkey AS i0, CAST(SUM({CENTS}) AS BIGINT) AS v
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_sum_axis(spark, sf):
+    """sum over one axis == partial/final hash aggregate (reference
+    reductions/_reduction.py:154)."""
+    m = from_table_matrix(_li(spark, sf), "l_orderkey", "l_linenumber - 1", CENTS)
+    return R.nansum(m, axis=1).df
+
+
+@query(
+    "reduce_grand_total",
+    f"SELECT CAST(SUM({CENTS}) AS BIGINT) AS v FROM lineitem",
+)
+def q_grand_total(spark, sf):
+    x = from_table_column(_li(spark, sf), LI_IDX, CENTS)
+    return R.nansum(x, axis=None).df
+
+
+@query(
+    "reduce_min_max_ptp",
+    f"""
+    SELECT {FLAG_IDX} AS i0,
+           CAST(max({CENTS}) - min({CENTS}) AS BIGINT) AS v
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_ptp(spark, sf):
+    """ptp = max - min per group (reference routines/_statistics.py:158)."""
+    m = from_table_matrix(_li(spark, sf), FLAG_IDX, LI_IDX, CENTS, (3, None))
+    return R.ptp(m, axis=1).df
+
+
+@query(
+    "reduce_mean",
+    f"""
+    SELECT {FLAG_IDX} AS i0, avg(l_quantity) AS v
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_mean(spark, sf):
+    """mean of integer-valued doubles: exact sums, deterministic
+    division (reference reductions/_common.py:270)."""
+    m = from_table_matrix(_li(spark, sf), FLAG_IDX, LI_IDX, "l_quantity", (3, None))
+    return R.nanmean(m, axis=1).df
+
+
+@query(
+    "reduce_var_power_sums",
+    f"""
+    SELECT i0, round((s2 - s1 * s1 / n) / n, 6) AS v FROM (
+      SELECT {FLAG_IDX} AS i0,
+             SUM(l_quantity) AS s1,
+             SUM(l_quantity * l_quantity) AS s2,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM lineitem GROUP BY 1) t
+    """,
+)
+def q_var_power_sums(spark, sf):
+    """variance composed from exact power sums (reference merges power
+    sums, reductions/_common.py:368) -- engine-side it's a fused
+    elemwise over two engine reductions; deterministic across engines
+    unlike streaming var_pop merges."""
+    a = from_table_arrays(
+        _li(spark, sf), LI_IDX, {"q": "l_quantity", "f": FLAG_IDX}
+    )
+    q, flag = a["q"], a["f"]
+    # build (3, None) matrices over the same base: reindex by (flag, ...)
+    base = q._base.select(
+        F.col("f").cast("long").alias("i0"),
+        F.col("i0").alias("i1"),
+        F.col("q").alias("v"),
+    )
+    m = Array(base, (3, None))
+    s1 = R.nansum(m, axis=1)
+    s2 = R.nansum(m * m, axis=1)
+    n = R.count_nonzero(m._unary(lambda c: F.lit(1.0)), axis=1)
+    out = ((s2 - s1 * s1 / n.astype("double")) / n.astype("double")).round(6)
+    return out.df
+
+
+@query(
+    "reduce_any_all",
+    """
+    SELECT n_regionkey AS i0,
+           CAST(bool_or(n_nationkey > 20) AS BIGINT) AS v
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def q_any_all(spark, sf):
+    n = read_table(spark, sf, "nation")
+    m = from_table_matrix(n, "n_regionkey", "n_nationkey", "n_nationkey > 20", (5, None))
+    return R.any_(m, axis=1).astype("long").df
+
+
+@query(
+    "reduce_prod_log_trick",
+    """
+    SELECT round(CASE WHEN count(CASE WHEN x = 0 THEN 1 END) > 0 THEN 0.0
+                ELSE (CASE WHEN count(CASE WHEN x < 0 THEN 1 END) % 2 = 1
+                      THEN -1.0 ELSE 1.0 END)
+                     * exp(SUM(CASE WHEN x != 0 THEN ln(abs(x)) END)) END, 6) AS v
+    FROM (SELECT 1.0 + l_discount / 100 AS x FROM lineitem WHERE l_orderkey < 200) t
+    """,
+)
+def q_prod(spark, sf):
+    """product via exp-sum-log with sign/zero bookkeeping (no SQL PROD
+    aggregate; reference reductions/_common.py:57).  Factors stay near
+    1 so the result is O(1) and 6-decimal rounding absorbs libm ulps."""
+    l = _li(spark, sf).filter(F.col("l_orderkey") < 200)
+    x = from_table_column(l, LI_IDX, "1.0 + l_discount / 100")
+    return R.prod(x, axis=None).round(6).df
+
+
+@query(
+    "argmax_first_tie",
+    """
+    SELECT l.l_orderkey AS i0,
+           CAST(min(l.l_linenumber) - 1 AS BIGINT) AS v
+    FROM lineitem l
+    JOIN (SELECT l_orderkey, max(l_extendedprice) AS mx
+          FROM lineitem GROUP BY l_orderkey) m
+      ON l.l_orderkey = m.l_orderkey AND l.l_extendedprice = m.mx
+    GROUP BY 1
+    """,
+)
+def q_argmax(spark, sf):
+    """argmax with first-occurrence tie-break (reference
+    reductions/_common.py:675; min-index-of-max, no offsets needed)."""
+    m = from_table_matrix(_li(spark, sf), "l_orderkey", "l_linenumber - 1", "l_extendedprice")
+    return R.nanargmax(m, axis=1).df
+
+
+@query(
+    "median_exact",
+    f"""
+    SELECT {FLAG_IDX} AS i0, round(quantile_cont(l_quantity, 0.5), 6) AS v
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_median(spark, sf):
+    """exact grouped median (reference reductions/_common.py:844)."""
+    m = from_table_matrix(_li(spark, sf), FLAG_IDX, LI_IDX, "l_quantity", (3, None))
+    return R.nanmedian(m, axis=1).round(6).df
+
+
+@query(
+    "quantile_exact",
+    f"""
+    SELECT {FLAG_IDX} AS i0, round(quantile_cont(l_quantity, 0.9), 6) AS v
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_quantile(spark, sf):
+    m = from_table_matrix(_li(spark, sf), FLAG_IDX, LI_IDX, "l_quantity", (3, None))
+    return R.quantile(m, 0.9, axis=1).round(6).df
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT prio AS i0, rnk - 1 AS i1, okey AS v FROM (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) - 1 AS prio,
+             o_orderkey AS okey,
+             row_number() OVER (
+               PARTITION BY substr(o_orderpriority, 1, 1)
+               ORDER BY cast(round(o_totalprice * 100) as bigint) DESC,
+                        o_orderkey ASC) AS rnk
+      FROM orders) t
+    WHERE rnk <= 5
+    """,
+)
+def q_topk(spark, sf):
+    """per-group argtop-5, deterministic ties (reference
+    routines/_topk.py:14,43)."""
+    o = read_table(spark, sf, "orders")
+    m = from_table_matrix(
+        o,
+        "cast(substr(o_orderpriority, 1, 1) as bigint) - 1",
+        "o_orderkey",
+        "cast(round(o_totalprice * 100) as bigint)",
+        (5, None),
+    )
+    return R.argtopk(m, 5, axis=1).df
+
+
+@query(
+    "bincount",
+    """
+    SELECT CAST(l_linenumber AS BIGINT) AS i0,
+           CAST(count(*) AS BIGINT) AS v
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_bincount(spark, sf):
+    """bincount == groupBy(value).count (reference
+    routines/_bincount.py:39)."""
+    x = from_table_column(_li(spark, sf), LI_IDX, "l_linenumber")
+    return R.bincount(x).df
+
+
+@query(
+    "histogram_uniform",
+    """
+    SELECT least(CAST(floor((l_quantity - 1.0) / 50.0 * 10) AS BIGINT), 9) AS i0,
+           CAST(count(*) AS BIGINT) AS v
+    FROM lineitem WHERE l_quantity >= 1.0 AND l_quantity <= 51.0
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf):
+    """uniform histogram, explicit bucket arithmetic (reference
+    _histogram.py:41)."""
+    x = from_table_column(_li(spark, sf), LI_IDX, "l_quantity")
+    return R.histogram(x, 10, (1.0, 51.0)).df
+
+
+@query(
+    "unique_counts",
+    """
+    SELECT p_brand AS value, CAST(count(*) AS BIGINT) AS count,
+           CAST(min(p_partkey) AS BIGINT) AS first_index
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_unique(spark, sf):
+    """unique + counts + first index (reference
+    routines/_unique.py:51-226)."""
+    p = read_table(spark, sf, "part")
+    x = from_table_column(p, "p_partkey", "p_brand")
+    return R.unique_table(x)
+
+
+@query(
+    "count_nonzero",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS v FROM lineitem WHERE l_discount != 0
+    """,
+)
+def q_count_nonzero(spark, sf):
+    x = from_table_column(_li(spark, sf), LI_IDX, "l_discount")
+    return R.count_nonzero(x, axis=None).df
+
+
+@query(
+    "weighted_average",
+    """
+    SELECT round(CAST(SUM(cast(round(l_extendedprice * 100) as bigint)
+                          * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+                 / 100.0 / SUM(l_quantity), 6) AS v
+    FROM lineitem
+    """,
+)
+def q_weighted_average(spark, sf):
+    """weighted mean (reference routines/_statistics.py:27); numerator
+    in exact integer cents*qty so both engines sum order-independently,
+    one final double division."""
+    a = from_table_arrays(
+        _li(spark, sf), LI_IDX,
+        {"pc": CENTS, "qi": "CAST(l_quantity AS BIGINT)", "q": "l_quantity"},
+    )
+    num = R.nansum(a["pc"] * a["qi"], axis=None)
+    den = R.nansum(a["q"], axis=None)
+    return (num.astype("double") / 100.0 / den).round(6).df
+
+
+@query(
+    "corr_pair",
+    """
+    SELECT round(corr(o_totalprice, c_acctbal), 6) AS v
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_corr(spark, sf):
+    """Pearson correlation of two aligned arrays (reference
+    routines/_statistics.py:164)."""
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    x = from_table_column(j, "o_orderkey", "o_totalprice")
+    y = from_table_column(j, "o_orderkey", "c_acctbal")
+    return linalg.corr_pair(x, y).round(6).df
+
+
+# ---------------------------------------------------------------------------
+# Windows / cumulative (SURVEY section 2.6)
+# ---------------------------------------------------------------------------
+
+_DAILY_ORACLE = f"""
+      SELECT datediff('day', {DAY0}, l_shipdate) AS d,
+             CAST(SUM(cast(round(l_extendedprice * (1 - l_discount) * 100)
+                  as bigint)) AS BIGINT) AS v
+      FROM lineitem GROUP BY 1
+"""
+
+
+@query(
+    "cumsum_daily",
+    f"""
+    SELECT d AS i0, CAST(SUM(v) OVER (ORDER BY d) AS BIGINT) AS v
+    FROM ({_DAILY_ORACLE}) t
+    """,
+)
+def q_cumsum(spark, sf):
+    """running total (reference reductions/_cumulative.py:100); exact
+    in integer cents."""
+    daily = _daily_cents(spark, sf)
+    return W.cumsum(daily, axis=0).df
+
+
+@query(
+    "diff_daily",
+    f"""
+    SELECT d AS i0,
+           lead(v) OVER (ORDER BY d) - v AS v
+    FROM ({_DAILY_ORACLE}) t
+    QUALIFY lead(v) OVER (ORDER BY d) IS NOT NULL
+    """,
+)
+def q_diff(spark, sf):
+    """first difference (reference routines/_diff.py:6)."""
+    daily = _daily_cents(spark, sf)
+    sparse = Array(daily.df.filter(F.col("v").isNotNull()), (None,))
+    return W.diff(sparse, axis=0).df
+
+
+@query(
+    "moving_mean_7",
+    f"""
+    SELECT d AS i0,
+           round(avg(v) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS v
+    FROM ({_DAILY_ORACLE}) t
+    """,
+)
+def q_moving_mean(spark, sf):
+    """trailing moving average (reference
+    reductions/_sliding_window.py:249)."""
+    daily = _daily_cents(spark, sf)
+    sparse = Array(daily.df.filter(F.col("v").isNotNull()), (None,))
+    return W.moving_reduce(sparse, 7, "mean", axis=0).round(6).df
+
+
+@query(
+    "sliding_max_30",
+    f"""
+    SELECT d AS i0,
+           CAST(max(v) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND 29 FOLLOWING)
+                AS BIGINT) AS v
+    FROM ({_DAILY_ORACLE}) t
+    QUALIFY row_number() OVER (ORDER BY d DESC) > 29
+    """,
+)
+def q_sliding_max(spark, sf):
+    """forward sliding-window max, fused (reference
+    reductions/_sliding_window.py:405)."""
+    daily = _daily_cents(spark, sf)
+    d = daily.df.filter(F.col("v").isNotNull())
+    from pyspark.sql import Window as SW
+
+    w = SW.orderBy("i0").rowsBetween(0, 29)
+    wn = SW.orderBy(F.col("i0").desc())
+    out = (
+        d.withColumn("__m", F.max("v").over(w))
+        .withColumn("__rn", F.row_number().over(wn))
+        .filter(F.col("__rn") > 29)
+        .select("i0", F.col("__m").cast("long").alias("v"))
+    )
+    return out
+
+
+@query(
+    "push_ffill",
+    f"""
+    SELECT g.i0 AS i0, last_value(t.v IGNORE NULLS) OVER (ORDER BY g.i0) AS v
+    FROM (SELECT unnest(generate_series(0, {NDAYS - 1})) AS i0) g
+    LEFT JOIN ({_DAILY_ORACLE}) t ON t.d = g.i0
+    """,
+)
+def q_push(spark, sf):
+    """forward-fill over a dense day grid (reference _overlap.py:1449);
+    gap days densified to NULL first."""
+    daily = densify(_daily_cents(spark, sf))
+    return W.push(daily, axis=0).df
+
+
+@query(
+    "coarsen_weekly",
+    f"""
+    SELECT d // 7 AS i0, CAST(SUM(v) AS BIGINT) AS v
+    FROM ({_DAILY_ORACLE}) t GROUP BY 1
+    """,
+)
+def q_coarsen(spark, sf):
+    """coarsen: tumbling index window (reference
+    routines/_coarsen.py:42)."""
+    daily = _daily_cents(spark, sf)
+    sparse = Array(daily.df.filter(F.col("v").isNotNull()), (None,))
+    out = W.coarsen(sparse, 7, "sum", axis=0)
+    return Array(out.df.select("i0", F.col("v").cast("long").alias("v")), out.shape).df
+
+
+@query(
+    "cumprod_log_trick",
+    """
+    SELECT i0, round(exp(SUM(ln(x)) OVER (ORDER BY i0)), 6) AS v
+    FROM (SELECT o_orderkey AS i0, 1.0 + o_totalprice / 1e9 AS x
+          FROM orders WHERE o_orderkey < 500) t
+    """,
+)
+def q_cumprod(spark, sf):
+    """running product via exp-log (reference
+    reductions/_cumulative.py:267 Blelloch scan analogue)."""
+    o = read_table(spark, sf, "orders").filter(F.col("o_orderkey") < 500)
+    x = from_table_column(o, "o_orderkey", "1.0 + o_totalprice / 1e9")
+    sparse = Array(x.df, (None,))
+    return W.cumprod(sparse, axis=0).round(6).df
+
+
+# ---------------------------------------------------------------------------
+# Manipulation / layout (SURVEY section 2.10) + linalg (2.7)
+# ---------------------------------------------------------------------------
+
+@query(
+    "transpose_reshape_flat",
+    f"""
+    SELECT i1 * 25 + i0 AS i0, v FROM ({NM_SQL}) t
+    """,
+)
+def q_transpose_reshape(spark, sf):
+    """transpose (axis rename) + C-order reshape (flat index math) --
+    both pure projections (reference manipulation/_transpose.py:14,
+    _reshape.py:265)."""
+    m = _nation_month_matrix(spark, sf)
+    return M.reshape(M.transpose(m), (300,)).df
+
+
+@query(
+    "concat_roll",
+    f"""
+    SELECT (i1 + 6) % 12 AS i0, CAST(SUM(v) AS BIGINT) AS v
+    FROM ({NM_SQL}) t GROUP BY 1
+    """,
+)
+def q_concat_roll(spark, sf):
+    """monthly totals rolled by 6 == concatenate(x[6:], x[:6])
+    (reference stacking/_concatenate.py:20, manipulation/_roll.py:8)."""
+    m = _nation_month_matrix(spark, sf)
+    monthly = R.nansum(m, axis=0)  # (12,)
+    monthly = Array(monthly.df.select("i0", F.col("v").cast("long").alias("v")), (12,))
+    rolled = M.concatenate([monthly[6:], monthly[:6]], axis=0)
+    return rolled.df
+
+
+@query(
+    "stack_flip",
+    f"""
+    WITH mo AS (SELECT i1, CAST(SUM(v) AS BIGINT) AS v FROM ({NM_SQL}) t GROUP BY i1)
+    SELECT 0 AS i0, i1 AS i1, v FROM mo
+    UNION ALL
+    SELECT 1 AS i0, 11 - i1 AS i1, v FROM mo
+    """,
+)
+def q_stack_flip(spark, sf):
+    """stack + flip (reference stacking/_stack.py:18,
+    manipulation/_flip.py:10)."""
+    m = _nation_month_matrix(spark, sf)
+    monthly = R.nansum(m, axis=0)
+    monthly = Array(monthly.df.select("i0", F.col("v").cast("long").alias("v")), (12,))
+    return M.stack([monthly, M.flip(monthly, 0)], axis=0).df
+
+
+@query(
+    "broadcast_center",
+    f"""
+    SELECT t.i0, t.i1, t.v - m.mu AS v
+    FROM ({NM_SQL}) t
+    JOIN (SELECT i0, CAST(SUM(v) AS DOUBLE) / 12.0 AS mu
+          FROM ({NM_SQL}) g GROUP BY i0) m USING (i0)
+    """,
+)
+def q_broadcast_center(spark, sf):
+    """matrix minus row-mean vector: broadcasting == join on the shared
+    axis (reference _blockwise.py:1243).  Mean over the TRUE dense
+    month count (12), not just present cells."""
+    m = _nation_month_matrix(spark, sf)
+    s = R.nansum(m, axis=1)  # (25,) exact ints
+    mu = s.astype("double") / 12.0
+    centered = m - M.expand_dims(mu, 1)
+    return centered.df
+
+
+@query(
+    "matmul_gram",
+    f"""
+    WITH a AS ({NM_SQL})
+    SELECT x.i0 AS i0, y.i0 AS i1, CAST(SUM(x.v * y.v) AS BIGINT) AS v
+    FROM a x JOIN a y ON x.i1 = y.i1
+    GROUP BY 1, 2
+    """,
+)
+def q_matmul(spark, sf):
+    """Gram matrix A @ A.T == the classic SQL matmul (reference
+    linalg/_tensordot.py:45); exact in int64."""
+    m = _nation_month_matrix(spark, sf)
+    return linalg.matmul(m, M.transpose(m)).df
+
+
+@query(
+    "tensordot_vec",
+    f"""
+    SELECT i0, CAST(SUM(v * (i1 + 1)) AS BIGINT) AS v
+    FROM ({NM_SQL}) t GROUP BY i0
+    """,
+)
+def q_tensordot(spark, sf):
+    """contraction with a weight vector (reference
+    linalg/_tensordot.py:140)."""
+    m = _nation_month_matrix(spark, sf)
+    wvec = creation.arange(spark, 1, 13, 1)  # weights 1..12 indexed 0..11
+    out = linalg.tensordot(m, wvec, axes=([1], [0]))
+    return Array(out.df.select("i0", F.col("v").cast("long").alias("v")), out.shape).df
+
+
+@query(
+    "outer_product",
+    """
+    WITH r AS (SELECT n_regionkey AS i0, CAST(count(*) AS BIGINT) AS v
+               FROM nation GROUP BY 1),
+         l AS (SELECT CAST(l_linenumber - 1 AS BIGINT) AS i0,
+                      CAST(count(*) AS BIGINT) AS v
+               FROM lineitem GROUP BY 1)
+    SELECT r.i0 AS i0, l.i0 AS i1, CAST(r.v * l.v AS BIGINT) AS v
+    FROM r CROSS JOIN l
+    """,
+)
+def q_outer(spark, sf):
+    """outer product == cross join (reference routines/_outer.py:6)."""
+    n = read_table(spark, sf, "nation")
+    rc = n.groupBy(F.col("n_regionkey").cast("long").alias("i0")).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    lc = _li(spark, sf).groupBy(
+        (F.col("l_linenumber") - 1).cast("long").alias("i0")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return linalg.outer(Array(rc, (5,)), Array(lc, (7,))).df
+
+
+@query(
+    "trace_diagonal",
+    f"""
+    WITH a AS ({NM_SQL}),
+         c AS (SELECT x.i0 AS i0, y.i0 AS i1, CAST(SUM(x.v * y.v) AS BIGINT) AS v
+               FROM a x JOIN a y ON x.i1 = y.i1 GROUP BY 1, 2)
+    SELECT i0, v FROM c WHERE i1 = i0
+    """,
+)
+def q_trace_diag(spark, sf):
+    """diagonal extraction WHERE i1 = i0 (reference
+    creation/_diagonal.py:16)."""
+    m = _nation_month_matrix(spark, sf)
+    gram = linalg.matmul(m, M.transpose(m))
+    return creation.diagonal(gram, 0).df
+
+
+@query(
+    "norm_frobenius",
+    f"""
+    SELECT round(sqrt(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE))), 6) AS v
+    FROM ({NM_SQL}) t
+    """,
+)
+def q_norm(spark, sf):
+    """Frobenius norm (reference linalg/_norm.py:13); int squares sum
+    exactly."""
+    m = _nation_month_matrix(spark, sf)
+    return linalg.norm(m.astype("double")).round(6).df

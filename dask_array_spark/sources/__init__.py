@@ -1,5 +1,7 @@
 from .ingest import (
+    densify,
     from_numpy,
+    from_table_arrays,
     from_table_column,
     from_table_matrix,
     read_table,
@@ -7,7 +9,9 @@ from .ingest import (
 )
 
 __all__ = [
+    "densify",
     "from_numpy",
+    "from_table_arrays",
     "from_table_column",
     "from_table_matrix",
     "read_table",

@@ -85,6 +85,25 @@ def from_table_matrix(
     return Array(d, shape)
 
 
+def from_table_arrays(
+    df: DataFrame,
+    index_expr: str,
+    value_exprs: dict[str, str],
+    length: int | None = None,
+) -> dict[str, Array]:
+    """Several 1-D arrays over ONE shared base -- elemwise combinations
+    of them fuse into a single projection (no self-joins), the analogue
+    of the reference's FusedBlockwise over one source
+    (/root/reference/dask_array/_blockwise.py:1574)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    base = df.select(
+        F.expr(index_expr).cast("long").alias("i0"),
+        *[F.expr(e).alias(k) for k, e in value_exprs.items()],
+    )
+    return {k: Array(base, (length,), F.col(k)) for k in value_exprs}
+
+
 def with_dense_index(
     df: DataFrame,
     order_cols: Sequence[str],
@@ -129,6 +148,23 @@ def with_dense_index(
             yield pdf
 
     return parted.mapInPandas(add_index, schema=schema)
+
+
+def densify(a: Array) -> Array:
+    """Left-join the cells onto the full dense index domain (shape must
+    be known); absent cells become NULL (NaN).  Turns a sparse natural-
+    key array into a dense one, e.g. a daily series with gap days."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    spark = a.spark
+    full = None
+    for k, s in enumerate(a.shape):
+        if s is None:
+            raise ValueError("densify needs a fully known shape")
+        rng = spark.range(s).select(F.col("id").alias(f"i{k}"))
+        full = rng if full is None else full.crossJoin(rng)
+    d = full.join(a.df, on=a.index_cols, how="left")
+    return Array(d.select(*a.index_cols, VALUE_COL), a.shape)
 
 
 def from_numpy(spark: SparkSession, arr: np.ndarray, npartitions: int | None = None) -> Array:
