@@ -1,0 +1,78 @@
+"""Benchmark runner (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Execution is measured with the noop sink (full distributed execution,
+no driver-side collect) -- the number is engine time, not toPandas
+transfer time.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family that dominates 100 TB workloads
+# (scan+project, shuffle agg, join+agg contraction, window scan, rank,
+# mask filter) plus the data-pipeline ops once registered.
+HEADLINE = [
+    "elemwise_arith",
+    "reduce_sum_axis",
+    "matmul_gram",
+    "cumsum_daily",
+    "topk_per_group",
+    "boolean_mask",
+    "dedup_minhash_pairs",
+    "simsearch_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    from dask_array_spark.session import get_spark
+    from dask_array_spark import queries as Q
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM + reader warmup so the first measured query isn't paying
+    # session startup
+    from dask_array_spark.sources import read_table
+
+    read_table(spark, sf_dir, "lineitem").count()
+
+    results: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        results[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
