@@ -1,0 +1,162 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard (training-data pipeline scope, SURVEY.md section 7 M6).
+
+Scale design (the 100 TB story):
+- exact dedup is a single hash shuffle on the text digest;
+- MinHash signatures are one explode + groupBy(doc, sig) -- linear,
+  partial-aggregated;
+- LSH banding turns the quadratic all-pairs problem into an equi-join
+  on (band, band_hash): only same-bucket docs ever meet, so the
+  shuffle carries bucket-sized groups instead of N^2 pairs;
+- the final Jaccard verification runs only on candidate pairs.
+
+All hashing is the explicit polynomial scheme from functions.text so a
+DuckDB oracle replays the whole pipeline bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import P, polyhash_col, tokens_col
+
+__all__ = [
+    "exact_groups",
+    "shingle_hashes",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_on_pairs",
+    "simhash",
+]
+
+# affine hash family h_i(x) = (a_i * x + b_i) mod P with fixed odd
+# multipliers; products stay < 2^63 (a_i < 2^31, x < 2^30)
+A_MUL = 1_664_525
+B_ADD = 1_013_904_223
+
+
+def exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: hash-groupBy on the text, representative
+    = min doc_id.  One shuffle keyed by the (hashed) document body."""
+    return (
+        df.groupBy(F.col(text_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min("doc_id").cast("long").alias("rep_id"),
+        )
+        .select("rep_id", "n_dups")
+    )
+
+
+def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct polyhashed token n-gram shingles per document:
+    (doc_id, sh).  Shingles built with transform over token positions
+    -- pure JVM expressions, one explode."""
+    toks = tokens_col(text_col)
+    d = df.select("doc_id", toks.alias("__toks"))
+    # positions 0 .. len-n
+    idx = F.sequence(F.lit(0), F.size("__toks") - n)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(F.col("__toks"), i + k + 1) for k in range(n)]
+    )
+    d = d.select(
+        "doc_id",
+        F.transform(idx, lambda i: shingle(i)).alias("__shingles"),
+    ).filter(F.size("__toks") >= n)
+    d = d.select("doc_id", F.explode(F.array_distinct("__shingles")).alias("__s"))
+    return d.select("doc_id", polyhash_col(F.col("__s")).alias("sh")).distinct()
+
+
+def minhash_signatures(shingles: DataFrame, k: int = 16) -> DataFrame:
+    """(doc_id, sig_id, sig): sig = min over shingles of the affine
+    hash family.  Cross join with the tiny sig_id range broadcasts; the
+    groupBy partial-aggregates map-side (reference tree-reduction
+    analogue, SURVEY.md section 2.5)."""
+    spark = shingles.sparkSession
+    sig_ids = spark.range(k).select(F.col("id").alias("sig_id"))
+    h = (
+        (F.lit(A_MUL) * (F.col("sig_id") + 1) % F.lit(P)) * F.col("sh")
+        + F.lit(B_ADD) * (F.col("sig_id") + 1)
+    ) % F.lit(P)
+    return (
+        shingles.crossJoin(F.broadcast(sig_ids))
+        .groupBy("doc_id", "sig_id")
+        .agg(F.min(h).alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, rows_per_band: int = 1) -> DataFrame:
+    """Candidate pairs = documents sharing at least one LSH band
+    bucket; returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
+    Band hash combines rows_per_band signature rows."""
+    banded = sigs.withColumn("band", (F.col("sig_id") / rows_per_band).cast("long"))
+    bh = banded.groupBy("doc_id", "band").agg(
+        (F.aggregate(
+            F.array_sort(F.collect_list(F.col("sig") % F.lit(P))),
+            F.lit(17).cast("long"),
+            lambda a, x: (a * 1_000_003 + x) % F.lit(P),
+        )).alias("bh")
+    )
+    a = bh.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = bh.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    return (
+        a.join(b, on=["band", "bh"], how="inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
+    )
+
+
+def jaccard_on_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only (the verify
+    stage after LSH): |A n B| via join on shingle hash, |A u B| from
+    per-doc counts."""
+    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(sa, on="doc_a")
+        .join(sb, on=["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    j = (
+        pairs.join(inter, on=["doc_a", "doc_b"], how="left")
+        .join(counts.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), on="doc_a")
+        .join(counts.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), on="doc_b")
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    return j.select(
+        "doc_a",
+        "doc_b",
+        F.round(ni / (F.col("na") + F.col("nb") - ni), 6).alias("jaccard"),
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """SimHash over token polyhashes with count weights: bit b of the
+    fingerprint is the sign of sum(weight * (2*bit_b(h)-1)).  Explode
+    tokens once, cross the tiny bit range, two partial-aggregated
+    groupBys -- linear in corpus size."""
+    toks = tokens_col(text_col)
+    t = (
+        df.select("doc_id", F.explode(toks).alias("__t"))
+        .groupBy("doc_id", "__t")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("doc_id", polyhash_col(F.col("__t")).alias("h"), "w")
+    )
+    spark = df.sparkSession
+    bit_ids = spark.range(bits).select(F.col("id").alias("b"))
+    # bit_b(h) via div/mod (shift-by-column isn't expressible as a
+    # literal shift; h < 2^30 so double-division is exact)
+    pow2 = F.pow(F.lit(2.0), F.col("b"))
+    bit = F.floor(F.col("h") / pow2).cast("long") % 2
+    contrib = F.col("w") * (2 * bit - 1)
+    per_bit = (
+        t.crossJoin(F.broadcast(bit_ids))
+        .groupBy("doc_id", "b")
+        .agg(F.sum(contrib).alias("s"))
+    )
+    bitval = F.when(F.col("s") > 0, pow2.cast("long")).otherwise(F.lit(0).cast("long"))
+    return per_bit.groupBy("doc_id").agg(F.sum(bitval).cast("long").alias("simhash"))

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (SURVEY.md section 7 M6):
+- brute-force cosine top-k: correctness baseline.  The query set is
+  tiny and broadcast; the corpus side streams through one shuffle-free
+  scan + a partial-aggregated dot-product groupBy, then a per-query
+  top-k window.  At 100 TB the corpus never moves.
+- LSH sign-bucket partitioning: integer hyperplanes bucket vectors so
+  candidate generation joins only within buckets (the ANN scale path).
+
+Dot products use explicit posexplode + join + sum so a DuckDB oracle
+(unnest + generate_subscripts) reproduces them; 6-decimal rounding
+absorbs float-sum association differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["cosine_topk", "lsh_sign_bucket", "cosine_pairs_bucketed"]
+
+
+def _exploded(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.posexplode("embedding").alias("pos", "e"),
+    ).select(id_col, "pos", F.col("e").cast("double").alias("e"))
+
+
+def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Top-k cosine neighbors for each query id: (qid, rank, vec_id,
+    cos).  Deterministic ties: higher cosine first, then smaller
+    vec_id."""
+    ex = _exploded(emb)
+    q = ex.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("e").alias("qe")
+    )
+    dots = (
+        ex.join(F.broadcast(q), on="pos")
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("e") * F.col("qe")).alias("dot"))
+    )
+    norms = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("e") * F.col("e"))).alias("nrm"))
+    qnorms = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm"))
+    cos = (
+        dots.join(F.broadcast(norms), on="vec_id")
+        .join(F.broadcast(qnorms), on="qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (F.col("dot") / (F.col("nrm") * F.col("qnrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            (F.col("rank") - 1).cast("long").alias("rank"),
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+        )
+    )
+
+
+def lsh_sign_bucket(emb: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Bucket id from sign bits of dot products with fixed integer
+    hyperplanes w[p][j] = ((p*37 + j*17) mod 19) - 9.  Buckets shard
+    the corpus so ANN joins stay within buckets (scale path); exact
+    and oracle-reproducible."""
+    ex = _exploded(emb)
+    spark = emb.sparkSession
+    planes = spark.range(n_planes).select(F.col("id").alias("p"))
+    w = ((F.col("p") * 37 + F.col("pos") * 17) % 19 - 9).cast("double")
+    dots = (
+        ex.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("e") * w).alias("d"))
+    )
+    bitval = F.when(
+        F.col("d") > 0, F.pow(F.lit(2.0), F.col("p")).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    return dots.groupBy("vec_id").agg(F.sum(bitval).cast("long").alias("bucket"))
+
+
+def cosine_pairs_bucketed(emb: DataFrame, n_planes: int = 8, min_cos: float = 0.3) -> DataFrame:
+    """Near-duplicate candidate pairs within LSH buckets, verified by
+    exact cosine: (vec_a, vec_b, cos) with vec_a < vec_b.  The
+    quadratic pair space shrinks to per-bucket blocks."""
+    buckets = lsh_sign_bucket(emb, n_planes)
+    ex = _exploded(emb).join(buckets, on="vec_id")
+    a = ex.select(F.col("vec_id").alias("vec_a"), "bucket", "pos", F.col("e").alias("ea"))
+    b = ex.select(F.col("vec_id").alias("vec_b"), "bucket", "pos", F.col("e").alias("eb"))
+    dots = (
+        a.join(b, on=["bucket", "pos"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.sum(F.col("ea") * F.col("eb")).alias("dot"))
+    )
+    norms = _exploded(emb).groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("e") * F.col("e"))).alias("nrm")
+    )
+    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), on="vec_a")
+        .join(F.broadcast(nb), on="vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )

@@ -1,0 +1,142 @@
+"""Text analysis operators for training-data pipelines (additive scope
+beyond the reference, SURVEY.md section 7 M6): token statistics,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All JVM-side Catalyst expressions (split / higher-order functions) --
+no Python UDFs in the hot path; every op is a per-row projection or a
+groupBy, so they scale linearly and shuffle only on aggregation keys.
+
+Determinism: token hashing uses an explicit polynomial rolling hash
+(h = (h*31 + ascii(c)) mod 1e9+7) rather than engine-specific hash(),
+so a SQL oracle reproduces results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens_col",
+    "polyhash_col",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "token_count",
+]
+
+P = 1_000_000_007
+SEED = 7
+
+# tiny function-word marker lists for the lang-ID heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "la", "y", "los"],
+    "de": ["der", "die", "und", "das"],
+    "zh": ["de", "shi", "he", "zai"],
+}
+STOPWORDS = ["a", "the", "and", "of"]
+
+
+def tokens_col(text: Column | str) -> Column:
+    """Whitespace tokenization (single-space corpus)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def polyhash_col(s: Column) -> Column:
+    """Deterministic polynomial rolling hash over characters
+    (document fingerprinting; cross-engine reproducible)."""
+    chars = F.filter(F.split(s, ""), lambda x: x != "")
+    return F.aggregate(
+        chars,
+        F.lit(SEED).cast("long"),
+        lambda acc, x: (acc * 31 + F.ascii(x)) % F.lit(P),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select(
+        "doc_id", F.size(tokens_col(text_col)).cast("long").alias("n_tokens")
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: counts, mean token length,
+    distinct-token ratio, stopword ratio."""
+    toks = tokens_col(text_col)
+    d = df.select(
+        "doc_id",
+        F.length(text_col).cast("long").alias("n_chars"),
+        toks.alias("__toks"),
+    )
+    n = F.size("__toks").cast("double")
+    total_len = F.aggregate(
+        F.transform("__toks", lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    distinct_n = F.size(F.array_distinct("__toks")).cast("double")
+    stop_n = F.size(
+        F.filter("__toks", lambda t: t.isin(STOPWORDS))
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size("__toks").cast("long").alias("n_tokens"),
+        F.round(total_len / n, 6).alias("avg_token_len"),
+        F.round(distinct_n / n, 6).alias("distinct_ratio"),
+        F.round(stop_n / n, 6).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]: length band + lexical
+    diversity - stopword saturation (heuristic; the plumbing is the
+    point -- a per-row projection that scales to any corpus).
+    Computed from RAW ratios (not the 6-decimal-rounded stats) so the
+    only rounding step is the final one."""
+    toks = tokens_col(text_col)
+    d = df.select("doc_id", toks.alias("__toks"))
+    n = F.size("__toks").cast("double")
+    length_term = F.least(F.size("__toks").cast("double") / F.lit(100.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct("__toks")).cast("double") / n
+    stop_pen = (
+        F.size(F.filter("__toks", lambda t: t.isin(STOPWORDS))).cast("double") / n * 0.5
+    )
+    return d.select(
+        "doc_id",
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.least(F.lit(1.0), length_term * 0.4 + diversity * 0.6 - stop_pen),
+            ),
+            6,
+        ).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language scoring with deterministic alphabetical
+    tie-break -- n-gram/function-word heuristic shaped like a real
+    langid pass (per-row, no shuffle)."""
+    toks = tokens_col(text_col)
+    d = df.select("doc_id", toks.alias("__toks"))
+    scores = [
+        F.size(F.filter("__toks", lambda t: t.isin(m))).alias(f"s_{lang}")
+        for lang, m in sorted(LANG_MARKERS.items())
+    ]
+    d = d.select("doc_id", *scores)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier alphabetical wins ties
+        pred = F.when(F.col(f"s_{l}") == best, F.lit(l)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return d.select("doc_id", pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select("doc_id", polyhash_col(F.col(text_col)).alias("fp"))

@@ -937,3 +937,297 @@ def q_norm(spark, sf):
     exactly."""
     m = _nation_month_matrix(spark, sf)
     return linalg.norm(m.astype("double")).round(6).df
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis / dedup / similarity search
+# (additive scope, SURVEY.md section 7 M6)
+# ---------------------------------------------------------------------------
+
+# DuckDB oracle building blocks mirroring functions.text hashing
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+_POLY = (
+    "list_reduce(list_prepend(7::BIGINT, list_transform("
+    "list_filter(string_split({s}, ''), c -> c != ''), "
+    "c -> ascii(c)::BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007)"
+)
+_SHINGLES_SQL = f"""
+    SELECT doc_id, DISTINCT_SH.sh FROM (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len({_TOKS}) - 1),
+               i -> {_POLY.format(s=f"{_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]")}
+             ))) AS sh
+      FROM documents WHERE len({_TOKS}) >= 3) DISTINCT_SH
+    GROUP BY doc_id, DISTINCT_SH.sh
+"""
+_SIGS_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT doc_id, s.sig_id,
+           MIN((((1664525 * (s.sig_id + 1)) % 1000000007) * sh
+                + 1013904223 * (s.sig_id + 1)) % 1000000007) AS sig
+    FROM sh CROSS JOIN (SELECT unnest(range(16)) AS sig_id) s
+    GROUP BY doc_id, s.sig_id
+"""
+
+
+def _docs(spark, sf):
+    return read_table(spark, sf, "documents")
+
+
+def _embs(spark, sf):
+    return read_table(spark, sf, "embeddings")
+
+
+@query(
+    "text_stats",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+           round(CAST(list_sum(list_transform({_TOKS}, t -> length(t)))
+                 AS DOUBLE) / len({_TOKS}), 6) AS avg_token_len,
+           round(CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}), 6)
+             AS distinct_ratio,
+           round(CAST(len(list_filter({_TOKS},
+                 t -> t IN ('a', 'the', 'and', 'of'))) AS DOUBLE)
+                 / len({_TOKS}), 6) AS stopword_ratio
+    FROM documents
+    """,
+)
+def q_text_stats(spark, sf):
+    """token counting + quality-feature extraction (pipeline scope);
+    pure JVM projections, zero shuffle."""
+    from .functions import text as T
+
+    return T.token_stats(_docs(spark, sf))
+
+
+@query(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           round(greatest(0.0, least(1.0,
+             least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.4
+             + CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) * 0.6
+             - CAST(len(list_filter({_TOKS}, t -> t IN ('a', 'the', 'and', 'of')))
+                    AS DOUBLE) / len({_TOKS}) * 0.5)), 6) AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf):
+    from .functions import text as T
+
+    return T.quality_score(_docs(spark, sf))
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(list_filter({_TOKS}, t -> t IN ('der','die','und','das'))) AS s_de,
+             len(list_filter({_TOKS}, t -> t IN ('the','a','of','and'))) AS s_en,
+             len(list_filter({_TOKS}, t -> t IN ('el','la','y','los'))) AS s_es,
+             len(list_filter({_TOKS}, t -> t IN ('le','la','et','les'))) AS s_fr,
+             len(list_filter({_TOKS}, t -> t IN ('de','shi','he','zai'))) AS s_zh
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang
+    FROM s
+    """,
+)
+def q_lang_id(spark, sf):
+    """marker-token language-ID heuristic, alphabetical tie-break."""
+    from .functions import text as T
+
+    return T.lang_id(_docs(spark, sf))
+
+
+@query(
+    "text_fingerprint",
+    f"SELECT doc_id, {_POLY.format(s='text')} AS fp FROM documents",
+)
+def q_fingerprint(spark, sf):
+    """polynomial rolling-hash document fingerprint."""
+    from .functions import text as T
+
+    return T.fingerprint(_docs(spark, sf))
+
+
+@query(
+    "dedup_exact_groups",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS rep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark, sf):
+    """exact dedup: hash-groupBy on the document body."""
+    from .functions import dedup as D
+
+    return D.exact_groups(_docs(spark, sf))
+
+
+@query(
+    "dedup_minhash_sigs",
+    _SIGS_SQL,
+)
+def q_minhash_sigs(spark, sf):
+    """MinHash signature matrix (doc_id, sig_id, sig), 16 affine
+    hashes over distinct 3-gram token shingles."""
+    from .functions import dedup as D
+
+    sh = D.shingle_hashes(_docs(spark, sf))
+    return D.minhash_signatures(sh, 16)
+
+
+@query(
+    "dedup_minhash_pairs",
+    f"""
+    WITH sigs AS ({_SIGS_SQL}),
+    bh AS (SELECT doc_id, sig_id AS band,
+                  (17 * 1000003 + sig % 1000000007) % 1000000007 AS bh
+           FROM sigs)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_bands
+    FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh
+                       AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_minhash_pairs(spark, sf):
+    """LSH banding (1 row/band): candidate pairs sharing any bucket --
+    the join that replaces the N^2 pair scan."""
+    from .functions import dedup as D
+
+    sh = D.shingle_hashes(_docs(spark, sf))
+    sigs = D.minhash_signatures(sh, 16)
+    return D.lsh_candidate_pairs(sigs, rows_per_band=1)
+
+
+@query(
+    "dedup_jaccard_verify",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sigs AS ({_SIGS_SQL}),
+    bh AS (SELECT doc_id, sig_id AS band,
+                  (17 * 1000003 + sig % 1000000007) % 1000000007 AS bh
+           FROM sigs),
+    pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh
+                                 AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    counts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+              FROM pairs p
+              JOIN sh sa ON sa.doc_id = p.doc_a
+              JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+              GROUP BY 1, 2)
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                 / (ca.n + cb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM pairs p
+    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+    JOIN counts ca ON ca.doc_id = p.doc_a
+    JOIN counts cb ON cb.doc_id = p.doc_b
+    """,
+)
+def q_jaccard_verify(spark, sf):
+    """exact n-gram Jaccard on the LSH candidates (verify stage)."""
+    from .functions import dedup as D
+
+    docs = _docs(spark, sf)
+    sh = D.shingle_hashes(docs)
+    sigs = D.minhash_signatures(sh, 16)
+    pairs = D.lsh_candidate_pairs(sigs, rows_per_band=1).drop("n_bands")
+    return D.jaccard_on_pairs(sh, pairs)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH tw AS (SELECT doc_id, t, count(*) AS w FROM (
+                  SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+                GROUP BY doc_id, t),
+    th AS (SELECT doc_id, {_POLY.format(s='t')} AS h, w FROM tw),
+    per_bit AS (SELECT doc_id, b.b,
+                       SUM(w * (2 * (CAST(floor(h / pow(2, b.b)) AS BIGINT) % 2) - 1)) AS s
+                FROM th CROSS JOIN (SELECT unnest(range(16)) AS b) b
+                GROUP BY doc_id, b.b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+)
+def q_simhash(spark, sf):
+    """SimHash fingerprint: count-weighted bit majority of token
+    hashes."""
+    from .functions import dedup as D
+
+    return D.simhash(_docs(spark, sf))
+
+
+_EX_SQL = """
+    SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS e
+    FROM embeddings
+"""
+
+
+@query(
+    "simsearch_topk",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    q AS (SELECT vec_id AS qid, pos, e AS qe FROM ex WHERE vec_id IN (0, 1, 2)),
+    dots AS (SELECT q.qid, ex.vec_id, SUM(ex.e * q.qe) AS dot
+             FROM ex JOIN q USING (pos) GROUP BY 1, 2),
+    norms AS (SELECT vec_id, sqrt(SUM(e * e)) AS nrm FROM ex GROUP BY 1),
+    cos AS (SELECT d.qid, d.vec_id,
+                   d.dot / (n1.nrm * n2.nrm) AS c
+            FROM dots d
+            JOIN norms n1 ON n1.vec_id = d.vec_id
+            JOIN norms n2 ON n2.vec_id = d.qid
+            WHERE d.vec_id != d.qid)
+    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(c, 6) AS cos
+    FROM (SELECT qid, vec_id, c,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY c DESC, vec_id ASC) AS rnk
+          FROM cos) t
+    WHERE rnk <= 5
+    """,
+)
+def q_simsearch(spark, sf):
+    """brute-force cosine top-k (ANN correctness baseline)."""
+    from .functions import similarity as SIM
+
+    return SIM.cosine_topk(_embs(spark, sf), [0, 1, 2], k=5)
+
+
+@query(
+    "embed_lsh_bucket",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    dots AS (SELECT vec_id, p.p,
+                    SUM(e * CAST((p.p * 37 + (pos - 1) * 17) % 19 - 9 AS DOUBLE)) AS d
+             FROM ex CROSS JOIN (SELECT unnest(range(8)) AS p) p
+             GROUP BY vec_id, p.p)
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id
+    """,
+)
+def q_lsh_bucket(spark, sf):
+    """sign-bit LSH bucketing with integer hyperplanes (ANN scale
+    path; note DuckDB pos is 1-based, hence pos-1 in the oracle)."""
+    from .functions import similarity as SIM
+
+    return SIM.lsh_sign_bucket(_embs(spark, sf), 8)
