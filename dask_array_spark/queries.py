@@ -1211,6 +1211,88 @@ def q_simsearch(spark, sf):
     return SIM.cosine_topk(_embs(spark, sf), [0, 1, 2], k=5)
 
 
+# ---------------------------------------------------------------------------
+# Event-stream windows over `events` (additive scope, SURVEY section 2.12)
+# Batch forms are exact at microsecond precision (= DuckDB's TIMESTAMP);
+# the same logic runs incrementally in streaming/events.py stream_* forms.
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, sf):
+    return read_table(spark, sf, "events")
+
+
+@query(
+    "events_tumbling",
+    """
+    SELECT (epoch_us(ts) // 600000000) * 600 AS win, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(cast(round(value * 100) as bigint)) AS BIGINT) AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark, sf):
+    """10-minute tumbling windows per event_type: one partial/final
+    hash agg, no extra exchange (streaming analogue:
+    stream_tumbling_counts)."""
+    from .streaming import events as EV
+
+    return EV.tumbling_agg(_events(spark, sf), 600)
+
+
+@query(
+    "events_sliding",
+    """
+    WITH s AS (
+      SELECT unnest(generate_series(
+               greatest(((epoch_us(ts) - 900000000) // 300000000) * 300000000
+                        + 300000000, 0),
+               (epoch_us(ts) // 300000000) * 300000000,
+               300000000)) AS ws
+      FROM events)
+    SELECT ws // 1000000 AS win, CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY 1
+    """,
+)
+def q_events_sliding(spark, sf):
+    """15-minute windows sliding every 5: explode the window-start
+    sequence per event (generator, no join) + one agg."""
+    from .streaming import events as EV
+
+    return EV.sliding_agg(_events(spark, sf), 900, 300)
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, epoch_us(ts) AS tu,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+    s AS (
+      SELECT user_id, tu,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tu, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM d)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(tu) // 1000000 AS BIGINT) AS start_s,
+           CAST(max(tu) // 1000000 AS BIGINT) AS end_s
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_events_sessionize(spark, sf):
+    """30-minute-gap sessionization, gaps-and-islands per user (fully
+    parallel across users; streaming analogue: session_window in
+    stream_session_counts)."""
+    from .streaming import events as EV
+
+    return EV.sessionize(_events(spark, sf), 1800)
+
+
 @query(
     "embed_lsh_bucket",
     f"""

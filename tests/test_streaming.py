@@ -1,0 +1,71 @@
+"""Structured Streaming forms produce the same answers as the batch
+forms when the whole file source is drained (file source -> memory
+sink, complete output mode).  This is the incremental-execution proof
+for the events operators (SURVEY.md section 2.12 additive scope).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events_path(sf_dir):
+    return f"{sf_dir}/events.parquet"
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_path):
+    from dask_array_spark.sources import read_table
+    from dask_array_spark.streaming import events as EV
+
+    sdf = EV.stream_tumbling_counts(spark, events_path, width="10 minutes")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_tumbling")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["win"], r["event_type"]): r["n"]
+            for r in spark.sql("SELECT * FROM t_tumbling").collect()
+        }
+    finally:
+        q.stop()
+
+    batch = EV.tumbling_agg(read_table(spark, sf_dir, "events"), 600)
+    want = {(r["win"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0
+
+
+def test_stream_sessions_run(spark, events_path):
+    """Session windows: streaming session_window aggregates run and
+    cover every user (exact session boundaries differ from the
+    gaps-and-islands batch form only in watermark-truncated cases,
+    none in a single drained batch)."""
+    from dask_array_spark.streaming import events as EV
+
+    sdf = EV.stream_session_counts(spark, events_path, gap="30 minutes")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, sum(n_events) AS n FROM t_sessions GROUP BY 1"
+        ).collect()
+    finally:
+        q.stop()
+    per_user = {r["user_id"]: r["n"] for r in rows}
+    static = spark.read.parquet(events_path)
+    want = {
+        r["user_id"]: r["n"]
+        for r in static.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_user == want
