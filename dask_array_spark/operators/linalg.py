@@ -24,6 +24,7 @@ from ..core.array import VALUE_COL, Array
 __all__ = [
     "matmul",
     "tensordot",
+    "einsum",
     "outer",
     "norm",
     "trace",
@@ -32,6 +33,87 @@ __all__ = [
     "corr_pair",
     "tsqr",
 ]
+
+
+def einsum(spec: str, *operands: Array) -> Array:
+    """General Einstein summation lowered to a chain of equi-joins on
+    shared labels + one grouped sum (reference _einsum.py:181, which
+    lowers to blockwise outer products + tree sums; here the join+agg
+    IS that plan and AQE picks broadcast vs shuffle per pair).
+
+    Supports repeated labels within one operand (diagonal -- an index
+    equality filter), implicit output (labels occurring exactly once,
+    sorted), and any number of operands.  Cell sparsity is safe for
+    products: a missing cell is an implicit zero and inner joins drop
+    exactly the zero terms of the sum.
+    """
+    from collections import Counter
+
+    spec = spec.replace(" ", "")
+    if "->" in spec:
+        ins, out_labels = spec.split("->")
+    else:
+        ins = spec
+        cnt = Counter(c for part in spec.split(",") for c in part)
+        out_labels = "".join(sorted(c for c, n in cnt.items() if n == 1))
+    in_specs = ins.split(",")
+    if len(in_specs) != len(operands):
+        raise ValueError(f"{len(in_specs)} specs but {len(operands)} operands")
+
+    sizes: dict[str, int | None] = {}
+
+    def frame(labels: str, arr: Array, tag: str):
+        """(df with columns <tag>_<label> + __v, set-of-labels)."""
+        if len(labels) != arr.ndim:
+            raise ValueError(f"spec {labels!r} does not match ndim {arr.ndim}")
+        first: dict[str, int] = {}
+        cond = None
+        for k, lab in enumerate(labels):
+            sizes.setdefault(lab, arr.shape[k])
+            if lab in first:  # diagonal: i_k == i_first
+                c = F.col(f"i{k}") == F.col(f"i{first[lab]}")
+                cond = c if cond is None else (cond & c)
+            else:
+                first[lab] = k
+        d = arr.df
+        if cond is not None:
+            d = d.filter(cond)
+        sel = [F.col(f"i{k}").alias(f"{tag}_{lab}") for lab, k in first.items()]
+        sel.append(F.col(VALUE_COL).alias("__v"))
+        return d.select(*sel), set(first)
+
+    cur, cur_labels = frame(in_specs[0], operands[0], "L")
+    cur = cur.withColumnRenamed("__v", "__p")
+    for t in range(1, len(operands)):
+        nxt, nxt_labels = frame(in_specs[t], operands[t], "R")
+        shared = sorted(cur_labels & nxt_labels)
+        if shared:
+            cond = None
+            for lab in shared:
+                c = F.col(f"L_{lab}") == F.col(f"R_{lab}")
+                cond = c if cond is None else (cond & c)
+            j = cur.join(nxt, on=cond, how="inner")
+        else:
+            j = cur.crossJoin(nxt)
+        keep = [F.col(f"L_{lab}").alias(f"L_{lab}") for lab in sorted(cur_labels)]
+        keep += [
+            F.col(f"R_{lab}").alias(f"L_{lab}")
+            for lab in sorted(nxt_labels - cur_labels)
+        ]
+        keep.append((F.col("__p") * F.col("__v")).alias("__p"))
+        cur = j.select(*keep)
+        cur_labels |= nxt_labels
+
+    names = [f"i{k}" for k in range(len(out_labels))]
+    if out_labels:
+        agg = cur.groupBy(
+            *[F.col(f"L_{lab}").alias(n) for lab, n in zip(out_labels, names)]
+        ).agg(F.sum("__p").alias(VALUE_COL))
+        out_df = agg.select(*names, VALUE_COL)
+    else:
+        out_df = cur.agg(F.sum("__p").alias(VALUE_COL))
+    shape = tuple(sizes[lab] for lab in out_labels)
+    return Array(out_df, shape)
 
 
 

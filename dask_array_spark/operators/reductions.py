@@ -56,6 +56,7 @@ __all__ = [
     "argtopk",
     "bincount",
     "histogram",
+    "histogram2d",
     "unique_table",
     "reduce_axes",
 ]
@@ -375,6 +376,40 @@ def histogram(a: Array, bins: int, range: tuple[float, float]) -> Array:
         .agg(F.count(F.lit(1)).cast("long").alias(VALUE_COL))
     )
     return Array(d, (bins,))
+
+
+def histogram2d(x: Array, y: Array, bins: tuple[int, int], ranges) -> Array:
+    """2-D uniform histogram over two aligned 1-D arrays (reference
+    ``histogram2d``/``histogramdd``,
+    /root/reference/dask_array/_histogram.py:161,360): join on the
+    shared index, bucket both coordinates with explicit affine floor
+    arithmetic (last edge inclusive, NumPy convention), one grouped
+    count.  When both arrays share a base the join disappears into a
+    single projection."""
+    (bx, by) = bins
+    (lox, hix), (loy, hiy) = ranges
+
+    def bucket(c: Column, lo: float, hi: float, nb: int) -> Column:
+        c = c.cast("double")
+        return F.least(
+            F.floor((c - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(nb)).cast("long"),
+            F.lit(nb - 1).cast("long"),
+        )
+
+    dy = y.df.withColumnRenamed(VALUE_COL, "__y")
+    if y._base is x._base:
+        d = x._base.select(
+            *x.index_cols, x._vcol.alias(VALUE_COL), y._vcol.alias("__y")
+        )
+    else:
+        d = x.df.join(dy, on=x.index_cols, how="inner")
+    cx, cy = F.col(VALUE_COL).cast("double"), F.col("__y").cast("double")
+    d = d.filter((cx >= lox) & (cx <= hix) & (cy >= loy) & (cy <= hiy))
+    out = d.groupBy(
+        bucket(F.col(VALUE_COL), lox, hix, bx).alias("i0"),
+        bucket(F.col("__y"), loy, hiy, by).alias("i1"),
+    ).agg(F.count(F.lit(1)).cast("long").alias(VALUE_COL))
+    return Array(out, (bx, by))
 
 
 def unique_table(a: Array) -> DataFrame:

@@ -939,6 +939,319 @@ def q_norm(spark, sf):
     return linalg.norm(m.astype("double")).round(6).df
 
 
+def _monthly(spark, sf) -> Array:
+    """(12,) monthly quantity totals (exact long), the workhorse small
+    dense vector for manipulation/splice queries."""
+    m = _nation_month_matrix(spark, sf)
+    mo = R.nansum(m, axis=0)
+    return Array(mo.df.select("i0", F.col("v").cast("long").alias("v")), (12,))
+
+
+_MONTHLY_SQL = f"SELECT i1 AS i, CAST(SUM(v) AS BIGINT) AS v FROM ({NM_SQL}) t GROUP BY i1"
+
+
+@query(
+    "einsum_row_norms",
+    f"""
+    SELECT i0, CAST(SUM(v * v) AS BIGINT) AS v FROM ({NM_SQL}) t GROUP BY i0
+    """,
+)
+def q_einsum_row_norms(spark, sf):
+    """einsum('ij,ij->i') row-wise self inner products: shared labels
+    on BOTH axes -> one self-equi-join + grouped sum (reference
+    _einsum.py:181)."""
+    m = _nation_month_matrix(spark, sf)
+    out = linalg.einsum("ij,ij->i", m, m)
+    return out.df.select("i0", F.col("v").cast("long").alias("v"))
+
+
+@query(
+    "einsum_trace_gram",
+    f"""
+    SELECT CAST(SUM(v * v) AS BIGINT) AS v FROM ({NM_SQL}) t
+    """,
+)
+def q_einsum_trace(spark, sf):
+    """einsum('ii->') on the Gram matrix == trace(A@A.T) == ||A||_F^2;
+    exercises the repeated-label (diagonal) filter path."""
+    m = _nation_month_matrix(spark, sf)
+    gram = linalg.matmul(m, M.transpose(m))
+    out = linalg.einsum("ii->", gram)
+    return out.df.select(F.col("v").cast("long").alias("v"))
+
+
+@query(
+    "tri_masked_sum",
+    f"""
+    WITH a AS ({NM_SQL}),
+         c AS (SELECT x.i0 AS i0, y.i0 AS i1, CAST(SUM(x.v * y.v) AS BIGINT) AS v
+               FROM a x JOIN a y ON x.i1 = y.i1 GROUP BY 1, 2)
+    SELECT CAST(SUM(v) AS BIGINT) AS v FROM c WHERE i1 <= i0
+    """,
+)
+def q_tri_masked_sum(spark, sf):
+    """lower-triangular masked sum: gram * tri(25) elemwise (sparse
+    mask cells == implicit zeros drop via the join; reference
+    creation/_tri.py:9)."""
+    m = _nation_month_matrix(spark, sf)
+    gram = linalg.matmul(m, M.transpose(m))
+    t = creation.tri(spark, 25).astype("long")
+    masked = gram * t
+    out = R.nansum(masked, axis=None)
+    return out.df.select(F.col("v").cast("long").alias("v"))
+
+
+@query(
+    "creation_linspace_arange",
+    """
+    SELECT round(SUM((i / 100.0) * i), 6) AS v
+    FROM (SELECT unnest(range(101)) AS i) t
+    """,
+)
+def q_linspace_arange(spark, sf):
+    """linspace * arange elemwise join + total (reference
+    creation/_linspace.py:15, _arange.py:16)."""
+    x = creation.linspace(spark, 0.0, 1.0, 101)
+    y = creation.arange(spark, 101)
+    return R.nansum(x * y, axis=None).round(6).df
+
+
+@query(
+    "gradient_monthly",
+    f"""
+    WITH mo AS (SELECT i1 AS i, CAST(SUM(v) AS DOUBLE) AS v FROM ({NM_SQL}) t GROUP BY i1)
+    SELECT i AS i0,
+           round(CASE WHEN i = 0 THEN lead(v) OVER w - v
+                      WHEN i = 11 THEN v - lag(v) OVER w
+                      ELSE (lead(v) OVER w - lag(v) OVER w) / 2.0 END, 6) AS v
+    FROM mo WINDOW w AS (ORDER BY i)
+    """,
+)
+def q_gradient(spark, sf):
+    """central-difference gradient with one-sided edges (reference
+    routines/_gradient.py:36, overlap depth 1 == lag/lead)."""
+    mo = _monthly(spark, sf).astype("double")
+    return W.gradient(mo, axis=0).round(6).df
+
+
+@query(
+    "cov_sample_pair",
+    """
+    SELECT round(covar_samp(o_totalprice, c_acctbal) / 1e7, 6) AS v
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_cov_pair(spark, sf):
+    """sample covariance of two aligned arrays (reference matmul-based
+    cov, routines/_statistics.py:67); scaled before rounding so the
+    engines' streaming co-moment merges agree to 6 decimals."""
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    x = from_table_column(j, "o_orderkey", "o_totalprice")
+    y = from_table_column(j, "o_orderkey", "c_acctbal")
+    out = linalg.cov_pair(x, y, ddof=1)
+    return (out / 1e7).round(6).df
+
+
+@query(
+    "histogram2d_qty_disc",
+    """
+    SELECT least(CAST(floor((l_quantity - 1.0) / 50.0 * 10) AS BIGINT), 9) AS i0,
+           least(CAST(floor((l_discount - 0.0) / 0.11 * 5) AS BIGINT), 4) AS i1,
+           CAST(count(*) AS BIGINT) AS v
+    FROM lineitem
+    WHERE l_quantity >= 1.0 AND l_quantity <= 51.0
+      AND l_discount >= 0.0 AND l_discount <= 0.11
+    GROUP BY 1, 2
+    """,
+)
+def q_histogram2d(spark, sf):
+    """2-D histogram over two columns of one base -- a single
+    projection + grouped count, no join (reference _histogram.py:161)."""
+    a = from_table_arrays(
+        _li(spark, sf), LI_IDX, {"q": "l_quantity", "d": "l_discount"}
+    )
+    return R.histogram2d(a["q"], a["d"], (10, 5), ((1.0, 51.0), (0.0, 0.11))).df
+
+
+@query(
+    "tile_pad_vector",
+    f"""
+    WITH mo AS ({_MONTHLY_SQL}),
+    tiled AS (SELECT r.r * 12 + i AS i, CAST(v AS DOUBLE) AS v
+              FROM mo CROSS JOIN (SELECT unnest(range(2)) AS r) r)
+    SELECT i + 2 AS i0, v FROM tiled
+    UNION ALL
+    SELECT b.i AS i0, 0.0 AS v
+    FROM (SELECT unnest([0, 1, 26, 27, 28]) AS i) b
+    """,
+)
+def q_tile_pad(spark, sf):
+    """tile(x, 2) then constant-pad (2, 3) (reference
+    creation/_tile.py:10, _pad.py:227): cross-join with a broadcast
+    range + union of generated border cells."""
+    mo = _monthly(spark, sf).astype("double")
+    tiled = M.tile(mo, 2, axis=0)
+    return M.pad_constant(tiled, [(2, 3)], 0.0).df
+
+
+@query(
+    "repeat_vector",
+    f"""
+    WITH mo AS ({_MONTHLY_SQL})
+    SELECT i * 3 + r.r AS i0, v
+    FROM mo CROSS JOIN (SELECT unnest(range(3)) AS r) r
+    """,
+)
+def q_repeat(spark, sf):
+    """repeat(x, 3): each element thrice, index i*3+r (reference
+    creation/_repeat.py:13)."""
+    mo = _monthly(spark, sf)
+    return M.repeat(mo, 3, axis=0).df
+
+
+@query(
+    "insert_delete_splice",
+    f"""
+    WITH mo AS ({_MONTHLY_SQL}),
+    del AS (SELECT CASE WHEN i > 3 THEN i - 1 ELSE i END AS i,
+                   CAST(v AS DOUBLE) AS v
+            FROM mo WHERE i != 3)
+    SELECT i + 1 AS i0, v FROM del
+    UNION ALL SELECT 0 AS i0, 0.0 AS v
+    """,
+)
+def q_insert_delete(spark, sf):
+    """np.delete at 3 then np.insert 0.0 at 0: index-shifted splices
+    (reference routines/_insert_delete.py:19-140)."""
+    mo = _monthly(spark, sf).astype("double")
+    return M.insert_1d(M.delete_1d(mo, 3), 0, 0.0).df
+
+
+@query(
+    "vindex_points",
+    f"""
+    SELECT t.pos AS i0, a.v
+    FROM (VALUES (0, 3, 5), (1, 7, 11), (2, 24, 0), (3, 3, 5), (4, 0, 0)) t(pos, c0, c1)
+    JOIN ({NM_SQL}) a ON a.i0 = t.c0 AND a.i1 = t.c1
+    """,
+)
+def q_vindex(spark, sf):
+    """point-wise coordinate gather == broadcast join on the composite
+    index key (reference VIndexArray, slicing/_vindex.py:143)."""
+    m = _nation_month_matrix(spark, sf)
+    coords = m.spark.createDataFrame(
+        [(0, 3, 5), (1, 7, 11), (2, 24, 0), (3, 3, 5), (4, 0, 0)],
+        "pos long, c0 long, c1 long",
+    )
+    return S.vindex(m, coords).df
+
+
+@query(
+    "set_union1d",
+    """
+    WITH u AS (SELECT DISTINCT v FROM (
+      SELECT c_nationkey AS v FROM customer
+      UNION SELECT s_nationkey AS v FROM supplier))
+    SELECT row_number() OVER (ORDER BY v) - 1 AS i0, v FROM u
+    """,
+)
+def q_union1d(spark, sf):
+    """sorted distinct union (reference routines/_unique.py:226)."""
+    from .operators import setops as SO
+
+    c = read_table(spark, sf, "customer")
+    s = read_table(spark, sf, "supplier")
+    a = from_table_column(c, "c_custkey", "c_nationkey")
+    b = from_table_column(s, "s_suppkey", "s_nationkey")
+    return SO.union1d(a, b).df
+
+
+@query(
+    "set_intersect1d",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey AS v FROM orders),
+         b AS (SELECT DISTINCT c_custkey AS v FROM customer WHERE c_acctbal < 0),
+         i AS (SELECT v FROM a INTERSECT SELECT v FROM b)
+    SELECT row_number() OVER (ORDER BY v) - 1 AS i0, v FROM i
+    """,
+)
+def q_intersect1d(spark, sf):
+    """sorted intersection == Spark INTERSECT (left semi join):
+    customers in debt who have orders."""
+    from .operators import setops as SO
+
+    o = read_table(spark, sf, "orders")
+    c = read_table(spark, sf, "customer").filter(F.col("c_acctbal") < 0)
+    a = from_table_column(o, "o_orderkey", "o_custkey")
+    b = from_table_column(c, "c_custkey", "c_custkey")
+    return SO.intersect1d(a, b).df
+
+
+@query(
+    "set_setdiff1d",
+    """
+    WITH d AS (SELECT DISTINCT c_custkey AS v FROM customer
+               EXCEPT SELECT DISTINCT o_custkey AS v FROM orders)
+    SELECT row_number() OVER (ORDER BY v) - 1 AS i0, v FROM d
+    """,
+)
+def q_setdiff1d(spark, sf):
+    """sorted difference == Spark EXCEPT (left anti join): customers
+    with no orders."""
+    from .operators import setops as SO
+
+    c = read_table(spark, sf, "customer")
+    o = read_table(spark, sf, "orders")
+    a = from_table_column(c, "c_custkey", "c_custkey")
+    b = from_table_column(o, "o_orderkey", "o_custkey")
+    return SO.setdiff1d(a, b).df
+
+
+@query(
+    "moment3_central",
+    f"""
+    SELECT i0, round((1.0 * n * pow(-mu, 3) + 3.0 * s1 * pow(-mu, 2)
+                      + 3.0 * s2 * pow(-mu, 1) + 1.0 * s3 * pow(-mu, 0)) / n,
+                     6) AS v
+    FROM (
+      SELECT {FLAG_IDX} AS i0,
+             CAST(count(*) AS DOUBLE) AS n,
+             SUM(l_quantity) AS s1,
+             SUM(l_quantity * l_quantity) AS s2,
+             SUM(l_quantity * l_quantity * l_quantity) AS s3,
+             SUM(l_quantity) / count(*) AS mu
+      FROM lineitem GROUP BY 1) t
+    """,
+)
+def q_moment3(spark, sf):
+    """3rd central moment via one-pass binomial expansion over raw
+    power sums (reference moment_chunk/combine merge,
+    reductions/_common.py:368-673); quantities are small ints so every
+    power sum is exact in double -> deterministic across engines."""
+    m = from_table_matrix(_li(spark, sf), FLAG_IDX, LI_IDX, "l_quantity", (3, None))
+    return R.moment(m, 3, axis=1).round(6).df
+
+
+@query("approx_percentile_rows")
+def q_approx_percentile(spark, sf):
+    """approx_percentile (t-digest analogue, reference
+    reductions/_percentile.py:21-256).  No oracle: the sketch is
+    engine-specific; the driver records the weaker rows-only check."""
+    m = from_table_matrix(_li(spark, sf), FLAG_IDX, LI_IDX, "l_extendedprice", (3, None))
+    return R.percentile_approx(m, 0.95, axis=1).df
+
+
+@query("random_seeded_hist_rows")
+def q_random_hist(spark, sf):
+    """seeded per-partition RNG -> histogram (reference
+    random/_generator.py:16; deterministic per partitioning, not
+    oracle-checkable across engines -> rows-only check)."""
+    x = creation.random_uniform(spark, 100_000, seed=7, numparts=8)
+    return R.histogram(x, 10, (0.0, 1.0)).df
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: text analysis / dedup / similarity search
 # (additive scope, SURVEY.md section 7 M6)

@@ -1,0 +1,79 @@
+"""einsum / set ops / histogram2d vs the NumPy oracle (paths not
+reachable through the SQL-oracle query registry: implicit output,
+3-operand chains, per-operand diagonals)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import assert_eq
+
+
+@pytest.fixture(scope="module")
+def mats(spark, rng):
+    from dask_array_spark import from_numpy
+
+    a = rng.integers(-4, 5, size=(4, 5)).astype("float64")
+    b = rng.integers(-4, 5, size=(5, 3)).astype("float64")
+    c = rng.integers(-4, 5, size=(3, 4)).astype("float64")
+    return {
+        "a": (from_numpy(spark, a), a),
+        "b": (from_numpy(spark, b), b),
+        "c": (from_numpy(spark, c), c),
+    }
+
+
+@pytest.mark.parametrize(
+    "spec,ops",
+    [
+        ("ij,jk->ik", "ab"),
+        ("ij,jk", "ab"),  # implicit output
+        ("ij,jk,kl->il", "abc"),  # 3-operand chain
+        ("ij->ji", "a"),  # pure transpose
+        ("ij->i", "a"),  # row sums
+        ("ij,ij->", "aa"),  # full inner product
+        ("ij,kj->ik", "aa"),  # gram
+    ],
+)
+def test_einsum_matches_numpy(mats, spec, ops):
+    from dask_array_spark.operators import linalg
+
+    arrs = [mats[o][0] for o in ops]
+    nps = [mats[o][1] for o in ops]
+    assert_eq(linalg.einsum(spec, *arrs), np.einsum(spec, *nps))
+
+
+def test_einsum_diagonal(spark, rng):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import linalg
+
+    a = rng.integers(-4, 5, size=(5, 5)).astype("float64")
+    assert_eq(linalg.einsum("ii->i", from_numpy(spark, a)), np.einsum("ii->i", a))
+    got = linalg.einsum("ii->", from_numpy(spark, a)).compute()
+    np.testing.assert_allclose(got, np.trace(a))
+
+
+def test_setops(spark):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import setops as SO
+
+    a_np = np.array([5, 1, 3, 3, 9, 1], dtype="int64")
+    b_np = np.array([3, 7, 9, 9], dtype="int64")
+    a, b = from_numpy(spark, a_np), from_numpy(spark, b_np)
+    assert_eq(SO.union1d(a, b), np.union1d(a_np, b_np))
+    assert_eq(SO.intersect1d(a, b), np.intersect1d(a_np, b_np))
+    assert_eq(SO.setdiff1d(a, b), np.setdiff1d(a_np, b_np))
+    assert_eq(SO.in1d(a, b), np.isin(a_np, b_np))
+
+
+def test_histogram2d(spark, rng):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import reductions as R
+
+    x_np = rng.uniform(0, 10, 500)
+    y_np = rng.uniform(-5, 5, 500)
+    x, y = from_numpy(spark, x_np), from_numpy(spark, y_np)
+    want, _, _ = np.histogram2d(
+        x_np, y_np, bins=(8, 6), range=((0.0, 10.0), (-5.0, 5.0))
+    )
+    got = R.histogram2d(x, y, (8, 6), ((0.0, 10.0), (-5.0, 5.0))).compute()
+    np.testing.assert_array_equal(got, want.astype("int64"))
