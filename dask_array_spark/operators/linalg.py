@@ -32,6 +32,7 @@ __all__ = [
     "cov_pair",
     "corr_pair",
     "tsqr",
+    "svd_tall",
 ]
 
 
@@ -278,3 +279,37 @@ def tsqr(a: Array, block_rows: int = 10000):
         .select("i0", "i1", VALUE_COL)
     )
     return Array(q, (n, k)), r_final
+
+
+def svd_tall(a: Array, block_rows: int = 10000):
+    """TSQR-based thin SVD for tall-skinny matrices (reference
+    linalg/_svd.py:19-229): A = QR (distributed TSQR), R = U_r S V^T
+    in-core (R is k x k, tiny), U = Q @ U_r distributed via a
+    broadcast join+agg.  Returns (u: Array, s: ndarray, vt: ndarray).
+    Deterministic up to sign; normalized so each row of V^T has a
+    non-negative max-magnitude leading entry."""
+    import numpy as np
+
+    n, k = a.shape
+    q, r = tsqr(a, block_rows=block_rows)
+    u_r, s, vt = np.linalg.svd(r)
+    # sign-normalize columns of u_r (and rows of vt) for determinism
+    lead = np.argmax(np.abs(u_r), axis=0)
+    signs = np.sign(u_r[lead, np.arange(u_r.shape[1])])
+    signs[signs == 0] = 1.0
+    u_r = u_r * signs
+    vt = vt * signs[:, None]
+    spark = a.spark
+    ur_rows = [
+        (int(i), int(j), float(u_r[i, j]))
+        for i in range(u_r.shape[0])
+        for j in range(u_r.shape[1])
+    ]
+    ur_df = spark.createDataFrame(ur_rows, "ri long, rj long, rv double")
+    u = (
+        q.df.join(F.broadcast(ur_df), on=F.col("i1") == F.col("ri"), how="inner")
+        .groupBy(F.col("i0"), F.col("rj").alias("i1"))
+        .agg(F.sum(F.col(VALUE_COL) * F.col("rv")).alias(VALUE_COL))
+        .select("i0", "i1", VALUE_COL)
+    )
+    return Array(u, (n, k)), s, vt

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1232,6 +1233,85 @@ def q_moment3(spark, sf):
     power sum is exact in double -> deterministic across engines."""
     m = from_table_matrix(_li(spark, sf), FLAG_IDX, LI_IDX, "l_quantity", (3, None))
     return R.moment(m, 3, axis=1).round(6).df
+
+
+@query(
+    "map_blocks_affine",
+    f"""
+    SELECT i0, i1, CAST(v * 2 + 1 AS DOUBLE) AS v FROM ({NM_SQL}) t
+    """,
+)
+def q_map_blocks(spark, sf):
+    """map_blocks kernel (b*2+1) over 8x8 blocks: pack/kernel/unpack in
+    one applyInPandas stage (reference _map_blocks.py:21); absent cells
+    stay absent (NaN in, NaN out, dropped)."""
+    from .core import blocks as B
+
+    m = _nation_month_matrix(spark, sf)
+    return B.map_blocks(lambda b: b * 2.0 + 1.0, m, (8, 8)).df
+
+
+@query(
+    "apply_along_axis_rowscale",
+    f"""
+    SELECT i0, i1, round(CAST(v AS DOUBLE) / max(v) OVER (PARTITION BY i0), 6) AS v
+    FROM ({NM_SQL}) t
+    """,
+)
+def q_apply_along_axis(spark, sf):
+    """row-rescale by the row max through the 1-D kernel surface
+    (reference routines/_apply.py:16): groupBy rows + vector-output
+    applyInPandas."""
+    from .core import blocks as B
+
+    m = _nation_month_matrix(spark, sf)
+    out = B.apply_along_axis(lambda v: v / np.nanmax(v), 1, m)
+    return out.round(6).df.filter(F.col("v").isNotNull())
+
+
+@query(
+    "gufunc_row_dot",
+    f"""
+    SELECT i0, CAST(SUM(v * v) AS DOUBLE) AS v FROM ({NM_SQL}) t GROUP BY i0
+    """,
+)
+def q_gufunc_row_dot(spark, sf):
+    """apply_gufunc('(i),(i)->()') row inner products: loop dims
+    distributed, core dim in-kernel (reference _gufunc.py:154)."""
+    from .core import blocks as B
+
+    m = _nation_month_matrix(spark, sf)
+    return B.apply_gufunc(lambda x, y: np.nansum(x * y), "(i),(i)->()", m, m).df
+
+
+@query(
+    "tsqr_q_orthonormal",
+    """
+    SELECT CAST(unnest(range(12)) AS BIGINT) AS i0, CAST(1.0 AS DOUBLE) AS v
+    """,
+)
+def q_tsqr_orthonormal(spark, sf):
+    """TSQR factor check: every column of Q has unit norm to 1e-6
+    (reference linalg/_qr.py:38; the oracle is the mathematical
+    invariant, not a SQL re-derivation)."""
+    m = _nation_month_matrix(spark, sf).astype("double")
+    q, _ = linalg.tsqr(m, block_rows=8)
+    d = q.df.groupBy(F.col("i1").alias("i0")).agg(
+        F.round(F.sqrt(F.sum(F.col("v") * F.col("v"))), 6).alias("v")
+    )
+    return d
+
+
+@query("svd_singular_values_rows")
+def q_svd_rows(spark, sf):
+    """thin-SVD singular values of the nation-month matrix (reference
+    linalg/_svd.py:19; no SQL oracle for SVD -> rows-only check; the
+    orthonormality of U is covered by tsqr_q_orthonormal's invariant)."""
+    m = _nation_month_matrix(spark, sf).astype("double")
+    _, s, _ = linalg.svd_tall(m, block_rows=8)
+    return spark.createDataFrame(
+        [(int(i), float(x)) for i, x in enumerate(s)], "i0 long, v double"
+    )
 
 
 @query("approx_percentile_rows")
