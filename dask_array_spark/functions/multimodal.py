@@ -1,0 +1,155 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed
+metadata (additive training-data-pipeline scope, build brief).
+
+Design: media payloads are ordinary ``binary`` columns (arriving via
+``spark.read.format("binaryFile")`` or embedded parquet columns) with
+a typed metadata struct alongside.  All per-item compute runs in
+Arrow-batched ``mapInPandas`` kernels so payloads never transit the
+driver, stay batched, and shard with the ordinary partitioning of the
+table -- the 100 TB path is a pure map stage, zero shuffles.
+
+The actual codec step is STUBBED (this container has no image/audio
+libraries): ``decode_image`` raises ``NotImplementedError`` unless a
+decoder is importable, and ``fake_decode_features`` computes a
+deterministic feature vector straight from the bytes.  The Spark-side
+plumbing -- schema, batch iteration, UDF signatures, partitioning --
+is real and tested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "attach_bytes",
+    "media_metadata",
+    "byte_histogram",
+    "fake_decode_features",
+    "decode_image",
+    "frame_sample",
+]
+
+
+def attach_bytes(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake payload: the document body encoded as
+    binary.  Stands in for a real ``binaryFile`` read so the media
+    kernels below have honest bytes to chew on."""
+    return docs.withColumn("media", F.encode(F.col(text_col), "UTF-8"))
+
+
+def media_metadata(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
+    """Typed metadata for an opaque payload -- pure JVM projections,
+    no Python: size, first/last byte (format sniffing reads magic
+    bytes exactly like this), and a 64-bit content hash."""
+    m = F.col(media_col)
+    return df.select(
+        F.col(id_col),
+        F.length(m).cast("long").alias("n_bytes"),
+        F.ascii(m.cast("string").substr(1, 1)).cast("long").alias("head_byte"),
+        F.ascii(F.substring(m.cast("string"), -1, 1)).cast("long").alias("tail_byte"),
+        F.xxhash64(m).alias("content_hash"),
+    )
+
+
+def byte_histogram(df: DataFrame, media_col: str = "media", id_col: str = "doc_id",
+                   bins: int = 16) -> DataFrame:
+    """Per-item byte-value histogram (bins of 256/bins): the canonical
+    decode-free media feature, computed in an Arrow-batched
+    mapInPandas kernel.  Output (id, bin, n)."""
+    width = 256 // bins
+    src = df.select(id_col, media_col)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for _, row in pdf.iterrows():
+                buf = np.frombuffer(row[media_col], dtype=np.uint8)
+                counts = np.bincount(buf // width, minlength=bins)[:bins]
+                nz = np.nonzero(counts)[0]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            id_col: row[id_col],
+                            "bin": nz.astype("int64"),
+                            "n": counts[nz].astype("int64"),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    return src.mapInPandas(kernel, schema=f"{id_col} long, bin long, n long")
+
+
+def fake_decode_features(df: DataFrame, media_col: str = "media",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stand-in for decode + feature-extract: interpret
+    the payload as a uint8 'image', emit (mean, std, n_pixels).  The
+    batch shape and schema are exactly what a real CLIP/ResNet feature
+    UDF would use."""
+    src = df.select(id_col, media_col)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                buf = np.frombuffer(row[media_col], dtype=np.uint8).astype("float64")
+                rows.append(
+                    {
+                        id_col: row[id_col],
+                        "mean_px": round(float(buf.mean()), 6),
+                        "std_px": round(float(buf.std()), 6),
+                        "n_px": int(buf.size),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(
+        kernel, schema=f"{id_col} long, mean_px double, std_px double, n_px long"
+    )
+
+
+def decode_image(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
+    """Real image decode -- STUB: no imaging library ships in this
+    environment.  The mapInPandas plumbing is identical to
+    fake_decode_features; swap the kernel body when PIL/cv2 exists."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "decode_image needs an imaging library (PIL/cv2); "
+            "use fake_decode_features for the deterministic stub path"
+        ) from e
+    raise NotImplementedError("real decode path not wired yet")
+
+
+def frame_sample(df: DataFrame, media_col: str = "media", id_col: str = "doc_id",
+                 frame_bytes: int = 64, stride: int = 4) -> DataFrame:
+    """'Video' frame sampling over an opaque payload: split the byte
+    stream into fixed-size frames, keep every ``stride``-th one.
+    Output (id, frame_id, frame BINARY) -- one map stage, the frame
+    explosion happens executor-side."""
+    src = df.select(id_col, media_col)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                buf = bytes(row[media_col])
+                n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
+                for fid in range(0, n_frames, stride):
+                    rows.append(
+                        {
+                            id_col: row[id_col],
+                            "frame_id": fid,
+                            "frame": buf[fid * frame_bytes : (fid + 1) * frame_bytes],
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return src.mapInPandas(kernel, schema=f"{id_col} long, frame_id long, frame binary")

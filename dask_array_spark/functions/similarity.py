@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["cosine_topk", "lsh_sign_bucket", "cosine_pairs_bucketed"]
+__all__ = [
+    "cosine_topk",
+    "lsh_sign_bucket",
+    "cosine_pairs_bucketed",
+    "ivf_assign",
+    "ivf_topk",
+]
 
 
 def _exploded(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
@@ -115,4 +121,108 @@ def cosine_pairs_bucketed(emb: DataFrame, n_planes: int = 8, min_cos: float = 0.
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= min_cos)
+    )
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = 4) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid by cosine (ties -> smaller cell id).  Centroids here are
+    the first ``n_cells`` vectors (a deterministic stand-in for a
+    k-means codebook -- in production the codebook is trained offline
+    and broadcast exactly the same way).  Returns (vec_id, cell).
+
+    Scale shape: the centroid side is tiny and broadcast; the corpus
+    streams through one partial-aggregated dot-product groupBy -- the
+    corpus is never shuffled by pair."""
+    ex = _exploded(emb)
+    cents = ex.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), "pos", F.col("e").alias("ce")
+    )
+    cnorms = cents.groupBy("cell").agg(
+        F.sqrt(F.sum(F.col("ce") * F.col("ce"))).alias("cnrm")
+    )
+    dots = (
+        ex.join(F.broadcast(cents), on="pos")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(F.col("e") * F.col("ce")).alias("dot"))
+    )
+    norms = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("e") * F.col("e"))).alias("nrm"))
+    cos = (
+        dots.join(F.broadcast(cnorms), on="cell")
+        .join(norms, on="vec_id")
+        .select("vec_id", "cell", (F.col("dot") / (F.col("nrm") * F.col("cnrm"))).alias("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cell").asc())
+    return (
+        cos.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", F.col("cell").cast("long").alias("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 4,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: search only the ``n_probe``
+    cells whose centroids are nearest each query (the scale path --
+    candidate generation touches ~n_probe/n_cells of the corpus
+    instead of all of it).  Output (qid, rank, vec_id, cos), ranked by
+    exact cosine among candidates, ties -> smaller vec_id."""
+    assign = ivf_assign(emb, n_cells)
+    ex = _exploded(emb)
+    # probe cells per query: rank centroids by cosine to the query
+    cents = ex.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"), "pos", F.col("e").alias("ce")
+    )
+    q = ex.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("e").alias("qe")
+    )
+    cdots = (
+        q.join(F.broadcast(cents), on="pos")
+        .groupBy("qid", "cell")
+        .agg(F.sum(F.col("qe") * F.col("ce")).alias("dot"))
+    )
+    cnorms = cents.groupBy("cell").agg(F.sqrt(F.sum(F.col("ce") * F.col("ce"))).alias("cnrm"))
+    qnorms = q.groupBy("qid").agg(F.sqrt(F.sum(F.col("qe") * F.col("qe"))).alias("qnrm"))
+    csim = (
+        cdots.join(F.broadcast(cnorms), on="cell")
+        .join(F.broadcast(qnorms), on="qid")
+        .select("qid", "cell", (F.col("dot") / (F.col("cnrm") * F.col("qnrm"))).alias("c"))
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cell").asc())
+    probes = (
+        csim.withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= n_probe)
+        .select("qid", "cell")
+    )
+    # candidates: corpus vectors living in a probed cell
+    cand = assign.join(F.broadcast(probes), on="cell").select("qid", "vec_id")
+    cx = ex.join(cand, on="vec_id")  # (qid, vec_id, pos, e) candidate rows
+    qx = q.withColumnRenamed("qe", "qe")
+    dots = (
+        cx.join(F.broadcast(qx), on=["qid", "pos"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum(F.col("e") * F.col("qe")).alias("dot"))
+    )
+    norms = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("e") * F.col("e"))).alias("nrm"))
+    cos = (
+        dots.join(F.broadcast(norms), on="vec_id")
+        .join(F.broadcast(qnorms), on="qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", (F.col("dot") / (F.col("nrm") * F.col("qnrm"))).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            (F.col("rank") - 1).cast("long").alias("rank"),
+            "vec_id",
+            F.round("cos", 6).alias("cos"),
+        )
     )

@@ -1686,6 +1686,198 @@ def q_events_sessionize(spark, sf):
     return EV.sessionize(_events(spark, sf), 1800)
 
 
+_IVF_ASSIGN_SQL = f"""
+    WITH ex AS ({_EX_SQL}),
+    c AS (SELECT vec_id AS cell, pos, e AS ce FROM ex WHERE vec_id < 4),
+    dots AS (SELECT ex.vec_id, c.cell, SUM(ex.e * c.ce) AS dot
+             FROM ex JOIN c USING (pos) GROUP BY 1, 2),
+    cn AS (SELECT cell, sqrt(SUM(ce * ce)) AS cnrm FROM c GROUP BY 1),
+    vn AS (SELECT vec_id, sqrt(SUM(e * e)) AS nrm FROM ex GROUP BY 1),
+    cos AS (SELECT d.vec_id, d.cell, d.dot / (cn.cnrm * vn.nrm) AS cs
+            FROM dots d JOIN cn USING (cell) JOIN vn USING (vec_id))
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cell ASC) AS r
+      FROM cos) t
+    WHERE r = 1
+"""
+
+
+@query("embed_ivf_assign", _IVF_ASSIGN_SQL)
+def q_ivf_assign(spark, sf):
+    """IVF coarse quantization: nearest-centroid assignment with a
+    broadcast codebook (deterministic stand-in codebook = first 4
+    vectors)."""
+    from .functions import similarity as SIM
+
+    return SIM.ivf_assign(_embs(spark, sf), n_cells=4)
+
+
+@query(
+    "simsearch_ivf_topk",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    c AS (SELECT vec_id AS cell, pos, e AS ce FROM ex WHERE vec_id < 4),
+    cn AS (SELECT cell, sqrt(SUM(ce * ce)) AS cnrm FROM c GROUP BY 1),
+    vn AS (SELECT vec_id, sqrt(SUM(e * e)) AS nrm FROM ex GROUP BY 1),
+    assign AS ({_IVF_ASSIGN_SQL}),
+    q AS (SELECT vec_id AS qid, pos, e AS qe FROM ex WHERE vec_id IN (0, 1, 2)),
+    qn AS (SELECT qid, sqrt(SUM(qe * qe)) AS qnrm FROM q GROUP BY 1),
+    cd AS (SELECT q.qid, c.cell, SUM(q.qe * c.ce) AS dot
+           FROM q JOIN c USING (pos) GROUP BY 1, 2),
+    probes AS (SELECT qid, cell FROM (
+        SELECT cd.qid, cd.cell,
+               row_number() OVER (PARTITION BY cd.qid
+                 ORDER BY cd.dot / (cn.cnrm * qn.qnrm) DESC, cd.cell ASC) AS r
+        FROM cd JOIN cn USING (cell) JOIN qn USING (qid)) t WHERE r <= 2),
+    cand AS (SELECT p.qid, a.vec_id FROM assign a JOIN probes p ON a.cell = p.cell),
+    dots AS (SELECT ca.qid, ca.vec_id, SUM(ex.e * q.qe) AS dot
+             FROM cand ca
+             JOIN ex ON ex.vec_id = ca.vec_id
+             JOIN q ON q.qid = ca.qid AND q.pos = ex.pos
+             GROUP BY 1, 2),
+    cos AS (SELECT d.qid, d.vec_id, d.dot / (vn.nrm * qn.qnrm) AS cs
+            FROM dots d JOIN vn ON vn.vec_id = d.vec_id
+            JOIN qn ON qn.qid = d.qid
+            WHERE d.vec_id != d.qid)
+    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(cs, 6) AS cos
+    FROM (SELECT qid, vec_id, cs,
+                 row_number() OVER (PARTITION BY qid
+                                    ORDER BY cs DESC, vec_id ASC) AS rnk
+          FROM cos) t
+    WHERE rnk <= 5
+    """,
+)
+def q_ivf_topk(spark, sf):
+    """IVF-probed ANN top-k (the scale path: candidates come from the
+    2 nearest cells only, ~n_probe/n_cells of the corpus)."""
+    from .functions import similarity as SIM
+
+    return SIM.ivf_topk(_embs(spark, sf), [0, 1, 2], k=5, n_cells=4, n_probe=2)
+
+
+@query(
+    "dedup_embed_cosine",
+    f"""
+    WITH ex AS ({_EX_SQL}),
+    dots8 AS (SELECT vec_id, p.p,
+                     SUM(e * CAST((p.p * 37 + (pos - 1) * 17) % 19 - 9 AS DOUBLE)) AS d
+              FROM ex CROSS JOIN (SELECT unnest(range(8)) AS p) p
+              GROUP BY vec_id, p.p),
+    bk AS (SELECT vec_id,
+                  CAST(SUM(CASE WHEN d > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END)
+                       AS BIGINT) AS bucket
+           FROM dots8 GROUP BY vec_id),
+    exb AS (SELECT ex.vec_id, bk.bucket, ex.pos, ex.e FROM ex JOIN bk USING (vec_id)),
+    pd AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.e * b.e) AS dot
+           FROM exb a JOIN exb b ON a.bucket = b.bucket AND a.pos = b.pos
+                                AND a.vec_id < b.vec_id
+           GROUP BY 1, 2),
+    nr AS (SELECT vec_id, sqrt(SUM(e * e)) AS nrm FROM ex GROUP BY 1)
+    SELECT vec_a, vec_b, round(pd.dot / (na.nrm * nb.nrm), 6) AS cos
+    FROM pd JOIN nr na ON na.vec_id = pd.vec_a
+            JOIN nr nb ON nb.vec_id = pd.vec_b
+    WHERE round(pd.dot / (na.nrm * nb.nrm), 6) >= 0.2
+    """,
+)
+def q_embed_cosine_pairs(spark, sf):
+    """embedding-cosine near-duplicate pairs, LSH-bucketed candidate
+    generation + exact cosine verify (the pair space shrinks to
+    per-bucket blocks)."""
+    from .functions import similarity as SIM
+
+    return SIM.cosine_pairs_bucketed(_embs(spark, sf), n_planes=8, min_cos=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (decode stubbed, Spark plumbing real)
+# ---------------------------------------------------------------------------
+
+_CHARS_SQL = """
+    SELECT doc_id, unnest(list_filter(string_split(text, ''), c -> c != '')) AS c
+    FROM documents
+"""
+
+
+@query(
+    "media_metadata",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte,
+           CAST(ascii(substr(text, length(text), 1)) AS BIGINT) AS tail_byte
+    FROM documents
+    """,
+)
+def q_media_metadata(spark, sf):
+    """typed metadata over an opaque binary payload -- pure JVM
+    projections (size + magic-byte sniff positions)."""
+    from .functions import multimodal as MM
+
+    d = MM.attach_bytes(_docs(spark, sf))
+    return MM.media_metadata(d).drop("content_hash")
+
+
+@query(
+    "media_byte_histogram",
+    f"""
+    SELECT doc_id, CAST(ascii(c) // 16 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ({_CHARS_SQL}) t GROUP BY 1, 2
+    """,
+)
+def q_media_byte_hist(spark, sf):
+    """decode-free media feature: per-item byte-value histogram in an
+    Arrow-batched mapInPandas kernel (zero shuffles)."""
+    from .functions import multimodal as MM
+
+    d = MM.attach_bytes(_docs(spark, sf))
+    return MM.byte_histogram(d, bins=16)
+
+
+@query(
+    "media_fake_decode",
+    f"""
+    WITH b AS (SELECT doc_id, CAST(ascii(c) AS DOUBLE) AS a FROM ({_CHARS_SQL}) t)
+    SELECT doc_id,
+           round(avg(a), 6) AS mean_px,
+           round(sqrt(avg(a * a) - avg(a) * avg(a)), 6) AS std_px,
+           CAST(count(*) AS BIGINT) AS n_px
+    FROM b GROUP BY 1
+    """,
+)
+def q_media_fake_decode(spark, sf):
+    """stubbed decode + feature extraction: deterministic fake features
+    (mean/std/size) with the real batch shape of a model-feature UDF."""
+    from .functions import multimodal as MM
+
+    d = MM.attach_bytes(_docs(spark, sf))
+    return MM.fake_decode_features(d)
+
+
+@query(
+    "media_frame_sample",
+    """
+    SELECT doc_id, CAST(fid AS BIGINT) AS frame_id,
+           CAST(least(64, L - fid * 64) AS BIGINT) AS frame_len
+    FROM (SELECT doc_id, length(text) AS L,
+                 unnest(generate_series(0,
+                   CAST(ceil(length(text) / 64.0) AS BIGINT) - 1, 4)) AS fid
+          FROM documents) t
+    """,
+)
+def q_media_frames(spark, sf):
+    """'video' frame sampling: fixed-size frames, every 4th kept --
+    executor-side explosion, one map stage."""
+    from .functions import multimodal as MM
+
+    d = MM.attach_bytes(_docs(spark, sf))
+    frames = MM.frame_sample(d, frame_bytes=64, stride=4)
+    return frames.select(
+        "doc_id", "frame_id", F.length("frame").cast("long").alias("frame_len")
+    )
+
+
 @query(
     "embed_lsh_bucket",
     f"""
