@@ -98,6 +98,12 @@ def lsh_candidate_pairs(sigs: DataFrame, rows_per_band: int = 1) -> DataFrame:
             lambda a, x: (a * 1_000_003 + x) % F.lit(P),
         )).alias("bh")
     )
+    # persist-at-fan-out (SURVEY.md section 4.4): the self-join below
+    # consumes bh twice and Catalyst does not reuse the exchange across
+    # the differently-aliased branches -- without this the whole
+    # shingle->minhash lineage (the expensive part) runs twice.  The
+    # band table is tiny relative to the corpus (n_docs x bands rows).
+    bh = bh.persist()
     a = bh.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = bh.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (

@@ -98,7 +98,9 @@ def cosine_pairs_bucketed(emb: DataFrame, n_planes: int = 8, min_cos: float = 0.
     exact cosine: (vec_a, vec_b, cos) with vec_a < vec_b.  The
     quadratic pair space shrinks to per-bucket blocks."""
     buckets = lsh_sign_bucket(emb, n_planes)
-    ex = _exploded(emb).join(buckets, on="vec_id")
+    # persist-at-fan-out: the pair join consumes the bucketed exploded
+    # table on both sides (SURVEY.md section 4.4)
+    ex = _exploded(emb).join(buckets, on="vec_id").persist()
     a = ex.select(F.col("vec_id").alias("vec_a"), "bucket", "pos", F.col("e").alias("ea"))
     b = ex.select(F.col("vec_id").alias("vec_b"), "bucket", "pos", F.col("e").alias("eb"))
     dots = (

@@ -159,9 +159,20 @@ def boolean_mask(a: Array, mask: Array, compact: bool = False) -> Array:
     ``BooleanIndexFlattened``, slicing/_bool_index.py:118; output size
     unknown).  By default keeps the original flat index (monotone, may
     have gaps) -- shuffle-free.  ``compact=True`` re-ranks to dense
-    0..k-1 NumPy semantics via a global sort."""
-    md = mask.df.withColumnRenamed(VALUE_COL, "__m")
-    d = a.df.join(md, on=a.index_cols, how="inner").filter(F.col("__m"))
+    0..k-1 NumPy semantics via a global sort.
+
+    When the mask was derived from the same base (``x[x > 5]``, the
+    overwhelmingly common case) this is a PURE FILTER -- no self-join,
+    no shuffle; Catalyst pushes the predicate into the scan (the
+    reference's FusedBlockwise + slice-pushdown combined,
+    /root/reference/dask_array/_blockwise.py:1574, _expr.py:431)."""
+    if mask._base is a._base:
+        d = a._base.filter(mask._vcol).select(
+            *[F.col(c) for c in a.index_cols], a._vcol.alias(VALUE_COL)
+        )
+    else:
+        md = mask.df.withColumnRenamed(VALUE_COL, "__m")
+        d = a.df.join(md, on=a.index_cols, how="inner").filter(F.col("__m"))
     flat = F.lit(0).cast("long")
     mul = 1
     strides = []
@@ -196,7 +207,14 @@ def compress(a: Array, mask: Array, axis: int = 0) -> Array:
 def set_index_value(a: Array, mask: Array, value) -> Array:
     """Functional ``x[mask] = value`` (reference ``SetItem``,
     slicing/_setitem.py:294): left join + conditional overwrite, a pure
-    projection after one equi-join."""
+    projection after one equi-join.  Shared-base mask + scalar value
+    (``x[x > 40] = 40``) collapses to a single CASE WHEN projection --
+    no join at all."""
+    if mask._base is a._base and not isinstance(value, Array):
+        newv = F.when(
+            F.coalesce(mask._vcol, F.lit(False)), F.lit(value)
+        ).otherwise(a._vcol)
+        return Array(a._base, a.shape, newv)
     md = mask.df.withColumnRenamed(VALUE_COL, "__m")
     d = a.df.join(md, on=a.index_cols, how="left")
     if isinstance(value, Array):

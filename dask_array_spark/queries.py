@@ -93,7 +93,11 @@ def _nation_month_matrix(spark, sf) -> Array:
         )
         .agg(F.sum("l_quantity").cast("long").alias("v"))
     )
-    return Array(cells, (25, 12))
+    # persist-at-fan-out: gram/einsum queries consume this twice via
+    # self-joins; the matrix is 300 cells but its lineage is the
+    # 3-table join over lineitem -- without the persist that join runs
+    # once per consumer (SURVEY.md section 4.4)
+    return Array(cells.persist(), (25, 12))
 
 
 def _daily_cents(spark, sf) -> Array:
@@ -287,11 +291,14 @@ def q_take(spark, sf):
 def q_boolean_mask(spark, sf):
     """x[x > 45] -- unknown output size (reference
     slicing/_bool_index.py:118); original flat index kept.  Uses the
-    unique row-id index because mask selection self-joins on the index."""
-    from pyspark.sql import Window as SW
+    unique row-id index because mask selection self-joins on the
+    index; the rank comes from the two-pass distributed zipWithIndex
+    (range partition + per-partition offsets), NOT a single-partition
+    global window -- the 100 TB path."""
+    from .sources import with_dense_index
 
-    l = _li(spark, sf).withColumn(
-        "rid", F.row_number().over(SW.orderBy(*[c.strip() for c in _LI_ORDER.split(",")])) - 1
+    l = with_dense_index(
+        _li(spark, sf), [c.strip() for c in _LI_ORDER.split(",")], "rid"
     )
     a = from_table_arrays(l, "rid", {"q": "l_quantity"})
     x = a["q"]
@@ -308,11 +315,12 @@ def q_boolean_mask(spark, sf):
 )
 def q_setitem(spark, sf):
     """functional x[mask] = 40 (reference slicing/_setitem.py:294);
-    unique row-id index (left join back on the index)."""
-    from pyspark.sql import Window as SW
+    unique row-id index (left join back on the index), scalable
+    two-pass zipWithIndex rank."""
+    from .sources import with_dense_index
 
-    l = _li(spark, sf).withColumn(
-        "rid", F.row_number().over(SW.orderBy(*[c.strip() for c in _LI_ORDER.split(",")])) - 1
+    l = with_dense_index(
+        _li(spark, sf), [c.strip() for c in _LI_ORDER.split(",")], "rid"
     )
     a = from_table_arrays(l, "rid", {"q": "l_quantity"})
     x = a["q"]
@@ -1533,13 +1541,15 @@ def q_minhash_pairs(spark, sf):
     """,
 )
 def q_jaccard_verify(spark, sf):
-    """exact n-gram Jaccard on the LSH candidates (verify stage)."""
+    """exact n-gram Jaccard on the LSH candidates (verify stage).
+    Shingles and candidate pairs fan out to multiple consumers ->
+    persist both (SURVEY.md section 4.4 persist-at-fan-out)."""
     from .functions import dedup as D
 
     docs = _docs(spark, sf)
-    sh = D.shingle_hashes(docs)
+    sh = D.shingle_hashes(docs).persist()
     sigs = D.minhash_signatures(sh, 16)
-    pairs = D.lsh_candidate_pairs(sigs, rows_per_band=1).drop("n_bands")
+    pairs = D.lsh_candidate_pairs(sigs, rows_per_band=1).drop("n_bands").persist()
     return D.jaccard_on_pairs(sh, pairs)
 
 

@@ -111,43 +111,44 @@ def with_dense_index(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic dense 0-based rank by ``order_cols`` (must be a
-    unique key), scalable two-pass zipWithIndex:
+    unique key), scalable two-pass zipWithIndex, all JVM-side:
 
-    1. range-partition + sort within partitions by the key,
+    1. range-partition + sort within partitions by the key (persisted
+       so both passes see identical partitioning),
     2. small job: per-partition row counts -> cumulative offsets,
-    3. mapInPandas adds ``offset[pid] + running local index``.
+    3. ``monotonically_increasing_id`` on the sorted partitions encodes
+       (partition_id << 33) + local_row_order; rid = offset[pid] +
+       local -- a pure projection plus one broadcast join with the tiny
+       offsets table.  No Python, no extra shuffle, no single-partition
+       exchange.
 
-    Output equals ``row_number() OVER (ORDER BY order_cols) - 1`` but
-    with no single-partition exchange.  The intermediate is persisted so
-    both passes see identical partitioning.
+    Output equals ``row_number() OVER (ORDER BY order_cols) - 1``.
     """
-    from pyspark import TaskContext
-
     parted = df.repartitionByRange(*(num_partitions,) if num_partitions else (), *order_cols)
     parted = parted.sortWithinPartitions(*order_cols).persist()
     counts = (
-        parted.withColumn("__pid", F.spark_partition_id())
-        .groupBy("__pid")
+        parted.groupBy(F.spark_partition_id().alias("__pid"))
         .count()
         .collect()
     )
-    offsets: dict[int, int] = {}
     acc = 0
+    offs = []
     for row in sorted(counts, key=lambda r: r["__pid"]):
-        offsets[row["__pid"]] = acc
+        offs.append((row["__pid"], acc))
         acc += row["count"]
-    schema = parted.schema.add(index_name, "long")
-
-    def add_index(it):
-        pid = TaskContext.get().partitionId()
-        pos = offsets.get(pid, 0)
-        for pdf in it:
-            pdf = pdf.copy()
-            pdf[index_name] = np.arange(pos, pos + len(pdf), dtype="int64")
-            pos += len(pdf)
-            yield pdf
-
-    return parted.mapInPandas(add_index, schema=schema)
+    spark = df.sparkSession
+    offs_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+    d = parted.select(
+        "*",
+        F.spark_partition_id().alias("__pid"),
+        F.monotonically_increasing_id().alias("__mid"),
+    )
+    local = F.col("__mid") - (F.col("__pid").cast("long") * F.lit(1 << 33))
+    return (
+        d.join(F.broadcast(offs_df), on="__pid", how="inner")
+        .withColumn(index_name, (F.col("__off") + local).cast("long"))
+        .drop("__pid", "__mid", "__off")
+    )
 
 
 def densify(a: Array) -> Array:
