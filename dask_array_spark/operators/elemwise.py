@@ -19,15 +19,24 @@ from pyspark.sql import functions as F
 from ..core.array import Array, VALUE_COL
 
 __all__ = [
-    "sqrt", "cbrt", "exp", "expm1", "log", "log1p", "log2", "log10",
+    "sqrt", "cbrt", "exp", "exp2", "expm1", "log", "log1p", "log2", "log10",
     "square", "sin", "cos", "tan", "arcsin", "arccos", "arctan",
     "sinh", "cosh", "tanh", "arcsinh", "arccosh", "arctanh",
-    "floor", "ceil", "trunc", "rint", "sign", "absolute", "reciprocal",
-    "deg2rad", "rad2deg", "isnull", "notnull", "nan_to_num",
-    "logical_not", "where", "maximum", "minimum", "clip",
-    "arctan2", "hypot", "logaddexp", "copysign", "fmod", "signbit",
+    "floor", "ceil", "trunc", "fix", "rint", "sign", "absolute", "reciprocal",
+    "deg2rad", "rad2deg", "degrees", "radians",
+    "isnull", "notnull", "nan_to_num",
+    "isnan", "isinf", "isfinite", "isneginf", "isposinf",
+    "logical_not", "logical_and", "logical_or", "logical_xor",
+    "left_shift", "right_shift",
+    "where", "maximum", "minimum", "fmax", "fmin", "clip", "isclose",
+    "arctan2", "hypot", "logaddexp", "logaddexp2", "copysign", "fmod",
+    "float_power", "ldexp", "sinc", "signbit",
+    "divmod_", "modf", "frexp",
+    "select", "choose", "piecewise",
     "digitize_uniform", "elemwise",
 ]
+
+_INF = float("inf")
 
 
 def _u(fn: Callable[[Column], Column]):
@@ -71,6 +80,38 @@ isnull = _u(lambda c: c.isNull())
 notnull = _u(lambda c: c.isNotNull())
 logical_not = _u(lambda c: ~c.cast("boolean"))
 signbit = _u(lambda c: c < 0)
+exp2 = _u(lambda c: F.pow(F.lit(2.0), c))
+fix = trunc  # NumPy alias: round toward zero
+degrees, radians = rad2deg, deg2rad
+# NaN encodes as NULL (core contract) but a real double NaN/Inf can
+# still arrive from kernels -- cover both
+isnan = _u(lambda c: c.isNull() | F.isnan(c))
+isinf = _u(lambda c: F.abs(c) == F.lit(_INF))
+isposinf = _u(lambda c: c == F.lit(_INF))
+isneginf = _u(lambda c: c == F.lit(-_INF))
+isfinite = _u(lambda c: c.isNotNull() & ~F.isnan(c) & (F.abs(c) != F.lit(_INF)))
+
+
+def logical_and(a: Array, b) -> Array:
+    return a._binary(b, lambda x, y: x.cast("boolean") & y.cast("boolean"))
+
+
+def logical_or(a: Array, b) -> Array:
+    return a._binary(b, lambda x, y: x.cast("boolean") | y.cast("boolean"))
+
+
+def logical_xor(a: Array, b) -> Array:
+    return a._binary(b, lambda x, y: x.cast("boolean") != y.cast("boolean"))
+
+
+def left_shift(a: Array, b) -> Array:
+    """x << y via exact power-of-two multiply (column-valued shift
+    amounts; exact while |result| < 2^53)."""
+    return a._binary(b, lambda x, y: (x * F.pow(F.lit(2.0), y)).cast("long"))
+
+
+def right_shift(a: Array, b) -> Array:
+    return a._binary(b, lambda x, y: F.floor(x / F.pow(F.lit(2.0), y)).cast("long"))
 
 
 def nan_to_num(a: Array, nan: float = 0.0) -> Array:
@@ -103,11 +144,126 @@ def where(cond: Array, x, y) -> Array:
 
 
 def maximum(a: Array, b) -> Array:
-    return a._binary(b, F.greatest)
+    """NumPy maximum PROPAGATES NaN (NULL); greatest() would skip it."""
+    return a._binary(
+        b,
+        lambda x, y: F.when(x.isNull() | y.isNull(), F.lit(None)).otherwise(
+            F.greatest(x, y)
+        ),
+    )
 
 
 def minimum(a: Array, b) -> Array:
+    return a._binary(
+        b,
+        lambda x, y: F.when(x.isNull() | y.isNull(), F.lit(None)).otherwise(
+            F.least(x, y)
+        ),
+    )
+
+
+def fmax(a: Array, b) -> Array:
+    """NaN-SKIPPING max (reference fmax): greatest() skips NULLs."""
+    return a._binary(b, F.greatest)
+
+
+def fmin(a: Array, b) -> Array:
     return a._binary(b, F.least)
+
+
+def isclose(a: Array, b, rtol: float = 1e-05, atol: float = 1e-08) -> Array:
+    return a._binary(
+        b, lambda x, y: F.abs(x - y) <= F.lit(atol) + F.lit(rtol) * F.abs(y)
+    )
+
+
+def float_power(a: Array, b) -> Array:
+    return a._binary(b, F.pow)
+
+
+def ldexp(a: Array, b) -> Array:
+    return a._binary(b, lambda x, y: x * F.pow(F.lit(2.0), y))
+
+
+def logaddexp2(a: Array, b) -> Array:
+    ln2 = math.log(2.0)
+    return a._binary(
+        b,
+        lambda x, y: (
+            F.greatest(x, y)
+            + F.log1p(F.exp(-F.abs(x - y) * F.lit(ln2))) / F.lit(ln2)
+        ),
+    )
+
+
+def sinc(a: Array) -> Array:
+    """sin(pi x)/(pi x), 1 at x=0 (reference _ufunc.py sinc)."""
+    pi = math.pi
+    return a._unary(
+        lambda c: F.when(c == 0, F.lit(1.0)).otherwise(
+            F.sin(F.lit(pi) * c) / (F.lit(pi) * c)
+        )
+    )
+
+
+# -- multi-output ufuncs (reference DoubleOutputs, _ufunc.py:403-460) ----
+
+def divmod_(a: Array, b) -> tuple[Array, Array]:
+    """(floor quotient, remainder) -- one fused projection each over
+    the same base; Catalyst dedups the shared subexpressions."""
+    q = a._binary(b, lambda x, y: F.floor(x / y))
+    r = a._binary(b, lambda x, y: ((x % y) + y) % y)
+    return q, r
+
+
+def modf(a: Array) -> tuple[Array, Array]:
+    """(fractional, integral) parts, both carrying the sign of x."""
+    ipart = a._unary(lambda c: F.when(c < 0, F.ceil(c)).otherwise(F.floor(c)).cast("double"))
+    fpart = a._binary(ipart, lambda x, i: x - i)
+    return fpart, ipart
+
+
+def frexp(a: Array) -> tuple[Array, Array]:
+    """x = m * 2**e with 0.5 <= |m| < 1 (m=0, e=0 for x=0)."""
+    e = a._unary(
+        lambda c: F.when(c == 0, F.lit(0)).otherwise(
+            F.floor(F.log2(F.abs(c))) + 1
+        ).cast("long")
+    )
+    m = a._binary(e, lambda x, ee: x / F.pow(F.lit(2.0), ee))
+    return m, e
+
+
+def select(condlist, choicelist, default=0.0) -> Array:
+    """First matching condition wins (reference routines/_select.py:12)
+    == nested CASE WHEN built back-to-front with ``where``."""
+    out = default
+    for cond, choice in reversed(list(zip(condlist, choicelist))):
+        out = where(cond, choice, out)
+    return out
+
+
+def choose(idx: Array, choices) -> Array:
+    """choices[idx] elementwise (reference ``choose``): CASE WHEN
+    chain over the (small) choice list."""
+    def build(c: Column) -> Column:
+        expr = F.lit(None)
+        for k in reversed(range(len(choices))):
+            ch = choices[k]
+            val = F.lit(ch) if not isinstance(ch, Array) else None
+            if val is None:
+                raise NotImplementedError("choose with Array choices: use select()")
+            expr = F.when(c == k, val).otherwise(expr)
+        return expr
+
+    return idx._unary(build)
+
+
+def piecewise(x: Array, condlist, funclist) -> Array:
+    """numpy.piecewise over Column-expression functions (reference
+    routines/_select.py piecewise)."""
+    vals = [f(x) if callable(f) else f for f in funclist]
+    return select(condlist, vals, default=0.0)
 
 
 def clip(a: Array, lo, hi) -> Array:

@@ -219,6 +219,64 @@ def q_rounding_sign(spark, sf):
 
 
 @query(
+    "elemwise_extended",
+    f"""
+    SELECT {LI_IDX} AS i0,
+           round(pow(2.0, l_discount * 10)
+                 + CASE WHEN l_discount = 0 THEN 1.0
+                        ELSE sin(pi() * l_discount) / (pi() * l_discount) END
+                 + l_quantity * 4.0
+                 + CASE WHEN l_discount - 0.05 < 0 THEN -abs(l_tax)
+                        ELSE abs(l_tax) END, 6) AS v
+    FROM lineitem
+    """,
+)
+def q_elemwise_extended(spark, sf):
+    """extended ufunc table in one fused projection: exp2 + sinc +
+    ldexp + copysign (reference _ufunc.py:18-141)."""
+    a = from_table_arrays(
+        _li(spark, sf), LI_IDX,
+        {"q": "l_quantity", "d": "l_discount", "t": "l_tax"},
+    )
+    out = (
+        E.exp2(a["d"] * 10)
+        + E.sinc(a["d"])
+        + E.ldexp(a["q"], 2)
+        + E.copysign(a["t"], a["d"] - 0.05)
+    )
+    return out.round(6).df
+
+
+@query(
+    "complex_square_polar",
+    f"""
+    SELECT {LI_IDX} AS i0,
+           round(l_discount * l_discount - l_tax * l_tax, 6) AS re,
+           round(2 * l_discount * l_tax, 6) AS im,
+           round(sqrt(l_discount * l_discount + l_tax * l_tax), 6) AS mag,
+           round(atan2(l_tax, l_discount), 6) AS ang
+    FROM lineitem
+    """,
+)
+def q_complex_square(spark, sf):
+    """complex STRUCT<re,im> encoding: z^2 + polar form, all fused
+    field projections (reference complex ufuncs, _ufunc.py:396)."""
+    from .operators import complexes as C
+
+    a = from_table_arrays(_li(spark, sf), LI_IDX, {"d": "l_discount", "t": "l_tax"})
+    z = C.make_complex(a["d"], a["t"])
+    z2 = C.cmul(z, z)
+    base = a["d"]._base
+    return base.select(
+        F.col("i0"),
+        F.round(C.real(z2)._vcol, 6).alias("re"),
+        F.round(C.imag(z2)._vcol, 6).alias("im"),
+        F.round(C.cabs(z)._vcol, 6).alias("mag"),
+        F.round(C.angle(z)._vcol, 6).alias("ang"),
+    )
+
+
+@query(
     "cast_astype",
     f"SELECT {LI_IDX} AS i0, CAST(l_quantity AS BIGINT) AS v FROM lineitem",
 )
