@@ -33,6 +33,12 @@ __all__ = [
     "corr_pair",
     "tsqr",
     "svd_tall",
+    "lstsq",
+    "solve",
+    "inv",
+    "cholesky",
+    "lu",
+    "solve_triangular",
 ]
 
 
@@ -313,3 +319,109 @@ def svd_tall(a: Array, block_rows: int = 10000):
         .select("i0", "i1", VALUE_COL)
     )
     return Array(u, (n, k)), s, vt
+
+
+def _collect_dense(a: Array):
+    """Small k x k array -> driver ndarray (absent cells = 0)."""
+    return a.compute()
+
+
+def _distribute(spark, mat, npartitions: int | None = None) -> Array:
+    from ..sources.ingest import from_numpy
+
+    return from_numpy(spark, mat, npartitions)
+
+
+def lstsq(a: Array, b: Array, block_rows: int = 10000):
+    """Distributed least squares via TSQR (reference linalg/_solve.py
+    lstsq path, linalg/_qr.py:38): A = QR, x = R^{-1} (Q^T b).  The
+    n x k corpus never leaves the executors; only the k x k R and the
+    k-vector Q^T b hit the driver.  Returns (x: ndarray, residual
+    sum-of-squares: float)."""
+    import numpy as np
+
+    n, k = a.shape
+    q, r = tsqr(a, block_rows=block_rows)
+    qtb = tensordot(q, b, axes=([0], [0]))  # (k,)
+    qtb_np = qtb.compute()
+    x = np.linalg.solve(r, qtb_np)
+    bsq = b._unary(lambda c: c * c)
+    from . import reductions as R
+
+    btb = float(R.nansum(bsq, axis=None).compute())
+    rss = max(btb - float(qtb_np @ qtb_np), 0.0)
+    return x, rss
+
+
+def solve(a: Array, b: Array) -> Array:
+    """Solve A x = b for a MODEST k x k system (the reference's blocked
+    wavefront keeps grids small too, linalg/_solve.py:20-330 /
+    SURVEY.md 'keep scale modest'); A is typically the k x k output of
+    a distributed contraction.  In-core solve, result redistributed."""
+    import numpy as np
+
+    amat = _collect_dense(a)
+    bvec = _collect_dense(b)
+    return _distribute(a.spark, np.linalg.solve(amat, bvec))
+
+
+def inv(a: Array) -> Array:
+    """Matrix inverse == solve vs identity (reference linalg/_solve.py
+    inv)."""
+    import numpy as np
+
+    return _distribute(a.spark, np.linalg.inv(_collect_dense(a)))
+
+
+def cholesky(a: Array) -> Array:
+    """Lower-triangular Cholesky factor of a modest SPD matrix
+    (reference blocked Cholesky, linalg/_cholesky.py:27-214; the k x k
+    inputs here are contraction outputs, so in-core is the right
+    tier -- the distributed work happened in the contraction)."""
+    import numpy as np
+
+    L = np.linalg.cholesky(_collect_dense(a))
+    out = _distribute(a.spark, L)
+    # sparse cell form: drop the explicit zeros of the upper triangle
+    return Array(out.df.filter(F.col("i1") <= F.col("i0")), out.shape)
+
+
+def lu(a: Array):
+    """LU with partial pivoting for a modest k x k matrix (reference
+    blocked LU, linalg/_lu.py:27-265).  Returns (p, l, u) ndarrays
+    with P @ A = L @ U."""
+    import numpy as np
+
+    A = _collect_dense(a).astype("float64").copy()
+    n = A.shape[0]
+    P = np.eye(n)
+    L = np.eye(n)
+    for j in range(n - 1):
+        piv = j + int(np.argmax(np.abs(A[j:, j])))
+        if piv != j:
+            A[[j, piv], :] = A[[piv, j], :]
+            P[[j, piv], :] = P[[piv, j], :]
+            if j > 0:
+                L[[j, piv], :j] = L[[piv, j], :j]
+        for i in range(j + 1, n):
+            if A[j, j] != 0:
+                m = A[i, j] / A[j, j]
+                L[i, j] = m
+                A[i, j:] = A[i, j:] - m * A[j, j:]
+                A[i, j] = 0.0
+    return P, L, np.triu(A)
+
+
+def solve_triangular(l_mat, b, lower: bool = True):
+    """In-core forward/back substitution (reference
+    linalg/_solve.py solve_triangular); ndarray helper for the
+    factor outputs above."""
+    import numpy as np
+
+    n = l_mat.shape[0]
+    x = np.zeros(n)
+    rng = range(n) if lower else range(n - 1, -1, -1)
+    for i in rng:
+        s = l_mat[i, :i] @ x[:i] if lower else l_mat[i, i + 1 :] @ x[i + 1 :]
+        x[i] = (b[i] - s) / l_mat[i, i]
+    return x

@@ -1368,6 +1368,81 @@ def q_tsqr_orthonormal(spark, sf):
     return d
 
 
+@query(
+    "lstsq_regression",
+    """
+    SELECT CAST(0 AS BIGINT) AS i0,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS v
+    FROM lineitem
+    UNION ALL
+    SELECT CAST(1 AS BIGINT) AS i0,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS v
+    FROM lineitem
+    """,
+)
+def q_lstsq(spark, sf):
+    """distributed least squares via TSQR (reference linalg/_solve.py
+    lstsq): fit price ~ quantity; the oracle is DuckDB's native
+    regr_intercept/regr_slope.  Design matrix rows stay on executors;
+    only the 2x2 R reaches the driver."""
+    from .sources import with_dense_index
+
+    l = with_dense_index(
+        _li(spark, sf), [c.strip() for c in _LI_ORDER.split(",")], "rid"
+    )
+    cells = l.selectExpr(
+        "rid AS i0", "stack(2, 0L, 1.0D, 1L, CAST(l_quantity AS DOUBLE)) AS (i1, v)"
+    )
+    design = Array(cells, (None, 2))
+    b = from_table_column(l, "rid", "l_extendedprice")
+    x, _ = linalg.lstsq(design, b, block_rows=65536)
+    return spark.createDataFrame(
+        [(int(i), round(float(v), 6)) for i, v in enumerate(x)], "i0 long, v double"
+    )
+
+
+@query(
+    "cholesky_reconstruct",
+    "SELECT CAST(0.0 AS DOUBLE) AS v",
+)
+def q_cholesky(spark, sf):
+    """Cholesky of the ridge-augmented Gram matrix; the oracle is the
+    reconstruction invariant max|L L^T - A| / max|A| == 0 to 1e-6
+    (reference linalg/_cholesky.py:27).  The ridge arrives through the
+    contraction itself (A = [M | sqrt(r) I] [M | sqrt(r) I]^T) so A is
+    PD by construction."""
+    m = _nation_month_matrix(spark, sf).astype("double")
+    ridge = creation.eye(spark, 25)._unary(lambda c: c * 1000.0)
+    maug = M.concatenate([m, ridge], axis=1)
+    a = linalg.matmul(maug, M.transpose(maug))
+    a = Array(a.df.persist(), a.shape)
+    L = linalg.cholesky(a)
+    rec = linalg.matmul(L, M.transpose(L))
+    err = R.nanmax(abs(rec - a), axis=None)
+    scale = R.nanmax(abs(a), axis=None)
+    return (err / scale).round(6).df
+
+
+@query(
+    "solve_residual",
+    "SELECT CAST(0.0 AS DOUBLE) AS v",
+)
+def q_solve(spark, sf):
+    """solve(A, b) on the ridge-augmented Gram system; oracle = the
+    relative residual invariant max|Ax - b| / max|b| == 0 to 1e-6
+    (reference linalg/_solve.py:20)."""
+    m = _nation_month_matrix(spark, sf).astype("double")
+    ridge = creation.eye(spark, 25)._unary(lambda c: c * 1000.0)
+    maug = M.concatenate([m, ridge], axis=1)
+    a = Array(linalg.matmul(maug, M.transpose(maug)).df.persist(), (25, 25))
+    b = R.nansum(a, axis=1)
+    x = linalg.solve(a, b)
+    ax = linalg.tensordot(a, x, axes=([1], [0]))
+    err = R.nanmax(abs(ax - b), axis=None)
+    scale = R.nanmax(abs(b), axis=None)
+    return (err / scale).round(6).df
+
+
 @query("svd_singular_values_rows")
 def q_svd_rows(spark, sf):
     """thin-SVD singular values of the nation-month matrix (reference
