@@ -1455,6 +1455,33 @@ def q_svd_rows(spark, sf):
     )
 
 
+@query(
+    "map_overlap_smooth",
+    f"""
+    WITH mo AS (SELECT i1 AS i, CAST(SUM(v) AS DOUBLE) AS v FROM ({NM_SQL}) t GROUP BY i1)
+    SELECT i AS i0,
+           round((coalesce(lag(v) OVER w, v) + v
+                  + coalesce(lead(v) OVER w, v)) / 3.0, 6) AS v
+    FROM mo WINDOW w AS (ORDER BY i)
+    """,
+)
+def q_map_overlap(spark, sf):
+    """3-point smoothing through the halo-exchange kernel path
+    (reference map_overlap, _overlap.py:1041): depth-1 halo, nearest
+    boundary, blocks of 5 over the monthly series."""
+    from .operators.overlap import map_overlap
+
+    mo = _monthly(spark, sf).astype("double")
+
+    def smooth3(x):
+        out = x.copy()
+        out[1:-1] = (x[:-2] + x[1:-1] + x[2:]) / 3.0
+        return out
+
+    out = map_overlap(smooth3, mo, depth=1, block_shape=(5,), boundary="nearest")
+    return out.round(6).df
+
+
 @query("approx_percentile_rows")
 def q_approx_percentile(spark, sf):
     """approx_percentile (t-digest analogue, reference
