@@ -35,6 +35,12 @@ __all__ = [
     "indices_1d",
     "random_uniform",
     "random_normal",
+    "random_exponential",
+    "random_lognormal",
+    "random_integers",
+    "random_choice",
+    "random_permutation",
+    "random_poisson",
 ]
 
 
@@ -147,3 +153,95 @@ def random_uniform(spark: SparkSession, n: int, seed: int = 42, numparts: int | 
 def random_normal(spark: SparkSession, n: int, seed: int = 42, numparts: int | None = None) -> Array:
     d = _range1d(spark, n, numparts).withColumn(VALUE_COL, F.randn(seed))
     return Array(d, (n,))
+
+
+def random_exponential(spark: SparkSession, n: int, scale: float = 1.0,
+                       seed: int = 42, numparts: int | None = None) -> Array:
+    """Inverse-CDF exponential: -scale * ln(1 - U) (reference
+    distribution leaves, random/_generator.py:16-349)."""
+    d = _range1d(spark, n, numparts).withColumn(
+        VALUE_COL, -F.lit(float(scale)) * F.log1p(-F.rand(seed))
+    )
+    return Array(d, (n,))
+
+
+def random_lognormal(spark: SparkSession, n: int, mean: float = 0.0,
+                     sigma: float = 1.0, seed: int = 42,
+                     numparts: int | None = None) -> Array:
+    d = _range1d(spark, n, numparts).withColumn(
+        VALUE_COL, F.exp(F.lit(float(mean)) + F.lit(float(sigma)) * F.randn(seed))
+    )
+    return Array(d, (n,))
+
+
+def random_integers(spark: SparkSession, n: int, low: int, high: int,
+                    seed: int = 42, numparts: int | None = None) -> Array:
+    """Uniform integers in [low, high) (reference ``integers``)."""
+    d = _range1d(spark, n, numparts).withColumn(
+        VALUE_COL,
+        (F.floor(F.rand(seed) * F.lit(high - low)) + F.lit(low)).cast("long"),
+    )
+    return Array(d, (n,))
+
+
+def random_choice(spark: SparkSession, n: int, values, p=None, seed: int = 42,
+                  numparts: int | None = None) -> Array:
+    """Weighted choice from a small value list (reference
+    random/_choice.py): one uniform draw + a CASE chain over the
+    cumulative weights."""
+    if p is None:
+        p = [1.0 / len(values)] * len(values)
+    if abs(sum(p) - 1.0) > 1e-9:
+        raise ValueError("probabilities must sum to 1")
+    # materialize the draw ONCE: every reference to F.rand() inside a
+    # CASE chain re-evaluates the generator independently
+    d = _range1d(spark, n, numparts).withColumn("__u", F.rand(seed))
+    u = F.col("__u")
+    acc = 0.0
+    expr = F.lit(values[-1])
+    conds = []
+    for v, w in zip(values[:-1], p[:-1]):
+        acc += w
+        conds.append((acc, v))
+    for acc_v, v in reversed(conds):
+        expr = F.when(u < acc_v, F.lit(v)).otherwise(expr)
+    return Array(d.select("i0", expr.alias(VALUE_COL)), (n,))
+
+
+def random_permutation(spark: SparkSession, n: int, seed: int = 42) -> Array:
+    """Random permutation of 0..n-1 (reference ``permutation``):
+    shuffle key = xxhash64(id, seed), position = the scalable two-pass
+    zipWithIndex rank over that key -- no single-partition sort."""
+    from ..sources.ingest import with_dense_index
+
+    d = spark.range(n).select(
+        F.col("id").alias(VALUE_COL),
+        F.xxhash64(F.col("id"), F.lit(seed)).alias("__h"),
+    )
+    ranked = with_dense_index(d, ["__h", VALUE_COL], "i0")
+    return Array(ranked.select("i0", VALUE_COL), (n,))
+
+
+def random_poisson(spark: SparkSession, n: int, lam: float = 1.0,
+                   seed: int = 42, numparts: int | None = None) -> Array:
+    """Poisson via per-partition NumPy bit generators -- the
+    reference's per-block bitgen spawning (random/_expr.py:63): each
+    partition seeds ``default_rng(seed + partition_id)``.
+    Deterministic for a fixed partitioning."""
+    import pandas as pd
+    from pyspark import TaskContext
+
+    d = _range1d(spark, n, numparts)
+
+    def gen(it):
+        import numpy as np
+
+        pid = TaskContext.get().partitionId()
+        rng = np.random.default_rng(seed + pid)
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[VALUE_COL] = rng.poisson(lam, size=len(pdf)).astype("int64")
+            yield pdf
+
+    out = d.mapInPandas(gen, schema=f"i0 long, {VALUE_COL} long")
+    return Array(out, (n,))

@@ -1491,6 +1491,36 @@ def q_approx_percentile(spark, sf):
     return R.percentile_approx(m, 0.95, axis=1).df
 
 
+@query(
+    "random_permutation_check",
+    """
+    SELECT CAST(1000 AS BIGINT) AS n_rows, CAST(1000 AS BIGINT) AS n_distinct,
+           CAST(0 AS BIGINT) AS min_v, CAST(999 AS BIGINT) AS max_v
+    """,
+)
+def q_random_permutation(spark, sf):
+    """random permutation validity invariant: 1000 rows, 1000 distinct
+    values spanning exactly 0..999 (reference ``permutation``,
+    random/_generator.py; the oracle is the mathematical invariant)."""
+    p = creation.random_permutation(spark, 1000, seed=5)
+    return p.df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("v").cast("long").alias("n_distinct"),
+        F.min("v").cast("long").alias("min_v"),
+        F.max("v").cast("long").alias("max_v"),
+    )
+
+
+@query("random_choice_counts_rows")
+def q_random_choice(spark, sf):
+    """weighted choice draw counts (seed-dependent -> rows-only
+    check; distribution sanity is pinned in tests/test_random.py)."""
+    x = creation.random_choice(
+        spark, 10_000, [1.0, 2.0, 3.0], p=[0.5, 0.3, 0.2], seed=11, numparts=8
+    )
+    return x.df.groupBy(F.col("v")).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
 @query("random_seeded_hist_rows")
 def q_random_hist(spark, sf):
     """seeded per-partition RNG -> histogram (reference
