@@ -193,13 +193,24 @@ def apply_along_axis(func1d: Callable, axis: int, a: Array) -> Array:
             rows[c] = v
         return rows[ocols + ["__j", "__o"]]
 
-    schema = ", ".join(f"{c} long" for c in ocols) + ", __j long, __o double"
     if ocols:
+        schema = ", ".join(f"{c} long" for c in ocols) + ", __j long, __o double"
         res = a.df.groupBy(*ocols).applyInPandas(kernel, schema=schema)
     else:
-        res = a.df.groupBy(F.lit(1).alias("__g")).applyInPandas(
-            kernel, schema="__g int, __j long, __o double"
-        ).drop("__g")
+        # grouping on a literal: the kernel must emit the group column
+        # too, so wrap it to append __g before returning
+        def kernel_g(pdf):
+            out = kernel(pdf)
+            out = out.copy()
+            out["__g"] = 1
+            return out[["__g", "__j", "__o"]]
+
+        res = (
+            a.df.withColumn("__g", F.lit(1))
+            .groupBy("__g")
+            .applyInPandas(kernel_g, schema="__g int, __j long, __o double")
+            .drop("__g")
+        )
 
     # probe output length from metadata-free path: run func1d on a probe
     probe = np.ones(int(n_ax))
@@ -281,14 +292,22 @@ def apply_gufunc(func: Callable, signature: str, *arrays: Array) -> Array:
             rows[c] = v
         return rows[lcols + ["__j", "__o"]]
 
-    schema = ", ".join(f"{c} long" for c in lcols)
-    schema = (schema + ", " if schema else "") + "__j long, __o double"
     if lcols:
+        schema = ", ".join(f"{c} long" for c in lcols) + ", __j long, __o double"
         res = unioned.groupBy(*lcols).applyInPandas(kernel, schema=schema)
     else:
-        res = unioned.groupBy(F.lit(1).alias("__g")).applyInPandas(
-            kernel, schema="__g int, " + schema
-        ).drop("__g")
+        def kernel_g(pdf):
+            out = kernel(pdf)
+            out = out.copy()
+            out["__g"] = 1
+            return out[["__g", "__j", "__o"]]
+
+        res = (
+            unioned.withColumn("__g", F.lit(1))
+            .groupBy("__g")
+            .applyInPandas(kernel_g, schema="__g int, __j long, __o double")
+            .drop("__g")
+        )
 
     if not out_spec:
         sel = [F.col(c).alias(f"i{j}") for j, c in enumerate(lcols)]

@@ -1456,6 +1456,33 @@ def q_svd_rows(spark, sf):
 
 
 @query(
+    "fft_monthly",
+    f"""
+    WITH mo AS (SELECT i1 AS i, CAST(SUM(v) AS DOUBLE) AS v FROM ({NM_SQL}) t GROUP BY i1),
+    ks AS (SELECT unnest(range(12)) AS k)
+    SELECT ks.k AS i0,
+           round(SUM(v * cos(-2 * pi() * i * ks.k / 12)), 5) AS re,
+           round(SUM(v * sin(-2 * pi() * i * ks.k / 12)), 5) AS im
+    FROM mo CROSS JOIN ks GROUP BY ks.k
+    """,
+)
+def q_fft(spark, sf):
+    """12-point DFT of the monthly series through the grouped-kernel
+    FFT (operators/fourier.py); the oracle is the literal DFT sum with
+    cos/sin -- numerically independent of the FFT algorithm."""
+    from .operators import complexes as C
+    from .operators import fourier
+
+    mo = _monthly(spark, sf).astype("double")
+    z = fourier.fft(mo)
+    return z.df.select(
+        "i0",
+        F.round(F.col("v")["re"], 5).alias("re"),
+        F.round(F.col("v")["im"], 5).alias("im"),
+    )
+
+
+@query(
     "map_overlap_smooth",
     f"""
     WITH mo AS (SELECT i1 AS i, CAST(SUM(v) AS DOUBLE) AS v FROM ({NM_SQL}) t GROUP BY i1)
