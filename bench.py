@@ -32,6 +32,8 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "simsearch_topk",
     "text_quality",
+    "events_tumbling",
+    "media_byte_histogram",
 ]
 
 

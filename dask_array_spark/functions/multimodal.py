@@ -65,23 +65,24 @@ def byte_histogram(df: DataFrame, media_col: str = "media", id_col: str = "doc_i
     src = df.select(id_col, media_col)
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # zip-iteration, not iterrows: ~10x less per-row overhead
         for pdf in it:
-            outs = []
-            for _, row in pdf.iterrows():
-                buf = np.frombuffer(row[media_col], dtype=np.uint8)
+            ids, bns, cnts = [], [], []
+            for did, payload in zip(pdf[id_col].to_numpy(), pdf[media_col]):
+                buf = np.frombuffer(payload, dtype=np.uint8)
                 counts = np.bincount(buf // width, minlength=bins)[:bins]
                 nz = np.nonzero(counts)[0]
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            id_col: row[id_col],
-                            "bin": nz.astype("int64"),
-                            "n": counts[nz].astype("int64"),
-                        }
-                    )
+                ids.append(np.full(len(nz), did, dtype="int64"))
+                bns.append(nz.astype("int64"))
+                cnts.append(counts[nz].astype("int64"))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: np.concatenate(ids),
+                        "bin": np.concatenate(bns),
+                        "n": np.concatenate(cnts),
+                    }
                 )
-            if outs:
-                yield pd.concat(outs)
 
     return src.mapInPandas(kernel, schema=f"{id_col} long, bin long, n long")
 
@@ -97,11 +98,11 @@ def fake_decode_features(df: DataFrame, media_col: str = "media",
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, row in pdf.iterrows():
-                buf = np.frombuffer(row[media_col], dtype=np.uint8).astype("float64")
+            for did, payload in zip(pdf[id_col].to_numpy(), pdf[media_col]):
+                buf = np.frombuffer(payload, dtype=np.uint8).astype("float64")
                 rows.append(
                     {
-                        id_col: row[id_col],
+                        id_col: did,
                         "mean_px": round(float(buf.mean()), 6),
                         "std_px": round(float(buf.std()), 6),
                         "n_px": int(buf.size),
@@ -139,13 +140,13 @@ def frame_sample(df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
-            for _, row in pdf.iterrows():
-                buf = bytes(row[media_col])
+            for did, payload in zip(pdf[id_col].to_numpy(), pdf[media_col]):
+                buf = bytes(payload)
                 n_frames = (len(buf) + frame_bytes - 1) // frame_bytes
                 for fid in range(0, n_frames, stride):
                     rows.append(
                         {
-                            id_col: row[id_col],
+                            id_col: did,
                             "frame_id": fid,
                             "frame": buf[fid * frame_bytes : (fid + 1) * frame_bytes],
                         }

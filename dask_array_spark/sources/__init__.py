@@ -1,19 +1,23 @@
 from .ingest import (
     densify,
+    from_npy_stack,
     from_numpy,
     from_table_arrays,
     from_table_column,
     from_table_matrix,
     read_table,
+    to_npy_stack,
     with_dense_index,
 )
 
 __all__ = [
     "densify",
+    "from_npy_stack",
     "from_numpy",
     "from_table_arrays",
     "from_table_column",
     "from_table_matrix",
     "read_table",
+    "to_npy_stack",
     "with_dense_index",
 ]

@@ -9,10 +9,10 @@ and column pruning -- the reference's deferred ``_region`` reads
 custom machinery is needed.
 
 Scale note: ``with_dense_index`` provides a deterministic dense 0-based
-index WITHOUT a single-partition global window.  It range-partitions by
-the order key, computes per-partition counts (one small job), and adds
-``offset[pid] + local_rank`` via ``mapInPandas`` -- the standard
-two-pass zipWithIndex pattern that scales to any table size.
+index WITHOUT a single-partition global window: range partition + local
+sort, per-partition counts (one small job), then ``offset[pid] +
+local`` from ``monotonically_increasing_id`` -- the two-pass
+zipWithIndex pattern, fully JVM-side, scaling to any table size.
 """
 
 from __future__ import annotations
@@ -189,3 +189,92 @@ def from_numpy(spark: SparkSession, arr: np.ndarray, npartitions: int | None = N
     if npartitions:
         sdf = sdf.repartition(npartitions)
     return Array(sdf, arr.shape)
+
+
+def to_npy_stack(a: Array, dirname: str, files: int = 8) -> None:
+    """Write a 1-D/2-D array as a directory of .npy files, one per
+    row-block (reference io/_to_npy_stack.py:13).  Each partition's
+    file is written executor-side via foreachPartition."""
+    import io as _io
+    import os
+
+    os.makedirs(dirname, exist_ok=True)
+    shape = a.shape
+    if any(s is None for s in shape):
+        raise ValueError("to_npy_stack needs a known shape")
+    rows_per = -(-shape[0] // files)
+
+    d = a.df.withColumn("__blk", F.expr(f"i0 DIV {rows_per}").cast("long"))
+    ndim = a.ndim
+
+    def write_block(pdf):
+        blk = int(pdf["__blk"].iloc[0])
+        lo = blk * rows_per
+        hi = min(lo + rows_per, shape[0])
+        dims = (hi - lo,) + tuple(shape[1:])
+        arr = np.full(dims, np.nan, dtype="float64")
+        loc = [pdf["i0"].to_numpy(dtype="int64") - lo]
+        for k in range(1, ndim):
+            loc.append(pdf[f"i{k}"].to_numpy(dtype="int64"))
+        arr[tuple(loc)] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
+        np.save(os.path.join(dirname, f"{blk}.npy"), arr)
+        return pd.DataFrame({"__blk": [blk]})
+
+    d.groupBy("__blk").applyInPandas(write_block, schema="__blk long").count()
+
+
+def from_npy_stack(spark: SparkSession, dirname: str) -> Array:
+    """Directory of ``<k>.npy`` row-block files -> array (reference
+    io/_from_npy_stack.py:13): ``binaryFile`` source gives one row per
+    file (streamed, no driver reads), a mapInPandas kernel decodes with
+    ``np.load`` and emits cells.  Row offset of file k = sum of rows of
+    files < k, read from the .npy headers only (cheap driver pass)."""
+    import io as _io
+    import os
+
+    names = sorted(
+        (f for f in os.listdir(dirname) if f.endswith(".npy")),
+        key=lambda f: int(f.split(".")[0]),
+    )
+    offsets = {}
+    acc = 0
+    ncols = None
+    for f in names:
+        with open(os.path.join(dirname, f), "rb") as fh:
+            version = np.lib.format.read_magic(fh)
+            shp, _, _ = np.lib.format._read_array_header(fh, version)
+        offsets[int(f.split(".")[0])] = acc
+        acc += shp[0]
+        ncols = shp[1] if len(shp) > 1 else None
+
+    d = spark.read.format("binaryFile").option("pathGlobFilter", "*.npy").load(dirname)
+
+    def decode(it):
+        for pdf in it:
+            for _, row in pdf.iterrows():
+                blk = int(os.path.basename(row["path"]).split(".")[0])
+                arr = np.load(_io.BytesIO(row["content"]))
+                lo = offsets[blk]
+                if arr.ndim == 1:
+                    idx = np.arange(arr.shape[0], dtype="int64")
+                    keep = ~np.isnan(arr)
+                    yield pd.DataFrame(
+                        {"i0": idx[keep] + lo, VALUE_COL: arr[keep]}
+                    )
+                else:
+                    ii = np.indices(arr.shape).reshape(2, -1)
+                    flat = arr.reshape(-1)
+                    keep = ~np.isnan(flat)
+                    yield pd.DataFrame(
+                        {
+                            "i0": ii[0][keep] + lo,
+                            "i1": ii[1][keep],
+                            VALUE_COL: flat[keep],
+                        }
+                    )
+
+    if ncols is None:
+        schema = f"i0 long, {VALUE_COL} double"
+        return Array(d.mapInPandas(decode, schema=schema), (acc,))
+    schema = f"i0 long, i1 long, {VALUE_COL} double"
+    return Array(d.mapInPandas(decode, schema=schema), (acc, ncols))

@@ -29,11 +29,16 @@ __all__ = [
     "sessionize",
     "stream_tumbling_counts",
     "stream_session_counts",
+    "stream_user_running_totals",
 ]
 
 US = 1_000_000
 
-_TS_US = F.expr("ts_ns DIV 1000")
+
+def _ts_us():
+    # built lazily: constructing a Column at import time crashes
+    # before a SparkContext exists
+    return F.expr("ts_ns DIV 1000")
 
 
 def tumbling_agg(events: DataFrame, width_sec: int) -> DataFrame:
@@ -75,7 +80,7 @@ def sessionize(events: DataFrame, gap_sec: int) -> DataFrame:
 
     gus = gap_sec * US
     w = Window.partitionBy("user_id").orderBy("tu", "event_id")
-    d = events.select("user_id", "event_id", _TS_US.alias("tu"))
+    d = events.select("user_id", "event_id", _ts_us().alias("tu"))
     prev = F.lag("tu").over(w)
     new_sess = F.when(prev.isNull() | ((F.col("tu") - prev) > gus), 1).otherwise(0)
     d = d.withColumn("__new", new_sess)
@@ -142,4 +147,38 @@ def stream_session_counts(
         .groupBy(F.session_window("__ts", gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .select("user_id", "n_events")
+    )
+
+
+def stream_user_running_totals(spark: SparkSession, events_path: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the brief's
+    custom-stateful-streaming tier): per-user running event count +
+    exact cents total, state = (n, cents), Update output mode.  The
+    same shape serves any keyed accumulator (rate limiting, CDC fold,
+    feature freshness) -- state lives in the state store, partitioned
+    by key, nothing on the driver."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _read_stream(spark, events_path)
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pd.to_numeric(pdf["value"]).mul(100).round().sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "value_cents": [cents]}
+        )
+
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id long, n_events long, value_cents long",
+            "n long, cents long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
     )

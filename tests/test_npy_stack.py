@@ -1,0 +1,39 @@
+"""npy-stack connector round trip (reference io/_from_npy_stack.py:13,
+io/_to_npy_stack.py:13): executor-side writes, binaryFile-source reads
+with np.load decode -- the driver touches only the tiny headers."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from tests.conftest import assert_eq
+
+STACK_DIR = "/root/repo/.tmp/npy_stack_test"
+
+
+@pytest.fixture()
+def stack_dir():
+    shutil.rmtree(STACK_DIR, ignore_errors=True)
+    yield STACK_DIR
+    shutil.rmtree(STACK_DIR, ignore_errors=True)
+
+
+def test_npy_stack_roundtrip_2d(spark, rng, stack_dir):
+    from dask_array_spark.sources import from_npy_stack, from_numpy, to_npy_stack
+
+    a = rng.normal(size=(37, 5))
+    to_npy_stack(from_numpy(spark, a), stack_dir, files=4)
+    back = from_npy_stack(spark, stack_dir)
+    assert back.shape == (37, 5)
+    assert_eq(back, a)
+
+
+def test_npy_stack_roundtrip_1d(spark, rng, stack_dir):
+    from dask_array_spark.sources import from_npy_stack, from_numpy, to_npy_stack
+
+    a = rng.normal(size=23)
+    to_npy_stack(from_numpy(spark, a), stack_dir, files=3)
+    back = from_npy_stack(spark, stack_dir)
+    assert back.shape == (23,)
+    assert_eq(back, a)

@@ -69,3 +69,41 @@ def test_stream_sessions_run(spark, events_path):
         for r in static.groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert per_user == want
+
+
+def test_stream_stateful_running_totals(spark, sf_dir, events_path):
+    """applyInPandasWithState keyed accumulator: after draining the
+    file source, per-user state equals the batch aggregate."""
+    from dask_array_spark.sources import read_table
+    from dask_array_spark.streaming import events as EV
+
+    sdf = EV.stream_user_running_totals(spark, events_path)
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            """SELECT user_id, n_events, value_cents FROM (
+                 SELECT *, row_number() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS r
+                 FROM t_state) WHERE r = 1"""
+        ).collect()
+    finally:
+        q.stop()
+    got = {r["user_id"]: (r["n_events"], r["value_cents"]) for r in rows}
+
+    ev = read_table(spark, sf_dir, "events")
+    want = {
+        r["user_id"]: (r["n"], r["c"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
