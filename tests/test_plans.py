@@ -1,0 +1,119 @@
+"""Structural plan assertions -- the engine-side analogue of the
+reference's optimizer tests (SURVEY.md section 5: asserting
+simplified-plan equality / task counts; here: asserting on the
+physical plan text, .ai-docs/testing.md:108-178).
+
+These pin the scale-critical plan properties:
+- slice predicates reach the parquet scan (pushdown),
+- elemwise reads only referenced columns (pruning),
+- transpose/reshape plan NO exchange (pure projections),
+- shared-base elemwise chains plan NO join,
+- small-side joins broadcast,
+- grouped reductions partial-aggregate map-side.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def li(spark, sf_dir):
+    from dask_array_spark.sources import read_table
+
+    return read_table(spark, sf_dir, "lineitem")
+
+
+def test_slice_pushes_predicate_to_scan(spark, li):
+    """x[a:b] must reach the FileScan as a data filter (reference
+    slice-pushdown rewrite, _expr.py:431 -> Catalyst built-in)."""
+    from dask_array_spark.sources import from_table_column
+
+    x = from_table_column(li, "l_orderkey * 8 + l_linenumber", "l_extendedprice")
+    plan = _plan(x[1000:50000].df)
+    scan = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan and "DataFilters: [" in scan[0] and "l_orderkey" in scan[0]
+
+
+def test_elemwise_prunes_columns(spark, li):
+    """A 3-column projection over the 16-column table must read only
+    what it references (ColumnPruning; reference has no analogue --
+    free win of the cell encoding)."""
+    from dask_array_spark.sources import from_table_arrays
+
+    a = from_table_arrays(
+        li, "l_orderkey * 8 + l_linenumber", {"p": "l_extendedprice", "d": "l_discount"}
+    )
+    plan = _plan((a["p"] * (1 - a["d"])).df)
+    scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "l_extendedprice" in scan and "l_discount" in scan
+    assert "l_comment" not in scan and "l_shipmode" not in scan
+
+
+def test_transpose_reshape_no_exchange(spark, rng):
+    """transpose + reshape are pure index projections: ZERO exchanges
+    (the reference must physically re-block,
+    manipulation/_reshape.py:414 -- we must not)."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import manipulation as M
+
+    m = from_numpy(spark, np.arange(24.0).reshape(4, 6))
+    base_plan = _plan(m.df)
+    out_plan = _plan(M.reshape(M.transpose(m), (24,)).df)
+    assert out_plan.count("Exchange") == base_plan.count("Exchange") == 0
+
+
+def test_shared_base_elemwise_has_no_join(spark, li):
+    """x*2 + x/3 - x over one base must stay a single projection
+    (FusedBlockwise analogue, _blockwise.py:1574)."""
+    from dask_array_spark.sources import from_table_column
+
+    x = from_table_column(li, "l_orderkey * 8 + l_linenumber", "l_quantity")
+    plan = _optimized((x * 2 + x / 3 - x).df)
+    assert "Join" not in plan
+
+
+def test_shared_base_mask_is_pure_filter(spark, li):
+    """x[x > 45]: shared-base mask compiles to filter, not self-join."""
+    from dask_array_spark.sources import from_table_arrays
+
+    a = from_table_arrays(li, "l_orderkey * 8 + l_linenumber", {"q": "l_quantity"})
+    x = a["q"]
+    plan = _optimized(x[x > 45].df)
+    assert "Join" not in plan
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir, li):
+    """elemwise against a tiny vector must plan a broadcast join, not
+    a shuffled sort-merge join (reference broadcasting,
+    _blockwise.py:1243 == broadcast hash join)."""
+    from dask_array_spark import queries as Q
+
+    m = Q._nation_month_matrix(spark, sf_dir)
+    from dask_array_spark.operators import manipulation as M
+    from dask_array_spark.operators import reductions as R
+
+    mu = R.nansum(m, axis=1).astype("double") / 12.0
+    centered = m - M.expand_dims(mu, 1)
+    plan = _plan(centered.df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_grouped_reduction_partial_aggregates(spark, li):
+    """groupBy sum must show the two-phase partial/final HashAggregate
+    (the reference's PartialReduce tree, reductions/_reduction.py:154)."""
+    from dask_array_spark.operators import reductions as R
+    from dask_array_spark.sources import from_table_matrix
+
+    m = from_table_matrix(li, "l_orderkey", "l_linenumber - 1", "l_quantity")
+    plan = _plan(R.nansum(m, axis=1).df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
