@@ -110,6 +110,26 @@ class Array:
         /root/reference/dask_array/_diagnostics.py:285)."""
         self.df.explain(mode)
 
+    def pprint(self) -> None:
+        """Array-aware plan print: shape/dtype header + the optimized
+        logical plan (reference ``pprint``, _expr.py:154-199)."""
+        print(f"Array<shape={self.shape}, dtype={self.dtype.simpleString()}>")
+        print(self.df._jdf.queryExecution().optimizedPlan().toString())
+
+    def compute_shape(self) -> "Array":
+        """Resolve unknown (None) dims with one aggregation job
+        (reference ``compute_chunk_sizes``,
+        /root/reference/dask_array/_collection.py:415)."""
+        if all(s is not None for s in self.shape):
+            return self
+        unknown = [k for k, s in enumerate(self.shape) if s is None]
+        aggs = [(F.max(f"i{k}") + 1).alias(f"s{k}") for k in unknown]
+        row = self.df.agg(*aggs).collect()[0]
+        shape = list(self.shape)
+        for k in unknown:
+            shape[k] = int(row[f"s{k}"]) if row[f"s{k}"] is not None else 0
+        return Array(self._base, tuple(shape), self._vcol)
+
     def persist(self, storage_level=None):
         """Sharing-aware fan-out caching (reference declines pushdown at
         shared subtrees, /root/reference/dask_array/_expr.py:336-399; in

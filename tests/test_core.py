@@ -161,3 +161,22 @@ def test_ufuncs(spark, x1):
     assert_eq(E.sin(arr), np.sin(a), rtol=1e-12)
     assert_eq(E.floor(arr), np.floor(a))
     assert_eq(E.sign(arr - 5), np.sign(a - 5))
+
+
+def test_compute_shape_resolves_unknown(spark, x1):
+    from dask_array_spark.core.array import Array
+
+    arr, a = x1
+    masked = arr[arr > 3.0]  # unknown length
+    assert masked.shape == (None,)
+    resolved = masked.compute_shape()
+    # flat index preserved -> size = max index + 1 (gaps allowed)
+    assert resolved.shape[0] == 10
+    assert resolved.count_rows() == (a > 3.0).sum()
+
+
+def test_pprint_smoke(capsys, x1):
+    arr, _ = x1
+    arr.pprint()
+    out = capsys.readouterr().out
+    assert "Array<shape=(10,)" in out
