@@ -34,6 +34,8 @@ HEADLINE = [
     "text_quality",
     "events_tumbling",
     "media_byte_histogram",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
 ]
 
 

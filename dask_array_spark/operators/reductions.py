@@ -58,6 +58,7 @@ __all__ = [
     "histogram",
     "histogram2d",
     "unique_table",
+    "grouping_sum",
     "reduce_axes",
 ]
 
@@ -94,6 +95,25 @@ def reduce_axes(a: Array, axis, aggs: Callable[[Column], list[Column]]) -> Array
     # renumber kept axes to i0..i{m-1}
     sel = [F.col(f"i{ax}").alias(f"i{k}") for k, ax in enumerate(kept)] + [F.col(VALUE_COL)]
     return Array(out.select(*sel), tuple(a.shape[ax] for ax in kept))
+
+
+def grouping_sum(a: Array, mode: str = "rollup") -> DataFrame:
+    """Grouping-set aggregations over a 2-D array: rollup / cube /
+    explicit grouping sets of the index axes -- free from Spark
+    (SURVEY.md section 2.5: the reference's nearest analog is reducing
+    over axis SUBSETS; Spark's rollup/cube give every subset in ONE
+    pass with partial aggregation).  NULL index = aggregated-out axis;
+    returns (i0, i1, v) with nullable indexes."""
+    if a.ndim != 2:
+        raise ValueError("grouping_sum is defined for 2-D arrays")
+    d = a.df
+    if mode == "rollup":
+        g = d.rollup("i0", "i1")
+    elif mode == "cube":
+        g = d.cube("i0", "i1")
+    else:
+        raise ValueError("mode must be rollup|cube")
+    return g.agg(F.sum(VALUE_COL).alias(VALUE_COL)).select("i0", "i1", VALUE_COL)
 
 
 # -- basic family ---------------------------------------------------------

@@ -1831,6 +1831,123 @@ def q_simsearch(spark, sf):
     return SIM.cosine_topk(_embs(spark, sf), [0, 1, 2], k=5)
 
 
+@query(
+    "rollup_nation_month",
+    f"""
+    SELECT i0, i1, CAST(SUM(v) AS BIGINT) AS v FROM ({NM_SQL}) t
+    GROUP BY ROLLUP (i0, i1)
+    """,
+)
+def q_rollup(spark, sf):
+    """ROLLUP over both array axes in one pass (SURVEY section 2.5:
+    reduce over every axis-subset; Spark partial-aggregates all
+    grouping sets together)."""
+    m = _nation_month_matrix(spark, sf)
+    return R.grouping_sum(m, "rollup").select(
+        "i0", "i1", F.col("v").cast("long").alias("v")
+    )
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    f"""
+    SELECT {FLAG_IDX} AS i0,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           CAST(SUM({CENTS}) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint))
+                AS BIGINT) AS sum_disc_cents,
+           round(avg(l_quantity), 6) AS avg_qty,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY 1
+    """,
+)
+def q_tpch_q1(spark, sf):
+    """TPC-H Q1-style pricing summary: one scan, partial/final hash
+    aggregate, exact integer-cents money math -- the canonical
+    100 TB scan+agg plan."""
+    l = _li(spark, sf).filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+    return l.groupBy(F.expr(FLAG_IDX).alias("i0")).agg(
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.sum(F.expr(CENTS)).cast("long").alias("sum_base_cents"),
+        F.sum(
+            F.expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+        ).cast("long").alias("sum_disc_cents"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.count(F.lit(1)).cast("long").alias("count_order"),
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(cast(round(l_extendedprice * l_discount * 100) as bigint))
+                AS BIGINT) AS v
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark, sf):
+    """TPC-H Q6-style filtered revenue: every predicate pushes to the
+    scan; a single partial/final agg with no shuffle of data rows."""
+    l = _li(spark, sf)
+    f = l.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(
+            F.expr("cast(round(l_extendedprice * l_discount * 100) as bigint)")
+        ).cast("long").alias("v")
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS okey,
+           CAST(SUM(cast(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                as bigint)) AS BIGINT) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY 1
+    ORDER BY revenue_cents DESC, okey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf):
+    """TPC-H Q3-style shipping priority: selective dimension filter
+    broadcast into a 3-table join, grouped agg, global top-10
+    (TakeOrderedAndProject -- no global sort materializes)."""
+    c = read_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = read_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("date")
+    )
+    l = _li(spark, sf).filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("date"))
+    j = l.join(o, l.l_orderkey == o.o_orderkey).join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    )
+    return (
+        j.groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(
+            F.sum(
+                F.expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+            ).cast("long").alias("revenue_cents")
+        )
+        .orderBy(F.col("revenue_cents").desc(), F.col("okey").asc())
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-stream windows over `events` (additive scope, SURVEY section 2.12)
 # Batch forms are exact at microsecond precision (= DuckDB's TIMESTAMP);
