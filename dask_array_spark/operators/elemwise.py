@@ -245,15 +245,16 @@ def select(condlist, choicelist, default=0.0) -> Array:
 
 def choose(idx: Array, choices) -> Array:
     """choices[idx] elementwise (reference ``choose``): CASE WHEN
-    chain over the (small) choice list."""
+    chain over the (small) choice list.  Array choices route through
+    ``select`` (aligned-join CASE)."""
+    if any(isinstance(ch, Array) for ch in choices):
+        conds = [idx == k for k in range(len(choices))]
+        return select(conds, list(choices), default=None)
+
     def build(c: Column) -> Column:
         expr = F.lit(None)
         for k in reversed(range(len(choices))):
-            ch = choices[k]
-            val = F.lit(ch) if not isinstance(ch, Array) else None
-            if val is None:
-                raise NotImplementedError("choose with Array choices: use select()")
-            expr = F.when(c == k, val).otherwise(expr)
+            expr = F.when(c == k, F.lit(choices[k])).otherwise(expr)
         return expr
 
     return idx._unary(build)

@@ -47,6 +47,7 @@ __all__ = [
     "median",
     "nanmedian",
     "quantile",
+    "quantiles",
     "percentile_approx",
     "count_nonzero",
     "average",
@@ -95,6 +96,25 @@ def reduce_axes(a: Array, axis, aggs: Callable[[Column], list[Column]]) -> Array
     # renumber kept axes to i0..i{m-1}
     sel = [F.col(f"i{ax}").alias(f"i{k}") for k, ax in enumerate(kept)] + [F.col(VALUE_COL)]
     return Array(out.select(*sel), tuple(a.shape[ax] for ax in kept))
+
+
+def quantiles(a: Array, qs: Sequence[float], axis=None) -> Array:
+    """Several exact quantiles at once: one grouped ``percentile``
+    aggregate returning an array, exploded to a new trailing axis
+    (reference multi-q ``quantile``, reductions/_common.py:977)."""
+    red, kept = _norm_axes(a, axis)
+    arr_q = F.array(*[F.lit(float(q)) for q in qs])
+    agg = F.percentile(F.col(VALUE_COL), arr_q)
+    m = len(kept)
+    if kept:
+        d = a.df.groupBy(*[F.col(f"i{ax}") for ax in kept]).agg(agg.alias("__qs"))
+        sel = [F.col(f"i{ax}").alias(f"i{k}") for k, ax in enumerate(kept)]
+        out = d.select(*sel, F.posexplode("__qs").alias(f"i{m}", VALUE_COL))
+    else:
+        d = a.df.agg(agg.alias("__qs"))
+        out = d.select(F.posexplode("__qs").alias("i0", VALUE_COL))
+    shape = tuple(a.shape[ax] for ax in kept) + (len(qs),)
+    return Array(out.select(*[f"i{k}" for k in range(m + 1)], VALUE_COL), shape)
 
 
 def grouping_sum(a: Array, mode: str = "rollup") -> DataFrame:

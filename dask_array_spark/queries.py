@@ -587,6 +587,26 @@ def q_quantile(spark, sf):
 
 
 @query(
+    "quantiles_multi",
+    f"""
+    WITH t AS (SELECT {FLAG_IDX} AS i0,
+                      quantile_cont(l_quantity, [0.25, 0.5, 0.9]) AS qs
+               FROM lineitem GROUP BY 1)
+    SELECT i0, CAST(generate_subscripts(qs, 1) - 1 AS BIGINT) AS i1,
+           round(unnest(qs), 6) AS v
+    FROM t
+    """,
+)
+def q_quantiles_multi(spark, sf):
+    """several exact quantiles in ONE grouped aggregate, exploded to a
+    trailing q-axis (reference multi-q quantile,
+    reductions/_common.py:977)."""
+    m = from_table_matrix(_li(spark, sf), FLAG_IDX, LI_IDX, "l_quantity", (3, None))
+    out = R.quantiles(m, [0.25, 0.5, 0.9], axis=1)
+    return out.round(6).df
+
+
+@query(
     "topk_per_group",
     """
     SELECT prio AS i0, rnk - 1 AS i1, okey AS v FROM (
@@ -1829,6 +1849,41 @@ def q_simsearch(spark, sf):
     from .functions import similarity as SIM
 
     return SIM.cosine_topk(_embs(spark, sf), [0, 1, 2], k=5)
+
+
+@query(
+    "sort_values_rank",
+    """
+    SELECT row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS i0,
+           o_totalprice AS v
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def q_sort(spark, sf):
+    """first-class total sort (SURVEY section 2.8): value-ranked array
+    via the scalable range-partitioned rank, stable ties on the
+    original index."""
+    from .operators import sorting
+
+    o = read_table(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    x = from_table_column(o, "o_orderkey", "o_totalprice")
+    return sorting.sort(x).df
+
+
+@query(
+    "argsort_indices",
+    """
+    SELECT row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS i0,
+           o_orderkey AS v
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def q_argsort(spark, sf):
+    from .operators import sorting
+
+    o = read_table(spark, sf, "orders").filter(F.col("o_orderkey") < 2000)
+    x = from_table_column(o, "o_orderkey", "o_totalprice")
+    return sorting.argsort(x).df
 
 
 @query(

@@ -149,3 +149,14 @@ def test_complex_ops(spark):
     s = C.cadd(zr, wr)
     assert_eq(C.real(s), (z + w).real)
     assert_eq(C.iscomplex(zr).astype("long"), (z.imag != 0).astype("int64"))
+
+
+def test_choose_with_array_choices(spark):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import elemwise as E
+
+    idx = np.array([0, 1, 1, 0], dtype="int64")
+    a = np.array([10.0, 20.0, 30.0, 40.0])
+    b = np.array([-1.0, -2.0, -3.0, -4.0])
+    got = E.choose(from_numpy(spark, idx), [from_numpy(spark, a), from_numpy(spark, b)])
+    assert_eq(got, np.choose(idx, [a, b]))
