@@ -43,6 +43,9 @@ __all__ = [
     "insert_1d",
     "delete_1d",
     "append_1d",
+    "atleast_1d",
+    "atleast_2d",
+    "atleast_3d",
 ]
 
 
@@ -298,3 +301,21 @@ def delete_1d(a: Array, pos: int) -> Array:
 
 def append_1d(a: Array, b: Array) -> Array:
     return concatenate([a, b], axis=0)
+
+
+def atleast_1d(a: Array) -> Array:
+    """reference manipulation/_expand.py atleast_1d."""
+    if a.ndim >= 1:
+        return a
+    d = a.df.select(F.lit(0).cast("long").alias("i0"), F.col(VALUE_COL))
+    return Array(d, (1,))
+
+
+def atleast_2d(a: Array) -> Array:
+    a = atleast_1d(a)
+    return expand_dims(a, 0) if a.ndim == 1 else a
+
+
+def atleast_3d(a: Array) -> Array:
+    a = atleast_2d(a)
+    return expand_dims(a, 2) if a.ndim == 2 else a

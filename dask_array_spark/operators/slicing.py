@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..core.array import VALUE_COL, Array
 
-__all__ = ["getitem", "take", "vindex", "boolean_mask", "set_index_value", "compress", "isin", "searchsorted", "push_index"]
+__all__ = ["getitem", "take", "vindex", "boolean_mask", "set_index_value", "compress", "extract", "isin", "searchsorted", "push_index", "nonzero", "argwhere"]
 
 
 def _norm_slice(sl: slice, n: int | None):
@@ -274,3 +274,43 @@ def push_index(a: Array) -> DataFrame:
     """Expose index+value rows (argwhere/nonzero style,
     reference routines/_nonzero.py:23-66)."""
     return a.df.filter(F.col(VALUE_COL).cast("double") != 0).select(*a.index_cols)
+
+
+def extract(cond: Array, a: Array) -> Array:
+    """np.extract == flattened boolean mask selection (reference
+    routines/_select.py:49)."""
+    return boolean_mask(a, cond)
+
+
+def nonzero(a: Array):
+    """Coordinate arrays of nonzero cells (reference
+    routines/_nonzero.py:23): one filter + index projections.  Each
+    output is a 1-D array keyed by the C-order flat position of the
+    cell (monotone, gapped -- the shuffle-free convention shared with
+    boolean_mask); values are that cell's coordinate on axis k."""
+    d = a.df.filter((F.col(VALUE_COL) != 0) & F.col(VALUE_COL).isNotNull())
+    flat = F.lit(0).cast("long")
+    mul = 1
+    strides = []
+    for s in reversed(a.shape):
+        strides.append(mul)
+        mul *= s if s else 1
+    for k, st in enumerate(reversed(strides)):
+        flat = flat + F.col(f"i{k}") * F.lit(st)
+    outs = []
+    for k in range(a.ndim):
+        outs.append(
+            Array(d.select(flat.alias("__f"), F.col(f"i{k}")).select(
+                F.col("__f").alias("i0"), F.col(f"i{k}").alias(VALUE_COL)
+            ), (None,))
+        )
+    return tuple(outs)
+
+
+def argwhere(a: Array) -> "DataFrame":
+    """Coordinates of nonzero cells as rows (reference
+    routines/_nonzero.py argwhere); returned as a DataFrame of index
+    columns -- a dense (k, ndim) array would need a global rank."""
+    return a.df.filter(
+        (F.col(VALUE_COL) != 0) & F.col(VALUE_COL).isNotNull()
+    ).select(*a.index_cols)

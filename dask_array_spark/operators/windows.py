@@ -30,6 +30,7 @@ __all__ = [
     "nancumsum",
     "push",
     "diff",
+    "ediff1d",
     "gradient",
     "sliding_reduce",
     "moving_reduce",
@@ -208,3 +209,10 @@ def cumsum_1d_scalable(a: Array, num_partitions: int = 32) -> Array:
             yield pdf
 
     return Array(d.mapInPandas(add, schema=schema), a.shape)
+
+
+def ediff1d(a: Array) -> Array:
+    """Flat first differences (reference routines/_insert_delete.py:31):
+    diff over the raveled array."""
+    flat = a if a.ndim == 1 else a.ravel()
+    return diff(flat, axis=0)

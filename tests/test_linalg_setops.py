@@ -77,3 +77,42 @@ def test_histogram2d(spark, rng):
     )
     got = R.histogram2d(x, y, (8, 6), ((0.0, 10.0), (-5.0, 5.0))).compute()
     np.testing.assert_array_equal(got, want.astype("int64"))
+
+
+def test_nonzero_argwhere_extract(spark):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import slicing as S
+
+    a_np = np.array([[0.0, 3.0, 0.0], [2.0, 0.0, 5.0]])
+    a = from_numpy(spark, a_np)
+    rows, cols = S.nonzero(a)
+    ii, jj = np.nonzero(a_np)
+    got = sorted(zip(rows.df.collect(), cols.df.collect()), key=lambda t: t[0]["i0"])
+    got_rows = [r[0]["v"] for r in got]
+    got_cols = [r[1]["v"] for r in got]
+    np.testing.assert_array_equal(sorted(zip(got_rows, got_cols)), sorted(zip(ii, jj)))
+
+    aw = S.argwhere(a).collect()
+    np.testing.assert_array_equal(
+        sorted((r["i0"], r["i1"]) for r in aw), sorted(zip(ii, jj))
+    )
+
+    cond = a > 1.0
+    ext = S.extract(cond, a)
+    vals = sorted(r["v"] for r in ext.df.collect())
+    np.testing.assert_array_equal(vals, sorted(a_np[a_np > 1.0]))
+
+
+def test_atleast_and_ediff1d(spark):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import manipulation as M
+    from dask_array_spark.operators import windows as W
+    from tests.conftest import assert_eq
+
+    v = np.array([3.0, 1.0, 4.0, 1.0, 5.0])
+    arr = from_numpy(spark, v)
+    a2 = M.atleast_2d(arr)
+    assert a2.shape == (1, 5)
+    a3 = M.atleast_3d(arr)
+    assert a3.shape == (1, 5, 1)
+    assert_eq(W.ediff1d(arr), np.ediff1d(v))
