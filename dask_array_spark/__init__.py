@@ -8,15 +8,31 @@ plan, and Catalyst/Tungsten/AQE play the role of the reference's
 simplify/lower/fuse + Frisky tiers (SURVEY.md sections 3-4).
 """
 
+from .core import blocks
 from .core.array import Array, VALUE_COL
-from .operators import creation, elemwise, linalg, manipulation, reductions, slicing, windows
+from .operators import (
+    complexes,
+    creation,
+    elemwise,
+    fourier,
+    linalg,
+    manipulation,
+    overlap,
+    reductions,
+    setops,
+    slicing,
+    sorting,
+    windows,
+)
 from .sources import (
     densify,
+    from_npy_stack,
     from_numpy,
     from_table_arrays,
     from_table_column,
     from_table_matrix,
     read_table,
+    to_npy_stack,
     with_dense_index,
 )
 
@@ -25,18 +41,26 @@ __version__ = "0.1.0"
 __all__ = [
     "Array",
     "VALUE_COL",
+    "blocks",
+    "complexes",
     "creation",
     "elemwise",
+    "fourier",
     "linalg",
     "manipulation",
+    "overlap",
     "reductions",
+    "setops",
     "slicing",
+    "sorting",
     "windows",
     "densify",
+    "from_npy_stack",
     "from_numpy",
     "from_table_arrays",
     "from_table_column",
     "from_table_matrix",
     "read_table",
+    "to_npy_stack",
     "with_dense_index",
 ]

@@ -355,9 +355,8 @@ def q_boolean_mask(spark, sf):
     global window -- the 100 TB path."""
     from .sources import with_dense_index
 
-    l = with_dense_index(
-        _li(spark, sf), [c.strip() for c in _LI_ORDER.split(",")], "rid"
-    )
+    cols = [c.strip() for c in _LI_ORDER.split(",")]
+    l = with_dense_index(_li(spark, sf).select(*cols), cols, "rid")
     a = from_table_arrays(l, "rid", {"q": "l_quantity"})
     x = a["q"]
     return x[x > 45].df
@@ -377,9 +376,8 @@ def q_setitem(spark, sf):
     two-pass zipWithIndex rank."""
     from .sources import with_dense_index
 
-    l = with_dense_index(
-        _li(spark, sf), [c.strip() for c in _LI_ORDER.split(",")], "rid"
-    )
+    cols = [c.strip() for c in _LI_ORDER.split(",")]
+    l = with_dense_index(_li(spark, sf).select(*cols), cols, "rid")
     a = from_table_arrays(l, "rid", {"q": "l_quantity"})
     x = a["q"]
     return S.set_index_value(x, x > 40, 40.0).df
@@ -1407,9 +1405,8 @@ def q_lstsq(spark, sf):
     only the 2x2 R reaches the driver."""
     from .sources import with_dense_index
 
-    l = with_dense_index(
-        _li(spark, sf), [c.strip() for c in _LI_ORDER.split(",")], "rid"
-    )
+    cols = [c.strip() for c in _LI_ORDER.split(",")]
+    l = with_dense_index(_li(spark, sf).select(*cols), cols, "rid")
     cells = l.selectExpr(
         "rid AS i0", "stack(2, 0L, 1.0D, 1L, CAST(l_quantity AS DOUBLE)) AS (i1, v)"
     )
