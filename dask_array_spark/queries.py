@@ -585,6 +585,21 @@ def q_quantile(spark, sf):
 
 
 @query(
+    "median_scalable_global",
+    """
+    SELECT round(quantile_cont(l_extendedprice, 0.5), 6) AS v FROM lineitem
+    """,
+)
+def q_median_scalable(spark, sf):
+    """exact global median by iterative bucket narrowing (3-4 full
+    passes at any scale; no single-node gather of the axis) -- the
+    'exact medians on huge axes' hard part (SURVEY section 7)."""
+    x = from_table_column(_li(spark, sf), LI_IDX, "l_extendedprice")
+    med = R.median_scalable(x)
+    return spark.createDataFrame([(round(med, 6),)], "v double")
+
+
+@query(
     "quantiles_multi",
     f"""
     WITH t AS (SELECT {FLAG_IDX} AS i0,

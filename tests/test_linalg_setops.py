@@ -116,3 +116,19 @@ def test_atleast_and_ediff1d(spark):
     a3 = M.atleast_3d(arr)
     assert a3.shape == (1, 5, 1)
     assert_eq(W.ediff1d(arr), np.ediff1d(v))
+
+
+def test_kth_smallest_bucket_narrowing(spark, rng):
+    """Force the iterative narrowing loop (max_collect tiny) and
+    verify exact order statistics against NumPy."""
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import reductions as R
+
+    v = rng.normal(size=5_000) * 1000
+    arr = from_numpy(spark, v)
+    srt = np.sort(v)
+    for k in (0, 17, 2_500, 4_999):
+        got = R.kth_smallest(arr, k, buckets=16, max_collect=50)
+        assert got == srt[k]
+    med = R.median_scalable(arr)
+    assert med == np.median(v)
