@@ -246,17 +246,23 @@ def tsqr(a: Array, block_rows: int = 10000):
 
     def block_r(pdf: pd.DataFrame) -> pd.DataFrame:
         blk = int(pdf["__blk"].iloc[0])
-        rows = sorted(pdf["i0"].unique())
+        i0 = pdf["i0"].to_numpy(dtype="int64")
+        rows, inv = np.unique(i0, return_inverse=True)
         mat = np.zeros((len(rows), k))
-        rmap = {r: j for j, r in enumerate(rows)}
-        for _, row in pdf.iterrows():
-            mat[rmap[row["i0"]], int(row["i1"])] = row[VALUE_COL]
+        mat[inv, pdf["i1"].to_numpy(dtype="int64")] = pd.to_numeric(
+            pdf[VALUE_COL]
+        ).to_numpy(dtype="float64")
         r = np.linalg.qr(mat, mode="r")
-        out = []
-        for i in range(min(r.shape[0], k)):
-            for j in range(k):
-                out.append((blk, i, j, float(r[i, j])))
-        return pd.DataFrame(out, columns=["__blk", "ri", "rj", "rv"])
+        m = min(r.shape[0], k)
+        ri, rj = np.meshgrid(np.arange(m), np.arange(k), indexing="ij")
+        return pd.DataFrame(
+            {
+                "__blk": blk,
+                "ri": ri.reshape(-1),
+                "rj": rj.reshape(-1),
+                "rv": r[:m, :k].reshape(-1),
+            }
+        )
 
     rdf = d.groupBy("__blk").applyInPandas(
         block_r, schema="__blk long, ri long, rj long, rv double"

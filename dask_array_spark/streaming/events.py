@@ -28,6 +28,7 @@ __all__ = [
     "sliding_agg",
     "sessionize",
     "stream_tumbling_counts",
+    "stream_sliding_counts",
     "stream_session_counts",
     "stream_user_running_totals",
 ]
@@ -131,6 +132,23 @@ def stream_tumbling_counts(
             "event_type",
             F.col("n").cast("long"),
         )
+    )
+
+
+def stream_sliding_counts(
+    spark: SparkSession, events_path: str, width: str = "15 minutes",
+    slide: str = "5 minutes", watermark: str = "30 minutes",
+) -> DataFrame:
+    """readStream sliding windows: window(width, slide) counts -- the
+    incremental form of sliding_agg."""
+    stream = _read_stream(spark, events_path)
+    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    return (
+        stream.withColumn("__ts", ts)
+        .withWatermark("__ts", watermark)
+        .groupBy(F.window("__ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("win"), "n")
     )
 
 

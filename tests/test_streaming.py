@@ -107,3 +107,26 @@ def test_stream_stateful_running_totals(spark, sf_dir, events_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir, events_path):
+    from dask_array_spark.sources import read_table
+    from dask_array_spark.streaming import events as EV
+
+    sdf = EV.stream_sliding_counts(spark, events_path, width="15 minutes", slide="5 minutes")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_sliding")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["win"]: r["n"] for r in spark.sql("SELECT * FROM t_sliding").collect()
+        }
+    finally:
+        q.stop()
+    batch = EV.sliding_agg(read_table(spark, sf_dir, "events"), 900, 300)
+    want = {r["win"]: r["n"] for r in batch.collect()}
+    assert got == want and len(want) > 0
