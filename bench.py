@@ -48,11 +48,19 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM + reader warmup so the first measured query isn't paying
-    # session startup
+    # JVM + reader + Python-worker warmup so the first measured query
+    # isn't paying session/daemon startup (workers are reused after)
     from dask_array_spark.sources import read_table
 
     read_table(spark, sf_dir, "lineitem").count()
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 1000, 1, 32).mapInPandas(_noop, schema="id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     results: dict[str, float] = {}
     for name in HEADLINE:

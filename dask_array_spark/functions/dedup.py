@@ -49,23 +49,35 @@ def exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+M_COMB = 1_000_003
+
+
 def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct polyhashed token n-gram shingles per document:
-    (doc_id, sh).  Shingles built with transform over token positions
-    -- pure JVM expressions, one explode."""
+    """Distinct hashed token n-gram shingles per document: (doc_id,
+    sh).  Each TOKEN is polyhashed once (char-level work is linear in
+    corpus size) and a shingle hash combines n consecutive token
+    hashes -- ~n x cheaper than hashing every shingle string, and the
+    combine products stay < 2^63 (th < 1e9+7, multiplier 1e6+3)."""
+    from ..sources.ingest import widen_partitions
+
     toks = tokens_col(text_col)
-    d = df.select("doc_id", toks.alias("__toks"))
-    # positions 0 .. len-n
-    idx = F.sequence(F.lit(0), F.size("__toks") - n)
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(F.col("__toks"), i + k + 1) for k in range(n)]
-    )
+    d = widen_partitions(df, "doc_id").select(
+        "doc_id", F.transform(toks, lambda t: polyhash_col(t)).alias("__th")
+    ).filter(F.size("__th") >= n)
+    # 1-based shingle start positions 1 .. len-n+1
+    idx = F.sequence(F.lit(1), F.size("__th") - (n - 1))
+
+    def combine(i):
+        h = F.element_at(F.col("__th"), i)
+        for k in range(1, n):
+            h = (h * M_COMB + F.element_at(F.col("__th"), i + F.lit(k))) % F.lit(P)
+        return h
+
     d = d.select(
         "doc_id",
-        F.transform(idx, lambda i: shingle(i)).alias("__shingles"),
-    ).filter(F.size("__toks") >= n)
-    d = d.select("doc_id", F.explode(F.array_distinct("__shingles")).alias("__s"))
-    return d.select("doc_id", polyhash_col(F.col("__s")).alias("sh")).distinct()
+        F.explode(F.array_distinct(F.transform(idx, combine))).alias("sh"),
+    )
+    return d.distinct()
 
 
 def minhash_signatures(shingles: DataFrame, k: int = 16) -> DataFrame:
@@ -145,9 +157,11 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     fingerprint is the sign of sum(weight * (2*bit_b(h)-1)).  Explode
     tokens once, cross the tiny bit range, two partial-aggregated
     groupBys -- linear in corpus size."""
+    from ..sources.ingest import widen_partitions
+
     toks = tokens_col(text_col)
     t = (
-        df.select("doc_id", F.explode(toks).alias("__t"))
+        widen_partitions(df, "doc_id").select("doc_id", F.explode(toks).alias("__t"))
         .groupBy("doc_id", "__t")
         .agg(F.count(F.lit(1)).alias("w"))
         .select("doc_id", polyhash_col(F.col("__t")).alias("h"), "w")

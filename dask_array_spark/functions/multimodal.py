@@ -62,7 +62,9 @@ def byte_histogram(df: DataFrame, media_col: str = "media", id_col: str = "doc_i
     decode-free media feature, computed in an Arrow-batched
     mapInPandas kernel.  Output (id, bin, n)."""
     width = 256 // bins
-    src = df.select(id_col, media_col)
+    from ..sources.ingest import widen_partitions
+
+    src = widen_partitions(df.select(id_col, media_col), id_col)
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # zip-iteration, not iterrows: ~10x less per-row overhead
@@ -93,7 +95,9 @@ def fake_decode_features(df: DataFrame, media_col: str = "media",
     the payload as a uint8 'image', emit (mean, std, n_pixels).  The
     batch shape and schema are exactly what a real CLIP/ResNet feature
     UDF would use."""
-    src = df.select(id_col, media_col)
+    from ..sources.ingest import widen_partitions
+
+    src = widen_partitions(df.select(id_col, media_col), id_col)
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -135,7 +139,9 @@ def frame_sample(df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
     stream into fixed-size frames, keep every ``stride``-th one.
     Output (id, frame_id, frame BINARY) -- one map stage, the frame
     explosion happens executor-side."""
-    src = df.select(id_col, media_col)
+    from ..sources.ingest import widen_partitions
+
+    src = widen_partitions(df.select(id_col, media_col), id_col)
 
     def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -1601,15 +1601,19 @@ _POLY = (
     "list_filter(string_split({s}, ''), c -> c != ''), "
     "c -> ascii(c)::BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007)"
 )
+# per-token polyhash list; shingle hash combines 3 consecutive token
+# hashes (mirrors functions.dedup.shingle_hashes exactly)
+_TH = f"list_transform({_TOKS}, t -> {_POLY.format(s='t')})"
 _SHINGLES_SQL = f"""
-    SELECT doc_id, DISTINCT_SH.sh FROM (
+    SELECT DISTINCT doc_id, sh FROM (
       SELECT doc_id,
              unnest(list_distinct(list_transform(
-               range(1, len({_TOKS}) - 1),
-               i -> {_POLY.format(s=f"{_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]")}
+               range(1, len(th) - 1),
+               i -> (((th[i] * 1000003 + th[i + 1]) % 1000000007) * 1000003
+                     + th[i + 2]) % 1000000007
              ))) AS sh
-      FROM documents WHERE len({_TOKS}) >= 3) DISTINCT_SH
-    GROUP BY doc_id, DISTINCT_SH.sh
+      FROM (SELECT doc_id, {_TH} AS th FROM documents) src
+      WHERE len(th) >= 3) t
 """
 _SIGS_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL})

@@ -7,6 +7,7 @@ from .ingest import (
     from_table_matrix,
     read_table,
     to_npy_stack,
+    widen_partitions,
     with_dense_index,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "from_table_matrix",
     "read_table",
     "to_npy_stack",
+    "widen_partitions",
     "with_dense_index",
 ]

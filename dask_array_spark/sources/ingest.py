@@ -278,3 +278,17 @@ def from_npy_stack(spark: SparkSession, dirname: str) -> Array:
         return Array(d.mapInPandas(decode, schema=schema), (acc,))
     schema = f"i0 long, i1 long, {VALUE_COL} double"
     return Array(d.mapInPandas(decode, schema=schema), (acc, ncols))
+
+
+def widen_partitions(df: DataFrame, key: str | None = None) -> DataFrame:
+    """Ensure a computationally heavy map stage can use the whole
+    cluster: small files scan as ONE partition (files.maxPartitionBytes
+    is far above tiny-file sizes), which serializes expensive per-row
+    projections/kernels onto one core.  Repartition up to the default
+    parallelism when the source is under-partitioned; at real scale
+    the input already has enough partitions and this is a no-op."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target, key) if key else df.repartition(target)
