@@ -58,6 +58,7 @@ __all__ = [
     "bincount",
     "histogram",
     "histogram2d",
+    "histogramdd",
     "unique_table",
     "grouping_sum",
     "kth_smallest",
@@ -543,3 +544,43 @@ def median_scalable(a: Array) -> float:
     if n % 2 == 1:
         return kth_smallest(a, n // 2)
     return 0.5 * (kth_smallest(a, n // 2 - 1) + kth_smallest(a, n // 2))
+
+
+def histogramdd(arrays: "Sequence[Array]", bins: "Sequence[int]", ranges) -> Array:
+    """N-d uniform histogram over aligned 1-D arrays (reference
+    ``histogramdd``, /root/reference/dask_array/_histogram.py:454):
+    chained index joins (free when all arrays share one base), one
+    bucket projection per dimension, one grouped count."""
+    nd = len(arrays)
+    if not (len(bins) == len(ranges) == nd):
+        raise ValueError("arrays, bins, ranges must align")
+    base = arrays[0]._base
+    if all(a._base is base for a in arrays):
+        d = base.select(
+            *arrays[0].index_cols,
+            *[a._vcol.cast("double").alias(f"__x{t}") for t, a in enumerate(arrays)],
+        )
+    else:
+        d = arrays[0].df.withColumnRenamed(VALUE_COL, "__x0")
+        for t in range(1, nd):
+            dt = arrays[t].df.withColumnRenamed(VALUE_COL, f"__x{t}")
+            d = d.join(dt, on=arrays[0].index_cols, how="inner")
+    conds = None
+    buckets = []
+    for t in range(nd):
+        lo, hi = ranges[t]
+        c = F.col(f"__x{t}").cast("double")
+        in_r = (c >= float(lo)) & (c <= float(hi))
+        conds = in_r if conds is None else (conds & in_r)
+        buckets.append(
+            F.least(
+                F.floor((c - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(bins[t])).cast("long"),
+                F.lit(bins[t] - 1).cast("long"),
+            ).alias(f"i{t}")
+        )
+    out = (
+        d.filter(conds)
+        .groupBy(*buckets)
+        .agg(F.count(F.lit(1)).cast("long").alias(VALUE_COL))
+    )
+    return Array(out, tuple(bins))

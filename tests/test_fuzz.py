@@ -44,12 +44,23 @@ def _apply_op(op, arr, a):
         return M.roll(arr, 2, 0), np.roll(a, 2, 0)
     if op == "square":
         return arr * arr, a * a
+    if op == "concat_self":
+        if a.ndim == 1:
+            return M.concatenate([arr, arr], 0), np.concatenate([a, a], 0)
+        return arr, a
+    if op == "gram":
+        if a.ndim == 2:
+            from dask_array_spark.operators import linalg
+
+            return linalg.matmul(arr, M.transpose(arr)), a @ a.T
+        return arr, a
     raise AssertionError(op)
 
 
 OPS = [
     "add2", "mul", "abs", "transpose", "flip",
     "slice_head", "slice_step", "reshape_flat", "roll", "square",
+    "concat_self", "gram",
 ]
 
 

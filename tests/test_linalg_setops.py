@@ -132,3 +132,20 @@ def test_kth_smallest_bucket_narrowing(spark, rng):
         assert got == srt[k]
     med = R.median_scalable(arr)
     assert med == np.median(v)
+
+
+def test_histogramdd(spark, rng):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import reductions as R
+
+    x = rng.uniform(0, 4, 800)
+    y = rng.uniform(-2, 2, 800)
+    z = rng.uniform(0, 1, 800)
+    arrs = [from_numpy(spark, v) for v in (x, y, z)]
+    want, _ = np.histogramdd(
+        np.stack([x, y, z], 1),
+        bins=(4, 3, 2),
+        range=((0, 4), (-2, 2), (0, 1)),
+    )
+    got = R.histogramdd(arrs, (4, 3, 2), ((0, 4), (-2, 2), (0, 1))).compute()
+    np.testing.assert_array_equal(got, want.astype("int64"))
