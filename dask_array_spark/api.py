@@ -1,0 +1,277 @@
+"""Flat public namespace mirroring the reference's ``dask_array``
+API surface (~280 names re-exported from
+/root/reference/dask_array/__init__.py:263-562): a user of the
+reference writes ``da.sqrt(x)`` / ``da.matmul(a, b)`` and can switch
+to ``import dask_array_spark.api as da`` with the same spellings.
+
+Names are re-exports of the operator modules; the export list is
+pinned by tests/test_namespace.py (the reference pins its namespace in
+tests/test_public_namespace.py).
+"""
+
+from __future__ import annotations
+
+# -- collection & IO ------------------------------------------------------
+from .core.array import Array, VALUE_COL  # noqa: F401
+from .sources.ingest import (  # noqa: F401
+    densify,
+    from_npy_stack,
+    from_numpy,
+    from_table_arrays,
+    from_table_column,
+    from_table_matrix,
+    read_table,
+    to_npy_stack,
+    with_dense_index,
+)
+
+from_array = from_numpy  # reference spelling for in-memory sources
+
+# -- creation -------------------------------------------------------------
+from .operators.creation import (  # noqa: F401
+    arange,
+    diag_extract,
+    diagonal,
+    eye,
+    fromfunction_expr as fromfunction,
+    full,
+    indices_1d as indices,
+    linspace,
+    ones,
+    random_choice,
+    random_exponential,
+    random_integers,
+    random_lognormal,
+    random_normal,
+    random_permutation,
+    random_poisson,
+    random_uniform,
+    tri,
+    zeros,
+)
+
+# -- elemwise / ufuncs ----------------------------------------------------
+from .operators.elemwise import (  # noqa: F401
+    absolute,
+    arccos,
+    arccosh,
+    arcsin,
+    arcsinh,
+    arctan,
+    arctan2,
+    arctanh,
+    cbrt,
+    ceil,
+    choose,
+    clip,
+    copysign,
+    cos,
+    cosh,
+    deg2rad,
+    degrees,
+    digitize_uniform as digitize,
+    divmod_,
+    elemwise,
+    exp,
+    exp2,
+    expm1,
+    fix,
+    float_power,
+    floor,
+    fmax,
+    fmin,
+    fmod,
+    frexp,
+    hypot,
+    isclose,
+    isfinite,
+    isinf,
+    isnan,
+    isneginf,
+    isnull,
+    isposinf,
+    ldexp,
+    log,
+    log1p,
+    log2,
+    log10,
+    logaddexp,
+    logaddexp2,
+    logical_and,
+    logical_not,
+    logical_or,
+    logical_xor,
+    left_shift,
+    maximum,
+    minimum,
+    modf,
+    nan_to_num,
+    notnull,
+    piecewise,
+    rad2deg,
+    radians,
+    reciprocal,
+    right_shift,
+    rint,
+    select,
+    sign,
+    signbit,
+    sin,
+    sinc,
+    sinh,
+    sqrt,
+    square,
+    tan,
+    tanh,
+    trunc,
+    where,
+)
+
+# -- complex --------------------------------------------------------------
+from .operators.complexes import (  # noqa: F401
+    angle,
+    cabs,
+    cadd,
+    cmul,
+    conj,
+    imag,
+    iscomplex,
+    make_complex,
+    real,
+)
+
+# -- slicing / indexing ---------------------------------------------------
+from .operators.slicing import (  # noqa: F401
+    argwhere,
+    boolean_mask,
+    compress,
+    extract,
+    isin,
+    nonzero,
+    searchsorted,
+    set_index_value,
+    take,
+    vindex,
+)
+
+# -- reductions -----------------------------------------------------------
+from .operators.reductions import (  # noqa: F401
+    all_ as all,  # noqa: A001
+    amax,
+    amin,
+    any_ as any,  # noqa: A001
+    argmax,
+    argmin,
+    argtopk,
+    average,
+    bincount,
+    count_nonzero,
+    grouping_sum,
+    histogram,
+    histogram2d,
+    histogramdd,
+    kth_smallest,
+    mean,
+    median,
+    median_scalable,
+    moment,
+    nanargmax,
+    nanargmin,
+    nanmax,
+    nanmean,
+    nanmedian,
+    nanmin,
+    nanprod,
+    nanstd,
+    nansum,
+    nanvar,
+    percentile_approx,
+    prod,
+    ptp,
+    quantile,
+    quantiles,
+    std,
+    sum,  # noqa: A001
+    topk,
+    unique_table as unique,
+    var,
+)
+
+amax = amax
+max = amax  # noqa: A001
+min = amin  # noqa: A001
+
+# -- windows / cumulative -------------------------------------------------
+from .operators.windows import (  # noqa: F401
+    coarsen,
+    cumprod,
+    cumsum,
+    cumsum_1d_scalable,
+    diff,
+    ediff1d,
+    gradient,
+    moving_reduce,
+    nancumsum,
+    push,
+    sliding_reduce,
+)
+
+# -- shape / layout -------------------------------------------------------
+from .operators.manipulation import (  # noqa: F401
+    append_1d as append,
+    atleast_1d,
+    atleast_2d,
+    atleast_3d,
+    broadcast_to,
+    concatenate,
+    delete_1d as delete,
+    expand_dims,
+    flip,
+    insert_1d as insert,
+    moveaxis,
+    pad_constant as pad,
+    repeat,
+    reshape,
+    roll,
+    squeeze,
+    stack,
+    swapaxes,
+    tile,
+    transpose,
+)
+
+# -- linalg ---------------------------------------------------------------
+from .operators.linalg import (  # noqa: F401
+    cholesky,
+    corr_pair as corrcoef,
+    cov_pair as cov,
+    einsum,
+    inv,
+    lstsq,
+    lu,
+    matmul,
+    norm,
+    outer,
+    solve,
+    solve_triangular,
+    svd_tall as svd,
+    tensordot,
+    trace,
+    tsqr as qr,
+    vdot,
+)
+
+dot = matmul
+
+# -- fourier / sorting / set ops / overlap / kernels ----------------------
+from .operators.fourier import fft, ifft  # noqa: F401
+from .operators.sorting import argsort, sort  # noqa: F401
+from .operators.setops import in1d, intersect1d, setdiff1d, union1d  # noqa: F401
+from .operators.overlap import map_overlap  # noqa: F401
+from .core.blocks import (  # noqa: F401
+    apply_along_axis,
+    apply_gufunc,
+    from_blocks,
+    map_blocks,
+    to_blocks,
+)
