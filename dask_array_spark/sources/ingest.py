@@ -292,3 +292,42 @@ def widen_partitions(df: DataFrame, key: str | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
     return df.repartition(target, key) if key else df.repartition(target)
+
+
+def to_parquet(a: Array, path: str, partition_by_block: int | None = None) -> None:
+    """Persist an array's cells as parquet (reference ``store`` /
+    ``to_zarr`` role, io/_store.py:168): a fully parallel columnar
+    write; optional block-coordinate partitioning so later reads prune
+    by block (the reference's chunk-aligned store layout)."""
+    d = a.df
+    w = d.write.mode("overwrite")
+    if partition_by_block:
+        d = d.withColumn("__b0", F.expr(f"i0 DIV {int(partition_by_block)}"))
+        w = d.write.mode("overwrite").partitionBy("__b0")
+    w.parquet(path)
+
+
+def from_parquet(
+    spark: SparkSession,
+    path: str,
+    shape,
+    i0_range: tuple[int, int] | None = None,
+    block: int | None = None,
+) -> Array:
+    """Read an array persisted by ``to_parquet``.  For
+    block-partitioned layouts, passing the slice (``i0_range``) and the
+    write-time ``block`` size adds the derived __b0 predicate so whole
+    block DIRECTORIES prune at the source (the reference's deferred
+    ``_region`` reads, io/_from_array.py:446) -- Catalyst cannot infer
+    __b0 bounds from the i0 predicate on its own, so this is the
+    engine's index-algebra layer doing it (SURVEY.md section 4.4 item 6)."""
+    d = spark.read.parquet(path)
+    if i0_range is not None:
+        lo, hi = i0_range
+        if block and "__b0" in d.columns:
+            d = d.filter(
+                (F.col("__b0") >= lo // block) & (F.col("__b0") <= (hi - 1) // block)
+            )
+        d = d.filter((F.col("i0") >= lo) & (F.col("i0") < hi))
+    cols = [c for c in d.columns if c.startswith("i") and not c.startswith("__")]
+    return Array(d.select(*cols, VALUE_COL), tuple(shape))

@@ -37,3 +37,28 @@ def test_npy_stack_roundtrip_1d(spark, rng, stack_dir):
     back = from_npy_stack(spark, stack_dir)
     assert back.shape == (23,)
     assert_eq(back, a)
+
+
+def test_parquet_array_roundtrip(spark, rng):
+    import shutil
+
+    from dask_array_spark.sources import from_numpy, from_parquet, to_parquet
+
+    path = "/root/repo/.tmp/arr_parquet"
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        a = rng.normal(size=(40, 3))
+        to_parquet(from_numpy(spark, a), path, partition_by_block=10)
+        back = from_parquet(spark, path, (40, 3))
+        assert_eq(back, a)
+        # region read: the derived __b0 predicate actually prunes the
+        # block directories (non-empty PartitionFilters on __b0)
+        import numpy as np
+
+        region = from_parquet(spark, path, (10, 3), i0_range=(0, 10), block=10)
+        assert_eq(region, a[0:10])
+        plan = region.df._jdf.queryExecution().executedPlan().toString()
+        scan = [l for l in plan.splitlines() if "FileScan" in l][0]
+        assert "PartitionFilters: [" in scan and "__b0" in scan.split("PartitionFilters")[1][:120]
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
