@@ -384,6 +384,21 @@ def q_setitem(spark, sf):
 
 
 @query(
+    "compress_axis",
+    f"""
+    SELECT i0, i1, v FROM ({NM_SQL}) t WHERE i0 % 2 = 0
+    """,
+)
+def q_compress(spark, sf):
+    """compress: keep positions along one axis where a 1-D mask holds
+    (reference routines/_misc.py:39) == broadcast semi-join on the
+    axis index."""
+    m = _nation_month_matrix(spark, sf)
+    mask = creation.fromfunction_expr(spark, (25,), "i0 % 2 = 0")
+    return S.compress(m, mask, axis=0).df
+
+
+@query(
     "isin_semi",
     """
     SELECT c_custkey AS i0,
