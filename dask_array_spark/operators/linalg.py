@@ -67,6 +67,26 @@ def einsum(spec: str, *operands: Array) -> Array:
     if len(in_specs) != len(operands):
         raise ValueError(f"{len(in_specs)} specs but {len(operands)} operands")
 
+    # FUSE operands that share a base AND a label spec: their product
+    # is a single projection over that base (x*x in 'ij,ij->i' needs
+    # no self-join -- the FusedBlockwise analogue).  Spark cannot spot
+    # this across the join because the two branches alias differently.
+    fused: list[tuple[str, Array]] = []
+    by_key: dict[tuple[int, str], int] = {}
+    for labels, arr in zip(in_specs, operands):
+        key = (id(arr._base), labels)
+        if key in by_key:
+            prev_labels, prev = fused[by_key[key]]
+            merged = Array(
+                prev._base, prev.shape, prev._vcol * arr._vcol
+            )
+            fused[by_key[key]] = (prev_labels, merged)
+        else:
+            by_key[key] = len(fused)
+            fused.append((labels, arr))
+    in_specs = [t[0] for t in fused]
+    operands = tuple(t[1] for t in fused)
+
     sizes: dict[str, int | None] = {}
 
     def frame(labels: str, arr: Array, tag: str):

@@ -117,3 +117,15 @@ def test_grouped_reduction_partial_aggregates(spark, li):
     m = from_table_matrix(li, "l_orderkey", "l_linenumber - 1", "l_quantity")
     plan = _plan(R.nansum(m, axis=1).df)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_einsum_same_base_fuses_no_join(spark, li):
+    """einsum('ij,ij->i', x, x) on one base must be a single
+    projection + grouped sum, not a self-join."""
+    from dask_array_spark.operators import linalg
+    from dask_array_spark.sources import from_table_matrix
+
+    m = from_table_matrix(li, "l_orderkey", "l_linenumber - 1", "l_quantity")
+    out = linalg.einsum("ij,ij->i", m, m)
+    plan = _optimized(out.df)
+    assert "Join" not in plan
