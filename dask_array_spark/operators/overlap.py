@@ -9,11 +9,14 @@ region [b*bs - depth, (b+1)*bs + depth) contains it, explodes to those
 block keys, and a single ``groupBy(block).applyInPandas`` assembles
 the haloed ndarray, runs the kernel, and trims the halo back off.
 
-Boundary modes: ``constant`` / ``nearest`` / ``reflect`` / ``none``
-(reference modes, _overlap.py:626).  Array-edge padding happens
-in-kernel via ``np.pad`` -- only blocks touching the array edge pad,
-and the data they need is their own (shipped) region.  ``periodic``
-would need wrap-around shipping and is not implemented.
+Boundary modes: ``constant`` / ``nearest`` / ``reflect`` /
+``periodic`` / ``none`` (reference modes, _overlap.py:626).
+Array-edge padding happens in-kernel via ``np.pad`` for value modes --
+only blocks touching the array edge pad, and the data they need is
+their own (shipped) region.  ``periodic`` ships wrap-around copies:
+edge cells union in with indices shifted by ±n per axis (applied
+sequentially, which covers corners), and the edge blocks' extended
+regions then assemble exactly like interior halos.
 
 Scale: shuffle volume is corpus * (1 + 2*depth/bs) -- the classic halo
 overhead; pick bs >> depth.  One exchange, no driver involvement.
@@ -56,14 +59,28 @@ def map_overlap(
         per = max(1, int(round(1_000_000 ** (1.0 / max(n, 1)))))
         block_shape = tuple(min(int(s), per) for s in shape)
     block_shape = tuple(int(b) for b in block_shape)
-    if boundary == "periodic":
-        raise NotImplementedError("periodic halo needs wrap-around shipping")
-    if boundary not in ("constant", "nearest", "reflect", "none"):
+    if boundary not in ("constant", "nearest", "reflect", "periodic", "none"):
         raise ValueError(f"unknown boundary {boundary!r}")
     nblocks = [-(-shape[k] // block_shape[k]) for k in range(n)]
 
-    # explode each cell to every block whose extended region holds it
     d = a.df
+    if boundary == "periodic":
+        # wrap-around shipping: per axis, edge cells also travel with
+        # indices shifted by +-n so the opposite edge block's extended
+        # region finds them; sequential per-axis unions cover corners
+        for k in range(n):
+            nk, dp = shape[k], depth[k]
+            if dp == 0:
+                continue
+            low = d.filter(F.col(f"i{k}") < dp).withColumn(
+                f"i{k}", F.col(f"i{k}") + F.lit(nk)
+            )
+            high = d.filter(F.col(f"i{k}") >= nk - dp).withColumn(
+                f"i{k}", F.col(f"i{k}") - F.lit(nk)
+            )
+            d = d.unionByName(low).unionByName(high)
+
+    # explode each cell to every block whose extended region holds it
     for k in range(n):
         bs, dp = block_shape[k], depth[k]
         lo = F.floor((F.col(f"i{k}") - F.lit(dp)) / F.lit(bs)).cast("long")
@@ -81,8 +98,12 @@ def map_overlap(
             min((block[k] + 1) * block_shape[k], shape[k]) + depth[k]
             for k in range(n)
         ]
-        lo2 = [max(x, 0) for x in lo]
-        hi2 = [min(hi[k], shape[k]) for k in range(n)]
+        if boundary == "periodic":
+            # wrapped copies fill the whole extended region directly
+            lo2, hi2 = list(lo), list(hi)
+        else:
+            lo2 = [max(x, 0) for x in lo]
+            hi2 = [min(hi[k], shape[k]) for k in range(n)]
         dims_in = tuple(hi2[k] - lo2[k] for k in range(n))
         arr = np.full(dims_in, np.nan, dtype="float64")
         loc = tuple(

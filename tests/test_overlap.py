@@ -70,10 +70,33 @@ def test_map_overlap_2d(spark, rng):
     assert_eq(got, want)
 
 
-def test_map_overlap_periodic_not_implemented(spark, rng):
+def test_map_overlap_periodic_1d(spark, rng):
     from dask_array_spark import from_numpy
     from dask_array_spark.operators.overlap import map_overlap
 
-    arr = from_numpy(spark, np.arange(5.0))
-    with pytest.raises(NotImplementedError):
-        map_overlap(_smooth3(), arr, depth=1, boundary="periodic")
+    smooth3 = _smooth3()
+    a = rng.normal(size=29)
+    arr = from_numpy(spark, a)
+    got = map_overlap(smooth3, arr, depth=1, block_shape=(8,), boundary="periodic")
+    padded = np.pad(a, 1, mode="wrap")
+    assert_eq(got, smooth3(padded)[1:-1])
+
+
+def test_map_overlap_periodic_2d(spark, rng):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators.overlap import map_overlap
+
+    def mean3x3(x):
+        out = x.copy()
+        acc = np.zeros_like(x)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                acc += np.roll(np.roll(x, di, 0), dj, 1)
+        out[1:-1, 1:-1] = acc[1:-1, 1:-1] / 9.0
+        return out
+
+    a = rng.normal(size=(9, 7))
+    arr = from_numpy(spark, a)
+    got = map_overlap(mean3x3, arr, depth=1, block_shape=(4, 3), boundary="periodic")
+    padded = np.pad(a, 1, mode="wrap")
+    assert_eq(got, mean3x3(padded)[1:-1, 1:-1])
