@@ -32,6 +32,14 @@ TABLES = (
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the caller's session may not be ours (the driver creates its
+    # own): Spark 4 defaults ANSI mode ON, which turns the engine's
+    # NULL-on-error semantics (NaN encoding, permissive casts) into
+    # runtime exceptions -- pin permissive mode at the entry point
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+    except Exception:
+        pass
     if name == "events":
         # session conf is settable at runtime; required because the
         # driver's own session may not carry the builder-time config
