@@ -5,9 +5,13 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The implementations live in ``dask_array_spark.queries`` (one entry
-per operator family from SURVEY.md section 2, each running through the
-engine's Array operators with an independent ANSI-SQL oracle).
+The implementations live in ``dask_array_spark.queries``: ~107
+entries covering SURVEY.md section 2's operator inventory plus the
+training-data-pipeline and streaming scope, each running through the
+engine's operators with an independent ANSI-SQL oracle (COVERAGE.md
+maps inventory row -> module -> query -> test; PLANS.md snapshots the
+physical plans).  Robust to the driver's own session defaults (ANSI
+mode, shuffle partitions) -- verified under a bare default session.
 """
 
 from __future__ import annotations

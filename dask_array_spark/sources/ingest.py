@@ -339,3 +339,45 @@ def from_parquet(
         d = d.filter((F.col("i0") >= lo) & (F.col("i0") < hi))
     cols = [c for c in d.columns if c.startswith("i") and not c.startswith("__")]
     return Array(d.select(*cols, VALUE_COL), tuple(shape))
+
+
+def _require(modname: str, purpose: str):
+    try:
+        return __import__(modname)
+    except ImportError as e:
+        raise NotImplementedError(
+            f"{purpose} needs the '{modname}' library, which this "
+            "environment does not ship.  The engine-side pattern is "
+            "identical to from_npy_stack (binaryFile scan + decode "
+            "kernel per chunk file); wire the decoder when the library "
+            "is available."
+        ) from e
+
+
+def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Array:
+    """Zarr chunk-grid read (reference io/_zarr.py:67) -- STUB: gated
+    on the zarr library; chunk files map to input partitions exactly
+    like from_npy_stack's binaryFile pattern."""
+    _require("zarr", "from_zarr")
+    raise NotImplementedError("zarr decode not wired")
+
+
+def to_zarr(a: Array, url: str) -> None:
+    """Chunk-aligned zarr write (reference io/_zarr.py:275) -- STUB;
+    executor-side chunk writes like to_npy_stack."""
+    _require("zarr", "to_zarr")
+    raise NotImplementedError("zarr encode not wired")
+
+
+def from_tiledb(spark: SparkSession, uri: str, attribute: str | None = None) -> Array:
+    """TileDB array read (reference io/_tiledb.py:12) -- STUB."""
+    _require("tiledb", "from_tiledb")
+    raise NotImplementedError("tiledb decode not wired")
+
+
+def to_hdf5(a: Array, filename: str, datapath: str) -> None:
+    """HDF5 dataset write (reference io/_store.py:331) -- STUB: HDF5
+    is not parallel-safe, so the real implementation is a
+    driver-coordinated sequential writer over collected partitions."""
+    _require("h5py", "to_hdf5")
+    raise NotImplementedError("hdf5 writer not wired")

@@ -62,3 +62,14 @@ def test_parquet_array_roundtrip(spark, rng):
         assert "PartitionFilters: [" in scan and "__b0" in scan.split("PartitionFilters")[1][:120]
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_external_connectors_are_gated(spark):
+    from dask_array_spark.sources import from_tiledb, from_zarr, to_hdf5
+
+    with pytest.raises(NotImplementedError):
+        from_zarr(spark, "s3://bucket/array.zarr")
+    with pytest.raises(NotImplementedError):
+        from_tiledb(spark, "tiledb://array")
+    with pytest.raises(NotImplementedError):
+        to_hdf5(None, "/tmp/x.h5", "/data")
