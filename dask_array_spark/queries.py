@@ -2219,6 +2219,54 @@ def q_embed_cosine_pairs(spark, sf):
     return SIM.cosine_pairs_bucketed(_embs(spark, sf), n_planes=8, min_cos=0.2)
 
 
+@query(
+    "pipeline_clean_corpus",
+    f"""
+    WITH q AS (
+      SELECT doc_id, text, lang,
+             round(greatest(0.0, least(1.0,
+               least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) * 0.6
+               - CAST(len(list_filter({_TOKS}, t -> t IN ('a', 'the', 'and', 'of')))
+                      AS DOUBLE) / len({_TOKS}) * 0.5)), 6) AS quality,
+             len({_TOKS}) AS n_tokens
+      FROM documents),
+    reps AS (SELECT min(doc_id) AS rep_id FROM documents GROUP BY text)
+    SELECT q.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
+           round(avg(q.quality), 6) AS avg_quality
+    FROM q JOIN reps ON q.doc_id = reps.rep_id
+    WHERE q.quality >= 0.5
+    GROUP BY q.lang
+    """,
+)
+def q_pipeline_clean(spark, sf):
+    """end-to-end corpus cleaning: exact-dedup (keep the minimum
+    doc_id per body) -> quality gate -> per-language corpus stats.
+    The composite flow a real training-data pipeline runs, as one
+    declarative plan: dedup is a hash agg, quality a projection, the
+    rest one grouped agg."""
+    from .functions import dedup as D
+    from .functions import text as T
+
+    docs = _docs(spark, sf)
+    quality = T.quality_score(docs)
+    toks = T.token_count(docs)
+    reps = D.exact_groups(docs).select(F.col("rep_id").alias("doc_id"))
+    kept = (
+        docs.join(reps, on="doc_id")
+        .join(quality, on="doc_id")
+        .join(toks, on="doc_id")
+        .filter(F.col("quality") >= 0.5)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns (decode stubbed, Spark plumbing real)
 # ---------------------------------------------------------------------------
