@@ -27,6 +27,7 @@ from ..core.array import VALUE_COL, Array
 __all__ = [
     "cumsum",
     "cumprod",
+    "nancumprod",
     "nancumsum",
     "push",
     "diff",
@@ -74,6 +75,21 @@ def cumprod(a: Array, axis: int = 0) -> Array:
     sign = F.when(negs % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
     c = F.when(seen_null == 1, F.lit(None)).otherwise(
         F.when(zeros == 1, F.lit(0.0)).otherwise(sign * mag)
+    )
+    return Array(a.df.select(*a.index_cols, c.alias(VALUE_COL)), a.shape)
+
+
+def nancumprod(a: Array, axis: int = 0) -> Array:
+    """NaN-skipping running product (reference nancumprod,
+    reductions/_cumulative.py): NULL cells contribute factor 1."""
+    w, ax = _axis_window(a, axis, (Window.unboundedPreceding, Window.currentRow))
+    v = F.col(VALUE_COL)
+    zeros = F.max((v == 0).cast("int")).over(w)
+    negs = F.sum((v < 0).cast("int")).over(w)
+    mag = F.exp(F.sum(F.log(F.when(v != 0, F.abs(v)))).over(w))
+    sign = F.when(negs % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    c = F.when(zeros == 1, F.lit(0.0)).otherwise(
+        F.coalesce(sign * mag, F.lit(1.0))
     )
     return Array(a.df.select(*a.index_cols, c.alias(VALUE_COL)), a.shape)
 

@@ -878,6 +878,28 @@ def q_coarsen(spark, sf):
 
 
 @query(
+    "sliding_rows_2d",
+    f"""
+    SELECT i0, i1,
+           CAST(SUM(v) OVER (PARTITION BY i0 ORDER BY i1
+                             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+                AS BIGINT) AS v
+    FROM ({NM_SQL}) t
+    QUALIFY i1 <= 9
+    """,
+)
+def q_sliding_2d(spark, sf):
+    """2-D sliding window: the frame runs along axis 1 PARTITIONED BY
+    axis 0 -- a fully parallel window (the 100 TB path for windowed
+    array ops; SURVEY section 2.6 scale note).  Sparse cells: the
+    3-wide frame aggregates present months only, exactly like the
+    oracle's window over the same sparse rows."""
+    m = _nation_month_matrix(spark, sf)
+    out = W.sliding_reduce(m, 3, "sum", axis=1)
+    return out.df.select("i0", "i1", F.col("v").cast("long").alias("v"))
+
+
+@query(
     "cumprod_log_trick",
     """
     SELECT i0, round(exp(SUM(ln(x)) OVER (ORDER BY i0)), 6) AS v

@@ -103,3 +103,14 @@ def test_all_nan_column_argreduce(spark):
     arr = from_numpy(spark, a)
     assert_eq(R.nanargmax(arr, axis=0).astype("long"), np.nanargmax(a, axis=0))
     assert_eq(R.argmin(arr, axis=1).astype("long"), np.argmin(a, axis=1))
+
+
+def test_nancum_variants(spark):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import windows as W
+
+    a = np.array([2.0, np.nan, -3.0, 0.5, np.nan, 4.0])
+    arr = from_numpy(spark, a)
+    assert_eq(W.nancumsum(arr), np.nancumsum(a))
+    assert_eq(W.nancumprod(arr), np.nancumprod(a))
+    assert_eq(W.cumsum(arr), np.cumsum(a))
