@@ -114,3 +114,20 @@ def test_nancum_variants(spark):
     assert_eq(W.nancumsum(arr), np.nancumsum(a))
     assert_eq(W.nancumprod(arr), np.nancumprod(a))
     assert_eq(W.cumsum(arr), np.cumsum(a))
+
+
+def test_integer_and_bool_dtypes(spark):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import reductions as R
+
+    ints = np.array([3, -1, 4, 1, 5, -9], dtype="int64")
+    arr = from_numpy(spark, ints)
+    assert_eq(R.nansum(arr, axis=None), ints.sum())
+    assert_eq(arr * 2 - 1, ints * 2 - 1)
+    assert_eq(abs(arr), np.abs(ints))
+
+    bools = np.array([True, False, True, True])
+    barr = from_numpy(spark, bools)
+    assert_eq(R.any_(barr, axis=None), bools.any())
+    assert_eq(R.all_(barr, axis=None), bools.all())
+    assert_eq((~barr).astype("boolean"), ~bools)
