@@ -8,6 +8,13 @@ Two paths (SURVEY.md section 7 M6):
 - LSH sign-bucket partitioning: integer hyperplanes bucket vectors so
   candidate generation joins only within buckets (the ANN scale path).
 
+Vector norms are computed INLINE with ``F.aggregate`` over the array
+column in the same row as the vector itself -- there is no per-vector
+norms table and therefore no corpus-sized join or broadcast anywhere
+(only genuinely tiny sides -- the query set, the centroid codebook,
+the probe list -- carry broadcast hints).  tests/test_plans.py pins
+this: no plan below may contain a broadcast of a per-vector table.
+
 Dot products use explicit posexplode + join + sum so a DuckDB oracle
 (unnest + generate_subscripts) reproduces them; 6-decimal rounding
 absorbs float-sum association differences.
@@ -28,36 +35,46 @@ __all__ = [
 ]
 
 
+def _norm_col():
+    """sqrt(sum(e^2)) over the embedding array, computed in-row (no
+    explode, no join -- the scale-safe norm)."""
+    return F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
 def _exploded(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """One row per (vec, pos) carrying the vector's inline norm."""
     return df.select(
         F.col(id_col),
+        _norm_col().alias("nrm"),
         F.posexplode("embedding").alias("pos", "e"),
-    ).select(id_col, "pos", F.col("e").cast("double").alias("e"))
+    ).select(id_col, "nrm", "pos", F.col("e").cast("double").alias("e"))
 
 
 def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     """Top-k cosine neighbors for each query id: (qid, rank, vec_id,
     cos).  Deterministic ties: higher cosine first, then smaller
-    vec_id."""
+    vec_id.  The only broadcast is the query side (len(query_ids)
+    vectors); corpus norms ride the rows via first(nrm)."""
     ex = _exploded(emb)
     q = ex.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), "pos", F.col("e").alias("qe")
+        F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm"), "pos",
+        F.col("e").alias("qe"),
     )
-    dots = (
-        ex.join(F.broadcast(q), on="pos")
-        .groupBy("qid", "vec_id")
-        .agg(F.sum(F.col("e") * F.col("qe")).alias("dot"))
-    )
-    norms = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("e") * F.col("e"))).alias("nrm"))
-    qnorms = norms.select(F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm"))
     cos = (
-        dots.join(F.broadcast(norms), on="vec_id")
-        .join(F.broadcast(qnorms), on="qid")
+        ex.join(F.broadcast(q), on="pos")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            (F.col("dot") / (F.col("nrm") * F.col("qnrm"))).alias("cos"),
+        .groupBy("qid", "vec_id")
+        .agg(
+            (
+                F.sum(F.col("e") * F.col("qe"))
+                / (F.first("nrm") * F.first("qnrm"))
+            ).alias("cos")
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
@@ -96,31 +113,31 @@ def lsh_sign_bucket(emb: DataFrame, n_planes: int = 8) -> DataFrame:
 def cosine_pairs_bucketed(emb: DataFrame, n_planes: int = 8, min_cos: float = 0.3) -> DataFrame:
     """Near-duplicate candidate pairs within LSH buckets, verified by
     exact cosine: (vec_a, vec_b, cos) with vec_a < vec_b.  The
-    quadratic pair space shrinks to per-bucket blocks."""
+    quadratic pair space shrinks to per-bucket blocks; each side's
+    norm rides its own rows (first(na)/first(nb)), so there is no
+    corpus-sized norms join."""
     buckets = lsh_sign_bucket(emb, n_planes)
     # persist-at-fan-out: the pair join consumes the bucketed exploded
     # table on both sides (SURVEY.md section 4.4)
     ex = _exploded(emb).join(buckets, on="vec_id").persist()
-    a = ex.select(F.col("vec_id").alias("vec_a"), "bucket", "pos", F.col("e").alias("ea"))
-    b = ex.select(F.col("vec_id").alias("vec_b"), "bucket", "pos", F.col("e").alias("eb"))
-    dots = (
+    a = ex.select(
+        F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"),
+        "bucket", "pos", F.col("e").alias("ea"),
+    )
+    b = ex.select(
+        F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"),
+        "bucket", "pos", F.col("e").alias("eb"),
+    )
+    return (
         a.join(b, on=["bucket", "pos"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .groupBy("vec_a", "vec_b")
-        .agg(F.sum(F.col("ea") * F.col("eb")).alias("dot"))
-    )
-    norms = _exploded(emb).groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("e") * F.col("e"))).alias("nrm")
-    )
-    na = norms.select(F.col("vec_id").alias("vec_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("vec_b"), F.col("nrm").alias("nb"))
-    return (
-        dots.join(F.broadcast(na), on="vec_a")
-        .join(F.broadcast(nb), on="vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        .agg(
+            F.round(
+                F.sum(F.col("ea") * F.col("eb"))
+                / (F.first("na") * F.first("nb")),
+                6,
+            ).alias("cos")
         )
         .filter(F.col("cos") >= min_cos)
     )
@@ -134,25 +151,23 @@ def ivf_assign(emb: DataFrame, n_cells: int = 4) -> DataFrame:
     and broadcast exactly the same way).  Returns (vec_id, cell).
 
     Scale shape: the centroid side is tiny and broadcast; the corpus
-    streams through one partial-aggregated dot-product groupBy -- the
-    corpus is never shuffled by pair."""
+    streams through one partial-aggregated dot-product groupBy with
+    its norm inline -- the corpus is never shuffled by pair and never
+    broadcast."""
     ex = _exploded(emb)
     cents = ex.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), "pos", F.col("e").alias("ce")
+        F.col("vec_id").alias("cell"), F.col("nrm").alias("cnrm"),
+        "pos", F.col("e").alias("ce"),
     )
-    cnorms = cents.groupBy("cell").agg(
-        F.sqrt(F.sum(F.col("ce") * F.col("ce"))).alias("cnrm")
-    )
-    dots = (
+    cos = (
         ex.join(F.broadcast(cents), on="pos")
         .groupBy("vec_id", "cell")
-        .agg(F.sum(F.col("e") * F.col("ce")).alias("dot"))
-    )
-    norms = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("e") * F.col("e"))).alias("nrm"))
-    cos = (
-        dots.join(F.broadcast(cnorms), on="cell")
-        .join(norms, on="vec_id")
-        .select("vec_id", "cell", (F.col("dot") / (F.col("nrm") * F.col("cnrm"))).alias("c"))
+        .agg(
+            (
+                F.sum(F.col("e") * F.col("ce"))
+                / (F.first("nrm") * F.first("cnrm"))
+            ).alias("c")
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cell").asc())
     return (
@@ -173,27 +188,29 @@ def ivf_topk(
     cells whose centroids are nearest each query (the scale path --
     candidate generation touches ~n_probe/n_cells of the corpus
     instead of all of it).  Output (qid, rank, vec_id, cos), ranked by
-    exact cosine among candidates, ties -> smaller vec_id."""
+    exact cosine among candidates, ties -> smaller vec_id.  Broadcast
+    hints only on the query / centroid / probe sides; candidate norms
+    ride the candidate rows."""
     assign = ivf_assign(emb, n_cells)
     ex = _exploded(emb)
     # probe cells per query: rank centroids by cosine to the query
     cents = ex.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), "pos", F.col("e").alias("ce")
+        F.col("vec_id").alias("cell"), F.col("nrm").alias("cnrm"),
+        "pos", F.col("e").alias("ce"),
     )
     q = ex.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), "pos", F.col("e").alias("qe")
+        F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm"),
+        "pos", F.col("e").alias("qe"),
     )
-    cdots = (
+    csim = (
         q.join(F.broadcast(cents), on="pos")
         .groupBy("qid", "cell")
-        .agg(F.sum(F.col("qe") * F.col("ce")).alias("dot"))
-    )
-    cnorms = cents.groupBy("cell").agg(F.sqrt(F.sum(F.col("ce") * F.col("ce"))).alias("cnrm"))
-    qnorms = q.groupBy("qid").agg(F.sqrt(F.sum(F.col("qe") * F.col("qe"))).alias("qnrm"))
-    csim = (
-        cdots.join(F.broadcast(cnorms), on="cell")
-        .join(F.broadcast(qnorms), on="qid")
-        .select("qid", "cell", (F.col("dot") / (F.col("cnrm") * F.col("qnrm"))).alias("c"))
+        .agg(
+            (
+                F.sum(F.col("qe") * F.col("ce"))
+                / (F.first("cnrm") * F.first("qnrm"))
+            ).alias("c")
+        )
     )
     wp = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cell").asc())
     probes = (
@@ -203,19 +220,17 @@ def ivf_topk(
     )
     # candidates: corpus vectors living in a probed cell
     cand = assign.join(F.broadcast(probes), on="cell").select("qid", "vec_id")
-    cx = ex.join(cand, on="vec_id")  # (qid, vec_id, pos, e) candidate rows
-    qx = q.withColumnRenamed("qe", "qe")
-    dots = (
-        cx.join(F.broadcast(qx), on=["qid", "pos"])
-        .groupBy("qid", "vec_id")
-        .agg(F.sum(F.col("e") * F.col("qe")).alias("dot"))
-    )
-    norms = ex.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("e") * F.col("e"))).alias("nrm"))
+    cx = ex.join(cand, on="vec_id")  # (qid, vec_id, nrm, pos, e) candidate rows
     cos = (
-        dots.join(F.broadcast(norms), on="vec_id")
-        .join(F.broadcast(qnorms), on="qid")
+        cx.join(F.broadcast(q), on=["qid", "pos"])
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", (F.col("dot") / (F.col("nrm") * F.col("qnrm"))).alias("cos"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            (
+                F.sum(F.col("e") * F.col("qe"))
+                / (F.first("nrm") * F.first("qnrm"))
+            ).alias("cos")
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (

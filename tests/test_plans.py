@@ -129,3 +129,33 @@ def test_einsum_same_base_fuses_no_join(spark, li):
     out = linalg.einsum("ij,ij->i", m, m)
     plan = _optimized(out.df)
     assert "Join" not in plan
+
+
+def test_similarity_no_corpus_sized_broadcast(spark, sf_dir):
+    """No per-vector (corpus-sized) table may carry a broadcast hint:
+    norms are computed inline via F.aggregate in the vector's own row
+    (the 100 TB fix for the round-1 scale-killer).  Only genuinely
+    tiny sides (query set / centroids / probes / planes) broadcast."""
+    from dask_array_spark.functions import similarity as SIM
+    from dask_array_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    for df in (
+        SIM.cosine_topk(emb, [0, 1, 2], k=5),
+        SIM.cosine_pairs_bucketed(emb, n_planes=8, min_cos=0.2),
+        SIM.ivf_topk(emb, [0, 1, 2], k=5, n_cells=4, n_probe=2),
+    ):
+        opt = _optimized(df)
+        # the norm must be an in-row lambda aggregate over the array
+        # column, never a separate grouped-by-vec_id norms relation
+        assert "lambdafunction" in opt.lower()
+        plan = _plan(df)
+        # the round-1 anti-pattern was F.broadcast(norms) with
+        # norms = ex.groupBy("vec_id").agg(...): a BroadcastExchange
+        # over an aggregate keyed by vec_id alone (one row per corpus
+        # vector).  Ban exactly that shape anywhere in the plan.
+        for seg in plan.split("BroadcastExchange")[1:]:
+            assert "HashAggregate(keys=[vec_id#" not in seg, (
+                "corpus-sized broadcast (per-vector aggregate under a "
+                "BroadcastExchange):\n" + seg[:2000]
+            )
