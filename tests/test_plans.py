@@ -149,13 +149,27 @@ def test_similarity_no_corpus_sized_broadcast(spark, sf_dir):
         # the norm must be an in-row lambda aggregate over the array
         # column, never a separate grouped-by-vec_id norms relation
         assert "lambdafunction" in opt.lower()
-        plan = _plan(df)
-        # the round-1 anti-pattern was F.broadcast(norms) with
-        # norms = ex.groupBy("vec_id").agg(...): a BroadcastExchange
-        # over an aggregate keyed by vec_id alone (one row per corpus
-        # vector).  Ban exactly that shape anywhere in the plan.
-        for seg in plan.split("BroadcastExchange")[1:]:
-            assert "HashAggregate(keys=[vec_id#" not in seg, (
-                "corpus-sized broadcast (per-vector aggregate under a "
-                "BroadcastExchange):\n" + seg[:2000]
+        # every FORCED broadcast (ResolvedHint in the analyzed plan)
+        # must sit on a parameter-bounded side: the query-id IN
+        # filter, the centroid (vec_id < n_cells) filter, the probe
+        # rank filter, or a tiny Range leaf.  The round-1
+        # anti-pattern -- F.broadcast(norms) over an unfiltered
+        # per-vector aggregate -- has none of these and an Aggregate
+        # child instead.  (Unhinted joins may still broadcast at this
+        # tiny test scale; that is AQE's size-based choice, which
+        # reverses itself at 100 TB, so only hints are asserted.)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        lines = analyzed.splitlines()
+        for i, line in enumerate(lines):
+            if "ResolvedHint" not in line:
+                continue
+            window = "\n".join(lines[i + 1 : i + 5])
+            assert "Aggregate" not in window, (
+                "broadcast hint on an aggregated (per-vector) table:\n" + window
             )
+            assert (
+                " IN (" in window
+                or "Range (" in window
+                or "Filter (vec_id" in window
+                or "Filter (__r" in window
+            ), "broadcast hint on an unbounded side:\n" + window
