@@ -244,20 +244,26 @@ def corr_pair(x: Array, y: Array) -> Array:
     return Array(d.agg(F.corr(F.col(VALUE_COL), F.col("__y")).alias(VALUE_COL)), ())
 
 
-def tsqr(a: Array, block_rows: int = 10000):
+def tsqr(a: Array, block_rows: int = 10000, fanin: int = 16):
     """Tall-skinny QR (Benson et al.; reference linalg/_qr.py:38-560):
 
     1. group rows into row-blocks (i0 DIV block_rows),
     2. per-block in-core ``numpy.linalg.qr`` via applyInPandas
        (block form -- the narrow R factors, k x k each, are tiny),
-    3. stack the R factors on the driver, one in-core QR of the
-       (nblocks*k) x k stack -> final R,
+    3. LOG-DEPTH TREE MERGE of the R factors: repeatedly group
+       ``fanin`` sibling blocks (``__blk DIV fanin``), stack their Rs
+       and re-QR distributed via applyInPandas (the reference's
+       recursive merge, linalg/_qr.py:38-560) until at most ``fanin``
+       factors remain; only that final <= fanin*k x k stack reaches
+       the driver -- never O(nblocks) rows,
     4. Q = A @ R^{-1} computed distributed (broadcast R^{-1}, join+agg).
 
     Returns (q: Array, r: numpy.ndarray).  Deterministic up to sign;
     columns are sign-normalized (diag(R) >= 0) like the reference's
     tests do.
     """
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -287,14 +293,46 @@ def tsqr(a: Array, block_rows: int = 10000):
     rdf = d.groupBy("__blk").applyInPandas(
         block_r, schema="__blk long, ri long, rj long, rv double"
     )
+
+    def _stack(pdf: pd.DataFrame, blk_col: str) -> "np.ndarray":
+        """Vectorized scatter of (blk, ri, rj, rv) R-factor cells into
+        one dense stack; sub-blocks with fewer than k rows leave zero
+        rows behind, which QR ignores."""
+        subs = np.sort(pdf[blk_col].unique())
+        order = pd.Series(np.arange(len(subs)), index=subs)
+        rows = order[pdf[blk_col]].to_numpy() * k + pdf["ri"].to_numpy(dtype="int64")
+        mat = np.zeros((len(subs) * k, k))
+        mat[rows, pdf["rj"].to_numpy(dtype="int64")] = pd.to_numeric(
+            pdf["rv"]
+        ).to_numpy(dtype="float64")
+        return mat
+
+    def merge_r(pdf: pd.DataFrame) -> pd.DataFrame:
+        blk = int(pdf["__blk"].iloc[0])
+        r = np.linalg.qr(_stack(pdf, "__sub"), mode="r")[:k, :k]
+        ri, rj = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+        return pd.DataFrame(
+            {"__blk": blk, "ri": ri.reshape(-1), "rj": rj.reshape(-1), "rv": r.reshape(-1)}
+        )
+
+    if n is not None:
+        nblocks = max(1, math.ceil(n / block_rows))
+    else:
+        # unknown row count: persist the (tiny) R-factor frame once and
+        # ask it -- the action also materializes it for the merge levels
+        rdf = rdf.persist()
+        nblocks = int(rdf.agg(F.max("__blk")).first()[0]) + 1
+    while nblocks > fanin:
+        rdf = (
+            rdf.withColumn("__sub", F.col("__blk") % fanin)
+            .withColumn("__blk", F.floor(F.col("__blk") / fanin).cast("long"))
+            .groupBy("__blk")
+            .applyInPandas(merge_r, schema="__blk long, ri long, rj long, rv double")
+        )
+        nblocks = math.ceil(nblocks / fanin)
+
     rlocal = rdf.toPandas()
-    blocks = sorted(rlocal["__blk"].unique())
-    stack = np.zeros((len(blocks) * k, k))
-    for bi, blk in enumerate(blocks):
-        sub = rlocal[rlocal["__blk"] == blk]
-        for _, row in sub.iterrows():
-            stack[bi * k + int(row["ri"]), int(row["rj"])] = row["rv"]
-    r_final = np.linalg.qr(stack, mode="r")[:k, :k]
+    r_final = np.linalg.qr(_stack(rlocal, "__blk"), mode="r")[:k, :k]
     # sign-normalize: make diag(R) >= 0
     signs = np.sign(np.diag(r_final))
     signs[signs == 0] = 1.0
@@ -347,8 +385,26 @@ def svd_tall(a: Array, block_rows: int = 10000):
     return Array(u, (n, k)), s, vt
 
 
+_INCORE_CELL_LIMIT = 10_000_000
+
+
 def _collect_dense(a: Array):
-    """Small k x k array -> driver ndarray (absent cells = 0)."""
+    """Small k x k array -> driver ndarray (absent cells = 0).
+
+    Guarded: the in-core tier (solve/inv/cholesky/lu) is for modest
+    contraction outputs; anything bigger must stay distributed
+    (tsqr/lstsq/svd_tall), so collecting above the cell limit raises
+    instead of silently OOMing the driver."""
+    import math
+
+    if all(s is not None for s in a.shape):
+        ncells = math.prod(a.shape) if a.shape else 1
+        if ncells > _INCORE_CELL_LIMIT:
+            raise ValueError(
+                f"in-core linalg tier got {ncells} cells (> "
+                f"{_INCORE_CELL_LIMIT}); use the distributed paths "
+                "(tsqr/lstsq/svd_tall) for large operands"
+            )
     return a.compute()
 
 

@@ -149,3 +149,57 @@ def test_histogramdd(spark, rng):
     )
     got = R.histogramdd(arrs, (4, 3, 2), ((0, 4), (-2, 2), (0, 1))).compute()
     np.testing.assert_array_equal(got, want.astype("int64"))
+
+
+def test_tsqr_tree_merge_many_blocks(spark):
+    """Tree-merge TSQR with 120 row-blocks and fanin 4 (3 merge
+    levels): Q^T Q == I and Q R == A -- the driver never sees more
+    than fanin*k R rows (reference recursive TSQR,
+    linalg/_qr.py:38-560)."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import linalg
+
+    rng = np.random.default_rng(42)
+    mat = rng.normal(size=(3000, 5))
+    a = from_numpy(spark, mat)
+    q, r = linalg.tsqr(a, block_rows=25, fanin=4)
+    qmat = q.compute()
+    assert np.allclose(qmat.T @ qmat, np.eye(5), atol=1e-8)
+    assert np.allclose(qmat @ r, mat, atol=1e-8)
+    # R matches the direct in-core factorization up to the fixed sign
+    # convention (diag >= 0)
+    r_ref = np.linalg.qr(mat, mode="r")
+    r_ref = r_ref * np.sign(np.diag(r_ref))[:, None]
+    assert np.allclose(r, r_ref, atol=1e-8)
+
+
+def test_tsqr_unknown_rowcount(spark):
+    """Unknown-shape input (None rows) takes the persist+count path."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.core.array import Array
+    from dask_array_spark.operators import linalg
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(400, 3))
+    a0 = from_numpy(spark, mat)
+    a = Array(a0.df, (None, 3))
+    q, r = linalg.tsqr(a, block_rows=10, fanin=4)
+    qmat = Array(q.df, (400, 3)).compute()
+    assert np.allclose(qmat @ r, mat, atol=1e-8)
+
+
+def test_incore_tier_size_guard(spark):
+    """solve/inv/cholesky refuse to collect huge operands."""
+    import pytest as _pytest
+
+    from dask_array_spark.core.array import Array
+    from dask_array_spark.operators import linalg
+
+    big = Array(spark.range(1).selectExpr("id AS i0", "id AS i1", "1.0 AS v"),
+                (100_000, 100_000))
+    with _pytest.raises(ValueError, match="in-core linalg tier"):
+        linalg.inv(big)
