@@ -51,8 +51,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanosAsLong mode: ts arrives as BIGINT nanoseconds; expose both
         # the raw nanos (exact, oracle-friendly) and a usable timestamp.
+        # exact integer division: BIGINT `/` routes through double and
+        # epoch nanos (~1.7e18) exceed double's 53-bit mantissa, so the
+        # truncated microsecond could be off by 1us near a boundary
         df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     return df
 

@@ -1,0 +1,118 @@
+"""Scalable 1-D window family: the distributed two-pass scans and
+halo-block windows must match the single-partition WindowExec results
+exactly (including NaN propagation), and their plans must contain no
+global-ordering window (reference Blelloch scan
+reductions/_cumulative.py:451, banded sliding plan
+reductions/_sliding_window.py:405)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dask_array_spark import from_numpy
+from dask_array_spark.operators import windows as W
+
+
+def _vec(spark, vals):
+    return from_numpy(spark, np.asarray(vals, dtype="float64"))
+
+
+def _np(arr, n):
+    """dense ndarray from a 1-D cell Array (absent/NULL -> nan)."""
+    out = np.full(n, np.nan)
+    for r in arr.df.collect():
+        if r["v"] is not None:
+            out[r["i0"]] = r["v"]
+    return out
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=257)
+    x[40] = np.nan
+    x[200] = np.nan
+    return x
+
+
+def test_scan_1d_matches_window_path(spark, data):
+    n = len(data)
+    a = _vec(spark, data)
+    for kind, fn in [
+        ("cumsum", W.cumsum),
+        ("nancumsum", W.nancumsum),
+        ("cumprod", W.cumprod),
+        ("nancumprod", W.nancumprod),
+    ]:
+        small = _np(fn(a, scalable=False), n)
+        big = _np(W._scan_1d(a, kind, block=50), n)
+        assert np.allclose(small, big, equal_nan=True, atol=1e-9), kind
+
+
+def test_scan_1d_nan_poisons_across_blocks(spark, data):
+    a = _vec(spark, data)
+    out = _np(W._scan_1d(a, "cumsum", block=50), len(data))
+    assert np.all(np.isnan(out[40:]))  # NaN at 40 poisons blocks 1..5
+    assert not np.any(np.isnan(out[:40]))
+
+
+def test_push_1d_scalable(spark, data):
+    n = len(data)
+    a = _vec(spark, data)
+    small = _np(W.push(a, scalable=False), n)
+    big = _np(W._push_1d(a, block=50), n)
+    assert np.allclose(small, big, equal_nan=True)
+
+
+def test_diff_gradient_scalable(spark, data):
+    n = len(data)
+    a = _vec(spark, data)
+    d_small = _np(W.diff(a, scalable=False), n - 1)
+    d_big = _np(W.diff(a, scalable=True), n - 1)
+    assert np.allclose(d_small, d_big, equal_nan=True)
+    g_small = _np(W.gradient(a, scalable=False), n)
+    g_big = _np(W.gradient(a, scalable=True), n)
+    assert np.allclose(g_small, g_big, equal_nan=True)
+
+
+def test_sliding_moving_scalable(spark, data):
+    n = len(data)
+    a = _vec(spark, data)
+    for agg in ("sum", "mean", "max"):
+        s_small = _np(W.sliding_reduce(a, 7, agg, scalable=False), n - 6)
+        s_big = _np(W.sliding_reduce(a, 7, agg, scalable=True), n - 6)
+        assert np.allclose(s_small, s_big, equal_nan=True), agg
+        m_small = _np(W.moving_reduce(a, 7, agg, scalable=False), n)
+        m_big = _np(W.moving_reduce(a, 7, agg, scalable=True), n)
+        assert np.allclose(m_small, m_big, equal_nan=True), agg
+
+
+def test_scalable_plan_has_no_global_window(spark):
+    """The scalable paths must contain NO WindowExec at all (their
+    whole point), and the big-axis default must route to them."""
+    big_n = W.SCALABLE_1D_THRESHOLD + 5
+    from dask_array_spark.core.array import Array
+
+    base = spark.range(big_n).selectExpr("id AS i0", "CAST(id % 97 AS DOUBLE) AS v")
+    a = Array(base, (big_n,))
+    out = W.cumsum(a)  # auto-route above threshold
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    out2 = W.sliding_reduce(a, 30, "max")
+    plan2 = out2.df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan2
+
+
+def test_scalable_cumsum_values_big(spark):
+    """Closed-form check on a large dense axis: cumsum(arange) ==
+    i*(i+1)/2 at sampled positions."""
+    from dask_array_spark.core.array import Array
+
+    n = 2_000_000
+    base = spark.range(n).selectExpr("id AS i0", "CAST(id AS DOUBLE) AS v")
+    a = Array(base, (n,))
+    out = W.cumsum(a, scalable=True)
+    rows = out.df.filter(F.col("i0").isin([0, 999_999, 1_048_576, 1_999_999])).collect()
+    got = {r["i0"]: r["v"] for r in rows}
+    for i, v in got.items():
+        assert v == i * (i + 1) / 2.0
