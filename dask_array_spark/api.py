@@ -229,7 +229,7 @@ from .operators.manipulation import (  # noqa: F401
     flip,
     insert_1d as insert,
     moveaxis,
-    pad_constant as pad,
+    pad,
     repeat,
     reshape,
     roll,

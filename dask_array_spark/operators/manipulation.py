@@ -40,6 +40,7 @@ __all__ = [
     "tile",
     "repeat",
     "pad_constant",
+    "pad",
     "insert_1d",
     "delete_1d",
     "append_1d",
@@ -275,6 +276,108 @@ def pad_constant(a: Array, pad_width: Sequence[tuple[int, int]], value=0.0) -> A
         inside = c if inside is None else (inside & c)
     border = full.filter(~inside).withColumn(VALUE_COL, F.lit(value).cast("double"))
     return Array(interior.unionByName(border), tuple(shape))
+
+
+def pad(
+    a: Array,
+    pad_width: Sequence[tuple[int, int]],
+    mode: str = "constant",
+    constant_values: float = 0.0,
+) -> Array:
+    """np.pad with the reference's mode set (creation/_pad.py:227):
+
+    - ``constant``: literal border cells (``pad_constant``);
+    - ``edge`` / ``reflect`` / ``symmetric`` / ``wrap``: border cells
+      are generated by pure INDEX MATH -- a tiny broadcast range of
+      pad offsets joins the source rows the mode maps them to, then
+      unions with the shifted interior (no data pass beyond the border
+      rows themselves);
+    - ``mean`` / ``minimum`` / ``maximum`` (stats modes): one grouped
+      aggregate over the padded axis supplies the border value per
+      cross-axis position.
+
+    Axes pad sequentially (np.pad semantics: later axes see earlier
+    axes' borders), so corners compose correctly.
+    """
+    if len(pad_width) != a.ndim:
+        raise ValueError("pad_width must give (before, after) per axis")
+    if mode == "constant":
+        return pad_constant(a, pad_width, constant_values)
+    if mode not in ("edge", "reflect", "symmetric", "wrap", "mean", "minimum", "maximum"):
+        raise ValueError(f"unsupported pad mode {mode!r}")
+    out = a
+    for axis, (before, after) in enumerate(pad_width):
+        if before == 0 and after == 0:
+            continue
+        out = _pad_axis(out, axis, before, after, mode)
+    return out
+
+
+def _pad_axis(a: Array, axis: int, before: int, after: int, mode: str) -> Array:
+    spark = a.spark
+    n = a.shape[axis]
+    if n is None:
+        raise ValueError("pad needs a known axis length")
+    if mode in ("reflect",) and max(before, after) > n - 1:
+        raise ValueError("reflect pad wider than axis")
+    icol = f"i{axis}"
+    shifted = a.df.select(
+        *[
+            (F.col(f"i{k}") + F.lit(before)).alias(f"i{k}") if k == axis else F.col(f"i{k}")
+            for k in range(a.ndim)
+        ],
+        F.col(VALUE_COL),
+    )
+    parts = [shifted]
+
+    if mode in ("mean", "minimum", "maximum"):
+        aggf = {"mean": F.avg, "minimum": F.min, "maximum": F.max}[mode]
+        others = [f"i{k}" for k in range(a.ndim) if k != axis]
+        stat = a.df.groupBy(*others).agg(aggf(F.col(VALUE_COL)).alias(VALUE_COL))
+        for lo, cnt in ((0, before), (before + n, after)):
+            if cnt == 0:
+                continue
+            rng = spark.range(cnt).select((F.col("id") + F.lit(lo)).alias(icol))
+            border = stat.crossJoin(F.broadcast(rng)).select(
+                *[F.col(f"i{k}") for k in range(a.ndim)], F.col(VALUE_COL)
+            )
+            parts.append(border)
+    else:
+        # value modes: offset j in the border maps to a source index
+        def _src(j, side):
+            if mode == "edge":
+                return F.lit(0) if side == "L" else F.lit(n - 1)
+            if mode == "reflect":
+                return (F.lit(before) - j) if side == "L" else (F.lit(n - 2) - j)
+            if mode == "symmetric":
+                return (F.lit(before - 1) - j) if side == "L" else (F.lit(n - 1) - j)
+            # wrap
+            return (F.lit(n - before) + j) if side == "L" else j
+
+        for side, lo, cnt in (("L", 0, before), ("R", before + n, after)):
+            if cnt == 0:
+                continue
+            rng = spark.range(cnt).select(
+                (F.col("id") + F.lit(lo)).alias("__j"),
+                _src(F.col("id"), side).cast("long").alias("__s"),
+            )
+            border = a.df.join(
+                F.broadcast(rng), on=F.col(icol) == F.col("__s"), how="inner"
+            ).select(
+                *[
+                    F.col("__j").alias(f"i{k}") if k == axis else F.col(f"i{k}")
+                    for k in range(a.ndim)
+                ],
+                F.col(VALUE_COL),
+            )
+            parts.append(border)
+
+    d = parts[0]
+    for p in parts[1:]:
+        d = d.unionByName(p)
+    shape = list(a.shape)
+    shape[axis] = n + before + after
+    return Array(d, tuple(shape))
 
 
 def insert_1d(a: Array, pos: int, value) -> Array:

@@ -180,3 +180,30 @@ def test_pprint_smoke(capsys, x1):
     arr.pprint()
     out = capsys.readouterr().out
     assert "Array<shape=(10,)" in out
+
+
+def test_pad_modes_match_numpy(spark):
+    """edge/reflect/symmetric/wrap/mean/minimum/maximum pad modes match
+    np.pad (reference creation/_pad.py:227; its tests/test_creation.py
+    pad cases are the spec)."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import manipulation as M
+
+    vec = np.array([3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0])
+    a1 = from_numpy(spark, vec)
+    for mode in ("edge", "reflect", "symmetric", "wrap", "mean", "minimum", "maximum"):
+        got = M.pad(a1, [(3, 2)], mode=mode).compute()
+        want = np.pad(vec, (3, 2), mode=mode)
+        assert np.allclose(got, want), mode
+
+    mat = np.arange(12.0).reshape(3, 4) + 1.0
+    a2 = from_numpy(spark, mat)
+    for mode in ("edge", "reflect", "wrap", "mean"):
+        got = M.pad(a2, [(1, 2), (2, 1)], mode=mode).compute()
+        want = np.pad(mat, ((1, 2), (2, 1)), mode=mode)
+        assert np.allclose(got, want), mode
+
+    got = M.pad(a1, [(2, 2)], mode="constant", constant_values=7.0).compute()
+    assert np.allclose(got, np.pad(vec, (2, 2), constant_values=7.0))
