@@ -166,6 +166,7 @@ from .operators.reductions import (  # noqa: F401
     average,
     bincount,
     count_nonzero,
+    cumreduction,
     grouping_sum,
     histogram,
     histogram2d,
@@ -190,6 +191,7 @@ from .operators.reductions import (  # noqa: F401
     ptp,
     quantile,
     quantiles,
+    reduction,
     std,
     sum,  # noqa: A001
     topk,

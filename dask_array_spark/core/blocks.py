@@ -238,56 +238,98 @@ def _parse_gufunc_sig(signature: str):
 
 
 def apply_gufunc(func: Callable, signature: str, *arrays: Array) -> Array:
-    """Generalized ufunc over distributed loop dims (reference
-    _gufunc.py:154): core dims (at most one per operand, the LAST
-    axis) run inside the kernel; loop dims shard the computation.
-    All operands must share identical loop-dim shapes.  Output spec
-    ``()`` (scalar per loop point) or ``(k)``."""
+    """Generalized ufunc with FULL NumPy signatures (reference
+    _gufunc.py:154,491; tests/test_gufunc.py is the spec): any number
+    of named core dims per operand -- ``"(i,j),(j,k)->(i,k)"`` works.
+    Each operand's trailing ``len(spec)`` axes are its core dims
+    (sizes resolved by name across operands and checked consistent);
+    leading axes are loop dims, which must be identical across the
+    operands that have them (operands with no loop dims broadcast to
+    every loop point).  Output core dims must be named in some input.
+
+    Physical plan: each operand's core cells flatten to ONE C-order
+    flat index column in a tagged UNION, so a single
+    ``groupBy(loop dims).applyInPandas`` reassembles the per-operand
+    core ndarrays in-kernel -- one shuffle on the loop key, zero
+    joins, any core rank."""
     in_specs, out_spec = _parse_gufunc_sig(signature)
     if len(in_specs) != len(arrays):
         raise ValueError("signature arity mismatch")
-    core_lens = []
-    loop_shape = None
+
+    # resolve core-dim sizes by name
+    sizes: dict[str, int] = {}
+    loop_shape: tuple | None = None
     for spec, arr in zip(in_specs, arrays):
-        if len(spec) > 1:
-            raise NotImplementedError("at most one core dim per operand")
         ncore = len(spec)
+        if ncore > arr.ndim:
+            raise ValueError(f"spec {spec} needs {ncore} axes, operand has {arr.ndim}")
+        for name, ax in zip(spec, range(arr.ndim - ncore, arr.ndim)):
+            s = arr.shape[ax]
+            if s is None:
+                raise ValueError("gufunc core dims need known sizes")
+            if sizes.setdefault(name, s) != s:
+                raise ValueError(f"core dim {name!r}: {sizes[name]} != {s}")
         lshape = arr.shape[: arr.ndim - ncore]
-        if loop_shape is None:
-            loop_shape = lshape
-        elif lshape != loop_shape:
-            raise ValueError(f"loop dims differ: {lshape} vs {loop_shape}")
-        core_lens.append(arr.shape[arr.ndim - 1] if ncore else None)
+        if lshape:
+            if loop_shape is None:
+                loop_shape = lshape
+            elif lshape != loop_shape:
+                raise ValueError(f"loop dims differ: {lshape} vs {loop_shape}")
+    loop_shape = loop_shape or ()
+    for name in out_spec:
+        if name not in sizes:
+            raise ValueError(f"output core dim {name!r} not named in any input")
     nloop = len(loop_shape)
     lcols = [f"i{k}" for k in range(nloop)]
+    core_shapes = [tuple(sizes[nm] for nm in spec) for spec in in_specs]
+    out_shape_core = tuple(sizes[nm] for nm in out_spec)
 
-    # tagged UNION of all operands, pivoted back per-operand inside the
-    # kernel: ONE shuffle on the loop key, zero joins
+    # tagged UNION: loop cols + operand tag + C-order flat core index
     unioned = None
-    for t, (arr, clen) in enumerate(zip(arrays, core_lens)):
-        sel = [F.col(f"i{k}") for k in range(nloop)]
+    for t, (arr, spec, cshape) in enumerate(zip(arrays, in_specs, core_shapes)):
+        has_loop = arr.ndim > len(spec)
+        sel = []
+        for k in range(nloop):
+            sel.append(
+                F.col(f"i{k}") if has_loop else F.lit(None).cast("long").alias(f"i{k}")
+            )
         sel.append(F.lit(t).cast("int").alias("__t"))
-        core = F.col(f"i{nloop}") if clen is not None else F.lit(0).cast("long")
-        sel.append(core.alias("__c"))
+        flat = F.lit(0).cast("long")
+        stride = 1
+        core0 = arr.ndim - len(spec)
+        for j in range(len(spec) - 1, -1, -1):
+            flat = flat + F.col(f"i{core0 + j}") * F.lit(stride)
+            stride *= cshape[j]
+        sel.append(flat.alias("__c"))
         sel.append(F.col(VALUE_COL).cast("double").alias("__v"))
         d = arr.df.select(*sel)
+        if not has_loop and nloop:
+            # broadcast a loop-dim-free operand to every loop point
+            spark = arr.spark
+            grid = None
+            for k, s in enumerate(loop_shape):
+                r = spark.range(s).select(F.col("id").alias(f"i{k}"))
+                grid = r if grid is None else grid.crossJoin(r)
+            d = d.drop(*lcols).crossJoin(F.broadcast(grid))
+            d = d.select(*lcols, "__t", "__c", "__v")
         unioned = d if unioned is None else unioned.unionByName(d)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         args = []
-        for t, clen in enumerate(core_lens):
+        for t, cshape in enumerate(core_shapes):
             sub = pdf[pdf["__t"] == t]
-            if clen is None:
-                args.append(float(sub["__v"].iloc[0]))
-            else:
-                vec = np.full(int(clen), np.nan, dtype="float64")
-                vec[sub["__c"].to_numpy(dtype="int64")] = sub["__v"].to_numpy(
-                    dtype="float64"
-                )
-                args.append(vec)
-        out = np.atleast_1d(np.asarray(func(*args), dtype="float64"))
+            size = int(np.prod(cshape)) if cshape else 1
+            vec = np.full(size, np.nan, dtype="float64")
+            vec[sub["__c"].to_numpy(dtype="int64")] = sub["__v"].to_numpy(
+                dtype="float64"
+            )
+            args.append(vec.reshape(cshape) if cshape else float(vec[0]))
+        out = np.asarray(func(*args), dtype="float64")
+        if out.shape != out_shape_core:
+            out = np.broadcast_to(np.atleast_1d(out), out_shape_core or (1,))
+        flat = out.reshape(-1)
         base = {c: pdf[c].iloc[0] for c in lcols}
-        rows = pd.DataFrame({"__j": np.arange(len(out), dtype="int64"), "__o": out})
+        rows = pd.DataFrame({"__j": np.arange(len(flat), dtype="int64"), "__o": flat})
         for c, v in base.items():
             rows[c] = v
         return rows[lcols + ["__j", "__o"]]
@@ -309,12 +351,22 @@ def apply_gufunc(func: Callable, signature: str, *arrays: Array) -> Array:
             .drop("__g")
         )
 
-    if not out_spec:
-        sel = [F.col(c).alias(f"i{j}") for j, c in enumerate(lcols)]
-        d = res.filter(F.col("__j") == 0).select(*sel, F.col("__o").alias(VALUE_COL))
-        return Array(d, loop_shape)
+    # unflatten the output core index back to named dims (projection)
     sel = [F.col(c).alias(f"i{j}") for j, c in enumerate(lcols)]
-    sel.append(F.col("__j").alias(f"i{nloop}"))
-    d = res.select(*sel, F.col("__o").alias(VALUE_COL))
-    # output core length is data-dependent (first kernel decides); unknown here
-    return Array(d, loop_shape + (None,))
+    if out_spec:
+        strides = []
+        mul = 1
+        for s in reversed(out_shape_core):
+            strides.append(mul)
+            mul *= s
+        strides = list(reversed(strides))
+        for j, (s, st) in enumerate(zip(out_shape_core, strides)):
+            sel.append(
+                ((F.col("__j") / F.lit(st)).cast("long") % F.lit(s)).alias(
+                    f"i{nloop + j}"
+                )
+            )
+        d = res.select(*sel, F.col("__o").alias(VALUE_COL))
+        return Array(d, loop_shape + out_shape_core)
+    d = res.filter(F.col("__j") == 0).select(*sel, F.col("__o").alias(VALUE_COL))
+    return Array(d, loop_shape)

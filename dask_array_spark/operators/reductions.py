@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 from ..core.array import VALUE_COL, Array, idx_cols
 
 __all__ = [
+    "reduction",
+    "cumreduction",
     "sum",
     "nansum",
     "prod",
@@ -584,3 +586,128 @@ def histogramdd(arrays: "Sequence[Array]", bins: "Sequence[int]", ranges) -> Arr
         .agg(F.count(F.lit(1)).cast("long").alias(VALUE_COL))
     )
     return Array(out, tuple(bins))
+
+
+def reduction(
+    a: Array,
+    chunk: Callable,
+    combine: Callable,
+    aggregate: Callable | None = None,
+    axis=None,
+    split_every: int = 16,
+) -> Array:
+    """Generic user-defined reduction (reference
+    reductions/_reduction.py:259-428): ``chunk(ndarray) -> state`` runs
+    per hash-bucket of the reduced axes, ``combine(state, state) ->
+    state`` merges partials (must be associative+commutative, exactly
+    the reference's contract), ``aggregate(state) -> float`` finalizes.
+    States travel as pickled binary through a two-stage
+    ``applyInPandas`` -- the partial/final aggregate shape, so the
+    reduced axis never concentrates on one task.  NULL cells arrive as
+    NaN (the chunk fn chooses nan-skipping or propagation)."""
+    import pickle
+
+    import numpy as np
+    import pandas as pd
+
+    red, kept = _norm_axes(a, axis)
+    kcols = [f"i{ax}" for ax in kept]
+    redcols = [F.col(f"i{ax}") for ax in red]
+    d = a.df.withColumn(
+        "__blk", F.pmod(F.hash(*redcols), F.lit(split_every)).cast("long")
+    )
+
+    def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
+        st = chunk(vals)
+        out = {c: [pdf[c].iloc[0]] for c in kcols}
+        out["__st"] = [pickle.dumps(st)]
+        return pd.DataFrame(out) if out else pd.DataFrame({"__st": out["__st"]})
+
+    def stage2(pdf: pd.DataFrame) -> pd.DataFrame:
+        states = [pickle.loads(b) for b in pdf["__st"]]
+        st = states[0]
+        for s in states[1:]:
+            st = combine(st, s)
+        v = aggregate(st) if aggregate is not None else st
+        out = {c: [pdf[c].iloc[0]] for c in kcols}
+        out[VALUE_COL] = [float(v)]
+        return pd.DataFrame(out)
+
+    if kcols:
+        s1 = ", ".join(f"{c} long" for c in kcols) + ", __st binary"
+        s2 = ", ".join(f"{c} long" for c in kcols) + f", {VALUE_COL} double"
+        partial = d.groupBy(*kcols, "__blk").applyInPandas(stage1, schema=s1)
+        final = partial.groupBy(*kcols).applyInPandas(stage2, schema=s2)
+        sel = [F.col(f"i{ax}").alias(f"i{k}") for k, ax in enumerate(kept)]
+        return Array(
+            final.select(*sel, VALUE_COL), tuple(a.shape[ax] for ax in kept)
+        )
+
+    def stage1_g(pdf):
+        out = stage1(pdf)
+        out = out.copy()
+        out["__g"] = 1
+        return out[["__g", "__st"]]
+
+    def stage2_g(pdf):
+        out = stage2(pdf)
+        return out[[VALUE_COL]]
+
+    partial = (
+        d.withColumn("__g", F.lit(1))
+        .groupBy("__g", "__blk")
+        .applyInPandas(stage1_g, schema="__g int, __st binary")
+    )
+    final = partial.groupBy("__g").applyInPandas(
+        stage2_g, schema=f"{VALUE_COL} double"
+    )
+    return Array(final, ())
+
+
+def cumreduction(a: Array, func: Callable, binop: Callable, ident: float, block: int = 1 << 20) -> Array:
+    """Generic distributed scan over a 1-D axis (reference
+    ``cumreduction``, reductions/_cumulative.py:597): ``func(ndarray)
+    -> scanned ndarray`` runs per index block, per-block carries merge
+    with the associative ``binop`` (identity ``ident``) in a tiny
+    driver prefix, and a second blockwise pass folds each block's
+    incoming carry in with ``binop(carry, scanned)`` -- the same
+    two-pass Blelloch shape as the built-in scans.
+
+    Example: ``cumreduction(x, np.maximum.accumulate, np.maximum,
+    -np.inf)`` is a distributed running maximum."""
+    import numpy as np
+    import pandas as pd
+
+    if a.ndim != 1:
+        raise ValueError("cumreduction is 1-D (use window ops for N-D axes)")
+    d = a.df.withColumn(
+        "__blk", F.floor(F.col("i0") / F.lit(block)).cast("long")
+    ).persist()
+
+    def total(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i0")
+        vals = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
+        t = func(vals)[-1] if len(vals) else float(ident)
+        return pd.DataFrame({"__blk": [int(pdf["__blk"].iloc[0])], "__t": [float(t)]})
+
+    parts = (
+        d.groupBy("__blk")
+        .applyInPandas(total, schema="__blk long, __t double")
+        .collect()
+    )
+    carry_in: dict[int, float] = {}
+    carry = float(ident)
+    for row in sorted(parts, key=lambda r: r["__blk"]):
+        carry_in[row["__blk"]] = carry
+        carry = float(binop(carry, row["__t"]))
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i0")
+        blk = int(pdf["__blk"].iloc[0])
+        vals = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
+        out = np.asarray(binop(carry_in.get(blk, float(ident)), func(vals)), dtype="float64")
+        return pd.DataFrame({"i0": pdf["i0"].to_numpy(dtype="int64"), VALUE_COL: out})
+
+    schema = f"i0 long, {VALUE_COL} double"
+    return Array(d.groupBy("__blk").applyInPandas(scan, schema=schema), a.shape)

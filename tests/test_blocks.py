@@ -105,3 +105,40 @@ def test_tsqr_and_svd(spark, rng):
     um = u.compute()
     np.testing.assert_allclose(um @ np.diag(s) @ vt, a, atol=1e-8)
     np.testing.assert_allclose(um.T @ um, np.eye(5), atol=1e-9)
+
+
+def test_apply_gufunc_full_signature_matmul(spark):
+    """'(i,j),(j,k)->(i,k)' -- multi-core-dim signature (reference
+    _gufunc.py:154,491)."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.core import blocks as B
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 6))
+    y = rng.normal(size=(6, 3))
+    a = from_numpy(spark, x)
+    b = from_numpy(spark, y)
+
+    out = B.apply_gufunc(lambda u, v: u @ v, "(i,j),(j,k)->(i,k)", a, b)
+    assert out.shape == (4, 3)
+    assert np.allclose(out.compute(), x @ y, atol=1e-9)
+
+
+def test_apply_gufunc_loop_dims_with_matrix_core(spark):
+    """loop dim + 2-D core: per-batch quadratic form
+    '(i,j),(j)->(i)' with a batched left operand."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.core import blocks as B
+
+    rng = np.random.default_rng(2)
+    ms = rng.normal(size=(5, 3, 4))  # 5 loop points of 3x4 cores
+    v = rng.normal(size=4)
+    a = from_numpy(spark, ms)
+    b = from_numpy(spark, v)
+    out = B.apply_gufunc(lambda m, w: m @ w, "(i,j),(j)->(i)", a, b)
+    assert out.shape == (5, 3)
+    assert np.allclose(out.compute(), ms @ v, atol=1e-9)

@@ -131,3 +131,49 @@ def test_integer_and_bool_dtypes(spark):
     assert_eq(R.any_(barr, axis=None), bools.any())
     assert_eq(R.all_(barr, axis=None), bools.all())
     assert_eq((~barr).astype("boolean"), ~bools)
+
+
+def test_generic_reduction_hook(spark):
+    """chunk/combine/aggregate UDAF tier (reference
+    reductions/_reduction.py:259): geometric mean via (sum-of-logs,
+    count) state over hash buckets of the reduced axis."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import reductions as R
+
+    rng = np.random.default_rng(5)
+    mat = rng.uniform(0.5, 2.0, size=(3, 500))
+    a = from_numpy(spark, mat)
+
+    def chunk(vals):
+        good = vals[~np.isnan(vals)]
+        return (float(np.sum(np.log(good))), int(len(good)))
+
+    def combine(s1, s2):
+        return (s1[0] + s2[0], s1[1] + s2[1])
+
+    def aggregate(s):
+        return float(np.exp(s[0] / s[1]))
+
+    out = R.reduction(a, chunk, combine, aggregate, axis=1)
+    want = np.exp(np.mean(np.log(mat), axis=1))
+    assert np.allclose(out.compute(), want, atol=1e-9)
+    # grand reduction (no kept axes)
+    tot = R.reduction(a, chunk, combine, aggregate, axis=None)
+    assert np.allclose(tot.compute(), np.exp(np.mean(np.log(mat))), atol=1e-9)
+
+
+def test_generic_cumreduction_hook(spark):
+    """cumreduction (reference reductions/_cumulative.py:597): running
+    maximum as a distributed two-pass scan."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import reductions as R
+
+    rng = np.random.default_rng(6)
+    vec = rng.normal(size=333)
+    a = from_numpy(spark, vec)
+    out = R.cumreduction(a, np.maximum.accumulate, np.maximum, -np.inf, block=64)
+    assert np.allclose(out.compute(), np.maximum.accumulate(vec))
