@@ -15,12 +15,15 @@ from __future__ import annotations
 from .core.array import Array, VALUE_COL  # noqa: F401
 from .sources.ingest import (  # noqa: F401
     densify,
+    from_delayed,
+    from_map,
     from_npy_stack,
     from_numpy,
     from_table_arrays,
     from_table_column,
     from_table_matrix,
     read_table,
+    store,
     to_npy_stack,
     with_dense_index,
 )

@@ -344,6 +344,92 @@ def from_parquet(
     return Array(d.select(*cols, VALUE_COL), tuple(shape))
 
 
+
+
+def from_map(
+    spark: SparkSession,
+    func,
+    values,
+    block_len: int | None = None,
+    block_lengths=None,
+) -> Array:
+    """Build a 1-D array by mapping ``func`` over an iterable of
+    inputs, one block per input (reference io/_from_map.py:199 -- the
+    generic parallel-ingest primitive).  Each value ships pickled to
+    an executor; ``func(value) -> 1-D ndarray`` materializes its block
+    there, so blocks never transit the driver.  Block lengths come
+    from ``block_lengths`` (per block), ``block_len`` (uniform), or a
+    driver-side probe of ``func(values[0])``."""
+    import pickle
+
+    vals = list(values)
+    if not vals:
+        raise ValueError("from_map needs at least one input value")
+    if block_lengths is None:
+        if block_len is None:
+            block_len = int(np.asarray(func(vals[0])).shape[0])
+        block_lengths = [block_len] * len(vals)
+    offsets = np.concatenate([[0], np.cumsum(block_lengths)]).astype("int64")
+    rows = [(i, bytearray(pickle.dumps(v)), int(offsets[i])) for i, v in enumerate(vals)]
+    sc_par = spark.sparkContext.defaultParallelism
+    d = spark.createDataFrame(rows, "bid long, pv binary, off long").repartition(
+        min(len(vals), sc_par), "bid"
+    )
+
+    def gen(it):
+        import pandas as pd
+
+        for pdf in it:
+            for pv, off in zip(pdf["pv"], pdf["off"]):
+                arr = np.asarray(func(pickle.loads(bytes(pv))), dtype="float64")
+                yield pd.DataFrame(
+                    {"i0": np.arange(len(arr), dtype="int64") + int(off), VALUE_COL: arr}
+                )
+
+    out = d.mapInPandas(gen, schema=f"i0 long, {VALUE_COL} double")
+    return Array(out, (int(offsets[-1]),))
+
+
+def from_delayed(spark: SparkSession, thunk, length: int | None = None) -> Array:
+    """1-block array from a lazy zero-argument thunk (reference
+    io/_from_delayed.py:15): the thunk executes on an EXECUTOR via the
+    same shipping path as ``from_map``."""
+    return from_map(
+        spark,
+        lambda _: thunk(),
+        [None],
+        block_len=length,
+    )
+
+
+def store(sources, targets, regions=None, mode: str = "append") -> None:
+    """Generic "write blocks into a sliceable target" egress
+    (reference io/_store.py:168-330): each source Array's cells write
+    into its target parquet dataset, index-shifted by the region's
+    per-axis start -- the region-write role of the reference's
+    ``store(sources, targets, regions)`` realized as fully parallel
+    columnar appends (region == static partition overwrite
+    semantics).  Accepts one source/target or aligned lists."""
+    if isinstance(sources, Array):
+        sources = [sources]
+        targets = [targets]
+        regions = [regions] if regions is not None else None
+    if regions is None:
+        regions = [None] * len(sources)
+    if not (len(sources) == len(targets) == len(regions)):
+        raise ValueError("sources/targets/regions must align")
+    for src, tgt, reg in zip(sources, targets, regions):
+        d = src.df
+        if reg is not None:
+            if not isinstance(reg, (tuple, list)):
+                reg = (reg,)
+            for k, sl in enumerate(reg):
+                start = (sl.start or 0) if isinstance(sl, slice) else int(sl)
+                if start:
+                    d = d.withColumn(f"i{k}", F.col(f"i{k}") + F.lit(start))
+        d.write.mode(mode).parquet(tgt)
+
+
 def _require(modname: str, purpose: str):
     try:
         return __import__(modname)

@@ -73,3 +73,59 @@ def test_external_connectors_are_gated(spark):
         from_tiledb(spark, "tiledb://array")
     with pytest.raises(NotImplementedError):
         to_hdf5(None, "/tmp/x.h5", "/data")
+
+
+def test_from_map_blocks(spark):
+    """from_map (reference io/_from_map.py:199): one block per input
+    value, blocks built executor-side."""
+    import numpy as np
+
+    from dask_array_spark.sources import from_map
+
+    out = from_map(spark, lambda i: np.arange(i * 10, i * 10 + 10, dtype="float64"),
+                   range(5))
+    assert out.shape == (50,)
+    assert np.allclose(out.compute(), np.arange(50.0))
+
+
+def test_from_map_ragged_blocks(spark):
+    import numpy as np
+
+    from dask_array_spark.sources import from_map
+
+    lens = [3, 5, 2]
+    out = from_map(
+        spark, lambda n: np.full(n, float(n)), lens, block_lengths=lens
+    )
+    want = np.concatenate([np.full(n, float(n)) for n in lens])
+    assert np.allclose(out.compute(), want)
+
+
+def test_from_delayed(spark):
+    import numpy as np
+
+    from dask_array_spark.sources import from_delayed
+
+    out = from_delayed(spark, lambda: np.linspace(0, 1, 11))
+    assert out.shape == (11,)
+    assert np.allclose(out.compute(), np.linspace(0, 1, 11))
+
+
+def test_store_region_roundtrip(spark, tmp_path):
+    """store (reference io/_store.py:168): two sources region-write
+    into one target; reading back reproduces the concatenation."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.sources import from_parquet, store
+
+    x = np.arange(6.0)
+    y = np.arange(6.0, 10.0)
+    tgt = str(tmp_path / "stored")
+    store(
+        [from_numpy(spark, x), from_numpy(spark, y)],
+        [tgt, tgt],
+        regions=[(slice(0, 6),), (slice(6, 10),)],
+    )
+    back = from_parquet(spark, tgt, (10,))
+    assert np.allclose(back.compute(), np.arange(10.0))
