@@ -120,14 +120,26 @@ def nan_to_num(a: Array, nan: float = 0.0) -> Array:
 
 
 def elemwise(fn: Callable[..., Column], *arrays: Array) -> Array:
-    """Generic elemwise over aligned arrays (reference
-    core/_blockwise_funcs.py ``elemwise``)."""
+    """Generic elemwise over any number of aligned arrays (reference
+    core/_blockwise_funcs.py ``elemwise``).  N > 2 operands fold into
+    an accumulating struct of aligned binary joins (shared bases still
+    fuse to a single projection), then ``fn`` applies to the unpacked
+    fields."""
     out = arrays[0]
     if len(arrays) == 1:
         return out._unary(fn)
     if len(arrays) == 2:
         return out._binary(arrays[1], fn)
-    raise NotImplementedError("elemwise >2 inputs: compose binary ops")
+    acc = out._unary(lambda c: F.struct(c.alias("f0")))
+    for t, arr in enumerate(arrays[1:], start=1):
+        acc = acc._binary(
+            arr,
+            lambda s, c, t=t: F.struct(
+                *[s[f"f{j}"].alias(f"f{j}") for j in range(t)], c.alias(f"f{t}")
+            ),
+        )
+    n = len(arrays)
+    return acc._unary(lambda s: fn(*[s[f"f{j}"] for j in range(n)]))
 
 
 def where(cond: Array, x, y) -> Array:

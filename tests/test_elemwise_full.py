@@ -160,3 +160,22 @@ def test_choose_with_array_choices(spark):
     b = np.array([-1.0, -2.0, -3.0, -4.0])
     got = E.choose(from_numpy(spark, idx), [from_numpy(spark, a), from_numpy(spark, b)])
     assert_eq(got, np.choose(idx, [a, b]))
+
+
+def test_elemwise_n_operands(spark):
+    """elemwise with 3 and 4 operands (round-1 gap: >2 raised)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators.elemwise import elemwise
+
+    x = np.array([1.0, 2.0, 3.0])
+    y = np.array([10.0, 20.0, 30.0])
+    z = np.array([100.0, 200.0, 300.0])
+    w = np.array([0.5, 0.25, 0.125])
+    a, b, c, d = (from_numpy(spark, v) for v in (x, y, z, w))
+    out3 = elemwise(lambda p, q, r: p + q * r, a, b, c)
+    assert np.allclose(out3.compute(), x + y * z)
+    out4 = elemwise(lambda p, q, r, s: (p + q) * r - s, a, b, c, d)
+    assert np.allclose(out4.compute(), (x + y) * z - w)
