@@ -14,6 +14,14 @@ Methodology: each query executes twice and reports the MINIMUM
 Spark's CacheManager across plan-identical re-executions, so the
 second run reflects the warm engine exactly like a repeated production
 query would.
+
+The headline names are kept IDENTICAL to BENCH_r01 for round-over-round
+regression reading (the registry merged several of these into suites;
+the building-block functions still exist and are benchmarked directly).
+Round 2 adds two scale demonstrations: ``window_1d_scalable`` (10^7-
+element distributed prefix scan -- no single-partition WindowExec) and
+``skew_salted_agg`` (two-stage salted aggregation over a deliberately
+hot key, plans/skew.py).
 """
 
 from __future__ import annotations
@@ -25,29 +33,47 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set: one per operator family that dominates 100 TB workloads
-# (scan+project, shuffle agg, join+agg contraction, window scan, rank,
-# mask filter) plus the data-pipeline ops once registered.
-HEADLINE = [
-    "elemwise_arith",
-    "reduce_sum_axis",
-    "matmul_gram",
-    "cumsum_daily",
-    "topk_per_group",
-    "boolean_mask",
-    "dedup_minhash_pairs",
-    "simsearch_topk",
-    "text_quality",
-    "events_tumbling",
-    "media_byte_histogram",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-]
+
+def _headline():
+    from dask_array_spark import queries as Q
+
+    def skew_demo(spark, sf_dir):
+        # deliberately skewed: one hot key holds ~50% of rows; the
+        # two-stage salted aggregate spreads it over 16 reducers
+        from pyspark.sql import functions as F
+
+        from dask_array_spark.plans.skew import salted_agg
+
+        l = Q._li(spark, sf_dir)
+        skewed = l.withColumn(
+            "k", F.when(F.col("l_orderkey") % 2 == 0, F.lit(0)).otherwise(F.col("l_orderkey"))
+        )
+        return salted_agg(skewed, ["k"], "l_extendedprice", "sum", salt=16)
+
+    return [
+        # r1-comparable names (same building-block plans as BENCH_r01)
+        ("elemwise_arith", Q.q_elemwise_arith),
+        ("reduce_sum_axis", Q.q_sum_axis),
+        ("matmul_gram", Q.QUERIES["matmul_gram"]),
+        ("cumsum_daily", Q.q_cumsum),
+        ("topk_per_group", Q.QUERIES["topk_per_group"]),
+        ("boolean_mask", Q.QUERIES["boolean_mask"]),
+        ("dedup_minhash_pairs", Q.q_minhash_pairs),
+        ("simsearch_topk", Q.q_simsearch),
+        ("text_quality", Q.q_text_quality),
+        ("events_tumbling", Q.q_events_tumbling),
+        ("media_byte_histogram", Q.q_media_byte_hist),
+        ("tpch_q1_pricing_summary", Q.QUERIES["tpch_q1_pricing_summary"]),
+        ("tpch_q3_shipping_priority", Q.QUERIES["tpch_q3_shipping_priority"]),
+        # round-2 scale demonstrations
+        ("window_1d_scalable", Q.QUERIES["window_1d_scalable"]),
+        ("skew_salted_agg", skew_demo),
+    ]
 
 
 def main() -> None:
     from dask_array_spark.session import get_spark
-    from dask_array_spark import queries as Q
+    from dask_array_spark.sources import read_table
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -56,8 +82,6 @@ def main() -> None:
 
     # JVM + reader + Python-worker warmup so the first measured query
     # isn't paying session/daemon startup (workers are reused after)
-    from dask_array_spark.sources import read_table
-
     read_table(spark, sf_dir, "lineitem").count()
 
     def _noop(it):
@@ -73,10 +97,7 @@ def main() -> None:
     # JIT/cache-population effects (each execution is a full plan +
     # distributed run through the noop sink, no driver collect)
     results: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = Q.QUERIES.get(name)
-        if fn is None:
-            continue
+    for name, fn in _headline():
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
