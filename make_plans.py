@@ -11,12 +11,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 PICKS = {
     "slice_basic": "Slice pushdown: range predicate reaches the parquet scan (DataFilters), only referenced columns read.",
-    "elemwise_arith": "Fused elemwise chain: single projection over one scan, no joins, column pruning.",
-    "reduce_sum_axis": "Partial/final HashAggregate pair: map-side combine before the single exchange.",
+    "elemwise_suite": "Whole elemwise table (7 result columns) fused into ONE projection over one scan, no joins, column pruning.",
+    "reduce_per_order": "Partial/final HashAggregate pairs: map-side combine before each exchange.",
     "matmul_gram": "Join+agg contraction: broadcast dimension join, AQE-planned exchange on the contracted key.",
     "topk_per_group": "Per-group top-k via rank window after a hash exchange; no global sort.",
     "tpch_q3_shipping_priority": "3-table join with broadcast dimension + TakeOrderedAndProject for the global top-10.",
-    "events_tumbling": "Streaming-shaped tumbling agg: one partial/final aggregate over the window-start key.",
+    "events_windows_suite": "Event-time windows: partial/final aggregates over window-start keys; sessionize is a per-user parallel window.",
+    "window_1d_scalable": "10^7-element 1-D cumsum through the DISTRIBUTED two-pass scan: zero WindowExec, blockwise applyInPandas + tiny driver prefix.",
+    "similarity_suite": "ANN tier with INLINE F.aggregate norms: no corpus-sized broadcast anywhere; only query/centroid/probe sides carry hints.",
 }
 
 
