@@ -39,6 +39,8 @@ from .operators.creation import (  # noqa: F401
     fromfunction_expr as fromfunction,
     full,
     indices_1d as indices,
+    indices_nd,
+    meshgrid,
     linspace,
     ones,
     random_choice,
@@ -236,8 +238,10 @@ from .operators.manipulation import (  # noqa: F401
     moveaxis,
     pad,
     repeat,
+
     reshape,
     roll,
+    sliding_window_view,
     squeeze,
     stack,
     swapaxes,
@@ -259,6 +263,7 @@ from .operators.linalg import (  # noqa: F401
     outer,
     solve,
     solve_triangular,
+    svd_compressed,
     svd_tall as svd,
     tensordot,
     trace,

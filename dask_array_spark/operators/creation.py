@@ -33,6 +33,8 @@ __all__ = [
     "diagonal",
     "fromfunction_expr",
     "indices_1d",
+    "indices_nd",
+    "meshgrid",
     "random_uniform",
     "random_normal",
     "random_exponential",
@@ -245,3 +247,62 @@ def random_poisson(spark: SparkSession, n: int, lam: float = 1.0,
 
     out = d.mapInPandas(gen, schema=f"i0 long, {VALUE_COL} long")
     return Array(out, (n,))
+
+
+def indices_nd(spark, shape) -> "list[Array]":
+    """N-d ``np.indices``: one Array per dimension over the full index
+    grid, value = the coordinate along that dimension (reference
+    creation/_mesh.py:114) -- a cross join of ``spark.range`` leaves
+    plus pure projections."""
+    from pyspark.sql import functions as F
+
+    shape = tuple(int(s) for s in shape)
+    grid = None
+    for k, s in enumerate(shape):
+        rng = spark.range(s).select(F.col("id").alias(f"i{k}"))
+        grid = rng if grid is None else grid.crossJoin(rng)
+    out = []
+    for k in range(len(shape)):
+        d = grid.select(
+            *[F.col(f"i{j}") for j in range(len(shape))],
+            F.col(f"i{k}").cast("double").alias(VALUE_COL),
+        )
+        out.append(Array(d, shape))
+    return out
+
+
+def meshgrid(*arrays: Array, indexing: str = "xy") -> "list[Array]":
+    """N-d ``np.meshgrid`` from 1-D coordinate arrays (reference
+    creation/_mesh.py:12): output k broadcasts array k along every
+    other dimension -- realized as the index grid joined with each
+    coordinate array on its own axis (tiny broadcast joins)."""
+    from pyspark.sql import functions as F
+
+    if indexing not in ("xy", "ij"):
+        raise ValueError("indexing must be 'xy' or 'ij'")
+    arrs = list(arrays)
+    if indexing == "xy" and len(arrs) >= 2:
+        # np.meshgrid 'xy': first two dims swap
+        dims = [a.shape[0] for a in arrs]
+        dims[0], dims[1] = dims[1], dims[0]
+        axis_of = {0: 1, 1: 0}
+    else:
+        dims = [a.shape[0] for a in arrs]
+        axis_of = {}
+    n = len(arrs)
+    spark = arrs[0].spark
+    grid = None
+    for k, s in enumerate(dims):
+        if s is None:
+            raise ValueError("meshgrid needs known lengths")
+        rng = spark.range(s).select(F.col("id").alias(f"i{k}"))
+        grid = rng if grid is None else grid.crossJoin(rng)
+    out = []
+    for k, a in enumerate(arrs):
+        ax = axis_of.get(k, k)
+        src = a.df.select(F.col("i0").alias(f"i{ax}"), F.col(VALUE_COL))
+        d = grid.join(F.broadcast(src), on=f"i{ax}", how="inner").select(
+            *[F.col(f"i{j}") for j in range(n)], F.col(VALUE_COL)
+        )
+        out.append(Array(d, tuple(dims)))
+    return out

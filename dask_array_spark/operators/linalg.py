@@ -33,6 +33,7 @@ __all__ = [
     "corr_pair",
     "tsqr",
     "svd_tall",
+    "svd_compressed",
     "lstsq",
     "solve",
     "inv",
@@ -386,6 +387,79 @@ def svd_tall(a: Array, block_rows: int = 10000):
 
 
 _INCORE_CELL_LIMIT = 10_000_000
+
+
+def svd_compressed(
+    a: Array,
+    k: int,
+    n_oversample: int = 10,
+    n_power_iter: int = 1,
+    seed: int = 0,
+    block_rows: int = 10000,
+):
+    """Randomized (compressed) SVD for large matrices (reference
+    linalg/_svd.py:19-229 svd_compressed; Halko-Martinsson-Tropp):
+
+    1. Y = A @ Omega with a seeded Gaussian test matrix Omega
+       (m x (k+p), broadcast -- tiny),
+    2. optional power iterations Y <- A @ (A^T @ Y) sharpen the
+       spectrum (each is two distributed join+agg contractions),
+    3. orthonormalize the sketch via its GRAM matrix: G = Y^T Y (l x l,
+       distributed contraction) eigendecomposed in-core with
+       RANK TRUNCATION (eigenvalues below eps * max drop), giving
+       Q = Y T with T = V diag(lam)^{-1/2} -- robust when the sketch
+       is rank-deficient (an exactly low-rank A), where the A @ R^{-1}
+       TSQR route would divide by a singular R,
+    4. B = Q^T @ A = T^T (Y^T A) with Y^T A an l x m distributed
+       contraction; SVD of the small B in-core,
+    5. U = Y @ (T U_b) -- ONE distributed broadcast multiply.
+
+    Returns (u: Array (n x k'), s: ndarray (k',), vt: ndarray
+    (k', m)) with k' = min(k, numerical rank).  The n-row corpus
+    never concentrates anywhere; only l x l / l x m matrices reach
+    the driver."""
+    import numpy as np
+
+    n, m = a.shape
+    if m is None:
+        raise ValueError("svd_compressed needs a known column count")
+    l = min(k + n_oversample, m)
+    omega = _distribute(
+        a.spark, np.random.default_rng(seed).normal(size=(m, l))
+    )
+    y = tensordot(a, omega, axes=([1], [0]))  # (n, l)
+    for _ in range(n_power_iter):
+        z = tensordot(a, y, axes=([0], [0]))  # A^T Y  (m, l)
+        y = tensordot(a, z, axes=([1], [0]))  # A Z    (n, l)
+    y = Array(y.df.persist(), (n, l))  # fan-out: G, W, and U consume Y
+    g = _collect_dense(Array(tensordot(y, y, axes=([0], [0])).df, (l, l)))
+    w = _collect_dense(Array(tensordot(y, a, axes=([0], [0])).df, (l, m)))
+    lam, vecs = np.linalg.eigh(g)  # ascending
+    keep = lam > max(lam.max(), 0.0) * 1e-10
+    lam, vecs = lam[keep][::-1], vecs[:, keep][:, ::-1]
+    t_mat = vecs / np.sqrt(lam)  # (l, r): Q = Y @ T orthonormal
+    b = t_mat.T @ w  # (r, m)
+    u_b, s, vt = np.linalg.svd(b, full_matrices=False)
+    kk = min(k, u_b.shape[1])
+    # deterministic signs: leading max-magnitude entry of each vt row >= 0
+    lead = np.argmax(np.abs(vt), axis=1)
+    signs = np.sign(vt[np.arange(vt.shape[0]), lead])
+    signs[signs == 0] = 1.0
+    vt = vt * signs[:, None]
+    u_b = u_b * signs
+    c_mat = t_mat @ u_b[:, :kk]  # (l, kk): U = Y @ C
+    spark = a.spark
+    c_rows = [
+        (int(i), int(j), float(c_mat[i, j])) for i in range(l) for j in range(kk)
+    ]
+    c_df = spark.createDataFrame(c_rows, "ri long, rj long, rv double")
+    u = (
+        y.df.join(F.broadcast(c_df), on=F.col("i1") == F.col("ri"), how="inner")
+        .groupBy(F.col("i0"), F.col("rj").alias("i1"))
+        .agg(F.sum(F.col(VALUE_COL) * F.col("rv")).alias(VALUE_COL))
+        .select("i0", "i1", VALUE_COL)
+    )
+    return Array(u, (n, kk)), s[:kk], vt[:kk]
 
 
 def _collect_dense(a: Array):

@@ -41,6 +41,7 @@ __all__ = [
     "repeat",
     "pad_constant",
     "pad",
+    "sliding_window_view",
     "insert_1d",
     "delete_1d",
     "append_1d",
@@ -378,6 +379,37 @@ def _pad_axis(a: Array, axis: int, before: int, after: int, mode: str) -> Array:
     shape = list(a.shape)
     shape[axis] = n + before + after
     return Array(d, tuple(shape))
+
+
+def sliding_window_view(a: Array, size: int, axis: int = 0) -> Array:
+    """Materialized sliding windows as a NEW TRAILING dimension
+    (reference ``sliding_window_view``, _overlap.py:457): out[..., j,
+    w] = x[..., j + w].  In cell form this is a pure
+    projection+generate -- each cell explodes to the (at most
+    ``size``) windows containing it with window coordinate w = i - j;
+    ZERO shuffle, where the reference needs a halo exchange."""
+    axis = axis % a.ndim
+    n = a.shape[axis]
+    if n is None:
+        raise ValueError("sliding_window_view needs a known axis length")
+    if size > n:
+        raise ValueError("window longer than axis")
+    i = F.col(f"i{axis}")
+    lo = F.greatest(i - F.lit(size - 1), F.lit(0))
+    hi = F.least(i, F.lit(n - size))
+    d = a.df.withColumn("__w", F.explode(F.sequence(lo, hi)))
+    sel = []
+    for k in range(a.ndim):
+        if k == axis:
+            sel.append(F.col("__w").alias(f"i{k}"))
+        else:
+            sel.append(F.col(f"i{k}"))
+    sel.append((i - F.col("__w")).cast("long").alias(f"i{a.ndim}"))
+    sel.append(F.col(VALUE_COL))
+    shape = list(a.shape)
+    shape[axis] = n - size + 1
+    shape.append(size)
+    return Array(d.select(*sel), tuple(shape))
 
 
 def insert_1d(a: Array, pos: int, value) -> Array:

@@ -207,3 +207,44 @@ def test_pad_modes_match_numpy(spark):
 
     got = M.pad(a1, [(2, 2)], mode="constant", constant_values=7.0).compute()
     assert np.allclose(got, np.pad(vec, (2, 2), constant_values=7.0))
+
+
+def test_sliding_window_view_matches_numpy(spark):
+    """materialized sliding windows (reference _overlap.py:457):
+    out[j, w] = x[j + w], zero-shuffle index explode."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import manipulation as M
+
+    v = np.arange(10.0) * 1.5
+    a = from_numpy(spark, v)
+    out = M.sliding_window_view(a, 4)
+    want = np.lib.stride_tricks.sliding_window_view(v, 4)
+    assert out.shape == want.shape
+    assert np.allclose(out.compute(), want)
+    # plan: no exchange (pure generate+project)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_indices_meshgrid_nd(spark):
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import creation
+
+    got = creation.indices_nd(spark, (3, 4))
+    want = np.indices((3, 4))
+    for k in range(2):
+        assert np.allclose(got[k].compute(), want[k])
+
+    x = np.array([1.0, 2.0, 3.0])
+    y = np.array([10.0, 20.0])
+    ax, ay = from_numpy(spark, x), from_numpy(spark, y)
+    for indexing in ("xy", "ij"):
+        got = creation.meshgrid(ax, ay, indexing=indexing)
+        want = np.meshgrid(x, y, indexing=indexing)
+        for g, w in zip(got, want):
+            assert g.shape == w.shape
+            assert np.allclose(g.compute(), w), indexing

@@ -203,3 +203,23 @@ def test_incore_tier_size_guard(spark):
                 (100_000, 100_000))
     with _pytest.raises(ValueError, match="in-core linalg tier"):
         linalg.inv(big)
+
+
+def test_svd_compressed_low_rank_recovery(spark):
+    """Randomized SVD (reference svd_compressed, linalg/_svd.py):
+    recovers the spectrum of an exactly rank-5 matrix and
+    reconstructs it to 1e-6."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import linalg
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(400, 5)) @ rng.normal(size=(5, 30))
+    a = from_numpy(spark, mat)
+    u, s, vt = linalg.svd_compressed(a, k=5, n_power_iter=2, block_rows=50)
+    s_ref = np.linalg.svd(mat, compute_uv=False)[:5]
+    assert np.allclose(s, s_ref, rtol=1e-8)
+    umat = u.compute()
+    assert np.allclose(umat @ np.diag(s) @ vt, mat, atol=1e-6)
+    assert np.allclose(umat.T @ umat, np.eye(5), atol=1e-8)
