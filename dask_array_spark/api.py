@@ -274,7 +274,7 @@ from .operators.linalg import (  # noqa: F401
 dot = matmul
 
 # -- fourier / sorting / set ops / overlap / kernels ----------------------
-from .operators.fourier import fft, ifft  # noqa: F401
+from .operators.fourier import fft, fft_long, ifft  # noqa: F401
 from .operators.sorting import argsort, sort  # noqa: F401
 from .operators.setops import in1d, intersect1d, setdiff1d, union1d  # noqa: F401
 from .operators.overlap import map_overlap  # noqa: F401
