@@ -2840,14 +2840,21 @@ def q_manip_1d_suite(spark, sf):
     SELECT 2, coalesce(i0, -1), coalesce(i1, -1), CAST(v AS DOUBLE) FROM (
       SELECT i0, i1, CAST(SUM(v) AS BIGINT) AS v FROM ({NM_SQL}) t
       GROUP BY ROLLUP (i0, i1)) ru
+    UNION ALL
+    SELECT 3, js.j, w.w, CAST(mo.v AS DOUBLE)
+    FROM (SELECT unnest(range(9)) AS j) js
+    CROSS JOIN (SELECT unnest(range(4)) AS w) w
+    JOIN mo ON mo.i1 = js.j + w.w
     """,
 )
 def q_manip_2d_suite(spark, sf):
     """2-D layout family with kind tags: stack+flip (0), broadcasting
     row-center (1), ROLLUP grouping sets (2) with NULL totals encoded
-    as -1 on both engines (reference stacking/_stack.py:18,
-    _blockwise.py:1243; rollup is the Spark-free axis-subset
-    reduction, SURVEY section 2.5)."""
+    as -1 on both engines, materialized sliding_window_view (3):
+    out[j, w] = monthly[j + w] via a zero-shuffle index explode
+    (reference stacking/_stack.py:18, _blockwise.py:1243,
+    _overlap.py:457; rollup is the Spark-free axis-subset reduction,
+    SURVEY section 2.5)."""
     k = lambda n: F.lit(n).cast("long").alias("kind")
     dv = F.col("v").cast("double").alias("v")
     sfq = q_stack_flip(spark, sf).select(k(0), "i0", "i1", dv)
@@ -2858,7 +2865,10 @@ def q_manip_2d_suite(spark, sf):
         F.coalesce(F.col("i1"), F.lit(-1)).cast("long").alias("i1"),
         dv,
     )
-    return sfq.unionByName(bc).unionByName(ru)
+    swv = M.sliding_window_view(_monthly(spark, sf), 4).df.select(
+        k(3), "i0", "i1", dv
+    )
+    return sfq.unionByName(bc).unionByName(ru).unionByName(swv)
 
 
 @query(
@@ -2936,17 +2946,33 @@ def q_linalg_row_suite(spark, sf):
     UNION ALL
     SELECT 1, 1, round(regr_slope(l_extendedprice, l_quantity), 6)
     FROM lineitem
+    UNION ALL
+    SELECT 2, 0, CAST(1.0 AS DOUBLE)
     """,
 )
 def q_tsqr_lstsq(spark, sf):
     """tree-merge TSQR orthonormality invariant (kind 0) + distributed
     least squares via TSQR (kind 1, oracled by DuckDB's native
-    regression aggregates) (reference linalg/_qr.py:38-560,
-    linalg/_solve.py lstsq)."""
+    regression aggregates) + randomized-SVD energy invariant (kind 2:
+    sum of squared svd_compressed singular values over ||A||_F^2 == 1
+    to 1e-6 when the sketch spans the full column space) (reference
+    linalg/_qr.py:38-560, linalg/_solve.py lstsq,
+    linalg/_svd.py svd_compressed)."""
     k = lambda n: F.lit(n).cast("long").alias("kind")
     t = q_tsqr_orthonormal(spark, sf).select(k(0), "i0", F.col("v").cast("double").alias("v"))
     l = q_lstsq(spark, sf).select(k(1), "i0", F.col("v").cast("double").alias("v"))
-    return t.unionByName(l)
+    m = _nation_month_matrix(spark, sf).astype("double")
+    # n_power_iter=0: power iterations raise the sketch Gram's
+    # condition to (s/s_max)^(4i+2) and would push true small
+    # directions below the rank-truncation cutoff; the plain sketch
+    # already spans all 12 columns, making the energy ratio exactly 1
+    _, s_vals, _ = linalg.svd_compressed(m, k=12, n_power_iter=0, block_rows=8)
+    frob2 = float(
+        m.df.selectExpr("SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS f").first()["f"]
+    )
+    energy = round(float((s_vals ** 2).sum()) / frob2, 6)
+    sv = spark.createDataFrame([(2, 0, energy)], "kind long, i0 long, v double")
+    return t.unionByName(l).unionByName(sv)
 
 
 @query(
