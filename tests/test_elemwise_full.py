@@ -179,3 +179,19 @@ def test_elemwise_n_operands(spark):
     assert np.allclose(out3.compute(), x + y * z)
     out4 = elemwise(lambda p, q, r, s: (p + q) * r - s, a, b, c, d)
     assert np.allclose(out4.compute(), (x + y) * z - w)
+
+
+def test_choose_with_array_choices(spark):
+    """choose() with Array-valued choices across distinct bases
+    (round-1 'known-partial' — pinned here)."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import elemwise as E
+
+    idx_np = np.array([0, 2, 1, 0, 2], dtype="float64")
+    a_np = np.array([10.0, 11.0, 12.0, 13.0, 14.0])
+    arrs = [from_numpy(spark, a_np * f) for f in (1.0, 10.0, 100.0)]
+    out = E.choose(from_numpy(spark, idx_np), arrs)
+    want = np.choose(idx_np.astype(int), [a_np, a_np * 10, a_np * 100])
+    assert np.allclose(out.compute(), want)

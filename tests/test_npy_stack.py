@@ -65,10 +65,8 @@ def test_parquet_array_roundtrip(spark, rng):
 
 
 def test_external_connectors_are_gated(spark):
-    from dask_array_spark.sources import from_tiledb, from_zarr, to_hdf5
+    from dask_array_spark.sources import from_tiledb, to_hdf5
 
-    with pytest.raises(NotImplementedError):
-        from_zarr(spark, "s3://bucket/array.zarr")
     with pytest.raises(NotImplementedError):
         from_tiledb(spark, "tiledb://array")
     with pytest.raises(NotImplementedError):
@@ -129,3 +127,49 @@ def test_store_region_roundtrip(spark, tmp_path):
     )
     back = from_parquet(spark, tgt, (10,))
     assert np.allclose(back.compute(), np.arange(10.0))
+
+
+def test_zarr_roundtrip_raw_and_zlib(spark, tmp_path):
+    """Real zarr v2 connector (no zarr library needed): executor-side
+    chunk writes, .zarray metadata, binaryFile chunk-grid read with
+    edge-chunk trimming and zlib decompression."""
+    import json
+    import zlib
+
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.sources import from_zarr, to_zarr
+
+    mat = np.arange(35.0).reshape(5, 7) + 0.5
+    a = from_numpy(spark, mat)
+    for comp in (None, "zlib"):
+        url = str(tmp_path / f"z_{comp}")
+        to_zarr(a, url, chunks=(2, 3), compressor=comp)
+        meta = json.load(open(url + "/.zarray"))
+        assert meta["shape"] == [5, 7] and meta["chunks"] == [2, 3]
+        back = from_zarr(spark, url)
+        assert back.shape == (5, 7)
+        assert np.allclose(back.compute(), mat)
+
+    # read a store written by hand (as an external tool would)
+    url2 = str(tmp_path / "ext")
+    import os
+
+    os.makedirs(url2)
+    vec = np.linspace(0, 1, 10)
+    json.dump(
+        {"zarr_format": 2, "shape": [10], "chunks": [4], "dtype": "<f8",
+         "compressor": {"id": "zlib", "level": 1}, "fill_value": None,
+         "filters": None, "order": "C"},
+        open(url2 + "/.zarray", "w"),
+    )
+    for c in range(3):
+        block = np.zeros(4)
+        seg = vec[c * 4:(c + 1) * 4]
+        block[: len(seg)] = seg
+        open(f"{url2}/{c}", "wb").write(zlib.compress(block.tobytes(), 1))
+    back = from_zarr(spark, url2)
+    got = back.compute()
+    # fill_value zeros beyond data are real zeros in this store
+    assert np.allclose(got, vec)
