@@ -15,17 +15,19 @@ axes -- for >=2-d data that is a parallel window.  A window over a pure
 AUTOMATICALLY to a distributed decomposition above
 ``SCALABLE_1D_THRESHOLD`` elements (override with ``scalable=``):
 
-- scans (cumsum/cumprod/push): the classic two-pass prefix -- index
-  blocks aggregate tiny per-block partials, the driver prefixes the
-  P-row summary, and a second blockwise pass applies offsets -- the
-  reference's Blelloch decomposition (reductions/_cumulative.py:451)
-  with correct NaN propagation across blocks;
+- scans (cumsum/cumprod/push): the classic two-pass prefix, PURE JVM
+  -- index blocks aggregate tiny per-block partials, a window over
+  the metadata-sized partials frame yields exclusive block prefixes,
+  and a block-PARTITIONED window folds them in -- the reference's
+  Blelloch decomposition (reductions/_cumulative.py:451) with correct
+  NaN propagation across blocks and zero Python in the data path;
 - bounded-depth windows (diff/gradient/sliding/moving): index-math
-  halo blocks -- edge rows union-ship to the neighboring block key and
-  one groupBy(block).applyInPandas runs the banded kernel (reference
-  reductions/_sliding_window.py:405 banded plan).  These assume a
-  DENSE axis (every index present; NULL cells allowed); sparse axes
-  stay on the window path.
+  halo blocks, PURE JVM -- edge rows union-ship to the neighboring
+  block key and an ordinary block-partitioned WindowExec evaluates
+  the frame (halo rows inside the frame, trimmed from the output) --
+  the reference's banded plan (reductions/_sliding_window.py:405).
+  These assume a DENSE axis (every index present; NULL cells
+  allowed); sparse axes stay on the window path.
 """
 
 from __future__ import annotations
@@ -56,7 +58,7 @@ __all__ = [
 # a pure-1-D window above this many elements routes to the distributed
 # two-pass / halo-block decomposition instead of one WindowExec
 SCALABLE_1D_THRESHOLD = 1 << 20
-_BLOCK_1D = 1 << 20
+_BLOCK_1D = 1 << 18
 
 
 def _axis_window(a: Array, axis: int, frame=None):
@@ -83,162 +85,124 @@ def _scan_1d(a: Array, kind: str, block: int = _BLOCK_1D) -> Array:
     sparse or dense cells; ROWS semantics over present rows ordered by
     index).  kind in {cumsum, nancumsum, cumprod, nancumprod}.
 
-    Pass 1 reduces each index block ``i0 DIV block`` to a tiny partial
-    (sum / log-magnitude+sign+zero / null flag); the driver prefixes
-    the P-row summary; pass 2 re-scans each block with its incoming
-    state.  NaN propagation matches the plain scans: a NaN cell
-    poisons every later position, across block boundaries too."""
+    PURE JVM, no Python anywhere: pass 1 reduces each index block
+    ``i0 DIV block`` to a tiny partial (sum / log-magnitude / negative
+    count / zero / null flags); a window over the P-row partials frame
+    turns them into exclusive block prefixes (P ~ n/2^20, so this
+    single-partition window is metadata-sized); pass 2 is a
+    block-PARTITIONED window (fully parallel) folding the prefix in.
+    NaN propagation matches the plain scans: a NaN cell poisons every
+    later position, across block boundaries too."""
     d = a.df.withColumn(
         "__blk", F.floor(F.col("i0") / F.lit(block)).cast("long")
     ).persist()
     v = F.col(VALUE_COL)
-    parts = (
-        d.groupBy("__blk")
-        .agg(
-            F.sum(v).alias("__s"),
-            F.sum(F.when(v != 0, F.log(F.abs(v)))).alias("__lg"),
-            F.sum((v < 0).cast("long")).alias("__neg"),
-            F.max((v == 0).cast("int")).alias("__zero"),
-            F.max(v.isNull().cast("int")).alias("__null"),
-        )
-        .collect()
+    partials = d.groupBy("__blk").agg(
+        F.sum(v).alias("__s"),
+        F.sum(F.when(v != 0, F.log(F.abs(v)))).alias("__lg"),
+        F.sum((v.isNotNull() & (v < 0)).cast("long")).alias("__neg"),
+        F.max((v == 0).cast("int")).alias("__zero"),
+        F.max(v.isNull().cast("int")).alias("__null"),
     )
-    state: dict[int, tuple] = {}
-    run_sum, run_lg, run_neg, run_zero, run_null = 0.0, 0.0, 0, False, False
-    for row in sorted(parts, key=lambda r: r["__blk"]):
-        state[row["__blk"]] = (run_sum, run_lg, run_neg, run_zero, run_null)
-        run_sum += row["__s"] or 0.0
-        run_lg += row["__lg"] or 0.0
-        run_neg += row["__neg"] or 0
-        run_zero = run_zero or bool(row["__zero"])
-        run_null = run_null or bool(row["__null"])
-
-    schema = "i0 long, " + VALUE_COL + " double"
-
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("i0")
-        blk = int(pdf["__blk"].iloc[0])
-        s0, lg0, neg0, zero0, null0 = state.get(blk, (0.0, 0.0, 0, False, False))
-        vals = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
-        isnan = np.isnan(vals)
+    wp = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = partials.select(
+        "__blk",
+        F.coalesce(F.sum("__s").over(wp), F.lit(0.0)).alias("__ps"),
+        F.coalesce(F.sum("__lg").over(wp), F.lit(0.0)).alias("__plg"),
+        F.coalesce(F.sum("__neg").over(wp), F.lit(0).cast("long")).alias("__pneg"),
+        F.coalesce(F.max("__zero").over(wp), F.lit(0)).alias("__pzero"),
+        F.coalesce(F.max("__null").over(wp), F.lit(0)).alias("__pnull"),
+    )
+    j = d.join(prefix, on="__blk")  # P rows: AQE broadcasts
+    w = Window.partitionBy("__blk").orderBy("i0").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    if kind in ("cumsum", "nancumsum"):
+        run = F.coalesce(F.sum(v).over(w), F.lit(0.0)) + F.col("__ps")
         if kind == "cumsum":
-            out = np.cumsum(np.where(isnan, 0.0, vals)) + s0
-            poisoned = np.maximum.accumulate(isnan) | null0
-            out = np.where(poisoned, np.nan, out)
-        elif kind == "nancumsum":
-            out = np.cumsum(np.where(isnan, 0.0, vals)) + s0
-        else:  # cumprod / nancumprod
-            nz = (~isnan) & (vals != 0)
-            lg = np.cumsum(np.where(nz, np.log(np.abs(np.where(nz, vals, 1.0))), 0.0)) + lg0
-            neg = np.cumsum((~isnan) & (vals < 0)) + neg0
-            zero = np.maximum.accumulate((~isnan) & (vals == 0)) | zero0
-            sign = np.where(neg % 2 == 1, -1.0, 1.0)
-            out = np.where(zero, 0.0, sign * np.exp(lg))
-            if kind == "cumprod":
-                poisoned = np.maximum.accumulate(isnan) | null0
-                out = np.where(poisoned, np.nan, out)
-        return pd.DataFrame({"i0": pdf["i0"].to_numpy(dtype="int64"), VALUE_COL: out})
-
-    return Array(d.groupBy("__blk").applyInPandas(scan, schema=schema), a.shape)
+            seen_null = F.greatest(
+                F.max(v.isNull().cast("int")).over(w), F.col("__pnull")
+            )
+            c = F.when(seen_null == 1, F.lit(None)).otherwise(run)
+        else:
+            c = run
+    else:  # cumprod / nancumprod
+        zeros = F.greatest(F.max((v == 0).cast("int")).over(w), F.col("__pzero"))
+        negs = (
+            F.coalesce(
+                F.sum((v.isNotNull() & (v < 0)).cast("long")).over(w),
+                F.lit(0).cast("long"),
+            )
+            + F.col("__pneg")
+        )
+        mag = F.exp(
+            F.coalesce(F.sum(F.log(F.when(v != 0, F.abs(v)))).over(w), F.lit(0.0))
+            + F.col("__plg")
+        )
+        sign = F.when(negs % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
+        c = F.when(zeros == 1, F.lit(0.0)).otherwise(sign * mag)
+        if kind == "cumprod":
+            seen_null = F.greatest(
+                F.max(v.isNull().cast("int")).over(w), F.col("__pnull")
+            )
+            c = F.when(seen_null == 1, F.lit(None)).otherwise(c)
+    return Array(j.select("i0", c.cast("double").alias(VALUE_COL)), a.shape)
 
 
 def _push_1d(a: Array, block: int = _BLOCK_1D) -> Array:
-    """Two-pass distributed forward-fill (unbounded limit)."""
+    """Two-pass distributed forward-fill (unbounded limit), pure JVM:
+    per-block last-non-null partials over the full block spine, an
+    ignore-nulls prefix window over the tiny partials frame, then a
+    block-partitioned ffill window with the carry as fallback."""
     d = a.df.withColumn(
         "__blk", F.floor(F.col("i0") / F.lit(block)).cast("long")
     ).persist()
-    parts = (
-        d.filter(F.col(VALUE_COL).isNotNull())
+    v = F.col(VALUE_COL)
+    spine = d.select("__blk").distinct()
+    lasts = (
+        d.filter(v.isNotNull())
         .groupBy("__blk")
-        .agg(F.max_by(F.col(VALUE_COL), F.col("i0")).alias("__last"))
-        .collect()
+        .agg(F.max_by(v, F.col("i0")).alias("__last"))
     )
-    # walk every block id (blocks with no non-null rows are absent from
-    # `parts` but still need their incoming carry)
-    all_blks = sorted(r["__blk"] for r in d.select("__blk").distinct().collect())
-    seen = {r["__blk"]: r["__last"] for r in parts}
-    carry_in: dict[int, float | None] = {}
-    carry = None
-    for blk in all_blks:
-        carry_in[blk] = carry
-        if seen.get(blk) is not None:
-            carry = seen[blk]
-
-    schema = "i0 long, " + VALUE_COL + " double"
-
-    def fill(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("i0")
-        blk = int(pdf["__blk"].iloc[0])
-        vals = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
-        prev = carry_in.get(blk)
-        if prev is not None:
-            vals = np.concatenate(([float(prev)], vals))
-        valid = np.where(~np.isnan(vals), np.arange(len(vals)), 0)
-        np.maximum.accumulate(valid, out=valid)
-        out = vals[valid]
-        if prev is not None:
-            out = out[1:]
-        return pd.DataFrame({"i0": pdf["i0"].to_numpy(dtype="int64"), VALUE_COL: out})
-
-    return Array(d.groupBy("__blk").applyInPandas(fill, schema=schema), a.shape)
+    wp = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = spine.join(lasts, on="__blk", how="left").select(
+        "__blk", F.last("__last", ignorenulls=True).over(wp).alias("__carry")
+    )
+    j = d.join(prefix, on="__blk")
+    w = Window.partitionBy("__blk").orderBy("i0").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = F.coalesce(F.last(v, ignorenulls=True).over(w), F.col("__carry"))
+    return Array(j.select("i0", c.cast("double").alias(VALUE_COL)), a.shape)
 
 
-def _halo_1d(
-    a: Array,
-    left: int,
-    right: int,
-    kernel,
-    out_len: int | None,
-    block: int = _BLOCK_1D,
-) -> Array:
-    """Bounded-depth 1-D window over a DENSE axis via index-math halo
-    blocks: rows within ``left`` of a block start also ship to the
-    previous block key, rows within ``right`` of a block end to the
-    next; one groupBy(block).applyInPandas runs ``kernel(x, lo)`` over
-    the assembled dense slice (NaN = NULL cell) and returns the values
-    for the block's core indices."""
+def _halo_blocks(a: Array, left: int, right: int, block: int = _BLOCK_1D):
+    """Bounded-depth 1-D windows over a DENSE axis, pure JVM: rows
+    within ``right`` of a block start also union-ship to the previous
+    block key (and within ``left`` of a block end to the next), tagged
+    ``__h = 1``; the caller runs an ordinary block-PARTITIONED window
+    over the result (each partition sees its halo rows inside the
+    frame) and keeps only ``__h = 0`` home rows -- the reference's
+    halo exchange as one union + one hash exchange, zero Python."""
     n = a.shape[0]
     if n is None:
         raise ValueError("scalable 1-D windows need a known axis length")
     d = a.df.withColumn(
         "__blk", F.floor(F.col("i0") / F.lit(block)).cast("long")
-    )
+    ).withColumn("__h", F.lit(0))
     pos = F.col("i0") % F.lit(block)
     if right > 0:
         lo_rows = d.filter((pos < right) & (F.col("__blk") > 0)).withColumn(
             "__blk", F.col("__blk") - 1
-        )
+        ).withColumn("__h", F.lit(1))
         d = d.unionByName(lo_rows)
     if left > 0:
         hi_rows = d.filter(
             (pos >= block - left) & (F.col("i0") < (n // block) * block)
-        ).withColumn("__blk", F.col("__blk") + 1)
+        ).withColumn("__blk", F.col("__blk") + 1).withColumn("__h", F.lit(1))
         d = d.unionByName(hi_rows)
-
-    schema = "i0 long, " + VALUE_COL + " double"
-
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        blk = int(pdf["__blk"].iloc[0])
-        core_lo = blk * block
-        core_hi = min(core_lo + block, n)
-        lo = max(core_lo - left, 0)
-        hi = min(core_hi + right, n)
-        x = np.full(hi - lo, np.nan)
-        x[pdf["i0"].to_numpy(dtype="int64") - lo] = pd.to_numeric(
-            pdf[VALUE_COL]
-        ).to_numpy(dtype="float64")
-        out = kernel(x, lo)  # aligned with x's indices [lo, hi)
-        s = slice(core_lo - lo, core_hi - lo)
-        idx = np.arange(core_lo, core_hi)
-        vals = out[s]
-        if out_len is not None:
-            keep = idx < out_len
-            idx, vals = idx[keep], vals[keep]
-        good = ~np.isnan(vals)
-        return pd.DataFrame({"i0": idx[good], VALUE_COL: vals[good]})
-
-    out_shape = (out_len if out_len is not None else n,)
-    return Array(d.groupBy("__blk").applyInPandas(run, schema=schema), out_shape)
+    w = Window.partitionBy("__blk").orderBy("i0")
+    return d, w
 
 
 def cumsum(a: Array, axis: int = 0, scalable: bool | None = None) -> Array:
@@ -312,13 +276,14 @@ def diff(a: Array, axis: int = 0, scalable: bool | None = None) -> Array:
     axis window; output length n-1."""
     if _route_1d(a, axis, scalable):
         n = a.shape[0]
-
-        def _diff_kernel(x, lo):
-            out = np.full_like(x, np.nan)
-            out[:-1] = x[1:] - x[:-1]
-            return out
-
-        return _halo_1d(a, left=0, right=1, kernel=_diff_kernel, out_len=n - 1)
+        d, w = _halo_blocks(a, left=0, right=1)
+        c = F.lead(F.col(VALUE_COL), 1).over(w) - F.col(VALUE_COL)
+        out = (
+            d.withColumn("__d", c)
+            .filter((F.col("__h") == 0) & (F.col("i0") < F.lit(n - 1)))
+            .select("i0", F.col("__d").cast("double").alias(VALUE_COL))
+        )
+        return Array(out, (n - 1,))
     w, ax = _axis_window(a, axis)
     nxt = F.lead(F.col(VALUE_COL), 1).over(w)
     d = a.df.select(
@@ -350,18 +315,21 @@ def gradient(a: Array, axis: int = 0, h: float = 1.0, scalable: bool | None = No
     routines/_gradient.py:36, overlap depth 1)."""
     if _route_1d(a, axis, scalable):
         n = a.shape[0]
-
-        def _grad_kernel(x, lo):
-            out = np.full_like(x, np.nan)
-            if len(x) >= 2:
-                out[1:-1] = (x[2:] - x[:-2]) / (2.0 * h)
-                if lo == 0:
-                    out[0] = (x[1] - x[0]) / h
-                if lo + len(x) == n:
-                    out[-1] = (x[-1] - x[-2]) / h
-            return out
-
-        return _halo_1d(a, left=1, right=1, kernel=_grad_kernel, out_len=n)
+        d, w = _halo_blocks(a, left=1, right=1)
+        prev = F.lag(F.col(VALUE_COL), 1).over(w)
+        nxt = F.lead(F.col(VALUE_COL), 1).over(w)
+        i = F.col("i0")
+        c = (
+            F.when(i == 0, (nxt - F.col(VALUE_COL)) / F.lit(h))
+            .when(i == n - 1, (F.col(VALUE_COL) - prev) / F.lit(h))
+            .otherwise((nxt - prev) / F.lit(2.0 * h))
+        )
+        out = (
+            d.withColumn("__g", c)
+            .filter(F.col("__h") == 0)
+            .select("i0", F.col("__g").cast("double").alias(VALUE_COL))
+        )
+        return Array(out, a.shape)
     w, ax = _axis_window(a, axis)
     n = a.shape[ax]
     prev = F.lag(F.col(VALUE_COL), 1).over(w)
@@ -384,21 +352,6 @@ _AGGS = {
 }
 
 
-_NP_AGGS = {"sum": "nansum", "mean": "nanmean", "min": "nanmin", "max": "nanmax"}
-
-
-def _window_view_reduce(x: "np.ndarray", size: int, agg: str):
-    """NaN-skipping reduce over all length-``size`` windows of x."""
-    import warnings
-
-    win = np.lib.stride_tricks.sliding_window_view(x, size)
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN windows
-        out = getattr(np, _NP_AGGS[agg])(win, axis=1)
-    cnt = np.sum(~np.isnan(win), axis=1)
-    return out, cnt
-
-
 def sliding_reduce(
     a: Array, size: int, agg: str = "sum", axis: int = 0, scalable: bool | None = None
 ) -> Array:
@@ -410,18 +363,14 @@ def sliding_reduce(
     to halo blocks with a banded in-kernel window."""
     if _route_1d(a, axis, scalable):
         n = a.shape[0]
-
-        def _slide_kernel(x, lo):
-            out = np.full_like(x, np.nan)
-            if len(x) >= size:
-                vals, cnt = _window_view_reduce(x, size, agg)
-                vals = np.where(cnt > 0, vals, np.nan)
-                out[: len(x) - size + 1] = vals
-            return out
-
-        return _halo_1d(
-            a, left=0, right=size - 1, kernel=_slide_kernel, out_len=n - size + 1
+        d, w = _halo_blocks(a, left=0, right=size - 1)
+        c = _AGGS[agg](F.col(VALUE_COL)).over(w.rowsBetween(0, size - 1))
+        out = (
+            d.withColumn("__s", c)
+            .filter((F.col("__h") == 0) & (F.col("i0") <= F.lit(n - size)))
+            .select("i0", F.col("__s").cast("double").alias(VALUE_COL))
         )
+        return Array(out, (n - size + 1,))
     w, ax = _axis_window(a, axis, (0, size - 1))
     c = _AGGS[agg](F.col(VALUE_COL)).over(w)
     d = a.df.select(*a.index_cols, c.alias(VALUE_COL))
@@ -443,17 +392,16 @@ def moving_reduce(
     (reference ``MovingWindowReduction``,
     reductions/_sliding_window.py:249; xarray rolling semantics)."""
     if _route_1d(a, axis, scalable):
-        n = a.shape[0]
-
-        def _move_kernel(x, lo):
-            pad = np.concatenate((np.full(size - 1, np.nan), x))
-            vals, cnt = _window_view_reduce(pad, size, agg)
-            # window i of pad ends at x[i]; ramp-up windows at the true
-            # array start are NaN-padded, matching the ROWS frame only
-            # when lo == 0 (interior blocks carry a real left halo)
-            return np.where(cnt >= min_count, vals, np.nan)
-
-        return _halo_1d(a, left=size - 1, right=0, kernel=_move_kernel, out_len=n)
+        d, w = _halo_blocks(a, left=size - 1, right=0)
+        frame = w.rowsBetween(-(size - 1), 0)
+        c = _AGGS[agg](F.col(VALUE_COL)).over(frame)
+        cnt = F.count(F.col(VALUE_COL)).over(frame)
+        out = (
+            d.withColumn("__m", F.when(cnt >= min_count, c))
+            .filter(F.col("__h") == 0)
+            .select("i0", F.col("__m").cast("double").alias(VALUE_COL))
+        )
+        return Array(out, a.shape)
     w, ax = _axis_window(a, axis, (-(size - 1), 0))
     c = _AGGS[agg](F.col(VALUE_COL)).over(w)
     cnt = F.count(F.col(VALUE_COL)).over(w)

@@ -88,19 +88,22 @@ def test_sliding_moving_scalable(spark, data):
 
 
 def test_scalable_plan_has_no_global_window(spark):
-    """The scalable paths must contain NO WindowExec at all (their
-    whole point), and the big-axis default must route to them."""
+    """The scalable paths must never run a window over the raw axis in
+    one partition: every Window in the plan is either PARTITIONED by
+    the block key (parallel) or ordered by the block key itself (the
+    metadata-sized prefix over per-block partials).  A naive global
+    cumsum would show a windowspecdefinition over i0 with no __blk."""
     big_n = W.SCALABLE_1D_THRESHOLD + 5
     from dask_array_spark.core.array import Array
 
     base = spark.range(big_n).selectExpr("id AS i0", "CAST(id % 97 AS DOUBLE) AS v")
     a = Array(base, (big_n,))
-    out = W.cumsum(a)  # auto-route above threshold
-    plan = out.df._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
-    out2 = W.sliding_reduce(a, 30, "max")
-    plan2 = out2.df._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan2
+    for df in (W.cumsum(a).df, W.sliding_reduce(a, 30, "max").df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        windows = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+        assert windows, "scalable path should use block-partitioned windows"
+        for line in windows:
+            assert "__blk" in line, f"unblocked (global) window:\n{line}"
 
 
 def test_scalable_cumsum_values_big(spark):
