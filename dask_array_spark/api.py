@@ -16,6 +16,7 @@ from .core.array import Array, VALUE_COL  # noqa: F401
 from .sources.ingest import (  # noqa: F401
     densify,
     from_delayed,
+    from_graph,
     from_map,
     from_npy_stack,
     from_numpy,
@@ -87,6 +88,7 @@ from .operators.elemwise import (  # noqa: F401
     fmin,
     fmod,
     frexp,
+    frompyfunc,
     hypot,
     isclose,
     isfinite,

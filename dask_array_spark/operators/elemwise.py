@@ -33,7 +33,7 @@ __all__ = [
     "float_power", "ldexp", "sinc", "signbit",
     "divmod_", "modf", "frexp",
     "select", "choose", "piecewise",
-    "digitize_uniform", "elemwise",
+    "digitize_uniform", "elemwise", "frompyfunc",
 ]
 
 _INF = float("inf")
@@ -316,3 +316,27 @@ def digitize_uniform(a: Array, lo: float, hi: float, nbins: int, right: bool = F
     raw = F.floor((c - F.lit(lo)) / F.lit(hi - lo) * F.lit(nbins)).cast("long") + 1
     b = F.when(c < lo, F.lit(0)).when(c >= hi, F.lit(nbins + 1)).otherwise(raw)
     return Array(a.df.select(*a.index_cols, b.cast("long").alias(VALUE_COL)), a.shape)
+
+
+def frompyfunc(fn: Callable, otype: str = "double"):
+    """Wrap a scalar Python function as an elemwise Array op
+    (reference ``frompyfunc``/ufunc wrapper, _ufunc.py:143-189).
+    The function runs as an Arrow-batched pandas UDF (vectorized
+    transfer, not row-at-a-time); prefer built-in Column expressions
+    wherever possible -- this is the explicit slow-path escape
+    hatch."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(s):
+        return s.map(lambda x: fn(x) if x is not None else None)
+
+    # real (non-string) annotations: `from __future__ import
+    # annotations` would otherwise leave pyspark unresolvable strings
+    _kernel.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _u = pandas_udf(_kernel, otype)
+
+    def apply(a: Array) -> Array:
+        return a._unary(lambda c: _u(c))
+
+    return apply

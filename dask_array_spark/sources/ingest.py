@@ -599,3 +599,17 @@ def to_hdf5(a: Array, filename: str, datapath: str) -> None:
     driver-coordinated sequential writer over collected partitions."""
     _require("h5py", "to_hdf5")
     raise NotImplementedError("hdf5 writer not wired")
+
+
+def from_graph(df: DataFrame, shape) -> Array:
+    """Interop escape hatch (reference io/_from_graph.py:12): wrap any
+    externally-built cell-form DataFrame/RDD result as an Array.  The
+    frame must carry ``i0..i{n-1}`` BIGINT index columns and a ``v``
+    value column; everything downstream (elemwise fusion, reductions,
+    contractions) composes normally."""
+    shape = tuple(shape)
+    cols = [f"i{k}" for k in range(len(shape))] + [VALUE_COL]
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"from_graph frame is missing columns {missing}")
+    return Array(df.select(*cols), shape)

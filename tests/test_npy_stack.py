@@ -173,3 +173,19 @@ def test_zarr_roundtrip_raw_and_zlib(spark, tmp_path):
     got = back.compute()
     # fill_value zeros beyond data are real zeros in this store
     assert np.allclose(got, vec)
+
+
+def test_from_graph_and_frompyfunc(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dask_array_spark.operators.elemwise import frompyfunc
+    from dask_array_spark.sources import from_graph
+
+    df = spark.range(6).select(
+        F.col("id").alias("i0"), (F.col("id") * 2.0).alias("v")
+    )
+    a = from_graph(df, (6,))
+    f = frompyfunc(lambda x: x ** 2 + 1.0)
+    out = f(a)
+    assert np.allclose(out.compute(), (np.arange(6) * 2.0) ** 2 + 1.0)
