@@ -344,7 +344,9 @@ class Array:
         return linalg.matmul(self, other)
 
     def round(self, decimals=0):
-        return self._unary(lambda c: F.round(c, decimals))
+        # `+ 0.0` normalizes IEEE -0.0 to +0.0: a tiny negative that rounds
+        # to zero must hash identically to the oracle's rounded value.
+        return self._unary(lambda c: F.round(c, decimals) + F.lit(0.0))
 
     def clip(self, lo=None, hi=None):
         def _clip(c):

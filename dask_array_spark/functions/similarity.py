@@ -85,7 +85,8 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
             "qid",
             (F.col("rank") - 1).cast("long").alias("rank"),
             "vec_id",
-            F.round("cos", 6).alias("cos"),
+            # + 0.0 normalizes IEEE -0.0 after rounding (oracle-hash parity)
+            (F.round("cos", 6) + F.lit(0.0)).alias("cos"),
         )
     )
 
@@ -133,10 +134,13 @@ def cosine_pairs_bucketed(emb: DataFrame, n_planes: int = 8, min_cos: float = 0.
         .filter(F.col("vec_a") < F.col("vec_b"))
         .groupBy("vec_a", "vec_b")
         .agg(
-            F.round(
-                F.sum(F.col("ea") * F.col("eb"))
-                / (F.first("na") * F.first("nb")),
-                6,
+            (
+                F.round(
+                    F.sum(F.col("ea") * F.col("eb"))
+                    / (F.first("na") * F.first("nb")),
+                    6,
+                )
+                + F.lit(0.0)
             ).alias("cos")
         )
         .filter(F.col("cos") >= min_cos)
@@ -240,6 +244,6 @@ def ivf_topk(
             "qid",
             (F.col("rank") - 1).cast("long").alias("rank"),
             "vec_id",
-            F.round("cos", 6).alias("cos"),
+            (F.round("cos", 6) + F.lit(0.0)).alias("cos"),
         )
     )

@@ -251,8 +251,8 @@ def q_elemwise_extended(spark, sf):
     "complex_square_polar",
     f"""
     SELECT {LI_IDX} AS i0,
-           round(l_discount * l_discount - l_tax * l_tax, 6) AS re,
-           round(2 * l_discount * l_tax, 6) AS im,
+           round(l_discount * l_discount - l_tax * l_tax, 6) + 0.0 AS re,
+           round(2 * l_discount * l_tax, 6) + 0.0 AS im,
            round(sqrt(l_discount * l_discount + l_tax * l_tax), 6) AS mag,
            round(atan2(l_tax, l_discount), 6) AS ang
     FROM lineitem
@@ -269,8 +269,8 @@ def q_complex_square(spark, sf):
     base = a["d"]._base
     return base.select(
         F.col("i0"),
-        F.round(C.real(z2)._vcol, 6).alias("re"),
-        F.round(C.imag(z2)._vcol, 6).alias("im"),
+        (F.round(C.real(z2)._vcol, 6) + F.lit(0.0)).alias("re"),
+        (F.round(C.imag(z2)._vcol, 6) + F.lit(0.0)).alias("im"),
         F.round(C.cabs(z)._vcol, 6).alias("mag"),
         F.round(C.angle(z)._vcol, 6).alias("ang"),
     )
@@ -745,7 +745,7 @@ def q_weighted_average(spark, sf):
 @query(
     "corr_pair",
     """
-    SELECT round(corr(o_totalprice, c_acctbal), 6) AS v
+    SELECT round(corr(o_totalprice, c_acctbal), 6) + 0.0 AS v
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     """,
 )
@@ -1160,7 +1160,7 @@ def q_linspace_arange(spark, sf):
     SELECT i AS i0,
            round(CASE WHEN i = 0 THEN lead(v) OVER w - v
                       WHEN i = 11 THEN v - lag(v) OVER w
-                      ELSE (lead(v) OVER w - lag(v) OVER w) / 2.0 END, 6) AS v
+                      ELSE (lead(v) OVER w - lag(v) OVER w) / 2.0 END, 6) + 0.0 AS v
     FROM mo WINDOW w AS (ORDER BY i)
     """,
 )
@@ -1174,7 +1174,7 @@ def q_gradient(spark, sf):
 @query(
     "cov_sample_pair",
     """
-    SELECT round(covar_samp(o_totalprice, c_acctbal) / 1e7, 6) AS v
+    SELECT round(covar_samp(o_totalprice, c_acctbal) / 1e7, 6) + 0.0 AS v
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     """,
 )
@@ -1351,7 +1351,7 @@ def q_setdiff1d(spark, sf):
     f"""
     SELECT i0, round((1.0 * n * pow(-mu, 3) + 3.0 * s1 * pow(-mu, 2)
                       + 3.0 * s2 * pow(-mu, 1) + 1.0 * s3 * pow(-mu, 0)) / n,
-                     6) AS v
+                     6) + 0.0 AS v
     FROM (
       SELECT {FLAG_IDX} AS i0,
              CAST(count(*) AS DOUBLE) AS n,
@@ -1466,7 +1466,7 @@ def q_lstsq(spark, sf):
     b = from_table_column(l, "rid", "l_extendedprice")
     x, _ = linalg.lstsq(design, b, block_rows=65536)
     return spark.createDataFrame(
-        [(int(i), round(float(v), 6)) for i, v in enumerate(x)], "i0 long, v double"
+        [(int(i), round(float(v), 6) + 0.0) for i, v in enumerate(x)], "i0 long, v double"
     )
 
 
@@ -1530,8 +1530,8 @@ def q_svd_rows(spark, sf):
     WITH mo AS (SELECT i1 AS i, CAST(SUM(v) AS DOUBLE) AS v FROM ({NM_SQL}) t GROUP BY i1),
     ks AS (SELECT unnest(range(12)) AS k)
     SELECT ks.k AS i0,
-           round(SUM(v * cos(-2 * pi() * i * ks.k / 12)), 5) AS re,
-           round(SUM(v * sin(-2 * pi() * i * ks.k / 12)), 5) AS im
+           round(SUM(v * cos(-2 * pi() * i * ks.k / 12)), 5) + 0.0 AS re,
+           round(SUM(v * sin(-2 * pi() * i * ks.k / 12)), 5) + 0.0 AS im
     FROM mo CROSS JOIN ks GROUP BY ks.k
     """,
 )
@@ -1544,10 +1544,12 @@ def q_fft(spark, sf):
 
     mo = _monthly(spark, sf).astype("double")
     z = fourier.fft(mo)
+    # `+ 0.0` normalizes IEEE -0.0 to +0.0 after rounding (matched in the
+    # oracle SQL above) -- the driver's value-hash distinguishes signed zeros.
     return z.df.select(
         "i0",
-        F.round(F.col("v")["re"], 5).alias("re"),
-        F.round(F.col("v")["im"], 5).alias("im"),
+        (F.round(F.col("v")["re"], 5) + F.lit(0.0)).alias("re"),
+        (F.round(F.col("v")["im"], 5) + F.lit(0.0)).alias("im"),
     )
 
 
@@ -1889,7 +1891,7 @@ _EX_SQL = """
             JOIN norms n1 ON n1.vec_id = d.vec_id
             JOIN norms n2 ON n2.vec_id = d.qid
             WHERE d.vec_id != d.qid)
-    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(c, 6) AS cos
+    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(c, 6) + 0.0 AS cos
     FROM (SELECT qid, vec_id, c,
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY c DESC, vec_id ASC) AS rnk
@@ -2192,7 +2194,7 @@ def q_ivf_assign(spark, sf):
             FROM dots d JOIN vn ON vn.vec_id = d.vec_id
             JOIN qn ON qn.qid = d.qid
             WHERE d.vec_id != d.qid)
-    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(cs, 6) AS cos
+    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(cs, 6) + 0.0 AS cos
     FROM (SELECT qid, vec_id, cs,
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY cs DESC, vec_id ASC) AS rnk
@@ -2569,7 +2571,7 @@ def q_reduce_per_order(spark, sf):
            round(med, 6) AS med_qty,
            round(q90, 6) AS q90_qty,
            round((n * pow(-(s1 / n), 3) + 3.0 * s1 * pow(-(s1 / n), 2)
-                  + 3.0 * s2 * (-(s1 / n)) + s3) / n, 6) AS m3_qty
+                  + 3.0 * s2 * (-(s1 / n)) + s3) / n, 6) + 0.0 AS m3_qty
     FROM agg
     """,
 )
@@ -2609,9 +2611,9 @@ def q_reduce_stats_by_flag(spark, sf):
       (SELECT round(CAST(SUM(cast(round(l_extendedprice * 100) as bigint)
                             * CAST(l_quantity AS BIGINT)) AS DOUBLE)
                     / 100.0 / SUM(l_quantity), 6) FROM lineitem) AS wavg6,
-      (SELECT round(corr(o_totalprice, c_acctbal), 6)
+      (SELECT round(corr(o_totalprice, c_acctbal), 6) + 0.0
        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) AS corr6,
-      (SELECT round(covar_samp(o_totalprice, c_acctbal) / 1e7, 6)
+      (SELECT round(covar_samp(o_totalprice, c_acctbal) / 1e7, 6) + 0.0
        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) AS cov6,
       (SELECT round(quantile_cont(l_extendedprice, 0.5), 6) FROM lineitem)
         AS med_scalable6,
@@ -2760,7 +2762,7 @@ def q_window_1d_scalable(spark, sf):
     SELECT i AS i0,
            round(CASE WHEN i = 0 THEN lead(v) OVER w - v
                       WHEN i = 11 THEN v - lag(v) OVER w
-                      ELSE (lead(v) OVER w - lag(v) OVER w) / 2.0 END, 6) AS grad6,
+                      ELSE (lead(v) OVER w - lag(v) OVER w) / 2.0 END, 6) + 0.0 AS grad6,
            round((coalesce(lag(v) OVER w, v) + v
                   + coalesce(lead(v) OVER w, v)) / 3.0, 6) AS smooth6
     FROM mo WINDOW w AS (ORDER BY i)
@@ -3358,7 +3360,7 @@ _BF_TOPK_SQL = f"""
             JOIN norms n1 ON n1.vec_id = d.vec_id
             JOIN norms n2 ON n2.vec_id = d.qid
             WHERE d.vec_id != d.qid)
-    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(c, 6) AS cos
+    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(c, 6) + 0.0 AS cos
     FROM (SELECT qid, vec_id, c,
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY c DESC, vec_id ASC) AS rnk
@@ -3391,7 +3393,7 @@ _IVF_TOPK_SQL = f"""
             FROM dots d JOIN vn ON vn.vec_id = d.vec_id
             JOIN qn ON qn.qid = d.qid
             WHERE d.vec_id != d.qid)
-    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(cs, 6) AS cos
+    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(cs, 6) + 0.0 AS cos
     FROM (SELECT qid, vec_id, cs,
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY cs DESC, vec_id ASC) AS rnk
