@@ -98,10 +98,21 @@ def minhash_signatures(shingles: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame, rows_per_band: int = 1) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, rows_per_band: int = 1, max_bucket: int | None = None
+) -> DataFrame:
     """Candidate pairs = documents sharing at least one LSH band
     bucket; returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
-    Band hash combines rows_per_band signature rows."""
+    Band hash combines rows_per_band signature rows.
+
+    ``max_bucket`` caps the within-bucket self-join: a degenerate
+    bucket of near-identical boilerplate (common in web corpora) makes
+    one join group quadratic with no bound, so production MinHash
+    pipelines drop buckets above a size threshold -- members of a hot
+    bucket are overwhelmingly exact/near-exact duplicates that the
+    exact-dedup pass (or another, less-degenerate band) still catches.
+    The size count is one partial-aggregated groupBy over the
+    already-tiny band table.  ``None`` (default) keeps every bucket."""
     banded = sigs.withColumn("band", (F.col("sig_id") / rows_per_band).cast("long"))
     bh = banded.groupBy("doc_id", "band").agg(
         (F.aggregate(
@@ -116,6 +127,14 @@ def lsh_candidate_pairs(sigs: DataFrame, rows_per_band: int = 1) -> DataFrame:
     # shingle->minhash lineage (the expensive part) runs twice.  The
     # band table is tiny relative to the corpus (n_docs x bands rows).
     bh = bh.persist()
+    if max_bucket is not None:
+        small = (
+            bh.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+        bh = bh.join(small, on=["band", "bh"])
     a = bh.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = bh.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (

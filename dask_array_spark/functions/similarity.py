@@ -111,13 +111,30 @@ def lsh_sign_bucket(emb: DataFrame, n_planes: int = 8) -> DataFrame:
     return dots.groupBy("vec_id").agg(F.sum(bitval).cast("long").alias("bucket"))
 
 
-def cosine_pairs_bucketed(emb: DataFrame, n_planes: int = 8, min_cos: float = 0.3) -> DataFrame:
+def cosine_pairs_bucketed(
+    emb: DataFrame,
+    n_planes: int = 8,
+    min_cos: float = 0.3,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Near-duplicate candidate pairs within LSH buckets, verified by
     exact cosine: (vec_a, vec_b, cos) with vec_a < vec_b.  The
     quadratic pair space shrinks to per-bucket blocks; each side's
     norm rides its own rows (first(na)/first(nb)), so there is no
-    corpus-sized norms join."""
+    corpus-sized norms join.
+
+    ``max_bucket`` drops buckets with more members than the threshold
+    before the self-join (hot-bucket quadratic guard, same rationale as
+    dedup.lsh_candidate_pairs)."""
     buckets = lsh_sign_bucket(emb, n_planes)
+    if max_bucket is not None:
+        small = (
+            buckets.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+        buckets = buckets.join(small, on="bucket")
     # persist-at-fan-out: the pair join consumes the bucketed exploded
     # table on both sides (SURVEY.md section 4.4)
     ex = _exploded(emb).join(buckets, on="vec_id").persist()

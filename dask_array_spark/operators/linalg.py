@@ -509,69 +509,53 @@ def lstsq(a: Array, b: Array, block_rows: int = 10000):
     return x, rss
 
 
-def solve(a: Array, b: Array) -> Array:
-    """Solve A x = b for a MODEST k x k system (the reference's blocked
-    wavefront keeps grids small too, linalg/_solve.py:20-330 /
-    SURVEY.md 'keep scale modest'); A is typically the k x k output of
-    a distributed contraction.  In-core solve, result redistributed."""
-    import numpy as np
+def solve(a: Array, b: Array, assume_a: str = "gen") -> Array:
+    """Solve A x = b through the DISTRIBUTED blocked wavefront
+    (reference linalg/_solve.py:163-224): blocked LU for ``gen``,
+    blocked Cholesky for ``pos``, then two blocked substitutions.  All
+    level-3 work runs on executors; nothing matrix-sized reaches the
+    driver."""
+    from .linalg_blocked import solve_blocked
 
-    amat = _collect_dense(a)
-    bvec = _collect_dense(b)
-    return _distribute(a.spark, np.linalg.solve(amat, bvec))
+    return solve_blocked(a, b, assume_a=assume_a)
 
 
 def inv(a: Array) -> Array:
-    """Matrix inverse == solve vs identity (reference linalg/_solve.py
-    inv)."""
-    import numpy as np
+    """Matrix inverse == blocked solve vs a distributed identity RHS
+    (reference linalg/_solve.py inv)."""
+    from .linalg_blocked import inv_blocked
 
-    return _distribute(a.spark, np.linalg.inv(_collect_dense(a)))
-
-
-def cholesky(a: Array) -> Array:
-    """Lower-triangular Cholesky factor of a modest SPD matrix
-    (reference blocked Cholesky, linalg/_cholesky.py:27-214; the k x k
-    inputs here are contraction outputs, so in-core is the right
-    tier -- the distributed work happened in the contraction)."""
-    import numpy as np
-
-    L = np.linalg.cholesky(_collect_dense(a))
-    out = _distribute(a.spark, L)
-    # sparse cell form: drop the explicit zeros of the upper triangle
-    return Array(out.df.filter(F.col("i1") <= F.col("i0")), out.shape)
+    return inv_blocked(a)
 
 
-def lu(a: Array):
-    """LU with partial pivoting for a modest k x k matrix (reference
-    blocked LU, linalg/_lu.py:27-265).  Returns (p, l, u) ndarrays
-    with P @ A = L @ U."""
-    import numpy as np
+def cholesky(a: Array, nb: int | None = None) -> Array:
+    """Lower-triangular Cholesky factor via the distributed blocked
+    wavefront (reference linalg/_cholesky.py:27-214).  Sparse cell
+    form: only lower-triangle cells are emitted."""
+    from .linalg_blocked import cholesky_blocked
 
-    A = _collect_dense(a).astype("float64").copy()
-    n = A.shape[0]
-    P = np.eye(n)
-    L = np.eye(n)
-    for j in range(n - 1):
-        piv = j + int(np.argmax(np.abs(A[j:, j])))
-        if piv != j:
-            A[[j, piv], :] = A[[piv, j], :]
-            P[[j, piv], :] = P[[piv, j], :]
-            if j > 0:
-                L[[j, piv], :j] = L[[piv, j], :j]
-        for i in range(j + 1, n):
-            if A[j, j] != 0:
-                m = A[i, j] / A[j, j]
-                L[i, j] = m
-                A[i, j:] = A[i, j:] - m * A[j, j:]
-                A[i, j] = 0.0
-    return P, L, np.triu(A)
+    return cholesky_blocked(a, nb)
+
+
+def lu(a: Array, nb: int | None = None):
+    """Blocked LU with tile-local partial pivoting (reference
+    linalg/_lu.py:27-265).  Returns (p, l, u) Arrays with
+    P @ A = L @ U and P block-diagonal, matching the reference's
+    within-block pivoting semantics."""
+    from .linalg_blocked import lu_blocked
+
+    return lu_blocked(a, nb)
 
 
 def solve_triangular(l_mat, b, lower: bool = True):
-    """In-core forward/back substitution (reference
-    linalg/_solve.py solve_triangular); ndarray helper for the
-    factor outputs above."""
+    """Forward/back substitution.  Array inputs route to the blocked
+    distributed substitution (reference linalg/_solve.py
+    solve_triangular); ndarray inputs keep the in-core helper form for
+    driver-side factor outputs."""
+    if isinstance(l_mat, Array):
+        from .linalg_blocked import solve_triangular_blocked
+
+        return solve_triangular_blocked(l_mat, b, lower=lower)
     import numpy as np
 
     n = l_mat.shape[0]

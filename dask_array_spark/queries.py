@@ -2979,15 +2979,39 @@ def q_tsqr_lstsq(spark, sf):
 
 @query(
     "linalg_invariants",
-    "SELECT CAST(0.0 AS DOUBLE) AS chol_err6, CAST(0.0 AS DOUBLE) AS solve_err6",
+    "SELECT CAST(0.0 AS DOUBLE) AS chol_err6, CAST(0.0 AS DOUBLE) AS solve_err6,"
+    " CAST(0.0 AS DOUBLE) AS chol_blocked_err6",
 )
 def q_linalg_invariants(spark, sf):
     """Cholesky reconstruction + solve residual invariants of the
     ridge-augmented Gram system, both zero to 1e-6 (reference
-    linalg/_cholesky.py:27, linalg/_solve.py:20)."""
+    linalg/_cholesky.py:27, linalg/_solve.py:20), PLUS the distributed
+    blocked wavefront on a matrix ABOVE the old in-core tier's 1e7-cell
+    guard: A[i,j] = min(i,j)+1 (n = 3400, 1.156e7 cells) has the
+    closed-form factor L = all-ones lower triangle, so the invariant is
+    max|L - 1| + [cell count != n(n+1)/2], checked by aggregation
+    without collecting anything matrix-sized."""
+    from .core.array import Array
+    from .operators.linalg_blocked import cholesky_blocked
+
     c = q_cholesky(spark, sf).select(F.col("v").alias("chol_err6"))
     s = q_solve(spark, sf).select(F.col("v").alias("solve_err6"))
-    return c.crossJoin(s)
+
+    n = 3400
+    cells = (
+        spark.range(n)
+        .select(F.col("id").alias("i0"))
+        .crossJoin(spark.range(n).select(F.col("id").alias("i1")))
+        .select("i0", "i1", (F.least("i0", "i1") + 1).cast("double").alias("v"))
+    )
+    L = cholesky_blocked(Array(cells, (n, n)), nb=1700)
+    blocked = L.df.agg(
+        (
+            F.round(F.max(F.abs(F.col("v") - F.lit(1.0))), 6)
+            + F.when(F.count("*") == n * (n + 1) // 2, F.lit(0.0)).otherwise(F.lit(1.0))
+        ).alias("chol_blocked_err6")
+    )
+    return c.crossJoin(s).crossJoin(blocked)
 
 
 @query(

