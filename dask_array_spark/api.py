@@ -56,6 +56,12 @@ from .operators.creation import (  # noqa: F401
     zeros,
 )
 
+# -- random distribution family -------------------------------------------
+from .operators.random_dists import (  # noqa: F401
+    Generator as RandomGenerator,
+    default_rng,
+)
+
 # -- elemwise / ufuncs ----------------------------------------------------
 from .operators.elemwise import (  # noqa: F401
     absolute,
@@ -254,8 +260,10 @@ from .operators.manipulation import (  # noqa: F401
 # -- linalg ---------------------------------------------------------------
 from .operators.linalg import (  # noqa: F401
     cholesky,
-    corr_pair as corrcoef,
-    cov_pair as cov,
+    corr_pair,
+    corrcoef,
+    cov,
+    cov_pair,
     einsum,
     inv,
     lstsq,

@@ -31,6 +31,8 @@ __all__ = [
     "vdot",
     "cov_pair",
     "corr_pair",
+    "cov",
+    "corrcoef",
     "tsqr",
     "svd_tall",
     "svd_compressed",
@@ -243,6 +245,62 @@ def corr_pair(x: Array, y: Array) -> Array:
     dy = y.df.withColumnRenamed(VALUE_COL, "__y")
     d = x.df.join(dy, on="i0", how="inner")
     return Array(d.agg(F.corr(F.col(VALUE_COL), F.col("__y")).alias(VALUE_COL)), ())
+
+
+def cov(m: Array, y: Array | None = None, rowvar: bool = True, bias: bool = False, ddof: int | None = None) -> Array:
+    """Full covariance MATRIX via the distributed contraction
+    (reference routines/_statistics.py:67: center rows, then
+    c = X_c @ X_c^T / fact).  Variables are rows when ``rowvar``
+    (the NumPy convention); the sample axis never leaves the
+    executors -- only the k x k output is small."""
+    from . import manipulation as M
+    from . import reductions as R
+
+    if ddof is None:
+        ddof = 0 if bias else 1
+    squeeze = m.ndim == 1 and y is None
+    if m.ndim == 1:
+        m = M.expand_dims(m, 0)  # ndmin=2 promotion, like the reference
+    X = m if rowvar else M.transpose(m)
+    if y is not None:
+        if y.ndim == 1:
+            y = M.expand_dims(y, 0)
+        Y = y if rowvar else M.transpose(y)
+        X = M.concatenate([X, Y], axis=0)
+    k, nsamp = X.shape
+    avg = R.mean(X, axis=1)  # (k,)
+    centered = X - M.expand_dims(avg, 1)
+    c = matmul(centered, M.transpose(centered))
+    fact = max(nsamp - ddof, 0)
+    if fact == 0:
+        import warnings
+
+        warnings.warn("Degrees of freedom <= 0 for slice", RuntimeWarning)
+        c = c._unary(lambda col: col * F.lit(float("nan")))
+    else:
+        c = c._unary(lambda col: col / F.lit(float(fact)))
+    if squeeze:
+        return Array(c.df.select(F.col(VALUE_COL)), ())
+    return c
+
+
+def corrcoef(x: Array, y: Array | None = None, rowvar: bool = True) -> Array:
+    """Pearson correlation MATRIX: cov normalized by the outer product
+    of the diagonal's square roots (reference
+    routines/_statistics.py:164)."""
+    c = cov(x, y, rowvar)
+    if c.shape == ():
+        return c / c
+    c = Array(c.df.persist(), c.shape)  # diag + normalize both consume c
+    k = c.shape[0]
+    d = Array(
+        c.df.filter(F.col("i1") == F.col("i0")).select(
+            "i0", F.sqrt(F.col(VALUE_COL)).alias(VALUE_COL)
+        ),
+        (k,),
+    )
+    denom = outer(d, d)
+    return c / denom
 
 
 def tsqr(a: Array, block_rows: int = 10000, fanin: int = 16):

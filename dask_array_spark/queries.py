@@ -2628,7 +2628,8 @@ def q_reduce_stats_by_flag(spark, sf):
          FROM a x JOIN a y ON x.i1 = y.i1 GROUP BY 1, 2) c
        WHERE c.i1 <= c.i0) AS trisum,
       CAST(1000 AS BIGINT) AS n_rows, CAST(1000 AS BIGINT) AS n_distinct,
-      CAST(0 AS BIGINT) AS min_v, CAST(999 AS BIGINT) AS max_v
+      CAST(0 AS BIGINT) AS min_v, CAST(999 AS BIGINT) AS max_v,
+      CAST(12 AS BIGINT) AS rand_ok
     """,
 )
 def q_scalar_suite(spark, sf):
@@ -2657,7 +2658,48 @@ def q_scalar_suite(spark, sf):
     for name, fn in parts:
         d = fn(spark, sf).select(F.col("v").alias(name))
         out = d if out is None else out.crossJoin(d)
-    return out.crossJoin(q_random_permutation(spark, sf))
+    return (
+        out.crossJoin(q_random_permutation(spark, sf))
+        .crossJoin(_rand_moments_ok(spark).select(F.col("v").alias("rand_ok")))
+    )
+
+
+def _rand_moments_ok(spark):
+    """Moment invariants over 12 distributions of the full random
+    family (reference random/_generator.py:16-349): the sample mean of
+    20k seeded draws must sit within 6 sigma of theory.  Seeded and
+    6-sigma -> deterministic under any partitioning; returns the count
+    of passing distributions (expected: all 12)."""
+    import math
+
+    from .operators.random_dists import default_rng
+
+    n = 20_000
+    rng = default_rng(spark, seed=12345)
+    cases = [
+        (rng.uniform(n, 2.0, 6.0), 4.0, 16.0 / 12),
+        (rng.exponential(n, 2.0), 2.0, 4.0),
+        (rng.gumbel(n), 0.5772156649, math.pi**2 / 6),
+        (rng.logistic(n), 0.0, math.pi**2 / 3),
+        (rng.laplace(n, 1.0, 2.0), 1.0, 8.0),
+        (rng.rayleigh(n), math.sqrt(math.pi / 2), (4 - math.pi) / 2),
+        (rng.weibull(n, 2.0), math.gamma(1.5), 1 - math.gamma(1.5) ** 2),
+        (rng.geometric(n, 0.25), 4.0, 12.0),
+        (rng.beta(n, 2.0, 5.0), 2.0 / 7, 10.0 / (49 * 8)),
+        (rng.gamma(n, 3.0, 2.0), 6.0, 12.0),
+        (rng.binomial(n, 20, 0.3), 6.0, 4.2),
+        (rng.standard_t(n, 10.0), 0.0, 1.25),
+    ]
+    out = None
+    for arr, mu, var in cases:
+        tol = 6.0 * math.sqrt(var / n)
+        d = arr.df.agg(
+            F.when(F.abs(F.avg(F.col("v")) - F.lit(mu)) < F.lit(tol), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("ok")
+        )
+        out = d if out is None else out.unionByName(d)
+    return out.agg(F.sum("ok").cast("long").alias("v"))
 
 
 @query(
@@ -2922,19 +2964,51 @@ def q_pad_modes(spark, sf):
     c AS (SELECT x.i0 AS i0, y.i0 AS i1, CAST(SUM(x.v * y.v) AS BIGINT) AS v
           FROM a x JOIN a y ON x.i1 = y.i1 GROUP BY 1, 2),
     tr AS (SELECT i0, v AS tr FROM c WHERE i1 = i0),
-    rn AS (SELECT i0, CAST(SUM(v * v) AS BIGINT) AS rownorm FROM a GROUP BY i0)
-    SELECT td.i0, td.tdot, tr.tr, rn.rownorm
-    FROM td JOIN tr USING (i0) JOIN rn USING (i0)
+    rn AS (SELECT i0, CAST(SUM(v * v) AS BIGINT) AS rownorm FROM a GROUP BY i0),
+    g AS (SELECT n.i0, m.i1, CAST(coalesce(a.v, 0) AS DOUBLE) AS v
+          FROM (SELECT unnest(range(25)) AS i0) n
+          CROSS JOIN (SELECT unnest(range(12)) AS i1) m
+          LEFT JOIN a ON a.i0 = n.i0 AND a.i1 = m.i1),
+    mu AS (SELECT i0, avg(v) AS mu FROM g GROUP BY i0),
+    cv AS (SELECT x.i0 AS i, y.i0 AS j,
+                  SUM((x.v - mx.mu) * (y.v - my.mu)) / 11 AS cc
+           FROM g x JOIN g y ON x.i1 = y.i1
+           JOIN mu mx ON mx.i0 = x.i0 JOIN mu my ON my.i0 = y.i0
+           GROUP BY 1, 2),
+    cr AS (SELECT i AS i0, round(SUM(cc) / 1e7, 6) + 0.0 AS covrow6
+           FROM cv GROUP BY i)
+    SELECT td.i0, td.tdot, tr.tr, rn.rownorm, cr.covrow6
+    FROM td JOIN tr USING (i0) JOIN rn USING (i0) JOIN cr USING (i0)
     """,
 )
 def q_linalg_row_suite(spark, sf):
     """tensordot-with-vector + Gram diagonal extraction + einsum row
-    norms on the nation grain (reference linalg/_tensordot.py:140,
-    creation/_diagonal.py:16, _einsum.py:181)."""
+    norms + full covariance-MATRIX row sums on the nation grain
+    (reference linalg/_tensordot.py:140, creation/_diagonal.py:16,
+    _einsum.py:181, routines/_statistics.py:67 -- the covrow6 column
+    drives linalg.cov's matmul-of-centered-rows contraction over the
+    zero-densified 25 x 12 matrix; scaled 1e7 before rounding like
+    cov_sample_pair)."""
     td = q_tensordot(spark, sf).select("i0", F.col("v").alias("tdot"))
     tr = q_trace_diag(spark, sf).select("i0", F.col("v").alias("tr"))
     rn = q_einsum_row_norms(spark, sf).select("i0", F.col("v").alias("rownorm"))
-    return td.join(tr, on="i0").join(rn, on="i0")
+
+    m = _nation_month_matrix(spark, sf)
+    grid = (
+        spark.range(25)
+        .select(F.col("id").alias("i0"))
+        .crossJoin(spark.range(12).select(F.col("id").alias("i1")))
+    )
+    dense = grid.join(m.df, on=["i0", "i1"], how="left").select(
+        "i0", "i1", F.coalesce(F.col("v"), F.lit(0)).cast("double").alias("v")
+    )
+    c = linalg.cov(Array(dense, (25, 12)))
+    cr = (
+        (R.nansum(c, axis=1) / 1e7)
+        .round(6)
+        .df.select("i0", F.col("v").alias("covrow6"))
+    )
+    return td.join(tr, on="i0").join(rn, on="i0").join(cr, on="i0")
 
 
 @query(

@@ -223,3 +223,47 @@ def test_svd_compressed_low_rank_recovery(spark):
     umat = u.compute()
     assert np.allclose(umat @ np.diag(s) @ vt, mat, atol=1e-6)
     assert np.allclose(umat.T @ umat, np.eye(5), atol=1e-8)
+
+
+def test_cov_matrix_matches_numpy(spark, rng):
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import linalg
+
+    m = rng.normal(size=(5, 40))
+    np.testing.assert_allclose(
+        linalg.cov(from_numpy(spark, m)).compute(), np.cov(m), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        linalg.cov(from_numpy(spark, m), rowvar=False).compute(),
+        np.cov(m, rowvar=False),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        linalg.cov(from_numpy(spark, m), bias=True).compute(),
+        np.cov(m, bias=True),
+        atol=1e-12,
+    )
+    # 1-D input squeezes to the scalar variance
+    np.testing.assert_allclose(
+        float(linalg.cov(from_numpy(spark, m[0])).compute()), np.cov(m[0]), atol=1e-12
+    )
+    # two-operand form stacks x atop y (reference _statistics.py:111)
+    np.testing.assert_allclose(
+        linalg.cov(from_numpy(spark, m[:2]), from_numpy(spark, m[2:4])).compute(),
+        np.cov(m[:2], m[2:4]),
+        atol=1e-12,
+    )
+
+
+def test_corrcoef_matrix_matches_numpy(spark, rng):
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import linalg
+
+    m = rng.normal(size=(4, 30))
+    np.testing.assert_allclose(
+        linalg.corrcoef(from_numpy(spark, m)).compute(), np.corrcoef(m), atol=1e-12
+    )

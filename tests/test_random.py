@@ -55,3 +55,95 @@ def test_poisson_per_partition_bitgen(spark):
     x2 = C.random_poisson(spark, 40_000, lam=4.0, seed=9, numparts=8).compute()
     np.testing.assert_array_equal(x1, x2)
     assert abs(x1.mean() - 4.0) < 0.1 and abs(x1.var() - 4.0) < 0.2
+
+
+# --- full distribution family (reference random/_generator.py:16-349) ----
+
+
+def _mv(arr):
+    import numpy as np
+
+    v = arr.compute()
+    return float(np.mean(v)), float(np.var(v))
+
+
+def test_jvm_tier_moments(spark):
+    """Closed-form inverse-CDF tier: sample mean/var within 5 sigma of
+    theory at n = 40k (seeded -> deterministic, not flaky)."""
+    import math
+
+    from dask_array_spark.operators.random_dists import default_rng
+
+    n = 40_000
+    rng = default_rng(spark, seed=7)
+    cases = [
+        (rng.uniform(n, 2.0, 6.0), 4.0, 16.0 / 12),
+        (rng.exponential(n, 2.0), 2.0, 4.0),
+        (rng.gumbel(n, 0.0, 1.0), 0.5772156649, math.pi**2 / 6),
+        (rng.logistic(n, 0.0, 1.0), 0.0, math.pi**2 / 3),
+        (rng.laplace(n, 1.0, 2.0), 1.0, 8.0),
+        (rng.rayleigh(n, 1.0), math.sqrt(math.pi / 2), (4 - math.pi) / 2),
+        (rng.weibull(n, 2.0), math.gamma(1.5), math.gamma(2.0) - math.gamma(1.5) ** 2),
+        (rng.power(n, 3.0), 0.75, 3.0 / 80),
+        (rng.triangular(n, 0.0, 1.0, 4.0), 5.0 / 3, (16 + 1 + 4 - 4 - 4 - 1) / 18),
+        (rng.geometric(n, 0.25), 4.0, 12.0),
+    ]
+    for arr, mu, var in cases:
+        m, v = _mv(arr)
+        tol_m = 5 * math.sqrt(var / n)
+        assert abs(m - mu) < tol_m, (m, mu, tol_m)
+        assert abs(v - var) < 0.15 * var + tol_m, (v, var)
+
+
+def test_numpy_tier_moments(spark):
+    import math
+
+    from dask_array_spark.operators.random_dists import default_rng
+
+    n = 40_000
+    rng = default_rng(spark, seed=11)
+    cases = [
+        (rng.beta(n, 2.0, 5.0), 2 / 7, 10 / (49 * 8)),
+        (rng.gamma(n, 3.0, 2.0), 6.0, 12.0),
+        (rng.chisquare(n, 4.0), 4.0, 8.0),
+        (rng.standard_t(n, 10.0), 0.0, 10 / 8),
+        (rng.binomial(n, 20, 0.3), 6.0, 4.2),
+        (rng.negative_binomial(n, 5, 0.5), 5.0, 10.0),
+        (rng.f(n, 10.0, 20.0), 20 / 18, None),
+        (rng.wald(n, 2.0, 4.0), 2.0, 2.0),
+    ]
+    for arr, mu, var in cases:
+        m, v = _mv(arr)
+        sd = math.sqrt(var) if var else max(abs(mu), 1.0)
+        assert abs(m - mu) < 5 * sd / math.sqrt(n) + 0.02 * max(abs(mu), 1), (m, mu)
+        if var is not None:
+            assert abs(v - var) < 0.15 * var + 5 * sd / math.sqrt(n), (v, var)
+
+
+def test_dist_support_bounds(spark):
+    import numpy as np
+
+    from dask_array_spark.operators.random_dists import default_rng
+
+    n = 5_000
+    rng = default_rng(spark, seed=3)
+    assert np.all(rng.beta(n, 2, 2).compute() <= 1.0)
+    assert np.all(rng.power(n, 2).compute() <= 1.0)
+    assert np.all(rng.pareto(n, 3).compute() >= 0.0)
+    assert np.all(rng.geometric(n, 0.5).compute() >= 1)
+    z = rng.zipf(n, 3.0).compute()
+    assert np.all(z >= 1)
+    tri = rng.triangular(n, 1.0, 2.0, 5.0).compute()
+    assert tri.min() >= 1.0 and tri.max() <= 5.0
+
+
+def test_dist_deterministic_per_seed(spark):
+    import numpy as np
+
+    from dask_array_spark.operators.random_dists import default_rng
+
+    a = default_rng(spark, seed=5).gamma(2_000, 2.0, numparts=4).compute()
+    b = default_rng(spark, seed=5).gamma(2_000, 2.0, numparts=4).compute()
+    c = default_rng(spark, seed=6).gamma(2_000, 2.0, numparts=4).compute()
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
