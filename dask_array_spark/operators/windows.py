@@ -59,6 +59,9 @@ __all__ = [
 # two-pass / halo-block decomposition instead of one WindowExec
 SCALABLE_1D_THRESHOLD = 1 << 20
 _BLOCK_1D = 1 << 18
+# above this many block partials, the partials prefix itself recurses
+# into a second (super-block) level instead of one unpartitioned window
+_PARTIALS_WINDOW_LIMIT = 1 << 17
 
 
 def _axis_window(a: Array, axis: int, frame=None):
@@ -91,6 +94,11 @@ def _scan_1d(a: Array, kind: str, block: int = _BLOCK_1D) -> Array:
     turns them into exclusive block prefixes (P ~ n/2^20, so this
     single-partition window is metadata-sized); pass 2 is a
     block-PARTITIONED window (fully parallel) folding the prefix in.
+    When P itself exceeds _PARTIALS_WINDOW_LIMIT (axes beyond ~3e10
+    elements at the default block) the partials prefix RECURSES one
+    level: super-block partials, a tiny super-prefix window, and a
+    super-PARTITIONED window over the block partials -- no
+    single-partition window ever sees more than the limit.
     NaN propagation matches the plain scans: a NaN cell poisons every
     later position, across block boundaries too."""
     d = a.df.withColumn(
@@ -104,15 +112,57 @@ def _scan_1d(a: Array, kind: str, block: int = _BLOCK_1D) -> Array:
         F.max((v == 0).cast("int")).alias("__zero"),
         F.max(v.isNull().cast("int")).alias("__null"),
     )
-    wp = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = partials.select(
-        "__blk",
-        F.coalesce(F.sum("__s").over(wp), F.lit(0.0)).alias("__ps"),
-        F.coalesce(F.sum("__lg").over(wp), F.lit(0.0)).alias("__plg"),
-        F.coalesce(F.sum("__neg").over(wp), F.lit(0).cast("long")).alias("__pneg"),
-        F.coalesce(F.max("__zero").over(wp), F.lit(0)).alias("__pzero"),
-        F.coalesce(F.max("__null").over(wp), F.lit(0)).alias("__pnull"),
-    )
+    n = a.shape[0]
+    nblocks = None if n is None else (n + block - 1) // block
+    if nblocks is not None and nblocks > _PARTIALS_WINDOW_LIMIT:
+        sub = _PARTIALS_WINDOW_LIMIT
+        partials = partials.withColumn(
+            "__sb", F.floor(F.col("__blk") / F.lit(sub)).cast("long")
+        )
+        sp = partials.groupBy("__sb").agg(
+            F.sum("__s").alias("__ss"),
+            F.sum("__lg").alias("__slg"),
+            F.sum("__neg").alias("__sneg"),
+            F.max("__zero").alias("__szero"),
+            F.max("__null").alias("__snull"),
+        )
+        wsp = Window.orderBy("__sb").rowsBetween(Window.unboundedPreceding, -1)
+        sprefix = sp.select(
+            "__sb",
+            F.coalesce(F.sum("__ss").over(wsp), F.lit(0.0)).alias("__sps"),
+            F.coalesce(F.sum("__slg").over(wsp), F.lit(0.0)).alias("__splg"),
+            F.coalesce(F.sum("__sneg").over(wsp), F.lit(0).cast("long")).alias("__spneg"),
+            F.coalesce(F.max("__szero").over(wsp), F.lit(0)).alias("__spzero"),
+            F.coalesce(F.max("__snull").over(wsp), F.lit(0)).alias("__spnull"),
+        )
+        wp2 = Window.partitionBy("__sb").orderBy("__blk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        prefix = partials.join(sprefix, on="__sb").select(
+            "__blk",
+            (F.coalesce(F.sum("__s").over(wp2), F.lit(0.0)) + F.col("__sps")).alias("__ps"),
+            (F.coalesce(F.sum("__lg").over(wp2), F.lit(0.0)) + F.col("__splg")).alias("__plg"),
+            (
+                F.coalesce(F.sum("__neg").over(wp2), F.lit(0).cast("long"))
+                + F.col("__spneg")
+            ).alias("__pneg"),
+            F.greatest(
+                F.coalesce(F.max("__zero").over(wp2), F.lit(0)), F.col("__spzero")
+            ).alias("__pzero"),
+            F.greatest(
+                F.coalesce(F.max("__null").over(wp2), F.lit(0)), F.col("__spnull")
+            ).alias("__pnull"),
+        )
+    else:
+        wp = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+        prefix = partials.select(
+            "__blk",
+            F.coalesce(F.sum("__s").over(wp), F.lit(0.0)).alias("__ps"),
+            F.coalesce(F.sum("__lg").over(wp), F.lit(0.0)).alias("__plg"),
+            F.coalesce(F.sum("__neg").over(wp), F.lit(0).cast("long")).alias("__pneg"),
+            F.coalesce(F.max("__zero").over(wp), F.lit(0)).alias("__pzero"),
+            F.coalesce(F.max("__null").over(wp), F.lit(0)).alias("__pnull"),
+        )
     j = d.join(prefix, on="__blk")  # P rows: AQE broadcasts
     w = Window.partitionBy("__blk").orderBy("i0").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -164,10 +214,47 @@ def _push_1d(a: Array, block: int = _BLOCK_1D) -> Array:
         .groupBy("__blk")
         .agg(F.max_by(v, F.col("i0")).alias("__last"))
     )
-    wp = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = spine.join(lasts, on="__blk", how="left").select(
-        "__blk", F.last("__last", ignorenulls=True).over(wp).alias("__carry")
-    )
+    n = a.shape[0]
+    nblocks = None if n is None else (n + block - 1) // block
+    if nblocks is not None and nblocks > _PARTIALS_WINDOW_LIMIT:
+        # recursive level, same shape as _scan_1d: carry = last
+        # non-null within the super block, else the super carry
+        sub = _PARTIALS_WINDOW_LIMIT
+        sb = F.floor(F.col("__blk") / F.lit(sub)).cast("long")
+        spine2 = spine.withColumn("__sb", sb)
+        super_lasts = (
+            lasts.withColumn("__sb", sb)
+            .groupBy("__sb")
+            .agg(F.max_by("__last", F.col("__blk")).alias("__slast"))
+        )
+        wsp = Window.orderBy("__sb").rowsBetween(Window.unboundedPreceding, -1)
+        sprefix = (
+            spine2.select("__sb")
+            .distinct()
+            .join(super_lasts, on="__sb", how="left")
+            .select(
+                "__sb",
+                F.last("__slast", ignorenulls=True).over(wsp).alias("__scarry"),
+            )
+        )
+        wp2 = Window.partitionBy("__sb").orderBy("__blk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        prefix = (
+            spine2.join(lasts, on="__blk", how="left")
+            .join(sprefix, on="__sb")
+            .select(
+                "__blk",
+                F.coalesce(
+                    F.last("__last", ignorenulls=True).over(wp2), F.col("__scarry")
+                ).alias("__carry"),
+            )
+        )
+    else:
+        wp = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
+        prefix = spine.join(lasts, on="__blk", how="left").select(
+            "__blk", F.last("__last", ignorenulls=True).over(wp).alias("__carry")
+        )
     j = d.join(prefix, on="__blk")
     w = Window.partitionBy("__blk").orderBy("i0").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -183,24 +270,35 @@ def _halo_blocks(a: Array, left: int, right: int, block: int = _BLOCK_1D):
     ``__h = 1``; the caller runs an ordinary block-PARTITIONED window
     over the result (each partition sees its halo rows inside the
     frame) and keeps only ``__h = 0`` home rows -- the reference's
-    halo exchange as one union + one hash exchange, zero Python."""
+    halo exchange as one union + one hash exchange, zero Python.
+
+    Depths >= ``block`` ship to ceil(depth/block) neighboring blocks
+    (one union branch per hop), so window sizes are not silently capped
+    at the block size; each row fans out at most depth/block times,
+    which is exactly the data duplication any halo exchange pays."""
     n = a.shape[0]
     if n is None:
         raise ValueError("scalable 1-D windows need a known axis length")
-    d = a.df.withColumn(
+    last_blk = (n - 1) // block
+    base = a.df.withColumn(
         "__blk", F.floor(F.col("i0") / F.lit(block)).cast("long")
     ).withColumn("__h", F.lit(0))
+    d = base
     pos = F.col("i0") % F.lit(block)
-    if right > 0:
-        lo_rows = d.filter((pos < right) & (F.col("__blk") > 0)).withColumn(
-            "__blk", F.col("__blk") - 1
-        ).withColumn("__h", F.lit(1))
+    s = 1
+    while right - (s - 1) * block > 0:
+        lo_rows = base.filter(
+            (pos < F.lit(right - (s - 1) * block)) & (F.col("__blk") >= s)
+        ).withColumn("__blk", F.col("__blk") - s).withColumn("__h", F.lit(1))
         d = d.unionByName(lo_rows)
-    if left > 0:
-        hi_rows = d.filter(
-            (pos >= block - left) & (F.col("i0") < (n // block) * block)
-        ).withColumn("__blk", F.col("__blk") + 1).withColumn("__h", F.lit(1))
+        s += 1
+    s = 1
+    while left - (s - 1) * block > 0:
+        hi_rows = base.filter(
+            (pos >= F.lit(s * block - left)) & (F.col("__blk") + s <= last_blk)
+        ).withColumn("__blk", F.col("__blk") + s).withColumn("__h", F.lit(1))
         d = d.unionByName(hi_rows)
+        s += 1
     w = Window.partitionBy("__blk").orderBy("i0")
     return d, w
 
