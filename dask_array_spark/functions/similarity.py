@@ -60,21 +60,38 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
     """Top-k cosine neighbors for each query id: (qid, rank, vec_id,
     cos).  Deterministic ties: higher cosine first, then smaller
     vec_id.  The only broadcast is the query side (len(query_ids)
-    vectors); corpus norms ride the rows via first(nrm)."""
-    ex = _exploded(emb)
-    q = ex.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm"), "pos",
-        F.col("e").alias("qe"),
+    vectors, WHOLE arrays -- never the corpus).
+
+    The dot product is computed IN-ROW with zip_with + aggregate
+    against the broadcast query vector: the corpus is never exploded,
+    so the shuffle into the per-query top-k window carries
+    |corpus| x |queries| scalar rows instead of dim x that (the
+    round-2 plan had a posexplode before the groupBy -- ~dim x more
+    shuffle input).  The posexplode formulation survives only in the
+    DuckDB oracle replica (queries.py), which has no array fold."""
+    corpus = emb.select(
+        "vec_id",
+        F.col("embedding"),
+        _norm_col().alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        _norm_col().alias("qnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "qemb",
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     cos = (
-        ex.join(F.broadcast(q), on="pos")
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(
-            (
-                F.sum(F.col("e") * F.col("qe"))
-                / (F.first("nrm") * F.first("qnrm"))
-            ).alias("cos")
+        .select(
+            "qid", "vec_id", (dot / (F.col("nrm") * F.col("qnrm"))).alias("cos")
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
