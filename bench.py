@@ -9,11 +9,14 @@ Execution is measured with the noop sink (full distributed execution,
 no driver-side collect) -- the number is engine time, not toPandas
 transfer time.
 
-Methodology: each query executes twice and reports the MINIMUM
-(steady-state throughput).  Persisted fan-out tables are matched by
-Spark's CacheManager across plan-identical re-executions, so the
-second run reflects the warm engine exactly like a repeated production
-query would.
+Methodology: each query executes THREE times with a short settle sleep
+between queries and reports the MINIMUM (steady-state throughput),
+plus the min-max spread so the driver can see measurement noise
+(round 2's adjudication found a phantom 4.3x regression caused by
+machine load during a min-of-2 run).  Persisted fan-out tables are
+matched by Spark's CacheManager across plan-identical re-executions,
+so later runs reflect the warm engine exactly like a repeated
+production query would.
 
 The headline names are kept IDENTICAL to BENCH_r01 for round-over-round
 regression reading (the registry merged several of these into suites;
@@ -92,20 +95,25 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # steady-state methodology: two timed executions per query, keep
-    # the minimum -- measures engine throughput rather than one-off
-    # JIT/cache-population effects (each execution is a full plan +
+    # steady-state methodology: three timed executions per query, keep
+    # the minimum and report the min-max spread -- measures engine
+    # throughput rather than one-off JIT/cache-population effects or
+    # transient machine load (each execution is a full plan +
     # distributed run through the noop sink, no driver collect)
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    settle = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "0.5"))
     results: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, fn in _headline():
-        best = None
-        for _ in range(2):
+        times = []
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        results[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        results[name] = round(min(times), 3)
+        spreads[name] = round(max(times) - min(times), 3)
+        time.sleep(settle)
 
     total = round(sum(results.values()), 3)
     print(
@@ -115,6 +123,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "spread": spreads,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

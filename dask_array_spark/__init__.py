@@ -10,6 +10,7 @@ simplify/lower/fuse + Frisky tiers (SURVEY.md sections 3-4).
 
 from .core import blocks
 from .core.array import Array, VALUE_COL
+from .core.diagnostics import chunk_report, explain, plan_census
 from .operators import (
     complexes,
     creation,
@@ -63,4 +64,7 @@ __all__ = [
     "read_table",
     "to_npy_stack",
     "with_dense_index",
+    "chunk_report",
+    "explain",
+    "plan_census",
 ]

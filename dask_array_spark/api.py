@@ -13,6 +13,7 @@ from __future__ import annotations
 
 # -- collection & IO ------------------------------------------------------
 from .core.array import Array, VALUE_COL  # noqa: F401
+from .core.diagnostics import chunk_report, explain, plan_census  # noqa: F401
 from .sources.ingest import (  # noqa: F401
     densify,
     from_delayed,

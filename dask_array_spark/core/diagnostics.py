@@ -1,0 +1,127 @@
+"""Array-aware diagnostics (reference
+/root/reference/dask_array/_diagnostics.py:43 ``chunk_report``, :285
+``explain``).
+
+The reference reports how its simplify -> lower -> fuse pipeline
+rewrites the expression graph and how chunks are laid out.  Here the
+expression graph IS the Catalyst plan, so the analogues are:
+
+- ``chunk_report``: per-array metadata -- shape/dtype, the optimizer's
+  size estimate, leaf scans, and exchange (shuffle) count.  Metadata
+  only; nothing computes.
+- ``explain``: per-phase view of one array's query: logical vs
+  optimized node counts (Catalyst's simplify), a physical-operator
+  census (exchanges, joins, aggregates, windows, generates, Python
+  evals), whole-stage-codegen span count (Catalyst's fuse), and the
+  pushed-filter / read-schema lines proving scan pushdown.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from .array import Array
+
+__all__ = ["chunk_report", "explain", "plan_census"]
+
+_PHYS_OPS = (
+    "Exchange",
+    "BroadcastExchange",
+    "SortMergeJoin",
+    "BroadcastHashJoin",
+    "HashAggregate",
+    "ObjectHashAggregate",
+    "SortAggregate",
+    "Window",
+    "Sort",
+    "Generate",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "Scan parquet",
+)
+
+
+def _count_nodes(plan_str: str) -> int:
+    return sum(1 for line in plan_str.splitlines() if line.strip())
+
+
+def plan_census(df) -> dict:
+    """Operator census of the physical plan (metadata only)."""
+    qe = df._jdf.queryExecution()
+    phys = qe.executedPlan().toString()
+    counts = Counter()
+    for line in phys.splitlines():
+        for op in _PHYS_OPS:
+            # operator name at the start of the node label
+            if re.search(rf"(\+\-|\:\-|^)\s*\*?\(?\d*\)?\s*{re.escape(op)}", line):
+                counts[op] += 1
+                break
+    counts["WholeStageCodegen"] = len(set(re.findall(r"\*\((\d+)\)", phys)))
+    return dict(counts)
+
+
+def chunk_report(*arrays: Array, limit: int = 8) -> str:
+    """Layout summary across arrays (reference chunk_report,
+    _diagnostics.py:43): shape, dtype, the Catalyst size estimate of
+    the optimized plan, leaf-scan and exchange counts.  Sorted by
+    estimated size, largest first."""
+    rows = []
+    for a in arrays:
+        qe = a.df._jdf.queryExecution()
+        opt = qe.optimizedPlan()
+        try:
+            size = int(opt.stats().sizeInBytes())
+        except Exception:
+            size = -1
+        census = plan_census(a.df)
+        rows.append(
+            (
+                size,
+                a.shape,
+                a.dtype.simpleString(),
+                census.get("Scan parquet", 0),
+                census.get("Exchange", 0) + census.get("BroadcastExchange", 0),
+            )
+        )
+    rows.sort(key=lambda r: -r[0])
+    lines = [f"chunk report: {len(rows)} arrays"]
+    for size, shape, dtype, scans, exchanges in rows[:limit]:
+        sz = f"{size:,} B(est)" if size >= 0 else "unknown"
+        lines.append(
+            f"  shape={shape} dtype={dtype} ~{sz} scans={scans} exchanges={exchanges}"
+        )
+    return "\n".join(lines)
+
+
+def explain(a: Array) -> str:
+    """Phase report for one array (reference explain,
+    _diagnostics.py:285): Catalyst's analyzed -> optimized node delta
+    (its simplify), the physical operator census, codegen span count
+    (its fuse), and the scan pushdown evidence.  Metadata only."""
+    qe = a.df._jdf.queryExecution()
+    analyzed = qe.analyzed().toString()
+    optimized = qe.optimizedPlan().toString()
+    formatted = a.df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    phys = qe.explainString(formatted)
+    census = plan_census(a.df)
+
+    lines = [
+        f"Array<shape={a.shape}, dtype={a.dtype.simpleString()}>",
+        f"logical nodes: analyzed={_count_nodes(analyzed)} "
+        f"optimized={_count_nodes(optimized)} "
+        f"(delta={_count_nodes(analyzed) - _count_nodes(optimized)})",
+        "physical census: "
+        + ", ".join(f"{k}={v}" for k, v in sorted(census.items()) if v),
+    ]
+    pushed = [
+        l.strip() for l in phys.splitlines()
+        if "PushedFilters" in l or "ReadSchema" in l
+    ]
+    if pushed:
+        lines.append("scan pushdown:")
+        lines.extend(f"  {p}" for p in pushed[:8])
+    return "\n".join(lines)
