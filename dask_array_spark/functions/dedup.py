@@ -82,19 +82,30 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
 
 def minhash_signatures(shingles: DataFrame, k: int = 16) -> DataFrame:
     """(doc_id, sig_id, sig): sig = min over shingles of the affine
-    hash family.  Cross join with the tiny sig_id range broadcasts; the
-    groupBy partial-aggregates map-side (reference tree-reduction
-    analogue, SURVEY.md section 2.5)."""
-    spark = shingles.sparkSession
-    sig_ids = spark.range(k).select(F.col("id").alias("sig_id"))
-    h = (
-        (F.lit(A_MUL) * (F.col("sig_id") + 1) % F.lit(P)) * F.col("sh")
-        + F.lit(B_ADD) * (F.col("sig_id") + 1)
-    ) % F.lit(P)
-    return (
-        shingles.crossJoin(F.broadcast(sig_ids))
-        .groupBy("doc_id", "sig_id")
-        .agg(F.min(h).alias("sig"))
+    hash family.
+
+    All ``k`` mins compute in ONE partial-aggregated groupBy over the
+    shingle rows (one MIN expression per hash function), then unpivot
+    with ``stack`` -- the shuffle carries one row of k columns per
+    document instead of k times the shingle rows (the round-2 plan
+    cross-joined a sig_id range before aggregating: same result, k x
+    the aggregation input).  Reference tree-reduction analogue,
+    SURVEY.md section 2.5."""
+    aggs = []
+    for i in range(k):
+        # fold the affine constants in PYTHON (arbitrary precision):
+        # int32 literals would silently wrap (B_ADD * 16 > 2^31) in the
+        # engine's non-ANSI session
+        a_i = A_MUL * (i + 1) % P
+        b_i = B_ADD * (i + 1)
+        h = (
+            F.lit(a_i).cast("long") * F.col("sh") + F.lit(b_i).cast("long")
+        ) % F.lit(P)
+        aggs.append(F.min(h).alias(f"__s{i}"))
+    wide = shingles.groupBy("doc_id").agg(*aggs)
+    stack = ", ".join(f"{i}L, __s{i}" for i in range(k))
+    return wide.selectExpr(
+        "doc_id", f"stack({k}, {stack}) AS (sig_id, sig)"
     )
 
 

@@ -188,30 +188,32 @@ def ivf_assign(emb: DataFrame, n_cells: int = 4) -> DataFrame:
     k-means codebook -- in production the codebook is trained offline
     and broadcast exactly the same way).  Returns (vec_id, cell).
 
-    Scale shape: the centroid side is tiny and broadcast; the corpus
-    streams through one partial-aggregated dot-product groupBy with
-    its norm inline -- the corpus is never shuffled by pair and never
-    broadcast."""
-    ex = _exploded(emb)
-    cents = ex.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("nrm").alias("cnrm"),
-        "pos", F.col("e").alias("ce"),
+    Scale shape: the centroid side is tiny and broadcast (whole
+    arrays); the corpus is never exploded -- each dot product folds
+    in-row with zip_with + aggregate, and the nearest-cell argmax is a
+    partial-aggregated max_by.  The corpus is never shuffled by pair
+    and never broadcast."""
+    corpus = emb.select("vec_id", "embedding", _norm_col().alias("nrm"))
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cemb"),
+        _norm_col().alias("cnrm"),
     )
-    cos = (
-        ex.join(F.broadcast(cents), on="pos")
-        .groupBy("vec_id", "cell")
-        .agg(
-            (
-                F.sum(F.col("e") * F.col("ce"))
-                / (F.first("nrm") * F.first("cnrm"))
-            ).alias("c")
-        )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "cemb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("cell").asc())
-    return (
-        cos.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") == 1)
-        .select("vec_id", F.col("cell").cast("long").alias("cell"))
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cell", (dot / (F.col("nrm") * F.col("cnrm"))).alias("c")
+    )
+    # argmax with deterministic ties (higher cosine, then smaller cell)
+    return scored.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("c"), (-F.col("cell")).alias("nc")))
+        .cast("long")
+        .alias("cell")
     )
 
 
@@ -227,28 +229,29 @@ def ivf_topk(
     candidate generation touches ~n_probe/n_cells of the corpus
     instead of all of it).  Output (qid, rank, vec_id, cos), ranked by
     exact cosine among candidates, ties -> smaller vec_id.  Broadcast
-    hints only on the query / centroid / probe sides; candidate norms
-    ride the candidate rows."""
+    hints only on the query / centroid / probe sides; candidate
+    arrays and norms ride the candidate rows -- no explode anywhere
+    (in-row zip_with dot products, like cosine_topk)."""
     assign = ivf_assign(emb, n_cells)
-    ex = _exploded(emb)
+    corpus = emb.select("vec_id", "embedding", _norm_col().alias("nrm"))
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cemb"),
+        _norm_col().alias("cnrm"),
+    )
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        _norm_col().alias("qnrm"),
+    )
     # probe cells per query: rank centroids by cosine to the query
-    cents = ex.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"), F.col("nrm").alias("cnrm"),
-        "pos", F.col("e").alias("ce"),
+    cdot = F.aggregate(
+        F.zip_with("qemb", "cemb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    q = ex.filter(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("qid"), F.col("nrm").alias("qnrm"),
-        "pos", F.col("e").alias("qe"),
-    )
-    csim = (
-        q.join(F.broadcast(cents), on="pos")
-        .groupBy("qid", "cell")
-        .agg(
-            (
-                F.sum(F.col("qe") * F.col("ce"))
-                / (F.first("cnrm") * F.first("qnrm"))
-            ).alias("c")
-        )
+    csim = q.crossJoin(F.broadcast(cents)).select(
+        "qid", "cell", (cdot / (F.col("cnrm") * F.col("qnrm"))).alias("c")
     )
     wp = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cell").asc())
     probes = (
@@ -258,16 +261,19 @@ def ivf_topk(
     )
     # candidates: corpus vectors living in a probed cell
     cand = assign.join(F.broadcast(probes), on="cell").select("qid", "vec_id")
-    cx = ex.join(cand, on="vec_id")  # (qid, vec_id, nrm, pos, e) candidate rows
+    qdot = F.aggregate(
+        F.zip_with(
+            "embedding", "qemb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     cos = (
-        cx.join(F.broadcast(q), on=["qid", "pos"])
+        corpus.join(cand, on="vec_id")
+        .join(F.broadcast(q), on="qid")
         .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg(
-            (
-                F.sum(F.col("e") * F.col("qe"))
-                / (F.first("nrm") * F.first("qnrm"))
-            ).alias("cos")
+        .select(
+            "qid", "vec_id", (qdot / (F.col("nrm") * F.col("qnrm"))).alias("cos")
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())

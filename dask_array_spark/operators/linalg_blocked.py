@@ -44,7 +44,28 @@ __all__ = [
 
 DEFAULT_NB = 1024
 
+# The wavefront EXECUTES eagerly (each step materializes), so refuse
+# absurd factorizations up front instead of launching a K^2-tile job
+# storm: 2^31 cells = a 46k x 46k dense factor (~17 GB of tiles) --
+# far beyond what a dense O(n^3) factorization is for.  Overridable
+# per call for genuinely large clusters.
+MAX_WAVEFRONT_CELLS = 1 << 31
+
 _BLOCK_SCHEMA = "bi long, bj long, data binary"
+
+
+def _check_size(a: Array, max_cells: int | None) -> None:
+    limit = MAX_WAVEFRONT_CELLS if max_cells is None else max_cells
+    n, m = a.shape
+    if n is None or m is None:
+        raise ValueError("blocked factorizations need a known shape")
+    if n * m > limit:
+        raise ValueError(
+            f"blocked wavefront got {n * m} cells (> {limit}); dense "
+            "O(n^3) factorization at this size is not what you want -- "
+            "use lstsq/tsqr/svd for tall problems, or raise max_cells "
+            "explicitly"
+        )
 
 
 def _nrows(n: int, nb: int, b: int) -> int:
@@ -205,7 +226,7 @@ def _np_lu(a: np.ndarray):
 # ---------------------------------------------------------------------------
 
 
-def cholesky_blocked(a: Array, nb: int | None = None) -> Array:
+def cholesky_blocked(a: Array, nb: int | None = None, max_cells: int | None = None) -> Array:
     """Lower Cholesky factor via the right-looking block wavefront
     (reference linalg/_cholesky.py:27-214):
 
@@ -214,6 +235,7 @@ def cholesky_blocked(a: Array, nb: int | None = None) -> Array:
 
     One driver step per block column; within a step the panel rows
     solve in parallel against the broadcast diagonal factor."""
+    _check_size(a, max_cells)
     n = a.shape[0]
     nb = nb or min(DEFAULT_NB, n)
     K = math.ceil(n / nb)
@@ -318,7 +340,7 @@ def cholesky_blocked(a: Array, nb: int | None = None) -> Array:
 # ---------------------------------------------------------------------------
 
 
-def lu_blocked(a: Array, nb: int | None = None):
+def lu_blocked(a: Array, nb: int | None = None, max_cells: int | None = None):
     """Blocked LU with tile-local partial pivoting (reference
     linalg/_lu.py:27-265 -- pivoting never crosses block rows, exactly
     the reference's semantics).  Returns (P, L, U) Arrays with
@@ -330,6 +352,7 @@ def lu_blocked(a: Array, nb: int | None = None):
         LU*[k][i] = (U[i][i]^-T tv[k][i]^T)^T                  (k > i)
         U[i][j] = L[i][i]^-1 P_i^T (A[i][j] - sum_p LU*[i][p] @ U[p][j])
     """
+    _check_size(a, max_cells)
     n = a.shape[0]
     nb = nb or min(DEFAULT_NB, n)
     K = math.ceil(n / nb)
@@ -662,11 +685,12 @@ def solve_triangular_blocked(a: Array, b: Array, lower: bool = False, nb: int | 
         bb.unpersist()
 
 
-def solve_blocked(a: Array, b: Array, assume_a: str = "gen", nb: int | None = None) -> Array:
+def solve_blocked(a: Array, b: Array, assume_a: str = "gen", nb: int | None = None, max_cells: int | None = None) -> Array:
     """solve(A, b) via blocked LU (gen) or blocked Cholesky (pos) plus
     two blocked substitutions (reference linalg/_solve.py:163-224).
     Everything stays on executors; the driver only sequences the K
     wavefront steps."""
+    _check_size(a, max_cells)
     n = a.shape[0]
     nb = nb or min(DEFAULT_NB, n)
     m = b.shape[1] if b.ndim == 2 else 1
@@ -732,11 +756,12 @@ def solve_blocked(a: Array, b: Array, assume_a: str = "gen", nb: int | None = No
         bb.unpersist()
 
 
-def inv_blocked(a: Array, nb: int | None = None) -> Array:
+def inv_blocked(a: Array, nb: int | None = None, max_cells: int | None = None) -> Array:
     """inv(A) = solve(A, I) with a distributed identity RHS (reference
     linalg/_solve.py inv).  The inverse is a dense n x n output, so this
     tier is for matrices whose SQUARE fits the cluster comfortably --
     exactly the reference's contract."""
+    _check_size(a, max_cells)
     n = a.shape[0]
     spark = a.spark
     eye = Array(

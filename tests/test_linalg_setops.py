@@ -193,7 +193,9 @@ def test_tsqr_unknown_rowcount(spark):
 
 
 def test_incore_tier_size_guard(spark):
-    """solve/inv/cholesky refuse to collect huge operands."""
+    """The factor wavefront executes eagerly, so solve/inv/cholesky/lu
+    refuse absurd dense factorizations up front (the old in-core tier
+    refused to collect; the blocked tier refuses to launch)."""
     import pytest as _pytest
 
     from dask_array_spark.core.array import Array
@@ -201,8 +203,9 @@ def test_incore_tier_size_guard(spark):
 
     big = Array(spark.range(1).selectExpr("id AS i0", "id AS i1", "1.0 AS v"),
                 (100_000, 100_000))
-    with _pytest.raises(ValueError, match="in-core linalg tier"):
-        linalg.inv(big)
+    for fn in (linalg.inv, linalg.cholesky, linalg.lu):
+        with _pytest.raises(ValueError, match="blocked wavefront"):
+            fn(big)
 
 
 def test_svd_compressed_low_rank_recovery(spark):
