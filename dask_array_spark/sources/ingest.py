@@ -358,26 +358,42 @@ def from_map(
     generic parallel-ingest primitive).  Each value ships pickled to
     an executor; ``func(value) -> 1-D ndarray`` materializes its block
     there, so blocks never transit the driver.  Block lengths come
-    from ``block_lengths`` (per block), ``block_len`` (uniform), or a
-    driver-side probe of ``func(values[0])`` -- note the probe runs
-    ``func`` on the DRIVER (and the first block then runs again on an
-    executor); pass an explicit length when ``func`` is expensive or
-    must only execute on executors."""
+    from ``block_lengths`` (per block), ``block_len`` (uniform), or --
+    when neither is given -- a COUNT pass that runs ``func`` on
+    executors and collects only the metadata-sized (block, length)
+    rows; ``func`` then runs a second time for the data pass, still
+    only on executors.  Pass an explicit length when ``func`` is
+    expensive enough that two executor passes matter."""
     import pickle
 
     vals = list(values)
     if not vals:
         raise ValueError("from_map needs at least one input value")
-    if block_lengths is None:
-        if block_len is None:
-            block_len = int(np.asarray(func(vals[0])).shape[0])
-        block_lengths = [block_len] * len(vals)
-    offsets = np.concatenate([[0], np.cumsum(block_lengths)]).astype("int64")
-    rows = [(i, bytearray(pickle.dumps(v)), int(offsets[i])) for i, v in enumerate(vals)]
+    rows = [(i, bytearray(pickle.dumps(v))) for i, v in enumerate(vals)]
     sc_par = spark.sparkContext.defaultParallelism
-    d = spark.createDataFrame(rows, "bid long, pv binary, off long").repartition(
+    base = spark.createDataFrame(rows, "bid long, pv binary").repartition(
         min(len(vals), sc_par), "bid"
     )
+    if block_lengths is None and block_len is None:
+        def count_gen(it):
+            import pandas as pd
+
+            for pdf in it:
+                for bid, pv in zip(pdf["bid"], pdf["pv"]):
+                    n = int(np.asarray(func(pickle.loads(bytes(pv)))).shape[0])
+                    yield pd.DataFrame({"bid": [int(bid)], "n": [n]})
+
+        counts = dict(
+            base.mapInPandas(count_gen, schema="bid long, n long").collect()
+        )
+        block_lengths = [counts[i] for i in range(len(vals))]
+    elif block_lengths is None:
+        block_lengths = [block_len] * len(vals)
+    offsets = np.concatenate([[0], np.cumsum(block_lengths)]).astype("int64")
+    off_df = spark.createDataFrame(
+        [(i, int(offsets[i])) for i in range(len(vals))], "bid long, off long"
+    )
+    d = base.join(F.broadcast(off_df), on="bid")
 
     def gen(it):
         import pandas as pd
@@ -395,8 +411,10 @@ def from_map(
 
 def from_delayed(spark: SparkSession, thunk, length: int | None = None) -> Array:
     """1-block array from a lazy zero-argument thunk (reference
-    io/_from_delayed.py:15): the thunk executes on an EXECUTOR via the
-    same shipping path as ``from_map``."""
+    io/_from_delayed.py:15): the thunk executes ONLY on executors via
+    the same shipping path as ``from_map`` -- with ``length=None``
+    that means twice (count pass + data pass); pass ``length`` to run
+    it once."""
     return from_map(
         spark,
         lambda _: thunk(),

@@ -306,3 +306,30 @@ def test_zarr_blosc_zlib_chunks(spark, tmp_path):
         open(url + "/1", "wb").write(hdr + payload)
         back = from_zarr(spark, url)
         np.testing.assert_array_equal(back.compute(), data)
+
+
+def test_from_map_lengths_derived_on_executors(spark):
+    """With no explicit length, the count pass derives block lengths on
+    EXECUTORS -- func never runs on the driver (TaskContext is None
+    only there)."""
+    from dask_array_spark.sources import from_delayed, from_map
+
+    def blk(j):
+        from pyspark import TaskContext
+
+        assert TaskContext.get() is not None, "ran on the driver"
+        return np.full(3 + j, float(j))
+
+    out = from_map(spark, blk, [0, 1, 2])
+    got = out.compute()
+    want = np.concatenate([np.full(3 + j, float(j)) for j in range(3)])
+    np.testing.assert_allclose(got, want)
+
+    def thunk():
+        from pyspark import TaskContext
+
+        assert TaskContext.get() is not None, "ran on the driver"
+        return np.full(7, 4.0)
+
+    lazy = from_delayed(spark, thunk)
+    np.testing.assert_allclose(lazy.compute(), np.full(7, 4.0))
