@@ -478,7 +478,9 @@ def _blosc_decompress(raw: bytes) -> bytes:
     Capability matrix (cname -> support):
     - any cname with the memcpy flag (incompressible data): native
     - zlib: native (stdlib), byte-shuffle undone in NumPy
-    - lz4/lz4hc: via the ``lz4`` package if importable
+    - lz4/lz4hc: the ``lz4`` package when importable, else the
+      dependency-free block decoder in sources/codecs.py (works on
+      executors, conformance-tested against Spark's own lz4-java)
     - zstd: via the ``zstandard`` package if importable
     - blosclz, snappy, bit-shuffle: NotImplementedError
     """
@@ -499,11 +501,12 @@ def _blosc_decompress(raw: bytes) -> bytes:
     if cname_code == 1:
         try:
             from lz4 import block as _lz4block
-        except ImportError as e:
-            raise NotImplementedError(
-                "blosc+lz4 chunks need the 'lz4' package"
-            ) from e
-        dec = lambda b, n: _lz4block.decompress(b, uncompressed_size=n)
+
+            dec = lambda b, n: _lz4block.decompress(b, uncompressed_size=n)
+        except ImportError:
+            from .codecs import lz4_block_decompress
+
+            dec = lz4_block_decompress
     elif cname_code == 3:
         dec = lambda b, n: zlib.decompress(b)
     elif cname_code == 4:
