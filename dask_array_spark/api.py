@@ -29,6 +29,8 @@ from .sources.ingest import (  # noqa: F401
     to_npy_stack,
     with_dense_index,
 )
+from .sources.hdf5 import from_hdf5, h5_ls, to_hdf5  # noqa: F401
+from .sources.ingest import from_zarr, to_zarr  # noqa: F401
 
 from_array = from_numpy  # reference spelling for in-memory sources
 

@@ -1,0 +1,914 @@
+"""HDF5 connector without h5py (reference io/_store.py:331 to_hdf5;
+reading mirrors the reference's from_array-over-h5py-dataset entry).
+
+The container environment ships no HDF5 library, so this speaks the
+public HDF5 File Format Specification (v3) directly, the same way the
+zarr connector speaks the zarr v2 spec:
+
+- **Driver** touches only metadata: superblock -> group traversal ->
+  dataset object header -> chunk index.  That is exactly the part of
+  an HDF5 file that is metadata-sized; the chunk/slab table it
+  produces is a small DataFrame.
+- **Executors** read raw byte ranges of the file in parallel and
+  decode them (deflate via stdlib zlib, byte-shuffle via NumPy) --
+  blocks never transit the driver, so a 100 TB dataset reads with the
+  same shape as the parquet/zarr paths.
+- **Writes** preallocate the file on the driver (metadata +
+  contiguous data extents), then executors pwrite their row slabs at
+  computed offsets -- the standard parallel-HDF5 pattern (requires a
+  shared filesystem, like any single-file parallel writer).
+
+Reader capability matrix (gated with NotImplementedError elsewhere):
+superblock v0/v1/v2/v3; object headers v1/v2; groups via v1 symbol
+tables and v2 link messages (compact links; dense fractal-heap link
+storage is gated); dataspace v1/v2; fixed-point and IEEE-float
+little-endian datatypes; data layout v3 contiguous + chunked (v1
+B-tree index) and v4 single-chunk/implicit; filters: deflate,
+shuffle, fletcher32 (checksum stripped, not verified).
+
+Writer emits superblock v0 + v1 object headers + v1 symbol-table
+groups (the most widely readable profile -- no checksums in any
+structure), contiguous little-endian float64 datasets, NaN fill.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+from ..core.array import VALUE_COL, Array
+
+__all__ = ["from_hdf5", "to_hdf5", "h5_ls"]
+
+_SIG = b"\x89HDF\r\n\x1a\n"
+_UNDEF = 0xFFFFFFFFFFFFFFFF
+
+# target bytes per executor read task (slab split of contiguous data)
+_SLAB_BYTES = 32 << 20
+
+
+# ---------------------------------------------------------------------------
+# low-level reader (driver side, metadata only)
+# ---------------------------------------------------------------------------
+
+
+class _Reader:
+    def __init__(self, path: str):
+        self.f = open(path, "rb")
+        self.path = path
+        self._find_superblock()
+
+    def close(self):
+        self.f.close()
+
+    def _read(self, addr: int, n: int) -> bytes:
+        self.f.seek(addr)
+        b = self.f.read(n)
+        if len(b) < n:
+            raise ValueError(f"truncated HDF5 file at {addr}+{n}")
+        return b
+
+    def _find_superblock(self):
+        off = 0
+        while True:
+            self.f.seek(off)
+            if self.f.read(8) == _SIG:
+                break
+            off = 512 if off == 0 else off * 2
+            if off > (1 << 26):
+                raise ValueError("not an HDF5 file (no superblock signature)")
+        self.base = off
+        ver = self._read(off + 8, 1)[0]
+        if ver in (0, 1):
+            self.off_size = self._read(off + 13, 1)[0]
+            self.len_size = self._read(off + 14, 1)[0]
+            if (self.off_size, self.len_size) != (8, 8):
+                raise NotImplementedError(
+                    f"only 8-byte offsets/lengths supported "
+                    f"(file has {self.off_size}/{self.len_size})"
+                )
+            pos = off + 24 + (4 if ver == 1 else 0)
+            (self.base_addr, _fs, self.eof, _drv) = struct.unpack(
+                "<QQQQ", self._read(pos, 32)
+            )
+            # root group symbol table entry follows
+            st = self._read(pos + 32, 40)
+            self.root_oh = struct.unpack_from("<Q", st, 8)[0]
+        elif ver in (2, 3):
+            b = self._read(off + 9, 3)
+            self.off_size, self.len_size = b[0], b[1]
+            if (self.off_size, self.len_size) != (8, 8):
+                raise NotImplementedError("only 8-byte offsets/lengths supported")
+            (self.base_addr, _ext, self.eof, self.root_oh) = struct.unpack(
+                "<QQQQ", self._read(off + 12, 32)
+            )
+        else:
+            raise NotImplementedError(f"superblock version {ver}")
+
+    # -- object headers ----------------------------------------------------
+
+    def messages(self, addr: int) -> list[tuple[int, bytes]]:
+        """All (type, body) messages of the object header at addr,
+        following continuations, v1 and v2 formats."""
+        head = self._read(addr, 4)
+        if head == b"OHDR":
+            return self._messages_v2(addr)
+        return self._messages_v1(addr)
+
+    def _messages_v1(self, addr: int):
+        ver, _r, nmsg, _refs, hsize = struct.unpack("<BBHIi", self._read(addr, 12))
+        if ver != 1:
+            raise NotImplementedError(f"object header version {ver}")
+        out: list[tuple[int, bytes]] = []
+        blocks = [(addr + 16, hsize)]
+        while blocks and len(out) < nmsg:
+            pos, remaining = blocks.pop(0)
+            while remaining >= 8 and len(out) < nmsg:
+                mtype, msize, _fl = struct.unpack("<HHB", self._read(pos, 5))
+                body = self._read(pos + 8, msize)
+                pos += 8 + msize
+                remaining -= 8 + msize
+                if mtype == 0x0010:  # continuation (counts as a message)
+                    coff, clen = struct.unpack("<QQ", body[:16])
+                    blocks.append((coff, clen))
+                out.append((mtype, body))
+        return [(t, b) for t, b in out if t != 0x0010]
+
+    def _messages_v2(self, addr: int):
+        flags = self._read(addr, 6)[5]
+        pos = addr + 6
+        if flags & 0x20:
+            pos += 16  # timestamps
+        if flags & 0x10:
+            pos += 4  # max compact / min dense
+        size_bytes = 1 << (flags & 0x3)
+        chunk0 = int.from_bytes(self._read(pos, size_bytes), "little")
+        pos += size_bytes
+        out: list[tuple[int, bytes]] = []
+        cont: list[tuple[int, int]] = [(pos, chunk0)]
+        hdr_extra = 2 if flags & 0x04 else 0  # creation-order field
+        while cont:
+            cpos, clen = cont.pop(0)
+            end = cpos + clen
+            p = cpos
+            while p + 4 + hdr_extra <= end:
+                mtype = self._read(p, 1)[0]
+                msize = struct.unpack("<H", self._read(p + 1, 2))[0]
+                body = self._read(p + 4 + hdr_extra, msize)
+                p += 4 + hdr_extra + msize
+                if mtype == 0x10:
+                    coff, clen2 = struct.unpack("<QQ", body[:16])
+                    # continuation block: OCHK signature + messages + checksum
+                    cont.append((coff + 4, clen2 - 8))
+                else:
+                    out.append((mtype, body))
+        return out
+
+    # -- group traversal ---------------------------------------------------
+
+    def _heap_name(self, heap_addr: int, off: int) -> str:
+        sig, ver = self._read(heap_addr, 4), self._read(heap_addr + 4, 1)[0]
+        if sig != b"HEAP" or ver != 0:
+            raise ValueError("bad local heap")
+        _size, _free, data_addr = struct.unpack("<QQQ", self._read(heap_addr + 8, 24))
+        out = bytearray()
+        pos = data_addr + off
+        while True:
+            self.f.seek(pos)
+            chunk = self.f.read(64)  # may be short at EOF
+            if not chunk:
+                break
+            if b"\x00" in chunk:
+                out += chunk[: chunk.index(b"\x00")]
+                break
+            out += chunk
+            pos += 64
+        return out.decode()
+
+    def _walk_group_btree(self, node_addr: int, heap_addr: int, out: dict):
+        sig = self._read(node_addr, 4)
+        if sig != b"TREE":
+            raise ValueError("bad group B-tree node")
+        ntype, level, nent = struct.unpack("<BBH", self._read(node_addr + 4, 4))
+        if ntype != 0:
+            raise ValueError("expected group B-tree")
+        pos = node_addr + 24  # skip siblings
+        # key0 child0 key1 ... child_{n-1} key_n ; group keys are 8 bytes
+        for i in range(nent):
+            child = struct.unpack("<Q", self._read(pos + 8 + i * 16, 8))[0]
+            if level > 0:
+                self._walk_group_btree(child, heap_addr, out)
+            else:
+                self._read_snod(child, heap_addr, out)
+
+    def _read_snod(self, addr: int, heap_addr: int, out: dict):
+        sig = self._read(addr, 4)
+        if sig != b"SNOD":
+            raise ValueError("bad symbol table node")
+        nsym = struct.unpack("<H", self._read(addr + 6, 2))[0]
+        for i in range(nsym):
+            ent = self._read(addr + 8 + i * 40, 40)
+            name_off, oh_addr = struct.unpack_from("<QQ", ent, 0)
+            out[self._heap_name(heap_addr, name_off)] = oh_addr
+
+    def group_links(self, oh_addr: int) -> dict[str, int]:
+        """name -> object header address for the group at oh_addr."""
+        links: dict[str, int] = {}
+        for mtype, body in self.messages(oh_addr):
+            if mtype == 0x0011:  # symbol table (v1 groups)
+                btree, heap = struct.unpack("<QQ", body[:16])
+                self._walk_group_btree(btree, heap, links)
+            elif mtype == 0x0006:  # link message (v2 compact groups)
+                name, addr = self._parse_link(body)
+                if addr is not None:
+                    links[name] = addr
+            elif mtype == 0x0002:  # link info
+                flags = body[1]
+                p = 2 + (8 if flags & 1 else 0)
+                fheap = struct.unpack_from("<Q", body, p)[0]
+                if fheap != _UNDEF:
+                    raise NotImplementedError(
+                        "dense (fractal-heap) link storage not supported"
+                    )
+        return links
+
+    def _parse_link(self, body: bytes):
+        ver, flags = body[0], body[1]
+        if ver != 1:
+            raise NotImplementedError(f"link message version {ver}")
+        p = 2
+        ltype = 0
+        if flags & 0x08:
+            ltype = body[p]
+            p += 1
+        if flags & 0x04:
+            p += 8  # creation order
+        if flags & 0x10:
+            p += 1  # charset
+        lsize = 1 << (flags & 0x3)
+        nlen = int.from_bytes(body[p : p + lsize], "little")
+        p += lsize
+        name = body[p : p + nlen].decode()
+        p += nlen
+        if ltype != 0:
+            return name, None  # soft/external links ignored
+        return name, struct.unpack_from("<Q", body, p)[0]
+
+    def resolve(self, path: str) -> int:
+        addr = self.root_oh
+        for part in path.strip("/").split("/"):
+            if not part:
+                continue
+            links = self.group_links(addr)
+            if part not in links:
+                raise KeyError(
+                    f"no object {part!r} under this group "
+                    f"(has: {sorted(links)})"
+                )
+            addr = links[part]
+        return addr
+
+    # -- dataset metadata --------------------------------------------------
+
+    def dataset_info(self, oh_addr: int) -> dict:
+        info: dict = {"filters": [], "fill": None}
+        for mtype, body in self.messages(oh_addr):
+            if mtype == 0x0001:
+                info["shape"] = self._parse_dataspace(body)
+            elif mtype == 0x0003:
+                info["dtype"] = self._parse_datatype(body)
+            elif mtype == 0x0005:
+                info["fill"] = self._parse_fill(body)
+            elif mtype == 0x0008:
+                info.update(self._parse_layout(body))
+            elif mtype == 0x000B:
+                info["filters"] = self._parse_filters(body)
+            elif mtype == 0x0011:
+                raise ValueError("object is a group, not a dataset")
+        if "shape" not in info or "dtype" not in info:
+            raise ValueError("object lacks dataspace/datatype (not a dataset?)")
+        return info
+
+    def _parse_dataspace(self, body: bytes):
+        ver = body[0]
+        if ver == 1:
+            ndim, flags = body[1], body[2]
+            p = 8
+        elif ver == 2:
+            ndim, flags = body[1], body[2]
+            p = 4
+        else:
+            raise NotImplementedError(f"dataspace version {ver}")
+        return tuple(
+            struct.unpack_from("<Q", body, p + 8 * k)[0] for k in range(ndim)
+        )
+
+    def _parse_datatype(self, body: bytes):
+        cls_ver = body[0]
+        cls, ver = cls_ver & 0x0F, cls_ver >> 4
+        bits = body[1:4]
+        (size,) = struct.unpack_from("<I", body, 4)
+        if bits[0] & 0x01:
+            raise NotImplementedError("big-endian datatypes not supported")
+        if cls == 0:  # fixed point
+            signed = bool(bits[0] & 0x08)
+            return np.dtype(f"<{'i' if signed else 'u'}{size}")
+        if cls == 1:  # float
+            if size not in (4, 8):
+                raise NotImplementedError(f"float size {size}")
+            return np.dtype(f"<f{size}")
+        raise NotImplementedError(f"datatype class {cls} (only int/float)")
+
+    def _parse_fill(self, body: bytes):
+        ver = body[0]
+        if ver in (1, 2):
+            defined = body[3]
+            if ver == 1 or defined:
+                (n,) = struct.unpack_from("<I", body, 4)
+                return body[8 : 8 + n] if n else None
+            return None
+        if ver == 3:
+            flags = body[1]
+            if flags & 0x20:
+                (n,) = struct.unpack_from("<I", body, 2)
+                return body[6 : 6 + n] if n else None
+            return None
+        raise NotImplementedError(f"fill value message version {ver}")
+
+    def _parse_layout(self, body: bytes):
+        ver = body[0]
+        if ver == 3:
+            cls = body[1]
+            if cls == 0:  # compact
+                (n,) = struct.unpack_from("<H", body, 2)
+                return {"layout": "compact", "data": body[4 : 4 + n]}
+            if cls == 1:
+                addr, size = struct.unpack_from("<QQ", body, 2)
+                return {"layout": "contiguous", "addr": addr, "nbytes": size}
+            if cls == 2:
+                ndimp1 = body[2]
+                (btree,) = struct.unpack_from("<Q", body, 3)
+                dims = struct.unpack_from(f"<{ndimp1}I", body, 11)
+                return {
+                    "layout": "chunked",
+                    "btree": btree,
+                    "chunks": tuple(dims[:-1]),
+                    "elem_size": dims[-1],
+                }
+            raise NotImplementedError(f"layout class {cls}")
+        if ver == 4:
+            cls = body[1]
+            if cls != 2:
+                raise NotImplementedError("layout v4 only supported for chunked")
+            flags, ndims, enc = body[2], body[3], body[4]
+            p = 5
+            dims = []
+            for _ in range(ndims):
+                dims.append(int.from_bytes(body[p : p + enc], "little"))
+                p += enc
+            index_type = body[p]
+            p += 1
+            if index_type == 1:  # single chunk
+                if flags & 0x02:  # filtered single chunk: size + mask first
+                    fsize = int.from_bytes(body[p : p + 8], "little")
+                    p += 8
+                    p += 4  # filter mask
+                    (addr,) = struct.unpack_from("<Q", body, p)
+                    return {
+                        "layout": "chunked_single",
+                        "addr": addr,
+                        "chunk_stored": fsize,
+                        "chunks": tuple(dims),
+                    }
+                (addr,) = struct.unpack_from("<Q", body, p)
+                return {
+                    "layout": "chunked_single",
+                    "addr": addr,
+                    "chunk_stored": None,
+                    "chunks": tuple(dims),
+                }
+            if index_type == 2:  # implicit: chunks packed at addr in order
+                (addr,) = struct.unpack_from("<Q", body, p)
+                return {
+                    "layout": "chunked_implicit",
+                    "addr": addr,
+                    "chunks": tuple(dims),
+                }
+            raise NotImplementedError(
+                f"layout v4 chunk index type {index_type} (fixed/extensible "
+                "array and v2 B-tree indexes not supported)"
+            )
+        raise NotImplementedError(f"layout message version {ver}")
+
+    def _parse_filters(self, body: bytes):
+        ver = body[0]
+        out = []
+        n = body[1]
+        p = 8 if ver == 1 else 2
+        for _ in range(n):
+            (fid,) = struct.unpack_from("<H", body, p)
+            p += 2
+            namelen = 0
+            if ver == 1 or fid >= 256:
+                (namelen,) = struct.unpack_from("<H", body, p)
+                p += 2
+            p += 2  # flags
+            (ncd,) = struct.unpack_from("<H", body, p)
+            p += 2
+            if ver == 1:
+                namelen = (namelen + 7) // 8 * 8
+            p += namelen
+            cd = struct.unpack_from(f"<{ncd}I", body, p)
+            p += 4 * ncd
+            if ver == 1 and ncd % 2 == 1:
+                p += 4
+            out.append((fid, tuple(cd)))
+        return out
+
+    def chunk_table(self, btree_addr: int, ndim: int):
+        """[(addr, stored_nbytes, coords...)] from a v1 chunk B-tree."""
+        out: list[tuple] = []
+        self._walk_chunk_btree(btree_addr, ndim, out)
+        return out
+
+    def _walk_chunk_btree(self, addr: int, ndim: int, out: list):
+        if addr == _UNDEF:
+            return
+        sig = self._read(addr, 4)
+        if sig != b"TREE":
+            raise ValueError("bad chunk B-tree node")
+        ntype, level, nent = struct.unpack("<BBH", self._read(addr + 4, 4))
+        if ntype != 1:
+            raise ValueError("expected raw-data chunk B-tree")
+        key_size = 8 + 8 * (ndim + 1)
+        pos = addr + 24
+        for i in range(nent):
+            key = self._read(pos + i * (key_size + 8), key_size)
+            child = struct.unpack(
+                "<Q", self._read(pos + i * (key_size + 8) + key_size, 8)
+            )[0]
+            if level > 0:
+                self._walk_chunk_btree(child, ndim, out)
+            else:
+                nbytes, _mask = struct.unpack_from("<II", key, 0)
+                coords = struct.unpack_from(f"<{ndim}Q", key, 8)
+                out.append((child, nbytes) + coords)
+
+
+def h5_ls(path: str, group: str = "/") -> list[str]:
+    """Names under a group -- the connector's discovery helper."""
+    r = _Reader(path)
+    try:
+        return sorted(r.group_links(r.resolve(group)))
+    finally:
+        r.close()
+
+
+# ---------------------------------------------------------------------------
+# decode kernel (executor side)
+# ---------------------------------------------------------------------------
+
+
+def _decode_chunk(raw: bytes, filters, dtype, nbytes_logical: int) -> bytes:
+    import zlib
+
+    for fid, cd in reversed(filters):
+        if fid == 3:  # fletcher32: checksum trails the data
+            raw = raw[:-4]
+        elif fid == 1:
+            raw = zlib.decompress(raw)
+        elif fid == 2:  # byte shuffle over the whole chunk
+            ts = cd[0] if cd else dtype.itemsize
+            arr = np.frombuffer(raw, dtype="u1")
+            n_elem = len(raw) // ts
+            raw = (
+                arr[: n_elem * ts].reshape(ts, n_elem).T.tobytes()
+                + bytes(arr[n_elem * ts :])
+            )
+        else:
+            raise NotImplementedError(f"HDF5 filter id {fid} not supported")
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# from_hdf5
+# ---------------------------------------------------------------------------
+
+
+def from_hdf5(spark: SparkSession, path: str, datapath: str) -> Array:
+    """Read one dataset of an HDF5 file into an Array.  The driver
+    parses metadata only; executors fetch and decode the actual bytes
+    in parallel (chunks for chunked layout, ~32 MB row slabs for
+    contiguous layout)."""
+    r = _Reader(path)
+    try:
+        info = r.dataset_info(r.resolve(datapath))
+        shape = tuple(int(s) for s in info["shape"])
+        dtype = info["dtype"]
+        filters = list(info["filters"])
+        ndim = max(len(shape), 1)
+        if not shape:
+            shape = (1,)  # scalar dataspace -> length-1 array
+
+        if info.get("layout") == "compact":
+            data = _decode_chunk(info["data"], filters, dtype, 0)
+            vals = np.frombuffer(data, dtype=dtype).reshape(shape)
+            return _from_driver_dense(spark, vals)
+
+        if info.get("layout") == "contiguous":
+            return _read_contiguous(spark, path, info, shape, dtype, filters)
+
+        if info.get("layout") == "chunked":
+            chunks = tuple(int(c) for c in info["chunks"])
+            table = r.chunk_table(info["btree"], len(shape))
+        elif info.get("layout") == "chunked_single":
+            chunks = tuple(int(c) for c in info["chunks"])
+            if len(chunks) == len(shape) + 1:
+                chunks = chunks[:-1]
+            stored = info["chunk_stored"]
+            if stored is None:
+                stored = int(np.prod(chunks)) * dtype.itemsize
+            table = [(info["addr"], stored) + (0,) * len(shape)]
+        elif info.get("layout") == "chunked_implicit":
+            chunks = tuple(int(c) for c in info["chunks"])
+            if len(chunks) == len(shape) + 1:
+                chunks = chunks[:-1]
+            csize = int(np.prod(chunks)) * dtype.itemsize
+            grid = [math.ceil(shape[k] / chunks[k]) for k in range(len(shape))]
+            table = []
+            for i, coords in enumerate(np.ndindex(*grid)):
+                table.append(
+                    (info["addr"] + i * csize, csize)
+                    + tuple(int(c) * chunks[k] for k, c in enumerate(coords))
+                )
+        else:
+            raise NotImplementedError(f"layout {info.get('layout')}")
+        out = _read_chunked(spark, path, table, shape, chunks, dtype, filters)
+        return _materialize_fill(spark, out, info, table, shape, chunks, dtype)
+    finally:
+        r.close()
+
+
+def _materialize_fill(spark, arr, info, table, shape, chunks, dtype) -> Array:
+    """h5py's default fill is 0 (not NaN): unwritten chunks of a
+    chunked dataset must read as the fill value, so emit fill cells
+    for the grid positions absent from the chunk index -- same
+    chunk-coordinate diff the zarr reader does (metadata-sized)."""
+    fill_bytes = info.get("fill")
+    fill = 0.0
+    if fill_bytes is not None and len(fill_bytes) == dtype.itemsize:
+        fill = float(np.frombuffer(fill_bytes, dtype=dtype)[0])
+    if math.isnan(fill):
+        return arr  # NaN fill == absent cells in the engine encoding
+    ndim = len(shape)
+    grid = [math.ceil(shape[k] / chunks[k]) for k in range(ndim)]
+    present = {tuple(int(row[2 + k]) // chunks[k] for k in range(ndim))
+               for row in table}
+    missing = [c for c in np.ndindex(*grid) if tuple(c) not in present]
+    if not missing:
+        return arr
+    mdf = spark.createDataFrame(
+        [tuple(int(x) for x in c) for c in missing],
+        ", ".join(f"c{k} long" for k in range(ndim)),
+    ).repartition(min(len(missing), 64))
+
+    def emit_fill(it):
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                coords = tuple(int(getattr(row, f"c{k}")) for k in range(ndim))
+                dims = [min(chunks[k], shape[k] - coords[k] * chunks[k])
+                        for k in range(ndim)]
+                idx = np.indices(dims).reshape(ndim, -1)
+                cols = {f"i{k}": idx[k] + coords[k] * chunks[k]
+                        for k in range(ndim)}
+                cols[VALUE_COL] = np.full(idx.shape[1], fill)
+                yield pd.DataFrame(cols)
+
+    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+    return Array(arr.df.unionByName(mdf.mapInPandas(emit_fill, schema=schema)),
+                 shape)
+
+
+def _from_driver_dense(spark, vals: np.ndarray) -> Array:
+    vals = np.asarray(vals, dtype="float64")
+    ndim = vals.ndim
+    idx = np.indices(vals.shape).reshape(ndim, -1)
+    rows = [
+        tuple(int(idx[k][j]) for k in range(ndim)) + (float(vals.reshape(-1)[j]),)
+        for j in range(vals.size)
+    ]
+    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+    return Array(spark.createDataFrame(rows, schema), vals.shape)
+
+
+def _read_contiguous(spark, path, info, shape, dtype, filters) -> Array:
+    if filters:
+        raise NotImplementedError("filtered contiguous layout is not valid HDF5")
+    addr = info["addr"]
+    if addr == _UNDEF:
+        raise ValueError("contiguous dataset has no allocated storage")
+    itemsize = dtype.itemsize
+    row_elems = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
+    row_bytes = row_elems * itemsize
+    rows_per_slab = max(1, _SLAB_BYTES // max(row_bytes, 1))
+    nslabs = math.ceil(shape[0] / rows_per_slab)
+    slabs = [
+        (
+            int(addr + s * rows_per_slab * row_bytes),
+            int(min(rows_per_slab, shape[0] - s * rows_per_slab) * row_bytes),
+            int(s * rows_per_slab),
+        )
+        for s in range(nslabs)
+    ]
+    sdf = spark.createDataFrame(slabs, "addr long, nbytes long, row0 long")
+    sdf = sdf.repartition(min(nslabs, spark.sparkContext.defaultParallelism))
+    ndim = len(shape)
+    dtype_str = dtype.str
+
+    def read_slab(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as f:
+            for pdf in it:
+                for a, n, r0 in zip(pdf["addr"], pdf["nbytes"], pdf["row0"]):
+                    f.seek(int(a))
+                    raw = f.read(int(n))
+                    vals = np.frombuffer(raw, dtype=dtype_str).astype("float64")
+                    nrows = len(vals) // max(row_elems, 1)
+                    block = vals.reshape((nrows,) + tuple(shape[1:]))
+                    idx = np.indices(block.shape).reshape(ndim, -1)
+                    flat = block.reshape(-1)
+                    keep = ~np.isnan(flat)  # NaN <-> NULL cell encoding
+                    cols = {f"i{k}": idx[k][keep] for k in range(ndim)}
+                    cols["i0"] = cols["i0"] + int(r0)
+                    cols[VALUE_COL] = flat[keep]
+                    yield pd.DataFrame(cols)
+
+    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+    return Array(sdf.mapInPandas(read_slab, schema=schema), shape)
+
+
+def _read_chunked(spark, path, table, shape, chunks, dtype, filters) -> Array:
+    ndim = len(shape)
+    if not table:
+        # no chunks written: all-fill dataset -> empty cell form
+        schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+        return Array(spark.createDataFrame([], schema), shape)
+    cdf = spark.createDataFrame(
+        [tuple(int(x) for x in row) for row in table],
+        "addr long, nbytes long, " + ", ".join(f"c{k} long" for k in range(ndim)),
+    )
+    cdf = cdf.repartition(min(len(table), spark.sparkContext.defaultParallelism * 4))
+    dtype_str = dtype.str
+    flist = list(filters)
+
+    def read_chunks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(path, "rb") as f:
+            for pdf in it:
+                for row in pdf.itertuples(index=False):
+                    f.seek(int(row.addr))
+                    raw = f.read(int(row.nbytes))
+                    dt = np.dtype(dtype_str)
+                    raw = _decode_chunk(raw, flist, dt, 0)
+                    block = np.frombuffer(raw, dtype=dt).reshape(chunks)
+                    offs = [int(getattr(row, f"c{k}")) for k in range(ndim)]
+                    sl = tuple(
+                        slice(0, min(chunks[k], shape[k] - offs[k]))
+                        for k in range(ndim)
+                    )
+                    core = np.asarray(block[sl], dtype="float64")
+                    idx = np.indices(core.shape).reshape(ndim, -1)
+                    flat = core.reshape(-1)
+                    keep = ~np.isnan(flat)  # NaN <-> NULL cell encoding
+                    cols = {f"i{k}": idx[k][keep] + offs[k] for k in range(ndim)}
+                    cols[VALUE_COL] = flat[keep]
+                    yield pd.DataFrame(cols)
+
+    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+    return Array(cdf.mapInPandas(read_chunks, schema=schema), shape)
+
+
+# ---------------------------------------------------------------------------
+# writer (superblock v0 profile)
+# ---------------------------------------------------------------------------
+
+
+def _dt_f8_message() -> bytes:
+    # class 1 (float) v1; LE, IEEE f8: mantissa-norm=msb-implied,
+    # sign bit 63; props: offset 0, precision 64, exp loc 52 size 11,
+    # mant loc 0 size 52, bias 1023
+    head = struct.pack("<BBBBI", 0x11, 0x20, 0x3F, 0x00, 8)
+    props = struct.pack("<HHBBBBI", 0, 64, 52, 11, 0, 52, 1023)
+    return head + props
+
+
+def _msg_v1(mtype: int, body: bytes) -> bytes:
+    pad = (-len(body)) % 8
+    body = body + b"\x00" * pad
+    return struct.pack("<HHBBBB", mtype, len(body), 0, 0, 0, 0) + body
+
+
+def _oh_v1(messages: list[bytes]) -> bytes:
+    blob = b"".join(messages)
+    return struct.pack("<BBHIi", 1, 0, len(messages), 1, len(blob)) + b"\x00" * 4 + blob
+
+
+class _W:
+    """Append-only metadata image builder with 8-byte alignment."""
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    def align(self):
+        self.buf += b"\x00" * ((-len(self.buf)) % 8)
+
+    def add(self, b: bytes) -> int:
+        self.align()
+        addr = len(self.buf)
+        self.buf += b
+        return addr
+
+
+def to_hdf5(a, filename: str, datapath: str | None = None) -> None:
+    """Write Array(s) as contiguous float64 HDF5 datasets (reference
+    io/_store.py:331 ``to_hdf5(filename, '/x', x)`` and its dict
+    form).  The driver writes the metadata image and preallocates the
+    file; every dataset's cells then pwrite row slabs at computed
+    offsets from executors in parallel.  Requires a filesystem shared
+    by all executors (same contract as to_zarr / to_npy_stack).
+
+    ``to_hdf5(arr, 'f.h5', '/x')`` or ``to_hdf5({'/a/x': x, '/y': y},
+    'f.h5')``."""
+    if isinstance(a, Array):
+        if datapath is None:
+            raise ValueError("to_hdf5(Array, filename, datapath) needs a path")
+        items = {datapath: a}
+    else:
+        items = dict(a)
+    if not items:
+        raise ValueError("nothing to write")
+    for p, arr in items.items():
+        if any(s is None for s in arr.shape):
+            raise ValueError(f"to_hdf5 needs fully known shapes ({p})")
+
+    # group tree: name -> subtree dict | Array
+    tree: dict = {}
+    for p, arr in items.items():
+        parts = [q for q in p.strip("/").split("/") if q]
+        if not parts:
+            raise ValueError(f"bad datapath {p!r}")
+        node = tree
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+            if isinstance(node, Array):
+                raise ValueError(f"{p!r}: path collides with a dataset")
+        if parts[-1] in node:
+            raise ValueError(f"duplicate datapath {p!r}")
+        node[parts[-1]] = arr
+
+    w = _W()
+    w.buf += b"\x00" * 2048  # superblock region, rewritten at the end
+    data_extents: list[tuple[int, Array]] = []  # (addr patched later)
+
+    def write_dataset(arr: Array) -> int:
+        shape = tuple(int(s) for s in arr.shape)
+        nbytes = int(np.prod(shape, dtype=np.int64)) * 8
+        msgs = [
+            _msg_v1(
+                0x0001,
+                struct.pack("<BBBBI", 1, len(shape), 0, 0, 0)
+                + b"".join(struct.pack("<Q", s) for s in shape),
+            ),
+            _msg_v1(0x0003, _dt_f8_message()),
+            _msg_v1(
+                0x0005,
+                struct.pack("<BBBBI", 2, 2, 0, 1, 8)
+                + struct.pack("<d", float("nan")),
+            ),
+            # layout v3 contiguous; address patched once data extents land
+            _msg_v1(0x0008, struct.pack("<BBQQ", 3, 1, _UNDEF, nbytes)),
+        ]
+        oh = _oh_v1(msgs)
+        addr = w.add(oh)
+        # locate the layout message's address field inside the image:
+        # oh prefix 16B, then msgs in order; compute offset of the Q
+        off = 16
+        for m in msgs[:-1]:
+            off += len(m)
+        off += 8 + 2  # last msg header + version/class bytes
+        data_extents.append((addr + off, arr))
+        return addr
+
+    def write_group(node: dict) -> int:
+        names = sorted(node)
+        if len(names) > 1000:
+            raise NotImplementedError(
+                "writer emits one symbol-table node per group (<=1000 links)"
+            )
+        child_addr = {
+            n: (write_group(node[n]) if isinstance(node[n], dict)
+                else write_dataset(node[n]))
+            for n in names
+        }
+        # local heap: empty string at 0, then NUL-terminated names
+        hdata = bytearray(b"\x00" * 8)
+        name_off = {}
+        for n in names:
+            name_off[n] = len(hdata)
+            hdata += n.encode() + b"\x00"
+            hdata += b"\x00" * ((-len(hdata)) % 8)
+        heap_data_addr = w.add(bytes(hdata))
+        heap = struct.pack("<4sB3sQQQ", b"HEAP", 0, b"\x00" * 3,
+                           len(hdata), _UNDEF, heap_data_addr)  # no free blocks
+        heap_addr = w.add(heap)
+        snod = struct.pack("<4sBBH", b"SNOD", 1, 0, len(names))
+        for n in names:
+            snod += struct.pack("<QQII16x", name_off[n], child_addr[n], 0, 0)
+        snod_addr = w.add(snod)
+        btree = struct.pack("<4sBBHQQ", b"TREE", 0, 0, 1, _UNDEF, _UNDEF)
+        btree += struct.pack("<Q", 0)  # key0: empty-string heap offset
+        btree += struct.pack("<Q", snod_addr)
+        btree += struct.pack("<Q", name_off[names[-1]] if names else 0)
+        # pad the node to the capacity the superblock's internal K (16)
+        # declares: 24B head + 2K children + 2K+1 keys
+        cap = 24 + 8 * (4 * 16 + 1)
+        btree += b"\x00" * (cap - len(btree))
+        btree_addr = w.add(btree)
+        oh = _oh_v1([_msg_v1(0x0011, struct.pack("<QQ", btree_addr, heap_addr))])
+        return w.add(oh)
+
+    root_addr = write_group(tree)
+
+    # lay out data extents after all metadata
+    w.align()
+    meta_end = len(w.buf)
+    pos = meta_end
+    extents = []
+    for patch_at, arr in data_extents:
+        shape = tuple(int(s) for s in arr.shape)
+        nbytes = int(np.prod(shape, dtype=np.int64)) * 8
+        struct.pack_into("<Q", w.buf, patch_at, pos)
+        extents.append((pos, arr))
+        pos += nbytes
+        pos += (-pos) % 8
+    eof = pos
+
+    # superblock v0 with root symbol table entry
+    sb = _SIG + struct.pack(
+        "<BBBBBBBBHHI", 0, 0, 0, 0, 0, 8, 8, 0, 512, 16, 0
+    )
+    sb += struct.pack("<QQQQ", 0, _UNDEF, eof, _UNDEF)
+    sb += struct.pack("<QQII16x", 0, root_addr, 0, 0)
+    w.buf[: len(sb)] = sb
+
+    with open(filename, "wb") as f:
+        f.write(bytes(w.buf))
+        f.truncate(eof)
+
+    # parallel slab writes, one job per dataset
+    for data_addr, arr in extents:
+        _write_slabs(arr, filename, data_addr)
+
+
+def _write_slabs(arr: Array, filename: str, data_addr: int) -> None:
+    from pyspark.sql import functions as F
+
+    shape = tuple(int(s) for s in arr.shape)
+    ndim = len(shape)
+    row_elems = int(np.prod(shape[1:], dtype=np.int64)) if ndim > 1 else 1
+    rows_per_slab = max(1, _SLAB_BYTES // max(row_elems * 8, 1))
+    nslabs = math.ceil(shape[0] / rows_per_slab)
+    d = arr.df.withColumn("__slab", (F.col("i0") / F.lit(rows_per_slab)).cast("long"))
+    # every slab must write (absent cells are NaN, and the preallocated
+    # file holds zeros): union one null-valued marker row per slab so
+    # the kernel fires even for slabs with no cells
+    marker = arr.spark.range(nslabs).select(
+        *[(F.col("id") * rows_per_slab if k == 0 else F.lit(0)).alias(f"i{k}")
+          for k in range(ndim)],
+        F.lit(None).cast("double").alias(VALUE_COL),
+        F.col("id").alias("__slab"),
+    )
+    d = d.unionByName(marker)
+    tail = tuple(shape[1:])
+
+    def write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+        slab = int(pdf["__slab"].iloc[0])
+        r0 = slab * rows_per_slab
+        nrows = min(rows_per_slab, shape[0] - r0)
+        block = np.full((nrows,) + tail, np.nan)
+        pdf = pdf[pdf[VALUE_COL].notna()]
+        loc = tuple(
+            pdf[f"i{k}"].to_numpy(dtype="int64") - (r0 if k == 0 else 0)
+            for k in range(ndim)
+        )
+        block[loc] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
+        with open(filename, "r+b") as f:
+            f.seek(data_addr + r0 * row_elems * 8)
+            f.write(np.ascontiguousarray(block, dtype="<f8").tobytes())
+        return pd.DataFrame({"n": [int(block.size)]})
+
+    d.groupBy("__slab").applyInPandas(write_slab, schema="n long").count()

@@ -753,12 +753,6 @@ def from_tiledb(spark: SparkSession, uri: str, attribute: str | None = None) -> 
     raise NotImplementedError("tiledb decode not wired")
 
 
-def to_hdf5(a: Array, filename: str, datapath: str) -> None:
-    """HDF5 dataset write (reference io/_store.py:331) -- STUB: HDF5
-    is not parallel-safe, so the real implementation is a
-    driver-coordinated sequential writer over collected partitions."""
-    _require("h5py", "to_hdf5")
-    raise NotImplementedError("hdf5 writer not wired")
 
 
 def from_graph(df: DataFrame, shape) -> Array:

@@ -65,12 +65,10 @@ def test_parquet_array_roundtrip(spark, rng):
 
 
 def test_external_connectors_are_gated(spark):
-    from dask_array_spark.sources import from_tiledb, to_hdf5
+    from dask_array_spark.sources import from_tiledb
 
     with pytest.raises(NotImplementedError):
         from_tiledb(spark, "tiledb://array")
-    with pytest.raises(NotImplementedError):
-        to_hdf5(None, "/tmp/x.h5", "/data")
 
 
 def test_from_map_blocks(spark):
