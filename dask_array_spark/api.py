@@ -251,6 +251,7 @@ from .operators.manipulation import (  # noqa: F401
     repeat,
 
     reshape,
+    reshape_blockwise,
     roll,
     sliding_window_view,
     squeeze,

@@ -30,6 +30,7 @@ __all__ = [
     "swapaxes",
     "moveaxis",
     "reshape",
+    "reshape_blockwise",
     "squeeze",
     "expand_dims",
     "flip",
@@ -110,6 +111,17 @@ def reshape(a: Array, shape: Sequence[int]) -> Array:
         sel.append(((flat / F.lit(st)).cast("long") % F.lit(shape[k])).alias(f"i{k}"))
     sel.append(F.col(VALUE_COL))
     return Array(a.df.select(*sel), tuple(shape))
+
+
+def reshape_blockwise(a: Array, shape: Sequence[int]) -> Array:
+    """Reference parity alias (manipulation/_reshape.py:97
+    ``reshape_blockwise``): the reference restricts this variant to
+    reshapes that never move data between blocks because its blocks
+    are physical buffers.  Cell form has no physical blocks -- EVERY
+    C-order reshape here is already blockwise (a pure flat-index
+    projection, zero movement) -- so this is exactly ``reshape`` with
+    the reference's spelling."""
+    return reshape(a, shape)
 
 
 def squeeze(a: Array, axis=None) -> Array:

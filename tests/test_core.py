@@ -248,3 +248,14 @@ def test_indices_meshgrid_nd(spark):
         for g, w in zip(got, want):
             assert g.shape == w.shape
             assert np.allclose(g.compute(), w), indexing
+
+
+def test_reshape_blockwise_alias(spark):
+    """reshape_blockwise (reference manipulation/_reshape.py:97) is the
+    plain zero-movement reshape in cell form."""
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators.manipulation import reshape_blockwise
+
+    a = np.arange(24, dtype="float64").reshape(4, 6)
+    got = reshape_blockwise(from_numpy(spark, a), (2, 3, 4)).compute()
+    np.testing.assert_array_equal(got, a.reshape(2, 3, 4))
