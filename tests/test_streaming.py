@@ -130,3 +130,67 @@ def test_stream_sliding_matches_batch(spark, sf_dir, events_path):
     batch = EV.sliding_agg(read_table(spark, sf_dir, "events"), 900, 300)
     want = {r["win"]: r["n"] for r in batch.collect()}
     assert got == want and len(want) > 0
+
+
+@pytest.fixture(scope="module")
+def docs_path(sf_dir):
+    return f"{sf_dir}/documents.parquet"
+
+
+def test_stream_exact_dedup_matches_batch(spark, sf_dir, docs_path):
+    """Streaming dropDuplicatesWithinWatermark on the text digest
+    keeps exactly one doc per distinct text."""
+    from dask_array_spark.streaming import dedup as SD
+
+    sdf = SD.stream_exact_dedup(spark, docs_path)
+    q = (sdf.writeStream.format("memory").queryName("t_exact_dedup")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM t_exact_dedup").collect()
+    finally:
+        q.stop()
+    n_texts = (spark.read.parquet(docs_path)
+               .select("text").distinct().count())
+    assert len(rows) == n_texts
+    assert len({r["digest"] for r in rows}) == n_texts
+
+
+def test_stream_simhash_near_dedup_matches_batch_oracle(spark, docs_path):
+    """The stateful band-keyed near-dedup emits the same (dup_of,
+    hamming) pairs as a driver-side replay of the same logic over the
+    batch-computed simhashes."""
+    from dask_array_spark.streaming import dedup as SD
+
+    sdf = SD.stream_simhash_near_dedup(spark, docs_path)
+    q = (sdf.writeStream.format("memory").queryName("t_near_dedup")
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: (r["dup_of"], r["hamming"])
+               for r in spark.sql("SELECT * FROM t_near_dedup").collect()}
+    finally:
+        q.stop()
+
+    # batch oracle: same simhash expression, replayed in doc_id order
+    from pyspark.sql import functions as F2
+    batch = (spark.read.parquet(docs_path)
+             .select("doc_id", SD.simhash_col("text").alias("simhash"))
+             .orderBy("doc_id").collect())
+    bands: dict = {}
+    want = {}
+    for r in batch:
+        did, sh = int(r["doc_id"]), int(r["simhash"])
+        band = sh >> (SD.SIMHASH_BITS - 8)
+        best, bh = None, 4
+        for pid, psh in bands.get(band, []):
+            h = bin(psh ^ sh).count("1")
+            if h < bh or (h == bh and best is not None and pid < best):
+                best, bh = pid, h
+        want[did] = (best, bh if best is not None else None)
+        bands.setdefault(band, []).append((did, sh))
+    assert len(got) == len(want)
+    mismatches = {k: (got[k], want[k]) for k in want if got[k] != want[k]}
+    assert not mismatches, f"{len(mismatches)} mismatches: {list(mismatches.items())[:5]}"
+    n_near = sum(1 for v in want.values() if v[0] is not None)
+    assert n_near > 0, "fixture has no near-duplicates; test is vacuous"
