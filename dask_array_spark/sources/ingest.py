@@ -48,15 +48,33 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         except Exception:
             pass
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanosAsLong mode: ts arrives as BIGINT nanoseconds; expose both
-        # the raw nanos (exact, oracle-friendly) and a usable timestamp.
-        # exact integer division: BIGINT `/` routes through double and
-        # epoch nanos (~1.7e18) exceed double's 53-bit mantissa, so the
-        # truncated microsecond could be off by 1us near a boundary
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanosAsLong mode: ts arrives as BIGINT nanoseconds; expose
+            # both the raw nanos (exact, oracle-friendly) and a usable
+            # timestamp.  exact integer division: BIGINT `/` routes
+            # through double and epoch nanos (~1.7e18) exceed double's
+            # 53-bit mantissa, so the truncated microsecond could be off
+            # by 1us near a boundary
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type is not None and "timestamp" in ts_type:
+            # TIMESTAMP/TIMESTAMP_NTZ storage (microsecond precision):
+            # synthesize the exact integer-nanosecond column the window
+            # operators key on.  timestampdiff from the NTZ epoch literal
+            # is exact integer micros and independent of the session
+            # timezone (unix_micros rejects NTZ; casts go through the
+            # session zone).
+            df = df.withColumn(
+                "ts_ns",
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " timestamp_ntz'1970-01-01 00:00:00',"
+                    " cast(ts as timestamp_ntz)) * 1000"
+                ),
+            )
     return df
 
 

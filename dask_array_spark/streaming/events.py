@@ -114,6 +114,26 @@ def _read_stream(spark: SparkSession, events_path: str) -> DataFrame:
     return reader.parquet(events_path)
 
 
+def _event_time(stream: DataFrame):
+    """Exact-epoch event-time column for any ``ts`` storage: BIGINT
+    nanoseconds (nanosAsLong), TIMESTAMP_NTZ (read as naive UTC via a
+    timezone-independent timestampdiff from the NTZ epoch literal), or
+    TIMESTAMP.  Always yields a session-zone TIMESTAMP whose underlying
+    epoch micros are exact, so window()/watermark/unix_timestamp behave
+    identically across storage variants."""
+    t = dict(stream.dtypes).get("ts")
+    if t == "bigint":
+        return F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    if t == "timestamp_ntz":
+        return F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " timestamp_ntz'1970-01-01 00:00:00', ts)"
+            )
+        )
+    return F.col("ts")
+
+
 def stream_tumbling_counts(
     spark: SparkSession, events_path: str, width: str = "5 minutes",
     watermark: str = "10 minutes",
@@ -121,7 +141,7 @@ def stream_tumbling_counts(
     """readStream + watermark + tumbling window counts per event_type.
     Returns the streaming DataFrame; caller attaches a sink."""
     stream = _read_stream(spark, events_path)
-    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ts = _event_time(stream)
     return (
         stream.withColumn("__ts", ts)
         .withWatermark("__ts", watermark)
@@ -142,7 +162,7 @@ def stream_sliding_counts(
     """readStream sliding windows: window(width, slide) counts -- the
     incremental form of sliding_agg."""
     stream = _read_stream(spark, events_path)
-    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ts = _event_time(stream)
     return (
         stream.withColumn("__ts", ts)
         .withWatermark("__ts", watermark)
@@ -158,7 +178,7 @@ def stream_session_counts(
 ) -> DataFrame:
     """readStream session windows (native session_window operator)."""
     stream = _read_stream(spark, events_path)
-    ts = F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    ts = _event_time(stream)
     return (
         stream.withColumn("__ts", ts)
         .withWatermark("__ts", watermark)
