@@ -499,8 +499,12 @@ def _blosc_decompress(raw: bytes) -> bytes:
     - lz4/lz4hc: the ``lz4`` package when importable, else the
       dependency-free block decoder in sources/codecs.py (works on
       executors, conformance-tested against Spark's own lz4-java)
+    - snappy: dependency-free decoder in sources/codecs.py
+      (conformance-tested against Spark's own snappy-java)
     - zstd: via the ``zstandard`` package if importable
-    - blosclz, snappy, bit-shuffle: NotImplementedError
+    - bit-shuffle: NumPy unpackbits/transpose per block
+    - blosclz: NotImplementedError (c-blosc-internal codec, no
+      independent spec to conform against)
     """
     import struct
     import zlib
@@ -509,12 +513,10 @@ def _blosc_decompress(raw: bytes) -> bytes:
     nbytes, blocksize, _cbytes = struct.unpack_from("<III", raw, 4)
     shuffle = flags & 0x1
     memcpyed = flags & 0x2
-    bitshuffle = flags & 0x4
+    bitshuffled = flags & 0x4
     cname_code = (flags >> 5) & 0x7
     if memcpyed:
         return raw[16 : 16 + nbytes]
-    if bitshuffle:
-        raise NotImplementedError("blosc bit-shuffle needs the blosc library")
     # 0=blosclz 1=lz4 2=snappy 3=zlib 4=zstd
     if cname_code == 1:
         try:
@@ -525,6 +527,10 @@ def _blosc_decompress(raw: bytes) -> bytes:
             from .codecs import lz4_block_decompress
 
             dec = lz4_block_decompress
+    elif cname_code == 2:
+        from .codecs import snappy_decompress
+
+        dec = snappy_decompress
     elif cname_code == 3:
         dec = lambda b, n: zlib.decompress(b)
     elif cname_code == 4:
@@ -537,7 +543,7 @@ def _blosc_decompress(raw: bytes) -> bytes:
         dec = lambda b, n: _zstd.ZstdDecompressor().decompress(b, max_output_size=n)
     else:
         raise NotImplementedError(
-            f"blosc cname code {cname_code} (blosclz/snappy) needs the blosc library"
+            "blosc cname code 0 (blosclz) needs the blosc library"
         )
     nblocks = (nbytes + blocksize - 1) // blocksize
     bstarts = struct.unpack_from(f"<{nblocks}I", raw, 16)
@@ -559,6 +565,10 @@ def _blosc_decompress(raw: bytes) -> bytes:
             seg = arr[: n_elem * typesize].reshape(typesize, n_elem).T.tobytes() + bytes(
                 arr[n_elem * typesize :]
             )
+        elif bitshuffled and typesize >= 1:
+            from .codecs import bitunshuffle
+
+            seg = bitunshuffle(bytes(seg), typesize)
         out += seg
     return bytes(out)
 
