@@ -60,21 +60,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts_ns", F.col("ts")).withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
-        elif ts_type is not None and "timestamp" in ts_type:
-            # TIMESTAMP/TIMESTAMP_NTZ storage (microsecond precision):
-            # synthesize the exact integer-nanosecond column the window
-            # operators key on.  timestampdiff from the NTZ epoch literal
-            # is exact integer micros and independent of the session
-            # timezone (unix_micros rejects NTZ; casts go through the
-            # session zone).
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP_NTZ storage (microsecond precision): synthesize
+            # the exact integer-nanosecond column the window operators
+            # key on.  timestampdiff from the NTZ epoch literal is exact
+            # integer micros and independent of the session timezone
+            # (unix_micros rejects NTZ; an LTZ cast would go through the
+            # session zone).  Rebuild ts as a plain TIMESTAMP too, so
+            # read_table's output schema is identical across storage
+            # variants (bigint / NTZ / LTZ all yield ts: timestamp).
             df = df.withColumn(
                 "ts_ns",
                 F.expr(
                     "timestampdiff(MICROSECOND,"
-                    " timestamp_ntz'1970-01-01 00:00:00',"
-                    " cast(ts as timestamp_ntz)) * 1000"
+                    " timestamp_ntz'1970-01-01 00:00:00', ts) * 1000"
                 ),
-            )
+            ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        elif ts_type == "timestamp":
+            # TIMESTAMP (LTZ) storage: unix_micros is exact integer
+            # micros and zone-independent for LTZ input (a cast to NTZ
+            # here would instead make ts_ns depend on the session zone).
+            df = df.withColumn("ts_ns", F.expr("unix_micros(ts) * 1000"))
     return df
 
 

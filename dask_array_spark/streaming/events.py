@@ -123,7 +123,11 @@ def _event_time(stream: DataFrame):
     identically across storage variants."""
     t = dict(stream.dtypes).get("ts")
     if t == "bigint":
-        return F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        # integer division: BIGINT `/` routes through double, and epoch
+        # nanos (~1.7e18) exceed double's 53-bit mantissa, so the
+        # truncated microsecond could be off by 1us near a window or
+        # watermark boundary (same fix as ingest.read_table)
+        return F.timestamp_micros(F.expr("ts div 1000"))
     if t == "timestamp_ntz":
         return F.timestamp_micros(
             F.expr(
