@@ -109,8 +109,20 @@ def minhash_signatures(shingles: DataFrame, k: int = 16) -> DataFrame:
     )
 
 
+# Hot-bucket quadratic guard, ACTIVE BY DEFAULT: one degenerate LSH
+# bucket of b near-identical boilerplate docs costs O(b^2) rows in the
+# pair self-join with no bound.  10k members -> at most ~5e7 in-bucket
+# pairs, the largest group a single executor core still chews through
+# comfortably; anything hotter is overwhelmingly exact/near-exact
+# duplicate mass that the exact-dedup pass catches anyway.  Pass
+# ``max_bucket=None`` to disable (small corpora / research runs).
+DEFAULT_MAX_BUCKET = 10_000
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, rows_per_band: int = 1, max_bucket: int | None = None
+    sigs: DataFrame,
+    rows_per_band: int = 1,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate pairs = documents sharing at least one LSH band
     bucket; returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
@@ -123,7 +135,8 @@ def lsh_candidate_pairs(
     bucket are overwhelmingly exact/near-exact duplicates that the
     exact-dedup pass (or another, less-degenerate band) still catches.
     The size count is one partial-aggregated groupBy over the
-    already-tiny band table.  ``None`` (default) keeps every bucket."""
+    already-tiny band table.  Defaults to ``DEFAULT_MAX_BUCKET``
+    (10k); pass ``None`` to keep every bucket."""
     banded = sigs.withColumn("band", (F.col("sig_id") / rows_per_band).cast("long"))
     bh = banded.groupBy("doc_id", "band").agg(
         (F.aggregate(

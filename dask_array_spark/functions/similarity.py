@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import DEFAULT_MAX_BUCKET
+
 __all__ = [
     "cosine_topk",
     "lsh_sign_bucket",
@@ -132,7 +134,7 @@ def cosine_pairs_bucketed(
     emb: DataFrame,
     n_planes: int = 8,
     min_cos: float = 0.3,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate candidate pairs within LSH buckets, verified by
     exact cosine: (vec_a, vec_b, cos) with vec_a < vec_b.  The
@@ -141,8 +143,9 @@ def cosine_pairs_bucketed(
     corpus-sized norms join.
 
     ``max_bucket`` drops buckets with more members than the threshold
-    before the self-join (hot-bucket quadratic guard, same rationale as
-    dedup.lsh_candidate_pairs)."""
+    before the self-join (hot-bucket quadratic guard, same rationale
+    and default as dedup.lsh_candidate_pairs -- active unless the
+    caller passes ``None``)."""
     buckets = lsh_sign_bucket(emb, n_planes)
     if max_bucket is not None:
         small = (
