@@ -288,7 +288,11 @@ from .operators.linalg import (  # noqa: F401
 dot = matmul
 
 # -- fourier / sorting / set ops / overlap / kernels ----------------------
-from .operators.fourier import fft, fft_long, ifft  # noqa: F401
+from .operators.fourier import (  # noqa: F401
+    fft, fft2, fft_long, fftfreq, fftn, fftshift, hfft, ifft, ifft2,
+    ifftn, ifftshift, ihfft, irfft, irfft2, irfftn, rfft, rfft2,
+    rfftfreq, rfftn,
+)
 from .operators.sorting import argsort, sort  # noqa: F401
 from .operators.setops import in1d, intersect1d, setdiff1d, union1d  # noqa: F401
 from .operators.overlap import map_overlap  # noqa: F401

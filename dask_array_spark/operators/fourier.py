@@ -26,13 +26,21 @@ from pyspark.sql import functions as F
 
 from ..core.array import VALUE_COL, Array
 
-__all__ = ["fft", "ifft", "fft_long", "FFT_LONG_THRESHOLD"]
+__all__ = [
+    "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
+    "rfft", "irfft", "rfft2", "irfft2", "rfftn", "irfftn",
+    "hfft", "ihfft", "fftfreq", "rfftfreq", "fftshift", "ifftshift",
+    "fft_long", "FFT_LONG_THRESHOLD",
+]
 
 # a pure-1-D transform above this length routes to the four-step path
 FFT_LONG_THRESHOLD = 1 << 17
 
 
-def _axis_kernel_complex(a: Array, axis: int, transform, out_complex: bool) -> Array:
+def _axis_kernel_complex(
+    a: Array, axis: int, transform, out_complex: bool,
+    out_len: int | None = None,
+) -> Array:
     axis = axis % a.ndim
     n_ax = a.shape[axis]
     if n_ax is None:
@@ -88,7 +96,9 @@ def _axis_kernel_complex(a: Array, axis: int, transform, out_complex: bool) -> A
         v = F.struct(F.col("__or").alias("re"), F.col("__oi").alias("im"))
     else:
         v = F.col("__or")
-    out_shape = tuple(a.shape[k] for k in others) + (n_ax,)
+    out_shape = tuple(a.shape[k] for k in others) + (
+        n_ax if out_len is None else out_len,
+    )
     return Array(res.select(*sel, v.alias(VALUE_COL)), out_shape)
 
 
@@ -177,3 +187,209 @@ def fft_long(a: Array, n1: int | None = None) -> Array:
 def ifft(a: Array, axis: int = 0) -> Array:
     """Inverse DFT; complex in, complex out."""
     return _axis_kernel_complex(a, axis, np.fft.ifft, out_complex=True)
+
+
+# ---------------------------------------------------------------------------
+# real-input family (parity: reference fft.py:119-251 `fft_wrap` exports
+# rfft/irfft/hfft/ihfft with _rfft_out_chunks-style length bookkeeping,
+# fft.py:50-100)
+# ---------------------------------------------------------------------------
+
+
+def _axis_keep(
+    a: Array, axis: int, transform, out_complex: bool,
+    out_len: int | None = None,
+) -> Array:
+    """Single-axis grouped-kernel transform that RESTORES the original
+    axis order afterwards (the base kernel parks the transform axis
+    last).  The restore is a transpose == free column relabeling, so
+    the only cost over the base kernel is zero."""
+    from . import manipulation as M
+
+    axis = axis % a.ndim
+    out = _axis_kernel_complex(a, axis, transform, out_complex, out_len)
+    if a.ndim == 1 or axis == a.ndim - 1:
+        return out
+    cur = [k for k in range(a.ndim) if k != axis] + [axis]
+    perm = [cur.index(t) for t in range(a.ndim)]
+    return M.transpose(out, perm)
+
+
+def rfft(a: Array, axis: int = 0) -> Array:
+    """DFT of REAL input: only the n//2 + 1 non-negative-frequency
+    coefficients (the rest are the conjugate mirror).  Transform axis
+    moves last, like fft."""
+    n = a.shape[axis % a.ndim]
+    if n is None:
+        raise ValueError("rfft needs a known length on the transform axis")
+    # the kernel assembles complex128; real-input transforms take .real
+    # explicitly (input im is 0 by construction for real arrays)
+    return _axis_kernel_complex(
+        a, axis, lambda v: np.fft.rfft(v.real), out_complex=True,
+        out_len=n // 2 + 1,
+    )
+
+
+def irfft(a: Array, axis: int = 0, n: int | None = None) -> Array:
+    """Inverse of rfft: Hermitian-compressed complex input -> real
+    output of length ``n`` (default 2*(m-1))."""
+    m = a.shape[axis % a.ndim]
+    if m is None:
+        raise ValueError("irfft needs a known length on the transform axis")
+    n_out = int(n) if n is not None else 2 * (m - 1)
+    return _axis_kernel_complex(
+        a, axis, lambda v: np.fft.irfft(v, n_out), out_complex=False,
+        out_len=n_out,
+    )
+
+
+def hfft(a: Array, axis: int = 0, n: int | None = None) -> Array:
+    """Transform of a Hermitian-symmetric (real-spectrum) input ->
+    real output of length ``n`` (default 2*(m-1))."""
+    m = a.shape[axis % a.ndim]
+    if m is None:
+        raise ValueError("hfft needs a known length on the transform axis")
+    n_out = int(n) if n is not None else 2 * (m - 1)
+    return _axis_kernel_complex(
+        a, axis, lambda v: np.fft.hfft(v, n_out), out_complex=False,
+        out_len=n_out,
+    )
+
+
+def ihfft(a: Array, axis: int = 0) -> Array:
+    """Inverse of hfft: real input -> Hermitian-compressed complex
+    output of length n//2 + 1."""
+    n = a.shape[axis % a.ndim]
+    if n is None:
+        raise ValueError("ihfft needs a known length on the transform axis")
+    return _axis_kernel_complex(
+        a, axis, lambda v: np.fft.ihfft(v.real), out_complex=True,
+        out_len=n // 2 + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# multi-axis wrappers: sequential single-axis passes, each one a grouped
+# kernel batched across the cluster on all OTHER axes -- so an fft2 over a
+# (rows x cols) grid is two shuffles, each with rows (then cols) of
+# parallelism.  Axis order is preserved (np.fft.fftn layout).
+# ---------------------------------------------------------------------------
+
+
+def _norm_axes(a: Array, axes) -> list[int]:
+    if axes is None:
+        return list(range(a.ndim))
+    return [ax % a.ndim for ax in axes]
+
+
+def fftn(a: Array, axes=None) -> Array:
+    """N-dimensional DFT: one grouped-kernel pass per axis."""
+    out = a
+    for ax in _norm_axes(a, axes):
+        out = _axis_keep(out, ax, np.fft.fft, out_complex=True)
+    return out
+
+
+def ifftn(a: Array, axes=None) -> Array:
+    out = a
+    for ax in _norm_axes(a, axes):
+        out = _axis_keep(out, ax, np.fft.ifft, out_complex=True)
+    return out
+
+
+def fft2(a: Array, axes=(-2, -1)) -> Array:
+    return fftn(a, axes)
+
+
+def ifft2(a: Array, axes=(-2, -1)) -> Array:
+    return ifftn(a, axes)
+
+
+def rfftn(a: Array, axes=None) -> Array:
+    """Real-input N-d DFT: rfft along the LAST axis (halving it to
+    n//2+1), then full complex ffts along the remaining axes -- the
+    np.fft.rfftn factorization."""
+    axes = _norm_axes(a, axes)
+    last = axes[-1]
+    n = a.shape[last]
+    out = _axis_keep(
+        a, last, lambda v: np.fft.rfft(v.real), out_complex=True,
+        out_len=n // 2 + 1,
+    )
+    for ax in axes[:-1]:
+        out = _axis_keep(out, ax, np.fft.fft, out_complex=True)
+    return out
+
+
+def irfftn(a: Array, axes=None, n: int | None = None) -> Array:
+    """Inverse of rfftn: complex iffts on the leading axes, then a
+    length-restoring irfft on the last."""
+    axes = _norm_axes(a, axes)
+    out = a
+    for ax in axes[:-1]:
+        out = _axis_keep(out, ax, np.fft.ifft, out_complex=True)
+    last = axes[-1]
+    m = out.shape[last]
+    n_out = int(n) if n is not None else 2 * (m - 1)
+    return _axis_keep(
+        out, last, lambda v: np.fft.irfft(v, n_out), out_complex=False,
+        out_len=n_out,
+    )
+
+
+def rfft2(a: Array, axes=(-2, -1)) -> Array:
+    return rfftn(a, axes)
+
+
+def irfft2(a: Array, axes=(-2, -1), n: int | None = None) -> Array:
+    return irfftn(a, axes, n)
+
+
+# ---------------------------------------------------------------------------
+# frequency-grid helpers (reference fft.py:254-279) -- pure index
+# arithmetic: a spark.range + one projection, no data movement at all
+# ---------------------------------------------------------------------------
+
+
+def fftfreq(spark, n: int, d: float = 1.0) -> Array:
+    """Sample frequencies of an n-point DFT: [0 .. (n-1)//2, -(n//2)
+    .. -1] / (n*d)."""
+    from .creation import _range1d
+
+    half = (n - 1) // 2
+    k = F.col("i0")
+    v = (
+        F.when(k <= half, k).otherwise(k - F.lit(n)).cast("double")
+        / F.lit(float(n) * float(d))
+    )
+    return Array(_range1d(spark, n).select("i0", v.alias(VALUE_COL)), (n,))
+
+
+def rfftfreq(spark, n: int, d: float = 1.0) -> Array:
+    """Sample frequencies of an n-point rfft: [0 .. n//2] / (n*d)."""
+    from .creation import _range1d
+
+    m = n // 2 + 1
+    v = F.col("i0").cast("double") / F.lit(float(n) * float(d))
+    return Array(_range1d(spark, m).select("i0", v.alias(VALUE_COL)), (m,))
+
+
+def fftshift(a: Array, axes=None) -> Array:
+    """Move the zero-frequency bin to the center: roll by n//2 on each
+    axis -- an index remap, zero data movement."""
+    from .manipulation import roll
+
+    out = a
+    for ax in _norm_axes(a, axes):
+        out = roll(out, out.shape[ax] // 2, axis=ax)
+    return out
+
+
+def ifftshift(a: Array, axes=None) -> Array:
+    """Inverse of fftshift (differs for odd n): roll by -(n//2)."""
+    from .manipulation import roll
+
+    out = a
+    for ax in _norm_axes(a, axes):
+        out = roll(out, -(out.shape[ax] // 2), axis=ax)
+    return out

@@ -1528,28 +1528,66 @@ def q_svd_rows(spark, sf):
     "fft_monthly",
     f"""
     WITH mo AS (SELECT i1 AS i, CAST(SUM(v) AS DOUBLE) AS v FROM ({NM_SQL}) t GROUP BY i1),
-    ks AS (SELECT unnest(range(12)) AS k)
-    SELECT ks.k AS i0,
-           round(SUM(v * cos(-2 * pi() * i * ks.k / 12)), 5) + 0.0 AS re,
-           round(SUM(v * sin(-2 * pi() * i * ks.k / 12)), 5) + 0.0 AS im
-    FROM mo CROSS JOIN ks GROUP BY ks.k
+    ks AS (SELECT unnest(range(12)) AS k),
+    dft AS (
+      SELECT ks.k,
+             round(SUM(v * cos(-2 * pi() * i * ks.k / 12)), 5) + 0.0 AS re,
+             round(SUM(v * sin(-2 * pi() * i * ks.k / 12)), 5) + 0.0 AS im
+      FROM mo CROSS JOIN ks GROUP BY ks.k
+    )
+    SELECT CAST(0 AS BIGINT) AS kind, k AS i0, re, im FROM dft
+    UNION ALL  -- rfft: the k <= n/2 half of the same literal DFT
+    SELECT 1, k, re, im FROM dft WHERE k <= 6
+    UNION ALL  -- irfft(rfft(x), 12) round-trip == x
+    SELECT 2, i, round(v, 5) + 0.0, 0.0 FROM mo
+    UNION ALL  -- fftfreq(12, d=0.25): k<=5 -> k/3, else (k-12)/3
+    SELECT 3, ks.k,
+           round(CASE WHEN ks.k <= 5 THEN ks.k ELSE ks.k - 12 END / 3.0, 5) + 0.0,
+           0.0
+    FROM ks
+    UNION ALL  -- fftshift: out[(i + 6) % 12] = x[i]
+    SELECT 4, (i + 6) % 12, round(v, 5) + 0.0, 0.0 FROM mo
     """,
 )
 def q_fft(spark, sf):
-    """12-point DFT of the monthly series through the grouped-kernel
-    FFT (operators/fourier.py); the oracle is the literal DFT sum with
-    cos/sin -- numerically independent of the FFT algorithm."""
-    from .operators import complexes as C
+    """Fourier suite over the monthly series (operators/fourier.py;
+    reference fft.py:119-279 fft_wrap family + helpers).  The oracle is
+    the literal DFT sum with cos/sin -- numerically independent of the
+    FFT algorithm.  kind 0: 12-point complex DFT; kind 1: rfft (the
+    Hermitian-compressed n//2+1 coefficients); kind 2: irfft(rfft(x))
+    round-trip; kind 3: fftfreq grid; kind 4: fftshift remap."""
     from .operators import fourier
 
     mo = _monthly(spark, sf).astype("double")
-    z = fourier.fft(mo)
     # `+ 0.0` normalizes IEEE -0.0 to +0.0 after rounding (matched in the
     # oracle SQL above) -- the driver's value-hash distinguishes signed zeros.
-    return z.df.select(
-        "i0",
-        (F.round(F.col("v")["re"], 5) + F.lit(0.0)).alias("re"),
-        (F.round(F.col("v")["im"], 5) + F.lit(0.0)).alias("im"),
+    def cplx(arr, kind):
+        return arr.df.select(
+            F.lit(kind).cast("long").alias("kind"),
+            "i0",
+            (F.round(F.col("v")["re"], 5) + F.lit(0.0)).alias("re"),
+            (F.round(F.col("v")["im"], 5) + F.lit(0.0)).alias("im"),
+        )
+
+    def realv(arr, kind):
+        return arr.df.select(
+            F.lit(kind).cast("long").alias("kind"),
+            "i0",
+            (F.round(F.col("v"), 5) + F.lit(0.0)).alias("re"),
+            F.lit(0.0).alias("im"),
+        )
+
+    z = fourier.fft(mo)
+    zr = fourier.rfft(mo)
+    back = fourier.irfft(zr, n=12)
+    freq = fourier.fftfreq(spark, 12, d=0.25)
+    shifted = fourier.fftshift(mo)
+    return (
+        cplx(z, 0)
+        .unionAll(cplx(zr, 1))
+        .unionAll(realv(back, 2))
+        .unionAll(realv(freq, 3))
+        .unionAll(realv(shifted, 4))
     )
 
 

@@ -72,6 +72,150 @@ def test_fft_long_four_step_matches_numpy(spark):
     assert np.allclose(got, np.fft.fft(xr + 1j * xi), atol=1e-6)
 
 
+def _collect_c(arr, shape):
+    out = np.zeros(shape, dtype="complex128")
+    for r in arr.df.collect():
+        idx = tuple(r[f"i{k}"] for k in range(len(shape)))
+        out[idx] = complex(r["v"]["re"], r["v"]["im"])
+    return out
+
+
+def _collect_r(arr, shape):
+    out = np.zeros(shape)
+    for r in arr.df.collect():
+        idx = tuple(r[f"i{k}"] for k in range(len(shape)))
+        out[idx] = r["v"]
+    return out
+
+
+def test_rfft_irfft(spark, rng):
+    """rfft halves the axis to n//2+1; irfft restores the real signal
+    (reference fft.py:119-251 fft_wrap real family)."""
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import fourier
+
+    for n in (12, 13):  # even and odd input lengths
+        x = rng.normal(size=n)
+        z = fourier.rfft(from_numpy(spark, x))
+        want = np.fft.rfft(x)
+        assert z.shape == (n // 2 + 1,)
+        np.testing.assert_allclose(
+            _collect_c(z, z.shape), want, atol=1e-9
+        )
+        back = fourier.irfft(z, n=n)
+        assert back.shape == (n,)
+        np.testing.assert_allclose(_collect_r(back, (n,)), x, atol=1e-9)
+    # default output length 2*(m-1) (even reconstruction)
+    x = rng.normal(size=16)
+    back = fourier.irfft(fourier.rfft(from_numpy(spark, x)))
+    np.testing.assert_allclose(_collect_r(back, (16,)), x, atol=1e-9)
+
+
+def test_rfft_matrix_axis(spark, rng):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import fourier
+
+    a = rng.normal(size=(5, 8))
+    z = fourier.rfft(from_numpy(spark, a), axis=1)
+    want = np.fft.rfft(a, axis=1)
+    assert z.shape == (5, 5)
+    np.testing.assert_allclose(_collect_c(z, (5, 5)), want, atol=1e-9)
+
+
+def test_hfft_ihfft(spark, rng):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import complexes as C
+    from dask_array_spark.operators import fourier
+
+    x = rng.normal(size=10)
+    # ihfft: real -> compressed complex; hfft inverts it
+    z = fourier.ihfft(from_numpy(spark, x))
+    want = np.fft.ihfft(x)
+    assert z.shape == (6,)
+    np.testing.assert_allclose(_collect_c(z, (6,)), want, atol=1e-9)
+    back = fourier.hfft(z, n=10)
+    np.testing.assert_allclose(_collect_r(back, (10,)), x, atol=1e-9)
+
+
+def test_fft2_fftn(spark, rng):
+    """fft2/fftn preserve axis order (np.fft layout)."""
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import fourier
+
+    a = rng.normal(size=(4, 6))
+    z = fourier.fft2(from_numpy(spark, a))
+    np.testing.assert_allclose(
+        _collect_c(z, (4, 6)), np.fft.fft2(a), atol=1e-9
+    )
+    back = fourier.ifft2(z)
+    np.testing.assert_allclose(
+        _collect_c(back, (4, 6)), a.astype("complex128"), atol=1e-9
+    )
+
+    b = rng.normal(size=(3, 4, 5))
+    z3 = fourier.fftn(from_numpy(spark, b))
+    np.testing.assert_allclose(
+        _collect_c(z3, (3, 4, 5)), np.fft.fftn(b), atol=1e-9
+    )
+    # axis subset
+    z2 = fourier.fftn(from_numpy(spark, b), axes=(0, 2))
+    np.testing.assert_allclose(
+        _collect_c(z2, (3, 4, 5)), np.fft.fftn(b, axes=(0, 2)), atol=1e-9
+    )
+
+
+def test_rfftn_irfftn(spark, rng):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import fourier
+
+    a = rng.normal(size=(4, 6))
+    z = fourier.rfftn(from_numpy(spark, a))
+    want = np.fft.rfftn(a)
+    assert z.shape == (4, 4)
+    np.testing.assert_allclose(_collect_c(z, (4, 4)), want, atol=1e-9)
+    back = fourier.irfftn(z, n=6)
+    np.testing.assert_allclose(_collect_r(back, (4, 6)), a, atol=1e-9)
+
+
+def test_fftfreq_shift(spark):
+    from dask_array_spark.operators import fourier
+
+    for n in (8, 9):
+        np.testing.assert_allclose(
+            _collect_r(fourier.fftfreq(spark, n, d=0.5), (n,)),
+            np.fft.fftfreq(n, d=0.5),
+        )
+        np.testing.assert_allclose(
+            _collect_r(fourier.rfftfreq(spark, n, d=0.5), (n // 2 + 1,)),
+            np.fft.rfftfreq(n, d=0.5),
+        )
+        f = fourier.fftfreq(spark, n)
+        np.testing.assert_allclose(
+            _collect_r(fourier.fftshift(f), (n,)),
+            np.fft.fftshift(np.fft.fftfreq(n)),
+        )
+        # ifftshift inverts fftshift even for odd n
+        np.testing.assert_allclose(
+            _collect_r(fourier.ifftshift(fourier.fftshift(f)), (n,)),
+            np.fft.fftfreq(n),
+        )
+
+
+def test_fftshift_2d(spark, rng):
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import fourier
+
+    a = rng.normal(size=(3, 4))
+    np.testing.assert_allclose(
+        _collect_r(fourier.fftshift(from_numpy(spark, a)), (3, 4)),
+        np.fft.fftshift(a),
+    )
+    np.testing.assert_allclose(
+        _collect_r(fourier.fftshift(from_numpy(spark, a), axes=(1,)), (3, 4)),
+        np.fft.fftshift(a, axes=(1,)),
+    )
+
+
 def test_fft_auto_routes_long_axis(spark):
     """fft() on a >=threshold 1-D axis uses the four-step path (no
     single whole-axis gather group)."""

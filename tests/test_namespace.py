@@ -53,7 +53,10 @@ EXPECTED = {
     "matmul", "norm", "outer", "qr", "solve", "solve_triangular", "svd",
     "tensordot", "trace", "vdot",
     # fourier / sorting / sets / kernels
-    "fft", "ifft", "argsort", "sort", "in1d", "intersect1d", "setdiff1d",
+    "fft", "ifft", "fft2", "ifft2", "fftn", "ifftn", "rfft", "irfft",
+    "rfft2", "irfft2", "rfftn", "irfftn", "hfft", "ihfft", "fftfreq",
+    "rfftfreq", "fftshift", "ifftshift",
+    "argsort", "sort", "in1d", "intersect1d", "setdiff1d",
     "union1d", "map_overlap", "apply_along_axis", "apply_gufunc",
     "from_blocks", "map_blocks", "to_blocks",
 }
