@@ -295,7 +295,31 @@ from .operators.fourier import (  # noqa: F401
 )
 from .operators.sorting import argsort, sort  # noqa: F401
 from .operators.setops import in1d, intersect1d, setdiff1d, union1d  # noqa: F401
-from .operators.overlap import map_overlap  # noqa: F401
+from .operators.overlap import map_overlap, overlap, trim_overlap  # noqa: F401
+
+# -- numpy-convenience aliases --------------------------------------------
+from .operators.conveniences import (  # noqa: F401
+    allclose,
+    asanyarray,
+    asarray,
+    broadcast_arrays,
+    dstack,
+    empty_like,
+    flatnonzero,
+    fliplr,
+    flipud,
+    full_like,
+    hstack,
+    iscomplexobj,
+    nanpercentile,
+    nanquantile,
+    ones_like,
+    percentile,
+    result_type,
+    rollaxis,
+    vstack,
+    zeros_like,
+)
 from .core.blocks import (  # noqa: F401
     apply_along_axis,
     apply_gufunc,

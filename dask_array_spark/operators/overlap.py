@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..core.array import VALUE_COL, Array
 
-__all__ = ["map_overlap"]
+__all__ = ["map_overlap", "overlap", "trim_overlap"]
 
 _PAD_MODE = {"nearest": "edge", "reflect": "reflect"}
 
@@ -143,3 +143,118 @@ def map_overlap(
 
     schema = ", ".join(f"i{k} long" for k in range(n)) + f", {VALUE_COL} double"
     return Array(d.groupBy(*bcols).applyInPandas(kernel, schema=schema), shape)
+
+
+def _halo_params(shape, depth, block_shape):
+    n = len(shape)
+    if any(s is None for s in shape):
+        raise ValueError("overlap needs a fully known shape")
+    if isinstance(depth, int):
+        depth = (depth,) * n
+    depth = tuple(int(d) for d in depth)
+    block_shape = tuple(int(b) for b in block_shape)
+    nblocks = [-(-shape[k] // block_shape[k]) for k in range(n)]
+    return n, depth, block_shape, nblocks
+
+
+def overlap(
+    a: Array,
+    depth: int | Sequence[int],
+    block_shape: Sequence[int],
+    boundary: str = "none",
+) -> Array:
+    """Standalone halo expansion (reference ``overlap``,
+    _overlap.py:580): blocks of ``block_shape`` grow by ``depth`` on
+    each side, laid out contiguously -- output axis k has length
+    nblocks_k * (block_shape_k + 2*depth_k), block b's haloed region
+    occupying [b*(bs+2dp), (b+1)*(bs+2dp)).
+
+    Spark shape: ONE explode projection (each cell fans out to the
+    <= (1 + 2*dp/bs) blocks whose extended region holds it) -- no
+    shuffle, no kernel.  Pair with ``map_blocks`` over
+    (bs + 2*dp)-sized blocks, then ``trim_overlap`` to drop the halos.
+
+    Boundaries: "none"/"constant" leave out-of-range halo positions
+    ABSENT (the COO encoding reads them as NULL -> 0, matching a
+    zero-constant pad); "periodic" wraps.  The value-dependent pads
+    (nearest/reflect) exist only on the fused ``map_overlap`` path,
+    where the kernel sees the materialized edge."""
+    if boundary not in ("none", "constant", "periodic"):
+        raise ValueError(
+            "standalone overlap supports boundary none/constant/periodic;"
+            " use map_overlap for nearest/reflect"
+        )
+    shape = a.shape
+    n, depth, block_shape, nblocks = _halo_params(shape, depth, block_shape)
+    d = a.df
+    if boundary == "periodic":
+        for k in range(n):
+            nk, dp = shape[k], depth[k]
+            if dp == 0:
+                continue
+            low = d.filter(F.col(f"i{k}") < dp).withColumn(
+                f"i{k}", F.col(f"i{k}") + F.lit(nk)
+            )
+            high = d.filter(F.col(f"i{k}") >= nk - dp).withColumn(
+                f"i{k}", F.col(f"i{k}") - F.lit(nk)
+            )
+            d = d.unionByName(low).unionByName(high)
+    sel_done = []
+    for k in range(n):
+        bs, dp = block_shape[k], depth[k]
+        span = bs + 2 * dp
+        lo = F.floor((F.col(f"i{k}") - F.lit(dp)) / F.lit(bs)).cast("long")
+        hi = F.floor((F.col(f"i{k}") + F.lit(dp)) / F.lit(bs)).cast("long")
+        seq = F.sequence(
+            F.greatest(lo, F.lit(0)), F.least(hi, F.lit(nblocks[k] - 1))
+        )
+        d = d.withColumn(f"__b{k}", F.explode(seq))
+        sel_done.append(
+            (
+                F.col(f"__b{k}") * F.lit(span)
+                + (F.col(f"i{k}") - F.col(f"__b{k}") * F.lit(bs))
+                + F.lit(dp)
+            ).alias(f"i{k}")
+        )
+    out_shape = tuple(
+        nblocks[k] * (block_shape[k] + 2 * depth[k]) for k in range(n)
+    )
+    return Array(d.select(*sel_done, F.col(VALUE_COL)), out_shape)
+
+
+def trim_overlap(
+    a: Array,
+    depth: int | Sequence[int],
+    block_shape: Sequence[int],
+    shape: Sequence[int] | None = None,
+) -> Array:
+    """Inverse of ``overlap`` (reference ``trim_overlap``,
+    _overlap.py:626): drop each block's halo cells and restore
+    original indices.  Pure filter + projection -- no shuffle.
+
+    ``shape`` is the pre-overlap shape; inferred from the haloed
+    layout when omitted (last block assumed full)."""
+    haloed = a.shape
+    n = a.ndim
+    if isinstance(depth, int):
+        depth = (depth,) * n
+    depth = tuple(int(d) for d in depth)
+    block_shape = tuple(int(b) for b in block_shape)
+    spans = [block_shape[k] + 2 * depth[k] for k in range(n)]
+    nblocks = [haloed[k] // spans[k] for k in range(n)]
+    if shape is None:
+        shape = tuple(nblocks[k] * block_shape[k] for k in range(n))
+    shape = tuple(int(s) for s in shape)
+    d = a.df
+    sel = []
+    for k in range(n):
+        b = (F.col(f"i{k}") / F.lit(spans[k])).cast("long")
+        off = F.col(f"i{k}") % F.lit(spans[k])
+        core = off - F.lit(depth[k]) + b * F.lit(block_shape[k])
+        d = d.filter(
+            (off >= F.lit(depth[k]))
+            & (off < F.lit(depth[k] + block_shape[k]))
+            & (core < F.lit(shape[k]))
+        ).withColumn(f"__c{k}", core)
+        sel.append(F.col(f"__c{k}").alias(f"i{k}"))
+    return Array(d.select(*sel, F.col(VALUE_COL)), shape)
