@@ -497,44 +497,64 @@ def kth_smallest(a: Array, k: int, buckets: int = 1024, max_collect: int = 100_0
     d = a.df.select(F.col(VALUE_COL).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
-    row = d.agg(
-        F.min("v").alias("lo"), F.max("v").alias("hi"), F.count("v").alias("n")
-    ).collect()[0]
-    lo, hi, n = row["lo"], row["hi"], row["n"]
-    if n == 0:
-        return float("nan")
-    if not (0 <= k < n):
-        raise ValueError(f"k={k} out of range for n={n}")
-    offset = 0  # count of values strictly below the surviving range
-    while True:
-        cnt_range = d.filter((F.col("v") >= lo) & (F.col("v") <= hi))
-        c = cnt_range.count()
-        width = (hi - lo) / buckets
-        if c <= max_collect or width <= 0 or not _m.isfinite(width) or (
-            hi - lo
-        ) < 1e-14 * max(1.0, abs(lo)):
-            vals = sorted(r["v"] for r in cnt_range.collect())
-            return float(vals[k - offset])
-        b = F.least(
-            F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
-            F.lit(buckets - 1),
-        )
-        hist = dict(
-            (r["b"], r["c"])
-            for r in cnt_range.groupBy(b.alias("b"))
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
-        )
-        cum = offset
-        for j in range(buckets):
-            cj = hist.get(j, 0)
-            if cum + cj > k:
-                lo2 = lo + j * width
-                hi2 = lo + (j + 1) * width if j < buckets - 1 else hi
-                offset = cum
-                lo, hi = lo2, hi2
-                break
-            cum += cj
+    # persist ONCE: every narrowing pass re-reads this relation, and
+    # without the cache each pass is a full base-table scan (VERDICT r3
+    # item 2 -- at 100 TB that doubles-to-quadruples the IO)
+    d = d.persist()
+    try:
+        row = d.agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+            F.count("v").alias("n"),
+        ).collect()[0]
+        lo, hi, n = row["lo"], row["hi"], row["n"]
+        if n == 0:
+            return float("nan")
+        if not (0 <= k < n):
+            raise ValueError(f"k={k} out of range for n={n}")
+        offset = 0  # count of values strictly below the surviving range
+        c = n  # rows inside [lo, hi]: carried from the chosen bucket's
+        # histogram count, so no per-pass .count() job exists at all
+        hi_inclusive = True
+        while True:
+            in_range = (F.col("v") >= lo) & (
+                (F.col("v") <= hi) if hi_inclusive else (F.col("v") < hi)
+            )
+            rng = d.filter(in_range)
+            width = (hi - lo) / buckets
+            if c <= max_collect or width <= 0 or not _m.isfinite(width) or (
+                hi - lo
+            ) < 1e-14 * max(1.0, abs(lo)):
+                vals = sorted(r["v"] for r in rng.collect())
+                return float(vals[k - offset])
+            b = F.least(
+                F.floor((F.col("v") - F.lit(lo)) / F.lit(width)).cast("long"),
+                F.lit(buckets - 1),
+            )
+            hist = dict(
+                (r["b"], r["c"])
+                for r in rng.groupBy(b.alias("b"))
+                .agg(F.count(F.lit(1)).alias("c"))
+                .collect()
+            )
+            cum = offset
+            for j in range(buckets):
+                cj = hist.get(j, 0)
+                if cum + cj > k:
+                    offset = cum
+                    c = cj
+                    if j < buckets - 1:
+                        # half-open upper bound: bucket j is
+                        # [lo+j*w, lo+(j+1)*w), so the carried count cj
+                        # is EXACT for the next range even with ties
+                        # sitting on the bucket boundary
+                        lo, hi = lo + j * width, lo + (j + 1) * width
+                        hi_inclusive = False
+                    else:
+                        lo = lo + j * width
+                    break
+                cum += cj
+    finally:
+        d.unpersist()
 
 
 def median_scalable(a: Array) -> float:
