@@ -56,6 +56,10 @@ from .operators.creation import (  # noqa: F401
     random_poisson,
     random_uniform,
     tri,
+    tril_indices,
+    tril_indices_from,
+    triu_indices,
+    triu_indices_from,
     zeros,
 )
 
@@ -248,11 +252,12 @@ from .operators.manipulation import (  # noqa: F401
     insert_1d as insert,
     moveaxis,
     pad,
+    ravel_multi_index,
     repeat,
-
     reshape,
     reshape_blockwise,
     roll,
+    unravel_index,
     sliding_window_view,
     squeeze,
     stack,

@@ -34,6 +34,10 @@ __all__ = [
     "fromfunction_expr",
     "indices_1d",
     "indices_nd",
+    "tril_indices",
+    "tril_indices_from",
+    "triu_indices",
+    "triu_indices_from",
     "meshgrid",
     "random_uniform",
     "random_normal",
@@ -306,3 +310,99 @@ def meshgrid(*arrays: Array, indexing: str = "xy") -> "list[Array]":
         )
         out.append(Array(d, tuple(dims)))
     return out
+
+
+# -- triangle index generators (reference creation/_tri.py,
+# routines/_misc.py tril_indices/triu_indices) -----------------------------
+
+
+def _clamp(x: int, lo: int, hi: int) -> int:
+    return max(lo, min(hi, x))
+
+
+def _tril_prefix(i: int, k: int, m: int) -> int:
+    """#cells in rows < i of the k-offset lower triangle of an (?, m)
+    grid: row r holds clamp(r+k+1, 0, m) cells."""
+    a = _clamp(-k, 0, i)          # leading all-empty rows
+    c = _clamp(m - k - 1, 0, i)   # first saturated (full-m) row
+    return (i - c) * m + (c - a) * (k + 1) + ((a + c - 1) * (c - a)) // 2
+
+
+def _triu_prefix(i: int, k: int, m: int) -> int:
+    """#cells in rows < i of the k-offset upper triangle: row r holds
+    clamp(m - r - k, 0, m) cells."""
+    s = _clamp(-k + 1, 0, i)      # leading saturated rows (full m)
+    z = _clamp(m - k, 0, i)       # first all-empty row
+    return s * m + (z - s) * (m - k) - ((s + z - 1) * (z - s)) // 2
+
+
+def tril_indices(spark: SparkSession, n: int, k: int = 0, m: int | None = None):
+    """(rows, cols) index arrays of the k-offset lower triangle of an
+    n x m grid, row-major ordered like np.tril_indices.  Pure index
+    arithmetic: the output position of cell (i, j) is a CLOSED-FORM
+    prefix (no global rank, no window, no shuffle) -- one range scan +
+    one sequence explode."""
+    m = n if m is None else int(m)
+    i = "id"
+    # SQL mirrors of _tril_prefix, evaluated per row against column i
+    a = f"least(greatest({-k}, 0), {i})"
+    c = f"least(greatest({m - k - 1}, 0), {i})"
+    prefix = (
+        f"(({i} - ({c})) * {m} + (({c}) - ({a})) * {k + 1}"
+        f" + ((({a}) + ({c}) - 1) * (({c}) - ({a})) div 2))"
+    )
+    d = (
+        spark.range(n)
+        .filter(f"{i} + {k} >= 0")
+        .selectExpr(
+            f"{i} as i",
+            f"{prefix} as p",
+            f"least({m - 1}, {i} + {k}) as jmax",
+        )
+        .selectExpr("i", "p", "explode(sequence(0, jmax)) as j")
+    )
+    length = _tril_prefix(n, k, m)
+    pos = (F.col("p") + F.col("j")).cast("long").alias("i0")
+    rows = Array(d.select(pos, F.col("i").cast("long").alias(VALUE_COL)), (length,))
+    cols = Array(d.select(pos, F.col("j").cast("long").alias(VALUE_COL)), (length,))
+    return rows, cols
+
+
+def triu_indices(spark: SparkSession, n: int, k: int = 0, m: int | None = None):
+    """(rows, cols) index arrays of the k-offset upper triangle, same
+    closed-form-prefix construction as tril_indices."""
+    m = n if m is None else int(m)
+    i = "id"
+    s = f"least(greatest({-k + 1}, 0), {i})"
+    z = f"least(greatest({m - k}, 0), {i})"
+    prefix = (
+        f"(({s}) * {m} + (({z}) - ({s})) * {m - k}"
+        f" - ((({s}) + ({z}) - 1) * (({z}) - ({s})) div 2))"
+    )
+    d = (
+        spark.range(n)
+        .filter(f"{i} + {k} <= {m - 1}")
+        .selectExpr(
+            f"{i} as i",
+            f"{prefix} as p",
+            f"greatest(0, {i} + {k}) as jmin",
+        )
+        .selectExpr("i", "p", "jmin", f"explode(sequence(jmin, {m - 1})) as j")
+    )
+    length = _triu_prefix(n, k, m)
+    pos = (F.col("p") + F.col("j") - F.col("jmin")).cast("long").alias("i0")
+    rows = Array(d.select(pos, F.col("i").cast("long").alias(VALUE_COL)), (length,))
+    cols = Array(d.select(pos, F.col("j").cast("long").alias(VALUE_COL)), (length,))
+    return rows, cols
+
+
+def tril_indices_from(a: Array, k: int = 0):
+    if a.ndim != 2:
+        raise ValueError("tril_indices_from needs a 2-D array")
+    return tril_indices(a.spark, a.shape[0], k, a.shape[1])
+
+
+def triu_indices_from(a: Array, k: int = 0):
+    if a.ndim != 2:
+        raise ValueError("triu_indices_from needs a 2-D array")
+    return triu_indices(a.spark, a.shape[0], k, a.shape[1])

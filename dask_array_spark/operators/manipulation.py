@@ -49,6 +49,8 @@ __all__ = [
     "atleast_1d",
     "atleast_2d",
     "atleast_3d",
+    "ravel_multi_index",
+    "unravel_index",
 ]
 
 
@@ -466,3 +468,59 @@ def atleast_2d(a: Array) -> Array:
 def atleast_3d(a: Array) -> Array:
     a = atleast_2d(a)
     return expand_dims(a, 2) if a.ndim == 2 else a
+
+
+def ravel_multi_index(multi_index: Sequence[Array], dims: Sequence[int]) -> Array:
+    """Flat C-order index from aligned coordinate arrays (reference
+    routines/_misc.py ravel_multi_index): a pure elemwise
+    sum-of-strided-coords -- exact long arithmetic, zero shuffle when
+    the coordinate arrays share a base."""
+    from .elemwise import elemwise
+
+    dims = tuple(int(s) for s in dims)
+    if len(multi_index) != len(dims):
+        raise ValueError(
+            f"{len(multi_index)} coordinate arrays for {len(dims)} dims"
+        )
+    strides = []
+    mul = 1
+    for s in reversed(dims):
+        strides.append(mul)
+        mul *= s
+    strides = list(reversed(strides))
+
+    def flat(*cols):
+        out = None
+        for c, st in zip(cols, strides):
+            term = c.cast("long") * F.lit(st)
+            out = term if out is None else out + term
+        return out
+
+    return elemwise(flat, *multi_index)
+
+
+def unravel_index(indices: Array, shape: Sequence[int]) -> tuple:
+    """Coordinate arrays from a flat-index array (reference
+    routines/_misc.py unravel_index): per-axis ``(v div stride) %
+    dim`` projections -- integer-exact (``div``, not the
+    double-routed ``/``), one output Array per axis, all sharing the
+    input's base (no shuffle, no join)."""
+    shape = tuple(int(s) for s in shape)
+    strides = []
+    mul = 1
+    for s in reversed(shape):
+        strides.append(mul)
+        mul *= s
+    strides = list(reversed(strides))
+    outs = []
+    for dim, st in zip(shape, strides):
+        coord = F.expr(f"(cast({VALUE_COL} as bigint) div {st}) % {dim}")
+        outs.append(
+            Array(
+                indices.df.select(
+                    *indices.index_cols, coord.cast("long").alias(VALUE_COL)
+                ),
+                indices.shape,
+            )
+        )
+    return tuple(outs)

@@ -2885,15 +2885,29 @@ def q_overlap_gradient_smooth(spark, sf):
     UNION ALL
     SELECT 4, i0, CAST(v AS DOUBLE) FROM (
       SELECT i1 * 25 + i0 AS i0, v FROM ({NM_SQL}) t) tr
+    UNION ALL
+    -- unravel (3,4) then ravel the transposed coords into (4,3):
+    -- out[(i % 4) * 3 + (i // 4)] = mo[i]
+    SELECT 5, (i % 4) * 3 + (i // 4), CAST(v AS DOUBLE) FROM mo
+    UNION ALL
+    -- tril_indices(5, k=-1, m=5) row-major, encoded v = row*5 + col
+    SELECT 6, i0, CAST(v AS DOUBLE) FROM (
+      SELECT row_number() OVER (ORDER BY r.i, c.j) - 1 AS i0,
+             r.i * 5 + c.j AS v
+      FROM (SELECT unnest(range(5)) AS i) r
+      CROSS JOIN (SELECT unnest(range(5)) AS j) c
+      WHERE c.j <= r.i - 1) tl
     """,
 )
 def q_manip_1d_suite(spark, sf):
     """1-D layout family with kind tags: concat+roll (0), insert/delete
     splice (1), repeat (2), tile+constant-pad (3), transpose+reshape
-    flat (4) (reference stacking/_concatenate.py:20,
-    routines/_insert_delete.py:19, creation/_repeat.py:13,
-    creation/_tile.py:10/_pad.py:227, manipulation/_transpose.py:14 +
-    _reshape.py:265)."""
+    flat (4), unravel/ravel_multi_index round-trip permutation (5),
+    tril_indices closed-form positions (6) (reference
+    stacking/_concatenate.py:20, routines/_insert_delete.py:19,
+    creation/_repeat.py:13, creation/_tile.py:10/_pad.py:227,
+    manipulation/_transpose.py:14 + _reshape.py:265,
+    routines/_misc.py ravel/unravel, creation/_tri.py)."""
     k = lambda n: F.lit(n).cast("long").alias("kind")
     dv = F.col("v").cast("double").alias("v")
     out = q_concat_roll(spark, sf).select(k(0), "i0", dv)
@@ -2901,6 +2915,23 @@ def q_manip_1d_suite(spark, sf):
     out = out.unionByName(q_repeat(spark, sf).select(k(2), "i0", dv))
     out = out.unionByName(q_tile_pad(spark, sf).select(k(3), "i0", dv))
     out = out.unionByName(q_transpose_reshape(spark, sf).select(k(4), "i0", dv))
+
+    # kind 5: unravel flat monthly positions into (3,4), ravel the
+    # swapped coords into (4,3) -- a pure-projection permutation; the
+    # permuted position reindexes the monthly values
+    mo = _monthly(spark, sf)
+    flat = creation.arange(spark, 12)
+    r, c = M.unravel_index(flat, (3, 4))
+    p = M.ravel_multi_index((c, r), (4, 3))
+    permuted = mo.df.join(p.df.selectExpr("i0", "v as __p"), on="i0").select(
+        k(5), F.col("__p").cast("long").alias("i0"), dv
+    )
+    out = out.unionByName(permuted)
+
+    # kind 6: strict lower triangle of a 5x5, encoded v = row*5 + col
+    rows, cols = creation.tril_indices(spark, 5, k=-1)
+    enc = (rows * 5 + cols).astype("double")
+    out = out.unionByName(enc.df.select(k(6), "i0", dv))
     return out
 
 

@@ -11,7 +11,9 @@ EXPECTED = {
     "arange", "diag_extract", "diagonal", "eye", "fromfunction", "full",
     "indices", "linspace", "ones", "random_choice", "random_exponential",
     "random_integers", "random_lognormal", "random_normal",
-    "random_permutation", "random_poisson", "random_uniform", "tri", "zeros",
+    "random_permutation", "random_poisson", "random_uniform", "tri",
+    "tril_indices", "tril_indices_from", "triu_indices",
+    "triu_indices_from", "zeros",
     # ufuncs
     "absolute", "arccos", "arccosh", "arcsin", "arcsinh", "arctan",
     "arctan2", "arctanh", "cbrt", "ceil", "choose", "clip", "copysign",
@@ -46,8 +48,8 @@ EXPECTED = {
     # shape
     "append", "atleast_1d", "atleast_2d", "atleast_3d", "broadcast_to",
     "concatenate", "delete", "expand_dims", "flip", "insert", "moveaxis",
-    "pad", "repeat", "reshape", "roll", "squeeze", "stack", "swapaxes",
-    "tile", "transpose",
+    "pad", "ravel_multi_index", "repeat", "reshape", "roll", "squeeze",
+    "stack", "swapaxes", "tile", "transpose", "unravel_index",
     # linalg
     "cholesky", "corrcoef", "cov", "dot", "einsum", "inv", "lstsq", "lu",
     "matmul", "norm", "outer", "qr", "solve", "solve_triangular", "svd",
