@@ -31,6 +31,7 @@ __all__ = [
     "byte_histogram",
     "fake_decode_features",
     "decode_image",
+    "decode_features",
     "frame_sample",
 ]
 
@@ -119,18 +120,87 @@ def fake_decode_features(df: DataFrame, media_col: str = "media",
     )
 
 
-def decode_image(df: DataFrame, media_col: str = "media", id_col: str = "doc_id") -> DataFrame:
-    """Real image decode -- STUB: no imaging library ships in this
-    environment.  The mapInPandas plumbing is identical to
-    fake_decode_features; swap the kernel body when PIL/cv2 exists."""
+DECODE_SCHEMA = (
+    "{id} long, width long, height long, mode string, mean_px double,"
+    " std_px double, n_px long, ok boolean"
+)
+
+
+def _decode_batch(pdf: pd.DataFrame, media_col: str, id_col: str,
+                  resize: tuple | None) -> pd.DataFrame:
+    """Decode one Arrow batch via PIL (imported HERE so the import
+    happens executor-side, per worker).  Corrupt/undecodable payloads
+    -- routine in web corpora -- yield an ok=False row instead of
+    failing the whole partition."""
+    import io
+
+    import PIL.Image
+
+    rows = []
+    for did, payload in zip(pdf[id_col].to_numpy(), pdf[media_col]):
+        try:
+            img = PIL.Image.open(io.BytesIO(bytes(payload)))
+            w, h = img.size
+            if resize is not None:
+                img = img.resize(resize)
+            arr = np.asarray(img.convert("L"), dtype="float64")
+            rows.append({
+                id_col: did, "width": int(w), "height": int(h),
+                "mode": str(img.mode),
+                "mean_px": round(float(arr.mean()), 6),
+                "std_px": round(float(arr.std()), 6),
+                "n_px": int(arr.size), "ok": True,
+            })
+        except NotImplementedError:
+            raise
+        except Exception:
+            rows.append({
+                id_col: did, "width": -1, "height": -1, "mode": "",
+                "mean_px": float("nan"), "std_px": float("nan"),
+                "n_px": 0, "ok": False,
+            })
+    return pd.DataFrame(rows)
+
+
+def decode_image(df: DataFrame, media_col: str = "media",
+                 id_col: str = "doc_id",
+                 resize: tuple | None = None) -> DataFrame:
+    """Real image decode + feature extract via PIL, capability-gated:
+    raises ``NotImplementedError`` when no imaging library is
+    importable (this container ships none; ``fake_decode_features`` is
+    the deterministic stand-in).  When PIL exists, each Arrow batch
+    decodes executor-side -- (id, width, height, mode, mean_px,
+    std_px, n_px, ok), with per-item decode failures flagged rather
+    than fatal.  Same mapInPandas shape as fake_decode_features: a
+    pure map stage, zero shuffles, payloads never visit the driver."""
     try:
-        import PIL.Image  # noqa: F401
+        import PIL.Image  # noqa: F401  (driver-side capability probe)
     except ImportError as e:
         raise NotImplementedError(
             "decode_image needs an imaging library (PIL/cv2); "
             "use fake_decode_features for the deterministic stub path"
         ) from e
-    raise NotImplementedError("real decode path not wired yet")
+    from ..sources.ingest import widen_partitions
+
+    src = widen_partitions(df.select(id_col, media_col), id_col)
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield _decode_batch(pdf, media_col, id_col, resize)
+
+    return src.mapInPandas(kernel, schema=DECODE_SCHEMA.format(id=id_col))
+
+
+def decode_features(df: DataFrame, media_col: str = "media",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Best-available decode: the real PIL path when the library
+    exists, else the deterministic byte-level stand-in (columns are a
+    superset: the fake path lacks width/height/mode)."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return fake_decode_features(df, media_col, id_col)
+    return decode_image(df, media_col, id_col)
 
 
 def frame_sample(df: DataFrame, media_col: str = "media", id_col: str = "doc_id",

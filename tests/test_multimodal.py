@@ -1,17 +1,108 @@
 """Multimodal binary-column plumbing: schemas, batch shapes, stub
-gating.  (Value correctness vs DuckDB is covered by the media_*
-entries in tests/test_oracle.py.)"""
+gating, and BOTH decode paths -- lib-absent (gate raises, fallback
+routes to the byte-level stand-in) and lib-present (the real PIL batch
+logic, driven with an injected minimal PIL).  (Value correctness vs
+DuckDB is covered by the media_* entries in tests/test_oracle.py.)"""
 
+import sys
+import types
+
+import numpy as np
+import pandas as pd
 import pytest
+
+_HAVE_PIL = True
+try:
+    import PIL.Image  # noqa: F401
+except ImportError:
+    _HAVE_PIL = False
 
 
 def test_decode_image_is_gated(spark, sf_dir):
     from dask_array_spark.functions import multimodal as MM
     from dask_array_spark.sources import read_table
 
+    if _HAVE_PIL:
+        pytest.skip("imaging library present; gate does not apply")
     d = MM.attach_bytes(read_table(spark, sf_dir, "documents"))
     with pytest.raises(NotImplementedError):
         MM.decode_image(d)
+    # decode_features silently falls back to the byte-level stand-in
+    out = MM.decode_features(d)
+    assert "mean_px" in out.columns and "width" not in out.columns
+    assert out.count() == d.count()
+
+
+class _FakeImage:
+    """Minimal PIL.Image.Image stand-in: 4-wide uint8 'pixels'
+    straight from the payload bytes."""
+
+    def __init__(self, buf):
+        if len(buf) < 4:
+            raise OSError("cannot identify image file")
+        self._buf = np.frombuffer(buf, dtype=np.uint8)
+        self.mode = "L"
+
+    @property
+    def size(self):
+        return (4, len(self._buf) // 4)
+
+    def resize(self, wh):
+        out = _FakeImage.__new__(_FakeImage)
+        out._buf = self._buf[: wh[0] * wh[1]]
+        out.mode = self.mode
+        return out
+
+    def convert(self, mode):
+        return self
+
+    def __array__(self, dtype=None):
+        n = (len(self._buf) // 4) * 4
+        a = self._buf[:n].reshape(-1, 4)
+        return a.astype(dtype) if dtype else a
+
+
+def _inject_fake_pil(monkeypatch):
+    pil = types.ModuleType("PIL")
+    image_mod = types.ModuleType("PIL.Image")
+    image_mod.open = lambda fp: _FakeImage(fp.read())
+    pil.Image = image_mod
+    monkeypatch.setitem(sys.modules, "PIL", pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", image_mod)
+
+
+def test_decode_batch_real_path(monkeypatch):
+    """The real decode kernel logic (_decode_batch) under a present
+    imaging lib: per-item features plus graceful ok=False on corrupt
+    payloads."""
+    from dask_array_spark.functions.multimodal import _decode_batch
+
+    _inject_fake_pil(monkeypatch)
+    good = bytes(range(16))
+    corrupt = b"xx"  # too short -> decoder raises -> ok=False row
+    pdf = pd.DataFrame({"doc_id": [1, 2], "media": [good, corrupt]})
+    out = _decode_batch(pdf, "media", "doc_id", None)
+    assert list(out.columns) == [
+        "doc_id", "width", "height", "mode", "mean_px", "std_px",
+        "n_px", "ok",
+    ]
+    r1 = out[out.doc_id == 1].iloc[0]
+    assert bool(r1.ok) and r1.width == 4 and r1.height == 4
+    assert r1.n_px == 16 and r1.mean_px == np.arange(16).mean()
+    r2 = out[out.doc_id == 2].iloc[0]
+    assert not bool(r2.ok) and r2.n_px == 0 and np.isnan(r2.mean_px)
+
+
+def test_decode_batch_resize(monkeypatch):
+    from dask_array_spark.functions.multimodal import _decode_batch
+
+    _inject_fake_pil(monkeypatch)
+    pdf = pd.DataFrame({"doc_id": [1], "media": [bytes(range(64))]})
+    out = _decode_batch(pdf, "media", "doc_id", (4, 2))
+    r = out.iloc[0]
+    # reported dims are the ORIGINAL image; n_px reflects the resize
+    assert (r.width, r.height) == (4, 16)
+    assert r.n_px == 8
 
 
 def test_frame_sample_schema_and_bytes(spark, sf_dir):
