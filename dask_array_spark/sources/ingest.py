@@ -495,11 +495,23 @@ _ZARR_DTYPES = {
 }
 
 
+# c-blosc1 cname codes (blosc.h) and the decode capability matrix of
+# this repo, pinned by tests/test_codecs.py::test_blosc_capability_matrix
+BLOSC_CNAMES = {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+# decodable with NO extra packages (lz4/snappy via the dependency-free
+# decoders in sources/codecs.py, zlib via stdlib); 'zstd' additionally
+# works when the 'zstandard' package is importable; 'blosclz' never
+# (c-blosc-internal codec, no independent spec).  Any cname whose frame
+# carries the memcpy flag (incompressible data) always decodes.
+BLOSC_SUPPORTED = {"lz4", "snappy", "zlib"}
+
+
 def _blosc_decompress(raw: bytes) -> bytes:
     """Decode a c-blosc1 frame without the blosc library (public chunk
     format, c-blosc README_CHUNK_FORMAT.rst).
 
-    Capability matrix (cname -> support):
+    Capability matrix (cname -> support), pinned by
+    tests/test_codecs.py::test_blosc_capability_matrix:
     - any cname with the memcpy flag (incompressible data): native
     - zlib: native (stdlib), byte-shuffle undone in NumPy
     - lz4/lz4hc: the ``lz4`` package when importable, else the
@@ -523,7 +535,8 @@ def _blosc_decompress(raw: bytes) -> bytes:
     cname_code = (flags >> 5) & 0x7
     if memcpyed:
         return raw[16 : 16 + nbytes]
-    # 0=blosclz 1=lz4 2=snappy 3=zlib 4=zstd
+    # 0=blosclz 1=lz4 2=snappy 3=zlib 4=zstd (c-blosc blosc.h codes)
+    cname = BLOSC_CNAMES.get(cname_code, f"unknown({cname_code})")
     if cname_code == 1:
         try:
             from lz4 import block as _lz4block
@@ -544,12 +557,16 @@ def _blosc_decompress(raw: bytes) -> bytes:
             import zstandard as _zstd
         except ImportError as e:
             raise NotImplementedError(
-                "blosc+zstd chunks need the 'zstandard' package"
+                "blosc codec 'zstd' (cname code 4) needs the 'zstandard'"
+                " package; supported without extra packages:"
+                f" {sorted(BLOSC_SUPPORTED)}"
             ) from e
         dec = lambda b, n: _zstd.ZstdDecompressor().decompress(b, max_output_size=n)
     else:
         raise NotImplementedError(
-            "blosc cname code 0 (blosclz) needs the blosc library"
+            f"blosc codec {cname!r} (cname code {cname_code}) has no"
+            " independent public spec to decode against; supported"
+            f" without extra packages: {sorted(BLOSC_SUPPORTED)}"
         )
     nblocks = (nbytes + blocksize - 1) // blocksize
     bstarts = struct.unpack_from(f"<{nblocks}I", raw, 16)
@@ -654,10 +671,19 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 coords = parse_coords(fpath)
                 raw = bytes(content)
-                if comp_id in ("zlib", "gzip"):
-                    raw = zlib.decompress(raw, 47)  # auto header detect
-                elif comp_id == "blosc":
-                    raw = _blosc_decompress(raw)
+                try:
+                    if comp_id in ("zlib", "gzip"):
+                        raw = zlib.decompress(raw, 47)  # auto header detect
+                    elif comp_id == "blosc":
+                        raw = _blosc_decompress(raw)
+                except Exception as e:
+                    # name the failing chunk and codec: a 100 TB store
+                    # has millions of chunks and "bad frame" alone is
+                    # undebuggable
+                    raise type(e)(
+                        f"zarr chunk {fpath!r} (compressor"
+                        f" {comp_id!r}): {e}"
+                    ) from e
                 block = np.frombuffer(raw, dtype=dtype).reshape(chunks)
                 # trim edge-chunk overhang (zarr stores full-size chunks)
                 sl, offs = [], []

@@ -119,3 +119,116 @@ def test_zarr_blosc_lz4_chunks(spark, tmp_path):
             open(url + f"/{c}", "wb").write(frame)
         back = from_zarr(spark, url)
         np.testing.assert_array_equal(back.compute(), data)
+
+
+def _frame(flags, typesize, nbytes, blocksize, blocks_payloads):
+    """Assemble a c-blosc1 frame from per-block compressed payloads."""
+    nblocks = len(blocks_payloads)
+    blocks = [struct.pack("<I", len(p)) + p for p in blocks_payloads]
+    bstarts, off = [], 16 + 4 * nblocks
+    for b in blocks:
+        bstarts.append(off)
+        off += len(b)
+    header = struct.pack("<BBBBIII", 2, 1, flags, typesize, nbytes, blocksize, off)
+    return header + struct.pack(f"<{nblocks}I", *bstarts) + b"".join(blocks)
+
+
+def test_blosc_capability_matrix():
+    """Pin the documented capability matrix (BLOSC_SUPPORTED) cname by
+    cname with hand-assembled frames: zlib/lz4/snappy decode with no
+    extra packages, memcpy decodes under ANY cname, zstd needs the
+    zstandard package, blosclz and unknown codes fail with an error
+    NAMING the codec and the supported set."""
+    import zlib
+
+    from dask_array_spark.sources.ingest import (
+        BLOSC_CNAMES, BLOSC_SUPPORTED, _blosc_decompress,
+    )
+
+    assert BLOSC_CNAMES == {0: "blosclz", 1: "lz4", 2: "snappy", 3: "zlib", 4: "zstd"}
+    assert BLOSC_SUPPORTED == {"lz4", "snappy", "zlib"}
+
+    # memcpy flag (0x2): raw passthrough regardless of cname code
+    data = bytes(range(16)) * 4
+    for code in range(5):
+        raw = struct.pack(
+            "<BBBBIII", 2, 1, 0x2 | (code << 5), 1, len(data), len(data),
+            16 + len(data),
+        ) + data
+        assert _blosc_decompress(raw) == data
+
+    # zlib (code 3)
+    payload = b"compressible " * 16
+    comp = zlib.compress(payload)
+    assert _blosc_decompress(
+        _frame(3 << 5, 1, len(payload), len(payload), [comp])
+    ) == payload
+
+    # lz4 (code 1): RLE block, 16 x's in 5 bytes
+    blk = bytes([0x1B]) + b"x" + bytes([0x01, 0x00]) + bytes([0x00])
+    assert _blosc_decompress(_frame(1 << 5, 1, 16, 16, [blk])) == b"x" * 16
+
+    # snappy (code 2): varint(16), 1 literal 'x', copy len 8 + copy
+    # len 7 at offset 1
+    sblk = bytes([0x10, 0x00]) + b"x" + bytes([0x11, 0x01, 0x0D, 0x01])
+    assert _blosc_decompress(_frame(2 << 5, 1, 16, 16, [sblk])) == b"x" * 16
+
+    # multi-block zlib + byte-shuffle, typesize 4
+    arr = np.arange(32, dtype="<u4").tobytes()
+    half = len(arr) // 2
+    segs = []
+    for seg in (arr[:half], arr[half:]):
+        a = np.frombuffer(seg, dtype="u1")
+        segs.append(zlib.compress(a.reshape(-1, 4).T.tobytes()))
+    out = _blosc_decompress(_frame(0x1 | (3 << 5), 4, len(arr), half, segs))
+    assert out == arr
+
+    # bit-shuffle flag (0x4) + zlib
+    from dask_array_spark.sources.codecs import bitshuffle
+
+    arr = np.arange(64, dtype="<u2").tobytes()
+    comp = zlib.compress(bitshuffle(arr, 2))
+    assert _blosc_decompress(_frame(0x4 | (3 << 5), 2, len(arr), len(arr), [comp])) == arr
+
+    # zstd (code 4): package-gated
+    zraw = _frame(4 << 5, 1, 4, 4, [b"\x00"])
+    try:
+        import zstandard  # noqa: F401
+
+        have_zstd = True
+    except ImportError:
+        have_zstd = False
+    if not have_zstd:
+        with pytest.raises(NotImplementedError, match="zstd.*zstandard"):
+            _blosc_decompress(zraw)
+
+    # blosclz (code 0) and unknown codes: refused BY NAME
+    with pytest.raises(NotImplementedError, match="blosclz.*cname code 0"):
+        _blosc_decompress(_frame(0, 1, 4, 4, [b"\x00"]))
+    with pytest.raises(NotImplementedError, match="unknown\\(5\\)"):
+        _blosc_decompress(_frame(5 << 5, 1, 4, 4, [b"\x00"]))
+
+
+def test_zarr_chunk_error_names_chunk_and_codec(spark, tmp_path):
+    """A failing chunk decode surfaces the CHUNK PATH and codec in the
+    error (a 100 TB store has millions of chunks)."""
+    from dask_array_spark.sources import from_zarr
+
+    url = str(tmp_path / "zbad")
+    os.makedirs(url)
+    json.dump(
+        {"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+         "compressor": {"id": "blosc", "cname": "blosclz", "clevel": 5,
+                        "shuffle": 0},
+         "fill_value": "NaN", "filters": None, "order": "C"},
+        open(url + "/.zarray", "w"),
+    )
+    # a blosclz (code 0) frame the decoder must refuse
+    frame = struct.pack("<BBBBIII", 2, 1, 0, 8, 32, 32, 20 + 1) \
+        + struct.pack("<I", 20) + struct.pack("<I", 1) + b"\x00"
+    open(url + "/0", "wb").write(frame)
+    arr = from_zarr(spark, url)
+    with pytest.raises(Exception) as ei:
+        arr.compute()
+    msg = str(ei.value)
+    assert "zarr chunk" in msg and "blosclz" in msg and "zbad/0" in msg
