@@ -102,11 +102,19 @@ def main() -> None:
     # distributed run through the noop sink, no driver collect)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     settle = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "0.5"))
+    # the two historically noisiest slots (r2/r3 driver runs showed
+    # 3-5 s spreads there on a loaded machine) get extra executions so
+    # min-of-N converges even under contention
+    extra = {"text_quality": 5, "tpch_q3_shipping_priority": 5}
+    runs_extra = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_NOISY", "0"))
+    if runs_extra:
+        extra = {k: runs_extra for k in extra}
+    load_start = os.getloadavg()
     results: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name, fn in _headline():
         times = []
-        for _ in range(runs):
+        for _ in range(max(runs, extra.get(name, 0))):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -115,6 +123,7 @@ def main() -> None:
         spreads[name] = round(max(times) - min(times), 3)
         time.sleep(settle)
 
+    load_end = os.getloadavg()
     total = round(sum(results.values()), 3)
     print(
         json.dumps(
@@ -125,6 +134,12 @@ def main() -> None:
                 "queries": results,
                 "spread": spreads,
                 "runs": runs,
+                # machine-contention evidence for regression
+                # adjudication: 1/5/15-min load averages at bench start
+                # and end, plus the core count they are relative to
+                "loadavg_start": [round(x, 2) for x in load_start],
+                "loadavg_end": [round(x, 2) for x in load_end],
+                "ncpus": os.cpu_count(),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
