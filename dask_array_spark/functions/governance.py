@@ -1,0 +1,133 @@
+"""Corpus-governance operators for training-data pipelines (additive
+scope beyond the reference, SURVEY.md section 7 M6): benchmark
+decontamination, deterministic dataset splits, stratified sampling.
+
+These are the operations an LLM data pipeline runs AFTER cleaning and
+dedup: check the corpus against held-out evaluation sets (n-gram
+overlap decontamination, the 13-gram procedure from the GPT-3 / PaLM
+appendices), carve reproducible train/validation/test splits, and draw
+per-stratum samples for audits.
+
+Scale design (the 100 TB story):
+- decontamination joins the corpus n-gram side against a BROADCAST of
+  the benchmark n-gram set -- eval suites are tiny (10^5-10^6 n-grams)
+  next to the corpus, so no corpus shuffle happens at all; the corpus
+  side is one explode + a partial-aggregated count per doc;
+- split assignment is a stateless per-row hash projection --
+  reproducible across runs, engines, and corpus re-orderings, which a
+  random() split is not;
+- stratified sampling ranks by a deterministic hash within each
+  stratum: one shuffle keyed by the (small-cardinality) stratum
+  column.
+
+All hashing is the explicit polynomial scheme from functions.text so a
+DuckDB oracle replays every assignment bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingle_hashes
+from .text import polyhash_col
+
+__all__ = [
+    "contamination_counts",
+    "assign_split",
+    "stratified_sample_flag",
+]
+
+
+def contamination_counts(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document count of distinct word ``n``-grams shared with a
+    benchmark corpus (decontamination check; GPT-3 appendix C uses
+    13-grams -- ``n`` is a parameter because the test corpus has ~50
+    token documents).
+
+    Returns (doc_id, n_contam BIGINT, contaminated BOOLEAN) at the
+    ``df`` grain.  Documents shorter than ``n`` tokens count 0.
+
+    The benchmark side reduces to DISTINCT n-gram hashes and ships as
+    a broadcast -- the corpus never shuffles; its exploded n-gram rows
+    meet the broadcast in-place and the per-doc count partial-
+    aggregates before the (doc-keyed) final count.
+    """
+    doc_ng = shingle_hashes(df, text_col, n)
+    bench_ng = shingle_hashes(bench_df, text_col, n).select("sh").distinct()
+    hits = (
+        doc_ng.join(F.broadcast(bench_ng), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contam"))
+    )
+    return (
+        df.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_contam"), F.lit(0).cast("long")).alias("n_contam"),
+            (F.coalesce(F.col("n_contam"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (80, 10, 10),
+    salt: str = "s1",
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by hashing the
+    document id: bucket = polyhash(salt || ':' || id) mod 100, split
+    boundaries at cumulative ``weights``.
+
+    Returns (doc_id, split STRING).  Stateless per-row projection --
+    identical assignment no matter how the corpus is partitioned,
+    re-read, or appended to (new docs never move old ones between
+    splits, unlike randomSplit / TABLESAMPLE).
+    """
+    if sum(weights) != 100:
+        raise ValueError(f"weights must sum to 100, got {weights}")
+    bucket = (
+        polyhash_col(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        % F.lit(100)
+    )
+    t_end = weights[0]
+    v_end = weights[0] + weights[1]
+    split = (
+        F.when(bucket < t_end, F.lit("train"))
+        .when(bucket < v_end, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return df.select(F.col(id_col).alias("doc_id"), split.alias("split"))
+
+
+def stratified_sample_flag(
+    df: DataFrame,
+    stratum_col: str = "lang",
+    k: int = 25,
+    id_col: str = "doc_id",
+    salt: str = "st",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: within each stratum, rank
+    documents by polyhash(salt || ':' || id) (ties broken by id) and
+    flag the first ``k``.
+
+    Returns (doc_id, in_sample BOOLEAN) at the ``df`` grain -- a flag,
+    not a filtered subset, so callers can both select the sample and
+    count coverage in one pass.  One shuffle keyed by the stratum
+    column; the hash ranking makes the sample reproducible and
+    insensitive to input ordering, which ``TABLESAMPLE`` is not.
+    """
+    h = polyhash_col(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    rn = F.row_number().over(
+        Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"), (rn <= k).alias("in_sample")
+    )

@@ -24,6 +24,7 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "token_count",
+    "repetition_stats",
 ]
 
 P = 1_000_000_007
@@ -140,3 +141,98 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", polyhash_col(F.col(text_col)).alias("fp"))
+
+
+def _ngram_strings(toks: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings; empty array below n
+    tokens (guarded -- Spark's sequence(1, 0) would count DOWN)."""
+    size = F.size(toks)
+    idx = F.when(size >= n, F.sequence(F.lit(1), size - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]
+        ),
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1)
+    adapted to a newline-free corpus:
+
+    - ``top2gram_char_frac`` -- fraction of the document's characters
+      covered by its most frequent word bigram (count x len(bigram) /
+      n_chars; ties broken toward the lexicographically smallest
+      bigram).
+    - ``dup3gram_frac`` -- fraction of word trigrams that are repeats
+      of an earlier trigram (1 - distinct/total).
+    - ``max_token_run`` -- longest run of one token repeated
+      consecutively.
+
+    Machine-generated and boilerplate text scores high on all three;
+    real pipelines drop documents above thresholds.  Pure per-row
+    Catalyst projections (sort + fold over in-row arrays): zero
+    shuffles, linear in corpus size.  The in-row mode computation
+    (sorted-array run fold) replaces the groupBy a naive per-ngram
+    count would need -- at 100 TB that groupBy would shuffle ~n_tokens
+    rows per document."""
+    toks = tokens_col(text_col)
+    d = df.select(
+        "doc_id",
+        F.length(text_col).cast("double").alias("__nc"),
+        toks.alias("__toks"),
+    )
+    # most-frequent bigram: sort the in-row bigram array, then a fold
+    # tracks the current and best run (strict > keeps the first = the
+    # lexicographically smallest max-count bigram)
+    sorted_bg = F.array_sort(_ngram_strings(F.col("__toks"), 2))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"),
+        zero.alias("best"), F.lit("").alias("bestg"),
+    )
+
+    def step(acc, x):
+        newrun = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.when(newrun > acc["best"], newrun).otherwise(acc["best"]).alias("best"),
+            F.when(newrun > acc["best"], x).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    top = F.aggregate(sorted_bg, init, step)
+    top_frac = F.round(
+        top["best"].cast("double") * F.length(top["bestg"]) / F.col("__nc"), 6
+    )
+
+    tg = _ngram_strings(F.col("__toks"), 3)
+    m = F.size(tg).cast("double")
+    dup3 = F.when(
+        m > 0, F.round((m - F.size(F.array_distinct(tg)).cast("double")) / m, 6)
+    ).otherwise(F.lit(0.0))
+
+    run_init = F.struct(F.lit("").alias("prev"), zero.alias("run"), zero.alias("best"))
+
+    def run_step(acc, x):
+        newrun = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            newrun.alias("run"),
+            F.greatest(newrun, acc["best"]).alias("best"),
+        )
+
+    max_run = F.aggregate(F.col("__toks"), run_init, run_step)["best"]
+
+    return d.select(
+        "doc_id",
+        top_frac.alias("top2gram_char_frac"),
+        dup3.alias("dup3gram_frac"),
+        max_run.cast("long").alias("max_token_run"),
+    )

@@ -1692,6 +1692,22 @@ _SHINGLES_SQL = f"""
       FROM (SELECT doc_id, {_TH} AS th FROM documents) src
       WHERE len(th) >= 3) t
 """
+# 8-gram hash chain for the decontamination check (mirrors
+# functions.governance.contamination_counts == shingle_hashes(n=8))
+def _ngram_chain_sql(n: int) -> str:
+    e = "th[i]"
+    for k in range(1, n):
+        e = f"(({e}) * 1000003 + th[i + {k}]) % 1000000007"
+    return e
+
+
+_NG8 = (
+    "list_distinct(list_transform(range(1, len(th) - 6), "
+    f"i -> {_ngram_chain_sql(8)}))"
+)
+_SPLIT_H = _POLY.format(s="'s1:' || CAST(doc_id AS VARCHAR)")
+_STRAT_H = _POLY.format(s="'st:' || CAST(doc_id AS VARCHAR)")
+
 _SIGS_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL})
     SELECT doc_id, s.sig_id,
@@ -2293,36 +2309,59 @@ def q_embed_cosine_pairs(spark, sf):
                       AS DOUBLE) / len({_TOKS}) * 0.5)), 6) AS quality,
              len({_TOKS}) AS n_tokens
       FROM documents),
-    reps AS (SELECT min(doc_id) AS rep_id FROM documents GROUP BY text)
-    SELECT q.lang,
+    reps AS (SELECT min(doc_id) AS rep_id FROM documents GROUP BY text),
+    th8 AS (SELECT doc_id, {_TH} AS th FROM documents),
+    dng AS (SELECT DISTINCT doc_id, unnest({_NG8}) AS ng FROM th8
+            WHERE len(th) >= 8),
+    bng AS (SELECT DISTINCT unnest({_NG8}) AS ng FROM th8
+            WHERE doc_id % 97 = 0 AND len(th) >= 8),
+    contam AS (SELECT DISTINCT doc_id FROM dng JOIN bng USING (ng)),
+    spl AS (SELECT doc_id,
+              CASE WHEN {_SPLIT_H} % 100 < 80 THEN 'train'
+                   WHEN {_SPLIT_H} % 100 < 90 THEN 'valid'
+                   ELSE 'test' END AS split
+            FROM documents)
+    SELECT q.lang, spl.split,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(SUM(q.n_tokens) AS BIGINT) AS n_tokens,
            round(avg(q.quality), 6) AS avg_quality
     FROM q JOIN reps ON q.doc_id = reps.rep_id
+           JOIN spl ON spl.doc_id = q.doc_id
     WHERE q.quality >= 0.5
-    GROUP BY q.lang
+      AND q.doc_id NOT IN (SELECT doc_id FROM contam)
+    GROUP BY q.lang, spl.split
     """,
 )
 def q_pipeline_clean(spark, sf):
     """end-to-end corpus cleaning: exact-dedup (keep the minimum
-    doc_id per body) -> quality gate -> per-language corpus stats.
-    The composite flow a real training-data pipeline runs, as one
-    declarative plan: dedup is a hash agg, quality a projection, the
-    rest one grouped agg."""
+    doc_id per body) -> quality gate -> benchmark decontamination
+    (drop docs sharing an 8-gram with the doc_id%97 'eval set') ->
+    deterministic train/valid/test split -> per-(language, split)
+    corpus stats.  The composite flow a real training-data pipeline
+    runs, as one declarative plan: dedup is a hash agg, quality and
+    split are projections, decontamination is a broadcast semi-join,
+    the rest one grouped agg."""
     from .functions import dedup as D
+    from .functions import governance as G
     from .functions import text as T
 
     docs = _docs(spark, sf)
     quality = T.quality_score(docs)
     toks = T.token_count(docs)
     reps = D.exact_groups(docs).select(F.col("rep_id").alias("doc_id"))
+    contam = G.contamination_counts(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), n=8
+    )
+    spl = G.assign_split(docs)
     kept = (
         docs.join(reps, on="doc_id")
         .join(quality, on="doc_id")
         .join(toks, on="doc_id")
-        .filter(F.col("quality") >= 0.5)
+        .join(contam, on="doc_id")
+        .join(spl, on="doc_id")
+        .filter((F.col("quality") >= 0.5) & ~F.col("contaminated"))
     )
-    return kept.groupBy("lang").agg(
+    return kept.groupBy("lang", "split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
@@ -3422,20 +3461,79 @@ def q_events_windows_suite(spark, sf):
       SELECT doc_id,
              CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)
                   AS BIGINT) AS simhash
-      FROM per_bit GROUP BY doc_id)
+      FROM per_bit GROUP BY doc_id),
+    tk AS (SELECT doc_id, length(text) AS nc, {_TOKS} AS tk FROM documents),
+    bg AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1])) AS g FROM tk),
+    bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    bgtop AS (SELECT doc_id, g, c FROM (
+                SELECT doc_id, g, c, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn FROM bgc)
+              WHERE rn = 1),
+    tp AS (SELECT doc_id, unnest(tk) AS x,
+                  unnest(range(1, len(tk) + 1)) AS i FROM tk),
+    runs AS (SELECT doc_id, count(*) AS run FROM (
+               SELECT doc_id, i, SUM(brk) OVER (
+                 PARTITION BY doc_id ORDER BY i) AS grp FROM (
+                 SELECT doc_id, i, CASE WHEN lag(x) OVER (
+                   PARTITION BY doc_id ORDER BY i) = x THEN 0 ELSE 1 END AS brk
+                 FROM tp)) GROUP BY doc_id, grp),
+    rep AS (SELECT t.doc_id,
+              round(coalesce(b.c * length(b.g), 0) / CAST(t.nc AS DOUBLE), 6)
+                AS top2gram_char_frac,
+              round(CASE WHEN len(tk) >= 3 THEN
+                (CAST(len(tk) - 2 AS DOUBLE)
+                 - len(list_distinct(list_transform(range(1, len(tk) - 1),
+                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))))
+                / (len(tk) - 2) ELSE 0.0 END, 6) AS dup3gram_frac,
+              CAST(coalesce(r.mr, 0) AS BIGINT) AS max_token_run
+            FROM tk t
+            LEFT JOIN bgtop b USING (doc_id)
+            LEFT JOIN (SELECT doc_id, max(run) AS mr FROM runs GROUP BY 1) r
+              USING (doc_id)),
+    th8 AS (SELECT doc_id, {_TH} AS th FROM documents),
+    dng AS (SELECT DISTINCT doc_id, unnest({_NG8}) AS ng FROM th8
+            WHERE len(th) >= 8),
+    bng AS (SELECT DISTINCT unnest({_NG8}) AS ng FROM th8
+            WHERE doc_id % 97 = 0 AND len(th) >= 8),
+    hits AS (SELECT doc_id, count(*) AS n FROM dng JOIN bng USING (ng)
+             GROUP BY 1),
+    contam AS (SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contam,
+                      coalesce(h.n, 0) > 0 AS contaminated
+               FROM documents d LEFT JOIN hits h USING (doc_id)),
+    spl AS (SELECT doc_id,
+              CASE WHEN {_SPLIT_H} % 100 < 80 THEN 'train'
+                   WHEN {_SPLIT_H} % 100 < 90 THEN 'valid'
+                   ELSE 'test' END AS split
+            FROM documents),
+    strat AS (SELECT doc_id, row_number() OVER (PARTITION BY lang
+                ORDER BY {_STRAT_H} ASC, doc_id ASC) <= 25 AS in_sample
+              FROM documents)
     SELECT st.doc_id, st.n_chars, st.n_tokens, st.avg_token_len,
            st.distinct_ratio, st.stopword_ratio, qu.quality, lg.pred_lang,
-           fp.fp, sh.simhash
+           fp.fp, sh.simhash, rep.top2gram_char_frac, rep.dup3gram_frac,
+           rep.max_token_run, contam.n_contam, contam.contaminated,
+           spl.split, strat.in_sample
     FROM st JOIN qu USING (doc_id) JOIN lg USING (doc_id)
             JOIN fp USING (doc_id) JOIN sh USING (doc_id)
+            JOIN rep USING (doc_id) JOIN contam USING (doc_id)
+            JOIN spl USING (doc_id) JOIN strat USING (doc_id)
     """,
 )
 def q_text_suite(spark, sf):
-    """the text-analysis pipeline tier joined on the document grain:
-    token stats + quality score + language ID + rolling-hash
-    fingerprint + SimHash (training-data pipeline scope; all pure JVM
-    projections / linear two-stage aggs, zero corpus shuffles)."""
+    """the text-analysis + corpus-governance tier joined on the
+    document grain: token stats + quality score + language ID +
+    rolling-hash fingerprint + SimHash + Gopher-style repetition
+    signals + benchmark decontamination (8-gram overlap vs the
+    doc_id%97 'eval set', broadcast semi-join) + deterministic
+    hash-based train/valid/test split + stratified per-language
+    sample flag (training-data pipeline scope; everything except the
+    decontamination broadcast join and the per-stratum rank is a pure
+    JVM projection)."""
+    from pyspark.sql import functions as F
+
     from .functions import dedup as D
+    from .functions import governance as G
     from .functions import text as T
 
     docs = _docs(spark, sf)
@@ -3444,9 +3542,17 @@ def q_text_suite(spark, sf):
     lg = T.lang_id(docs)
     fp = T.fingerprint(docs)
     sh = D.simhash(docs)
+    rep = T.repetition_stats(docs)
+    contam = G.contamination_counts(
+        docs, docs.filter(F.col("doc_id") % 97 == 0), n=8
+    )
+    spl = G.assign_split(docs)
+    strat = G.stratified_sample_flag(docs, "lang", k=25)
     return (
         st.join(qu, on="doc_id").join(lg, on="doc_id")
         .join(fp, on="doc_id").join(sh, on="doc_id")
+        .join(rep, on="doc_id").join(contam, on="doc_id")
+        .join(spl, on="doc_id").join(strat, on="doc_id")
     )
 
 
