@@ -1,1 +1,1 @@
-from . import dedup, governance, similarity, text  # noqa: F401
+from . import dedup, governance, similarity, text, tokenize  # noqa: F401

@@ -1,0 +1,145 @@
+"""Tokenization operators for training-data pipelines (additive scope
+beyond the reference, SURVEY.md section 7 M6): BPE-style sub-word
+token counting, fixed-window token chunking, and sequence packing.
+
+These are the steps between a cleaned corpus and a training run:
+estimate the token budget (per-doc sub-word counts), split long
+documents into model-context-sized windows, and pack short documents
+into full sequences so padding doesn't waste FLOPs.
+
+Scale design (the 100 TB story):
+- token counting and chunking are stateless per-row projections
+  (regexp / in-row slices) -- zero shuffles, linear in corpus size;
+- packing is partition-local: documents hash into independent groups
+  and a greedy next-fit runs inside each group via Arrow-batched
+  applyInPandas.  Global optimal bin packing is NP-hard and inherently
+  sequential; per-group greedy is the standard distributed
+  approximation (what T5/GPT data pipelines do per shard) and keeps
+  every group independent, so the only shuffle is the group hash.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+__all__ = [
+    "BPE_PATTERN",
+    "bpe_token_count",
+    "chunk_tokens",
+    "pack_sequences",
+]
+
+# GPT-2-style pre-tokenizer, reduced to the regex subset Java
+# (Spark) and RE2 (DuckDB oracle) evaluate identically: letter runs,
+# single digits, single punctuation marks.  Real BPE merges would
+# follow; the pre-tokenizer split is where the row-level work is.
+BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document sub-word token count under the BPE-ish
+    pre-tokenizer (letters run together, digits and punctuation split
+    one-per-token).  Pure JVM regexp projection."""
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def chunk_tokens(
+    df: DataFrame,
+    window: int = 16,
+    stride: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into fixed-size windows
+    starting every ``stride`` tokens (``stride < window`` overlaps
+    context, LLM-style).  Returns one row per (doc_id, chunk_id) with
+    the chunk text and its token count; the final chunks of a document
+    may be short.
+
+    In-row index arithmetic + array slices -- the explode multiplies
+    rows by ~n_tokens/stride, the same fan-out the downstream trainer
+    needs, and no shuffle happens at all."""
+    if stride is None:
+        stride = window
+    if window <= 0 or stride <= 0:
+        raise ValueError(f"window and stride must be positive, got {window}, {stride}")
+    toks = tokens_col(text_col)
+    d = df.select("doc_id", toks.alias("__toks")).filter(F.size("__toks") > 0)
+    n = F.size("__toks")
+    # chunk starts 0, stride, 2*stride, ... stopping once a window has
+    # reached the last token -- a further start would emit a chunk
+    # fully contained in the previous one (wasted training rows)
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(
+            F.greatest(n - window, F.lit(0)).cast("double") / F.lit(float(stride))
+        ).cast("int")
+    )
+    d = d.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * stride + 1, window
+    )
+    return d.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 128,
+    n_groups: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy next-fit sequence packing: assign documents to training
+    sequences ("bins") of at most ``budget`` tokens.  Documents hash
+    into ``n_groups`` independent groups (deterministic: doc_id mod
+    n_groups); within a group, documents are taken in doc_id order and
+    appended to the current bin until the next one would overflow.
+    Documents longer than ``budget`` get a bin of their own.
+
+    Returns (doc_id, group_id, bin_id, n_tokens) -- bin_id is local to
+    the group.  The reduce is inherently sequential per group (each
+    bin boundary depends on every prior length), so it runs as an
+    Arrow-batched applyInPandas per group; at real scale n_groups
+    scales with the cluster and each group streams one shard.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    toks = tokens_col(text_col)
+    d = df.select(
+        "doc_id",
+        (F.col("doc_id") % n_groups).cast("long").alias("group_id"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fill, cur = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > budget:
+                cur += 1
+                fill = 0
+            bins.append(cur)
+            fill += n
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return d.groupBy("group_id").applyInPandas(
+        pack,
+        "doc_id long, group_id long, n_tokens long, bin_id long",
+    )

@@ -1750,6 +1750,65 @@ def q_text_stats(spark, sf):
     return T.token_stats(_docs(spark, sf))
 
 
+_BPE_SQL = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))"
+
+
+@query(
+    "tokenize_chunks",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    ch AS (SELECT doc_id, tk,
+                  unnest(range(0, 1 + CAST(ceil(greatest(len(tk) - 16, 0) / 8.0)
+                                           AS INT))) AS ci
+           FROM tk WHERE len(tk) > 0)
+    SELECT doc_id, CAST(ci AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(tk, ci * 8 + 1, ci * 8 + 16)) AS BIGINT)
+             AS n_tokens,
+           array_to_string(list_slice(tk, ci * 8 + 1, ci * 8 + 16), ' ')
+             AS chunk_text
+    FROM ch
+    """,
+)
+def q_tokenize_chunks(spark, sf):
+    """fixed-window token chunking with overlapping stride (window 16,
+    stride 8 -- the LLM context-window preparation step); in-row index
+    arithmetic + slices, zero shuffle (functions/tokenize.py)."""
+    from .functions import tokenize as TK
+
+    return TK.chunk_tokens(_docs(spark, sf), window=16, stride=8)
+
+
+@query(
+    "pack_sequences",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT doc_id, doc_id % 8 AS g, CAST(len({_TOKS}) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents),
+    r AS (
+      SELECT g, rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.g, d.rn, d.doc_id, d.n,
+             CASE WHEN r.fill > 0 AND r.fill + d.n > 128
+                  THEN r.bin + 1 ELSE r.bin END,
+             CASE WHEN r.fill > 0 AND r.fill + d.n > 128
+                  THEN d.n ELSE r.fill + d.n END
+      FROM r JOIN d ON d.g = r.g AND d.rn = r.rn + 1)
+    SELECT doc_id, CAST(g AS BIGINT) AS group_id, n AS n_tokens,
+           bin AS bin_id
+    FROM r
+    """,
+)
+def q_pack_sequences(spark, sf):
+    """greedy next-fit sequence packing into 128-token training bins,
+    partition-local per doc_id%8 group (Arrow-batched applyInPandas;
+    the oracle replays the sequential fold as a recursive CTE)."""
+    from .functions import tokenize as TK
+
+    return TK.pack_sequences(_docs(spark, sf), budget=128, n_groups=8)
+
+
 @query(
     "text_quality",
     f"""
@@ -3513,11 +3572,14 @@ def q_events_windows_suite(spark, sf):
            st.distinct_ratio, st.stopword_ratio, qu.quality, lg.pred_lang,
            fp.fp, sh.simhash, rep.top2gram_char_frac, rep.dup3gram_frac,
            rep.max_token_run, contam.n_contam, contam.contaminated,
-           spl.split, strat.in_sample
+           spl.split, strat.in_sample,
+           CAST(bpe.n_bpe_tokens AS BIGINT) AS n_bpe_tokens
     FROM st JOIN qu USING (doc_id) JOIN lg USING (doc_id)
             JOIN fp USING (doc_id) JOIN sh USING (doc_id)
             JOIN rep USING (doc_id) JOIN contam USING (doc_id)
             JOIN spl USING (doc_id) JOIN strat USING (doc_id)
+            JOIN (SELECT doc_id, {_BPE_SQL} AS n_bpe_tokens FROM documents)
+              bpe USING (doc_id)
     """,
 )
 def q_text_suite(spark, sf):
@@ -3535,6 +3597,7 @@ def q_text_suite(spark, sf):
     from .functions import dedup as D
     from .functions import governance as G
     from .functions import text as T
+    from .functions import tokenize as TK
 
     docs = _docs(spark, sf)
     st = T.token_stats(docs)
@@ -3548,11 +3611,13 @@ def q_text_suite(spark, sf):
     )
     spl = G.assign_split(docs)
     strat = G.stratified_sample_flag(docs, "lang", k=25)
+    bpe = TK.bpe_token_count(docs)
     return (
         st.join(qu, on="doc_id").join(lg, on="doc_id")
         .join(fp, on="doc_id").join(sh, on="doc_id")
         .join(rep, on="doc_id").join(contam, on="doc_id")
         .join(spl, on="doc_id").join(strat, on="doc_id")
+        .join(bpe, on="doc_id")
     )
 
 
@@ -3879,6 +3944,8 @@ _FINAL_ORDER = [
     # ---- entries past the 50-slot window (weaker/rows-only checks;
     # minhash_sigs is implied-correct by dedup_lsh_pairs_verify, which
     # derives from the same signatures) ----
+    "tokenize_chunks",
+    "pack_sequences",
     "dedup_minhash_sigs",
     "svd_singular_values_rows",
     "approx_percentile_rows",
