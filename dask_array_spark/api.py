@@ -233,6 +233,7 @@ from .operators.windows import (  # noqa: F401
     ediff1d,
     gradient,
     moving_reduce,
+    nancumprod,
     nancumsum,
     push,
     sliding_reduce,
@@ -332,3 +333,31 @@ from .core.blocks import (  # noqa: F401
     map_blocks,
     to_blocks,
 )
+from .operators.parity import (  # noqa: F401
+    PerformanceWarning,
+    aligned_coarsen_chunks,
+    apply_over_axes,
+    around,
+    array,
+    block,
+    blockwise,
+    compute,
+    diag,
+    empty,
+    ndim,
+    normalize_chunks,
+    ravel,
+    rechunk,
+    register_chunk_type,
+    rot90,
+    round,
+    shape,
+    shuffle,
+    tril,
+    triu,
+    unify_chunks,
+)
+from .operators.reductions import arg_reduction  # noqa: F401
+from .sources.ingest import from_tiledb, to_tiledb  # noqa: F401  (lib-gated stubs)
+from . import random  # noqa: F401  (da.random namespace)
+from . import chunk  # noqa: F401  (da.chunk block-kernel helpers)

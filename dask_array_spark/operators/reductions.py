@@ -731,3 +731,87 @@ def cumreduction(a: Array, func: Callable, binop: Callable, ident: float, block:
 
     schema = f"i0 long, {VALUE_COL} double"
     return Array(d.groupBy("__blk").applyInPandas(scan, schema=schema), a.shape)
+
+
+def arg_reduction(
+    a: Array,
+    chunk: Callable,
+    combine: Callable,
+    aggregate: Callable | None = None,
+    axis=None,
+    split_every: int = 16,
+) -> Array:
+    """Generic user-defined ARG reduction (reference
+    reductions/_arg_reduction.py:89): like ``reduction`` but the
+    kernels see (values, linear_indices) so the state can carry a
+    winning position.  ``chunk(vals, idxs) -> state`` runs per hash
+    bucket of the reduced axes (idxs are C-order linear indices within
+    the reduced subspace -- the reference re-bases per-chunk winners
+    with chunk offsets, _arg_reduction.py:14-60; here the global index
+    is computed directly from the index columns), ``combine(state,
+    state) -> state`` merges partials, ``aggregate(state)`` emits the
+    chosen index.  Same two-stage pickled-state applyInPandas shape as
+    ``reduction`` -- the reduced axes never concentrate on one task.
+    """
+    import pickle
+
+    import pandas as pd
+
+    red, kept = _norm_axes(a, axis)
+    kcols = [f"i{ax}" for ax in kept]
+    # C-order linear index over the reduced subspace
+    strides = []
+    acc = 1
+    for ax in reversed(red):
+        strides.append((ax, acc))
+        acc *= int(a.shape[ax])
+    lin = F.lit(0).cast("long")
+    for ax, st in strides:
+        lin = lin + F.col(f"i{ax}") * F.lit(st)
+    d = a.df.withColumn("__ri", lin).withColumn(
+        "__blk",
+        F.pmod(F.hash(*[F.col(f"i{ax}") for ax in red]), F.lit(split_every)).cast("long"),
+    )
+
+    def stage1(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
+        idxs = pdf["__ri"].to_numpy(dtype="int64")
+        st = chunk(vals, idxs)
+        out = {c: [pdf[c].iloc[0]] for c in kcols}
+        out["__st"] = [pickle.dumps(st)]
+        return pd.DataFrame(out)
+
+    def stage2(pdf: pd.DataFrame) -> pd.DataFrame:
+        states = [pickle.loads(b) for b in pdf["__st"]]
+        st = states[0]
+        for s in states[1:]:
+            st = combine(st, s)
+        v = aggregate(st) if aggregate is not None else st
+        out = {c: [pdf[c].iloc[0]] for c in kcols}
+        out[VALUE_COL] = [float(v)]
+        return pd.DataFrame(out)
+
+    if kcols:
+        s1 = ", ".join(f"{c} long" for c in kcols) + ", __st binary"
+        s2 = ", ".join(f"{c} long" for c in kcols) + f", {VALUE_COL} double"
+        partial = d.groupBy(*kcols, "__blk").applyInPandas(stage1, schema=s1)
+        final = partial.groupBy(*kcols).applyInPandas(stage2, schema=s2)
+        sel = [F.col(f"i{ax}").alias(f"i{k}") for k, ax in enumerate(kept)]
+        return Array(
+            final.select(*sel, VALUE_COL), tuple(a.shape[ax] for ax in kept)
+        )
+
+    def stage1_g(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = stage1(pdf)
+        out = out.copy()
+        out["__g"] = 1
+        return out
+
+    partial = d.withColumn("__g", F.lit(1)).groupBy("__g", "__blk").applyInPandas(
+        stage1_g, schema="__g int, __st binary"
+    )
+    final = partial.groupBy("__g").applyInPandas(
+        lambda pdf: stage2(pdf).assign(__g=1)[[VALUE_COL]],
+        schema=f"{VALUE_COL} double",
+    )
+    return Array(final, ())

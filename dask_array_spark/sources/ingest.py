@@ -813,6 +813,13 @@ def from_tiledb(spark: SparkSession, uri: str, attribute: str | None = None) -> 
     raise NotImplementedError("tiledb decode not wired")
 
 
+def to_tiledb(a: Array, uri: str, **kwargs) -> None:
+    """TileDB array write (reference io/_tiledb.py:72) -- STUB, same
+    library gate as from_tiledb."""
+    _require("tiledb", "to_tiledb")
+    raise NotImplementedError("tiledb encode not wired")
+
+
 
 
 def from_graph(df: DataFrame, shape) -> Array:

@@ -68,6 +68,13 @@ EXPECTED = {
     "hstack", "iscomplexobj", "nanpercentile", "nanquantile",
     "ones_like", "percentile", "result_type", "rollaxis", "vstack",
     "zeros_like",
+    # namespace-parity tail (round 4 audit vs reference __init__)
+    "PerformanceWarning", "aligned_coarsen_chunks", "apply_over_axes",
+    "arg_reduction", "around", "array", "block", "blockwise", "compute",
+    "diag", "empty", "from_tiledb", "nancumprod", "ndim",
+    "normalize_chunks", "ravel", "rechunk", "register_chunk_type",
+    "rot90", "round", "shape", "shuffle", "to_tiledb", "tril", "triu",
+    "unify_chunks",
 }
 
 
