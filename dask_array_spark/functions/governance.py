@@ -35,6 +35,7 @@ from .text import polyhash_col
 __all__ = [
     "contamination_counts",
     "assign_split",
+    "split_col",
     "stratified_sample_flag",
 ]
 
@@ -76,6 +77,28 @@ def contamination_counts(
     )
 
 
+def split_col(
+    id_col: str = "doc_id",
+    weights: tuple[int, int, int] = (80, 10, 10),
+    salt: str = "s1",
+):
+    """The split assignment as a standalone Column expression
+    (streaming pipelines compose it into one join-free projection)."""
+    if sum(weights) != 100:
+        raise ValueError(f"weights must sum to 100, got {weights}")
+    bucket = (
+        polyhash_col(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        % F.lit(100)
+    )
+    t_end = weights[0]
+    v_end = weights[0] + weights[1]
+    return (
+        F.when(bucket < t_end, F.lit("train"))
+        .when(bucket < v_end, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+
+
 def assign_split(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -91,20 +114,10 @@ def assign_split(
     re-read, or appended to (new docs never move old ones between
     splits, unlike randomSplit / TABLESAMPLE).
     """
-    if sum(weights) != 100:
-        raise ValueError(f"weights must sum to 100, got {weights}")
-    bucket = (
-        polyhash_col(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-        % F.lit(100)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        split_col(id_col, weights, salt).alias("split"),
     )
-    t_end = weights[0]
-    v_end = weights[0] + weights[1]
-    split = (
-        F.when(bucket < t_end, F.lit("train"))
-        .when(bucket < v_end, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
-    return df.select(F.col(id_col).alias("doc_id"), split.alias("split"))
 
 
 def stratified_sample_flag(

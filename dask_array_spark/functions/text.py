@@ -20,6 +20,7 @@ __all__ = [
     "tokens_col",
     "polyhash_col",
     "token_stats",
+    "quality_col",
     "quality_score",
     "lang_id",
     "fingerprint",
@@ -93,30 +94,33 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_col(text_col: str = "text") -> Column:
+    """The quality score as a standalone Column expression (streaming
+    pipelines compose it into one join-free projection; Catalyst's
+    subexpression elimination shares the repeated token array)."""
+    toks = tokens_col(text_col)
+    n = F.size(toks).cast("double")
+    length_term = F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_pen = (
+        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double") / n * 0.5
+    )
+    return F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.least(F.lit(1.0), length_term * 0.4 + diversity * 0.6 - stop_pen),
+        ),
+        6,
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Composite quality score in [0,1]: length band + lexical
     diversity - stopword saturation (heuristic; the plumbing is the
     point -- a per-row projection that scales to any corpus).
     Computed from RAW ratios (not the 6-decimal-rounded stats) so the
     only rounding step is the final one."""
-    toks = tokens_col(text_col)
-    d = df.select("doc_id", toks.alias("__toks"))
-    n = F.size("__toks").cast("double")
-    length_term = F.least(F.size("__toks").cast("double") / F.lit(100.0), F.lit(1.0))
-    diversity = F.size(F.array_distinct("__toks")).cast("double") / n
-    stop_pen = (
-        F.size(F.filter("__toks", lambda t: t.isin(STOPWORDS))).cast("double") / n * 0.5
-    )
-    return d.select(
-        "doc_id",
-        F.round(
-            F.greatest(
-                F.lit(0.0),
-                F.least(F.lit(1.0), length_term * 0.4 + diversity * 0.6 - stop_pen),
-            ),
-            6,
-        ).alias("quality"),
-    )
+    return df.select("doc_id", quality_col(text_col).alias("quality"))
 
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1,1 +1,1 @@
-from . import dedup, events  # noqa: F401
+from . import dedup, events, governance  # noqa: F401
