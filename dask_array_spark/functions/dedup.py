@@ -28,6 +28,7 @@ __all__ = [
     "lsh_candidate_pairs",
     "jaccard_on_pairs",
     "simhash",
+    "simhash_col",
 ]
 
 # affine hash family h_i(x) = (a_i * x + b_i) mod P with fixed odd
@@ -202,31 +203,38 @@ def jaccard_on_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
-    """SimHash over token polyhashes with count weights: bit b of the
-    fingerprint is the sign of sum(weight * (2*bit_b(h)-1)).  Explode
-    tokens once, cross the tiny bit range, two partial-aggregated
-    groupBys -- linear in corpus size."""
-    from ..sources.ingest import widen_partitions
+def simhash_col(text_col: str = "text", bits: int = 16):
+    """SimHash of the whitespace tokens as ONE in-row Column: token
+    polyhashes compute once into an array, each hash votes +-1 per bit
+    (duplicate tokens vote once per occurrence == the count-weighted
+    definition), and the sign of each vote total sets the output bit.
+    Pure JVM fold -- zero shuffles, composes with streams; ``bits``
+    stays within the uniform low bits of the mod-P hash."""
+    th = F.transform(tokens_col(text_col), lambda t: polyhash_col(t))
+    pows = F.array([F.lit(1 << i).cast("long") for i in range(bits)])
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(pows, lambda p: ((h / p).cast("long") % 2) * 2 - 1),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            pows,
+            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,  # disjoint powers: sum == bitwise OR
+    )
 
-    toks = tokens_col(text_col)
-    t = (
-        widen_partitions(df, "doc_id").select("doc_id", F.explode(toks).alias("__t"))
-        .groupBy("doc_id", "__t")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .select("doc_id", polyhash_col(F.col("__t")).alias("h"), "w")
-    )
-    spark = df.sparkSession
-    bit_ids = spark.range(bits).select(F.col("id").alias("b"))
-    # bit_b(h) via div/mod (shift-by-column isn't expressible as a
-    # literal shift; h < 2^30 so double-division is exact)
-    pow2 = F.pow(F.lit(2.0), F.col("b"))
-    bit = F.floor(F.col("h") / pow2).cast("long") % 2
-    contrib = F.col("w") * (2 * bit - 1)
-    per_bit = (
-        t.crossJoin(F.broadcast(bit_ids))
-        .groupBy("doc_id", "b")
-        .agg(F.sum(contrib).alias("s"))
-    )
-    bitval = F.when(F.col("s") > 0, pow2.cast("long")).otherwise(F.lit(0).cast("long"))
-    return per_bit.groupBy("doc_id").agg(F.sum(bitval).cast("long").alias("simhash"))
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """Per-document SimHash fingerprints (same bit values as the
+    count-weighted explode/groupBy formulation the DuckDB oracle
+    replays, but computed as the in-row fold above -- the explode form
+    was a corpus-sized shuffle; this is none)."""
+    return df.select("doc_id", simhash_col(text_col, bits).alias("simhash"))

@@ -34,6 +34,7 @@ from .text import polyhash_col
 
 __all__ = [
     "contamination_counts",
+    "contamination_hits",
     "assign_split",
     "split_col",
     "stratified_sample_flag",
@@ -59,13 +60,7 @@ def contamination_counts(
     meet the broadcast in-place and the per-doc count partial-
     aggregates before the (doc-keyed) final count.
     """
-    doc_ng = shingle_hashes(df, text_col, n)
-    bench_ng = shingle_hashes(bench_df, text_col, n).select("sh").distinct()
-    hits = (
-        doc_ng.join(F.broadcast(bench_ng), "sh")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_contam"))
-    )
+    hits = contamination_hits(df, bench_df, text_col, n)
     return (
         df.select("doc_id")
         .join(hits, "doc_id", "left")
@@ -74,6 +69,25 @@ def contamination_counts(
             F.coalesce(F.col("n_contam"), F.lit(0).cast("long")).alias("n_contam"),
             (F.coalesce(F.col("n_contam"), F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def contamination_hits(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The SPARSE form of the decontamination check: (doc_id,
+    n_contam) for contaminated documents only -- suites left-join this
+    once instead of re-keying the whole corpus through the dense
+    doc-grain form."""
+    doc_ng = shingle_hashes(df, text_col, n)
+    bench_ng = shingle_hashes(bench_df, text_col, n).select("sh").distinct()
+    return (
+        doc_ng.join(F.broadcast(bench_ng), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contam"))
     )
 
 

@@ -26,6 +26,9 @@ __all__ = [
     "fingerprint",
     "token_count",
     "repetition_stats",
+    "repetition_cols",
+    "token_stats_cols",
+    "lang_id_col",
 ]
 
 P = 1_000_000_007
@@ -65,33 +68,32 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document token statistics: counts, mean token length,
-    distinct-token ratio, stopword ratio."""
+def token_stats_cols(text_col: str = "text") -> list[Column]:
+    """Token statistics as standalone aliased Columns (single-
+    projection suites and streams compose them join-free; Catalyst
+    subexpression elimination shares the repeated token array)."""
     toks = tokens_col(text_col)
-    d = df.select(
-        "doc_id",
-        F.length(text_col).cast("long").alias("n_chars"),
-        toks.alias("__toks"),
-    )
-    n = F.size("__toks").cast("double")
+    n = F.size(toks).cast("double")
     total_len = F.aggregate(
-        F.transform("__toks", lambda t: F.length(t).cast("long")),
+        F.transform(toks, lambda t: F.length(t).cast("long")),
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    distinct_n = F.size(F.array_distinct("__toks")).cast("double")
-    stop_n = F.size(
-        F.filter("__toks", lambda t: t.isin(STOPWORDS))
-    ).cast("double")
-    return d.select(
-        "doc_id",
-        "n_chars",
-        F.size("__toks").cast("long").alias("n_tokens"),
+    distinct_n = F.size(F.array_distinct(toks)).cast("double")
+    stop_n = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
+    return [
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.round(total_len / n, 6).alias("avg_token_len"),
         F.round(distinct_n / n, 6).alias("distinct_ratio"),
         F.round(stop_n / n, 6).alias("stopword_ratio"),
-    )
+    ]
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: counts, mean token length,
+    distinct-token ratio, stopword ratio."""
+    return df.select("doc_id", *token_stats_cols(text_col))
 
 
 def quality_col(text_col: str = "text") -> Column:
@@ -123,24 +125,33 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", quality_col(text_col).alias("quality"))
 
 
+def lang_id_col(text_col: str = "text") -> Column:
+    """Predicted language as a standalone Column (marker-token scores
+    with deterministic alphabetical tie-break)."""
+    toks = tokens_col(text_col)
+
+    def marker_filter(m):
+        # single-parameter closure: a 2-arg lambda would be treated by
+        # F.filter as the (element, index) form and shadow the binding
+        return lambda t: t.isin(m)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_filter(m)))
+        for lang, m in sorted(LANG_MARKERS.items())
+    }
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[scores[l] for l in langs])
+    pred = F.lit("und")
+    for l in reversed(langs):  # earlier alphabetical wins ties
+        pred = F.when(scores[l] == best, F.lit(l)).otherwise(pred)
+    return F.when(best == 0, F.lit("und")).otherwise(pred)
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-token language scoring with deterministic alphabetical
     tie-break -- n-gram/function-word heuristic shaped like a real
     langid pass (per-row, no shuffle)."""
-    toks = tokens_col(text_col)
-    d = df.select("doc_id", toks.alias("__toks"))
-    scores = [
-        F.size(F.filter("__toks", lambda t: t.isin(m))).alias(f"s_{lang}")
-        for lang, m in sorted(LANG_MARKERS.items())
-    ]
-    d = d.select("doc_id", *scores)
-    langs = sorted(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"s_{l}") for l in langs])
-    pred = F.lit("und")
-    for l in reversed(langs):  # earlier alphabetical wins ties
-        pred = F.when(F.col(f"s_{l}") == best, F.lit(l)).otherwise(pred)
-    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return d.select("doc_id", pred.alias("pred_lang"))
+    return df.select("doc_id", lang_id_col(text_col).alias("pred_lang"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -182,16 +193,18 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     (sorted-array run fold) replaces the groupBy a naive per-ngram
     count would need -- at 100 TB that groupBy would shuffle ~n_tokens
     rows per document."""
+    return df.select("doc_id", *repetition_cols(text_col))
+
+
+def repetition_cols(text_col: str = "text") -> list[Column]:
+    """The repetition signals as standalone aliased Columns (single-
+    projection suites compose them join-free)."""
     toks = tokens_col(text_col)
-    d = df.select(
-        "doc_id",
-        F.length(text_col).cast("double").alias("__nc"),
-        toks.alias("__toks"),
-    )
+    nc = F.length(text_col).cast("double")
     # most-frequent bigram: sort the in-row bigram array, then a fold
     # tracks the current and best run (strict > keeps the first = the
     # lexicographically smallest max-count bigram)
-    sorted_bg = F.array_sort(_ngram_strings(F.col("__toks"), 2))
+    sorted_bg = F.array_sort(_ngram_strings(toks, 2))
     zero = F.lit(0).cast("long")
     init = F.struct(
         F.lit("").alias("prev"), zero.alias("run"),
@@ -211,10 +224,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     top = F.aggregate(sorted_bg, init, step)
     top_frac = F.round(
-        top["best"].cast("double") * F.length(top["bestg"]) / F.col("__nc"), 6
+        top["best"].cast("double") * F.length(top["bestg"]) / nc, 6
     )
 
-    tg = _ngram_strings(F.col("__toks"), 3)
+    tg = _ngram_strings(toks, 3)
     m = F.size(tg).cast("double")
     dup3 = F.when(
         m > 0, F.round((m - F.size(F.array_distinct(tg)).cast("double")) / m, 6)
@@ -232,11 +245,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.greatest(newrun, acc["best"]).alias("best"),
         )
 
-    max_run = F.aggregate(F.col("__toks"), run_init, run_step)["best"]
+    max_run = F.aggregate(toks, run_init, run_step)["best"]
 
-    return d.select(
-        "doc_id",
+    return [
         top_frac.alias("top2gram_char_frac"),
         dup3.alias("dup3gram_frac"),
         max_run.cast("long").alias("max_token_run"),
-    )
+    ]

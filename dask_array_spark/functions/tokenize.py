@@ -40,16 +40,18 @@ __all__ = [
 BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
 
 
+def bpe_count_col(text_col: str = "text"):
+    """The BPE-ish sub-word count as a standalone Column."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    ).cast("long")
+
+
 def bpe_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document sub-word token count under the BPE-ish
     pre-tokenizer (letters run together, digits and punctuation split
     one-per-token).  Pure JVM regexp projection."""
-    return df.select(
-        "doc_id",
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0))
-        .cast("long")
-        .alias("n_bpe_tokens"),
-    )
+    return df.select("doc_id", bpe_count_col(text_col).alias("n_bpe_tokens"))
 
 
 def chunk_tokens(

@@ -3592,6 +3592,7 @@ def q_text_suite(spark, sf):
     sample flag (training-data pipeline scope; everything except the
     decontamination broadcast join and the per-stratum rank is a pure
     JVM projection)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from .functions import dedup as D
@@ -3600,24 +3601,36 @@ def q_text_suite(spark, sf):
     from .functions import tokenize as TK
 
     docs = _docs(spark, sf)
-    st = T.token_stats(docs)
-    qu = T.quality_score(docs)
-    lg = T.lang_id(docs)
-    fp = T.fingerprint(docs)
-    sh = D.simhash(docs)
-    rep = T.repetition_stats(docs)
-    contam = G.contamination_counts(
-        docs, docs.filter(F.col("doc_id") % 97 == 0), n=8
+    # everything except decontamination is a Column expression, so the
+    # whole suite is ONE projection (plus the strata rank window) and
+    # one left join against the sparse contamination hits -- the
+    # earlier form was a 10-way doc_id self-join
+    strat_hash = T.polyhash_col(
+        F.concat(F.lit("st:"), F.col("doc_id").cast("string"))
     )
-    spl = G.assign_split(docs)
-    strat = G.stratified_sample_flag(docs, "lang", k=25)
-    bpe = TK.bpe_token_count(docs)
+    in_sample = (
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(strat_hash.asc(), F.col("doc_id").asc())
+        )
+        <= 25
+    )
+    base = docs.select(
+        "doc_id",
+        *T.token_stats_cols("text"),
+        T.quality_col("text").alias("quality"),
+        T.lang_id_col("text").alias("pred_lang"),
+        T.polyhash_col(F.col("text")).alias("fp"),
+        D.simhash_col("text", 16).alias("simhash"),
+        *T.repetition_cols("text"),
+        G.split_col("doc_id").alias("split"),
+        in_sample.alias("in_sample"),
+        TK.bpe_count_col("text").alias("n_bpe_tokens"),
+    )
+    hits = G.contamination_hits(docs, docs.filter(F.col("doc_id") % 97 == 0), n=8)
     return (
-        st.join(qu, on="doc_id").join(lg, on="doc_id")
-        .join(fp, on="doc_id").join(sh, on="doc_id")
-        .join(rep, on="doc_id").join(contam, on="doc_id")
-        .join(spl, on="doc_id").join(strat, on="doc_id")
-        .join(bpe, on="doc_id")
+        base.join(hits, on="doc_id", how="left")
+        .withColumn("n_contam", F.coalesce(F.col("n_contam"), F.lit(0).cast("long")))
+        .withColumn("contaminated", F.col("n_contam") > 0)
     )
 
 

@@ -32,7 +32,6 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import polyhash_col, tokens_col
 
 __all__ = ["stream_exact_dedup", "stream_simhash_near_dedup", "simhash_col"]
 
@@ -71,33 +70,12 @@ SIMHASH_BITS = 24  # token polyhashes carry ~30 uniform low bits (mod P)
 
 
 def simhash_col(text_col: str = "text", bits: int = SIMHASH_BITS):
-    """SimHash of the whitespace tokens, folded in-row with Catalyst
-    aggregates: token polyhashes compute once into an array, then each
-    hash votes +-1 per bit and the sign of each vote total sets the
-    output bit.  Stays entirely in the JVM (same polynomial hash
-    family as the batch simhash in functions/dedup.py, computed per
-    row instead of per aggregation so it can run inside a stream).
-    ``bits`` stays within the uniform low bits of the mod-P hash."""
-    th = F.transform(tokens_col(text_col), lambda t: polyhash_col(t))
-    pows = F.array([F.lit(1 << i).cast("long") for i in range(bits)])
-    votes = F.aggregate(
-        th,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.transform(pows, lambda p: ((h / p).cast("long") % 2) * 2 - 1),
-            lambda a, b: a + b,
-        ),
-    )
-    return F.aggregate(
-        F.zip_with(
-            votes,
-            pows,
-            lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,  # disjoint powers: sum == bitwise OR
-    )
+    """SimHash Column at the streaming bit width -- the shared in-row
+    fold from functions/dedup.py (one definition for batch and
+    stream), defaulted to ``SIMHASH_BITS`` for band keying here."""
+    from ..functions.dedup import simhash_col as _base
+
+    return _base(text_col, bits)
 
 
 def stream_simhash_near_dedup(
