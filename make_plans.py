@@ -19,6 +19,7 @@ PICKS = {
     "events_windows_suite": "Event-time windows: partial/final aggregates over window-start keys; sessionize is a per-user parallel window.",
     "window_1d_scalable": "10^7-element 1-D cumsum through the DISTRIBUTED two-pass scan: zero WindowExec, blockwise applyInPandas + tiny driver prefix.",
     "similarity_suite": "ANN tier with INLINE F.aggregate norms: no corpus-sized broadcast anywhere; only query/centroid/probe sides carry hints.",
+    "text_suite": "18-column document governance tier as ONE projection (token stats, quality, lang-ID, fingerprint, in-row SimHash, repetition, split, BPE count) + strata rank window + one broadcast-bench decontamination join: zero sort-merge joins.",
 }
 
 
