@@ -102,10 +102,17 @@ def main() -> None:
     # distributed run through the noop sink, no driver collect)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     settle = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "0.5"))
-    # the two historically noisiest slots (r2/r3 driver runs showed
-    # 3-5 s spreads there on a loaded machine) get extra executions so
-    # min-of-N converges even under contention
-    extra = {"text_quality": 5, "tpch_q3_shipping_priority": 5}
+    # the historically noisiest slots (r2-r4 runs showed 3-5 s spreads
+    # there on a loaded machine; dedup/boolean_mask/window converge
+    # monotonically over ~5 warm runs) get extra executions so
+    # min-of-N reaches steady state even under contention
+    extra = {
+        "text_quality": 5,
+        "tpch_q3_shipping_priority": 5,
+        "dedup_minhash_pairs": 6,
+        "boolean_mask": 5,
+        "window_1d_scalable": 5,
+    }
     runs_extra = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_NOISY", "0"))
     if runs_extra:
         extra = {k: runs_extra for k in extra}
