@@ -2405,20 +2405,22 @@ def q_pipeline_clean(spark, sf):
     from .functions import text as T
 
     docs = _docs(spark, sf)
-    quality = T.quality_score(docs)
-    toks = T.token_count(docs)
-    reps = D.exact_groups(docs).select(F.col("rep_id").alias("doc_id"))
-    contam = G.contamination_counts(
-        docs, docs.filter(F.col("doc_id") % 97 == 0), n=8
+    # quality / token count / split are Column expressions; only the
+    # dedup representatives (a hash agg + semi-join) and the sparse
+    # contamination hits (broadcast-bench + left anti) are joins
+    base = docs.select(
+        "doc_id",
+        "lang",
+        T.quality_col("text").alias("quality"),
+        F.size(T.tokens_col("text")).cast("long").alias("n_tokens"),
+        G.split_col("doc_id").alias("split"),
     )
-    spl = G.assign_split(docs)
+    reps = D.exact_groups(docs).select(F.col("rep_id").alias("doc_id"))
+    hits = G.contamination_hits(docs, docs.filter(F.col("doc_id") % 97 == 0), n=8)
     kept = (
-        docs.join(reps, on="doc_id")
-        .join(quality, on="doc_id")
-        .join(toks, on="doc_id")
-        .join(contam, on="doc_id")
-        .join(spl, on="doc_id")
-        .filter((F.col("quality") >= 0.5) & ~F.col("contaminated"))
+        base.join(reps, on="doc_id")
+        .join(hits.select("doc_id"), on="doc_id", how="left_anti")
+        .filter(F.col("quality") >= 0.5)
     )
     return kept.groupBy("lang", "split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
