@@ -759,12 +759,20 @@ def arg_reduction(
 
     red, kept = _norm_axes(a, axis)
     kcols = [f"i{ax}" for ax in kept]
-    # C-order linear index over the reduced subspace
+    # C-order linear index over the reduced subspace (the outermost
+    # reduced axis needs no stride product, so a single reduced axis
+    # works even with an unknown length)
     strides = []
     acc = 1
-    for ax in reversed(red):
+    for pos, ax in enumerate(reversed(red)):
         strides.append((ax, acc))
-        acc *= int(a.shape[ax])
+        if pos < len(red) - 1:
+            if a.shape[ax] is None:
+                raise ValueError(
+                    "arg_reduction over multiple axes needs known lengths "
+                    "for all but the outermost reduced axis"
+                )
+            acc *= int(a.shape[ax])
     lin = F.lit(0).cast("long")
     for ax, st in strides:
         lin = lin + F.col(f"i{ax}") * F.lit(st)

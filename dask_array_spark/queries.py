@@ -3359,14 +3359,23 @@ def q_gufunc_matmul(spark, sf):
     UNION ALL
     SELECT 1, d, CAST(max(v) OVER (ORDER BY d) AS DOUBLE)
     FROM ({_DAILY_ORACLE}) t
+    UNION ALL
+    SELECT 2, f, CAST(min(li) AS DOUBLE) FROM (
+      SELECT {FLAG_IDX} AS f, {LI_IDX} AS li, l_quantity,
+             min(l_quantity) OVER (PARTITION BY {FLAG_IDX}) AS mq
+      FROM lineitem) s
+    WHERE l_quantity = mq GROUP BY f
     """,
 )
 def q_custom_reduction_suite(spark, sf):
     """user-extensibility tier: generic reduction(chunk, combine,
     aggregate) computing a per-flag geometric mean (kind 0) + generic
-    cumreduction running-max scan over the daily series (kind 1)
-    (reference reductions/_reduction.py:259-428,
-    _cumulative.py:597)."""
+    cumreduction running-max scan over the daily series (kind 1) +
+    generic ARG reduction (kind 2: per-flag position of the minimum
+    quantity, first-occurrence ties, via user chunk/combine callables
+    carrying (value, index) state) (reference
+    reductions/_reduction.py:259-428, _cumulative.py:597,
+    _arg_reduction.py:89)."""
     m = from_table_matrix(_li(spark, sf), FLAG_IDX, LI_IDX, "l_quantity", (3, None))
 
     def chunk(vals):
@@ -3387,7 +3396,18 @@ def q_custom_reduction_suite(spark, sf):
     sparse = Array(daily.df.filter(F.col("v").isNotNull()), (None,))
     rm = R.cumreduction(sparse, np.maximum.accumulate, np.maximum, -np.inf, block=500)
     rm_df = rm.df.select(k(1), "i0", F.col("v").cast("double").alias("v"))
-    return g_df.unionByName(rm_df)
+
+    def arg_chunk(vals, idxs):
+        # order-insensitive under ties: smallest index among minima
+        mv = float(np.min(vals))
+        return (mv, int(idxs[vals == mv].min()))
+
+    def arg_combine(s, t):
+        return t if (t[0], t[1]) < (s[0], s[1]) else s
+
+    am = R.arg_reduction(m, arg_chunk, arg_combine, lambda s: s[1], axis=1)
+    am_df = am.df.select(k(2), "i0", F.col("v").cast("double").alias("v"))
+    return g_df.unionByName(rm_df).unionByName(am_df)
 
 
 _EVENTS_TUMBLING_SQL = """
