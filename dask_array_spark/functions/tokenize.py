@@ -76,15 +76,20 @@ def chunk_tokens(
     toks = tokens_col(text_col)
     d = df.select("doc_id", toks.alias("__toks")).filter(F.size("__toks") > 0)
     n = F.size("__toks")
-    # chunk starts 0, stride, 2*stride, ... stopping once a window has
-    # reached the last token -- a further start would emit a chunk
-    # fully contained in the previous one (wasted training rows)
-    n_chunks = (
-        F.lit(1)
-        + F.ceil(
-            F.greatest(n - window, F.lit(0)).cast("double") / F.lit(float(stride))
-        ).cast("int")
-    )
+    if stride < window:
+        # overlapping: stop once a window reaches the last token -- a
+        # further start would emit a chunk fully contained in the
+        # previous one (wasted training rows)
+        n_chunks = (
+            F.lit(1)
+            + F.ceil(
+                F.greatest(n - window, F.lit(0)).cast("double") / F.lit(float(stride))
+            ).cast("int")
+        )
+    else:
+        # gapped/adjacent: every start below n yields a fresh chunk,
+        # and a start at/after n would be empty
+        n_chunks = F.ceil(n.cast("double") / F.lit(float(stride))).cast("int")
     d = d.select(
         "doc_id",
         "__toks",

@@ -73,14 +73,18 @@ def test_chunks_reassemble(spark, toks, window, stride):
     for r in rows:
         start = r["chunk_id"] * stride
         assert r["chunk_text"].split(" ") == toks[start : start + window]
+    assert all(r["n_tokens"] > 0 for r in rows)  # never an empty chunk
+    last = rows[-1]
     if stride <= window:
+        # full coverage, and the final chunk reaches the last token
         seen = set()
         for r in rows:
             seen.update(range(r["chunk_id"] * stride, r["chunk_id"] * stride + r["n_tokens"]))
         assert seen == set(range(len(toks)))
-    # the final chunk reaches the last token; no chunk is subsumed
-    last = rows[-1]
-    assert last["chunk_id"] * stride + last["n_tokens"] == len(toks)
+        assert last["chunk_id"] * stride + last["n_tokens"] == len(toks)
+    else:
+        # gapped sampling: one chunk per stride multiple below n
+        assert len(rows) == -(-len(toks) // stride)
 
 
 @settings(max_examples=8, deadline=None)
