@@ -13,7 +13,14 @@ from __future__ import annotations
 
 # -- collection & IO ------------------------------------------------------
 from .core.array import Array, VALUE_COL  # noqa: F401
-from .core.diagnostics import chunk_report, explain, plan_census  # noqa: F401
+from .core.diagnostics import (  # noqa: F401
+    chunk_report,
+    explain,
+    expr_flow,
+    expr_table,
+    plan_census,
+    trace_rewrites,
+)
 from .sources.ingest import (  # noqa: F401
     densify,
     from_delayed,

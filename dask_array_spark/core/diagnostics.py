@@ -18,12 +18,22 @@ expression graph IS the Catalyst plan, so the analogues are:
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 import re
 from collections import Counter
 
 from .array import Array
 
-__all__ = ["chunk_report", "explain", "plan_census"]
+__all__ = [
+    "chunk_report",
+    "explain",
+    "expr_flow",
+    "expr_table",
+    "plan_census",
+    "trace_rewrites",
+    "Trace",
+]
 
 _PHYS_OPS = (
     "Exchange",
@@ -125,3 +135,64 @@ def explain(a: Array) -> str:
         lines.append("scan pushdown:")
         lines.extend(f"  {p}" for p in pushed[:8])
     return "\n".join(lines)
+
+
+class Trace:
+    """Result of :func:`trace_rewrites`: which optimizer rules fired
+    inside the block (reference Trace, _diagnostics.py:140)."""
+
+    def __init__(self) -> None:
+        self.report: str = ""
+
+    @property
+    def rules(self) -> list[str]:
+        """Rule names that ran at least once, busiest first."""
+        out = []
+        for line in self.report.splitlines():
+            parts = line.strip().split()
+            if parts and parts[0].count(".") >= 2 and "Rule" not in parts[0][:4]:
+                out.append(parts[0])
+        return out
+
+    def __repr__(self) -> str:
+        return f"trace: {len(self.rules)} rules fired"
+
+
+@contextmanager
+def trace_rewrites(spark):
+    """Record every Catalyst rule that fires inside the block
+    (reference trace_rewrites, _diagnostics.py:177, which wraps the
+    expression-rewrite hooks; here the optimizer IS Catalyst, so the
+    JVM ``RuleExecutor`` metrics are the ground truth).  Resets the
+    rule metrics on entry and captures the per-rule invocation/effect
+    dump on exit.
+
+    >>> with trace_rewrites(spark) as t:       # doctest: +SKIP
+    ...     df.filter("x > 0").select("x").collect()
+    >>> "PushDownPredicates" in t.report       # doctest: +SKIP
+    True
+    """
+    executor = spark._jvm.org.apache.spark.sql.catalyst.rules.RuleExecutor
+    executor.resetMetrics()
+    t = Trace()
+    try:
+        yield t
+    finally:
+        t.report = executor.dumpTimeSpent()
+
+
+def expr_flow(a: Array) -> str:
+    """The operator dataflow of an array's plan as an indented tree
+    (reference expr_flow, _expr_flow.py:554, renders the expression
+    graph; the optimized logical plan is that graph here)."""
+    return a.df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def expr_table(a: Array) -> str:
+    """Numbered operator table with per-operator detail (reference
+    expr_table, _visualize.py:162; Spark's formatted explain is
+    exactly this form: an indexed tree plus a keyed detail section)."""
+    formatted = a.df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return a.df._jdf.queryExecution().explainString(formatted)

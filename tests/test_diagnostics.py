@@ -62,3 +62,30 @@ def test_diagnostics_never_compute(spark, rng):
     )
     explain(bad)
     chunk_report(bad)
+
+
+def test_trace_rewrites_captures_catalyst_rules(spark):
+    """The rewrite trace reports real optimizer rules that fired for
+    a plan the optimizer must collapse (projection fusion)."""
+    import numpy as np
+
+    import dask_array_spark.api as da
+
+    x = da.from_numpy(spark, np.arange(50.0))
+    with da.trace_rewrites(spark) as t:
+        float(da.sum((x * 2) + 1).compute())
+    assert "CollapseProject" in t.report
+    assert len(t.rules) > 0
+    assert "rules fired" in repr(t)
+
+
+def test_expr_flow_and_table(spark):
+    import numpy as np
+
+    import dask_array_spark.api as da
+
+    x = da.from_numpy(spark, np.arange(10.0))
+    flow = da.expr_flow(x + 1)
+    assert "Project" in flow or "LocalRelation" in flow
+    table = da.expr_table(x + 1)
+    assert "(1) " in table  # numbered operator listing

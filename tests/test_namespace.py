@@ -74,7 +74,7 @@ EXPECTED = {
     "diag", "empty", "from_tiledb", "nancumprod", "ndim",
     "normalize_chunks", "ravel", "rechunk", "register_chunk_type",
     "rot90", "round", "shape", "shuffle", "to_tiledb", "tril", "triu",
-    "unify_chunks",
+    "unify_chunks", "expr_flow", "expr_table", "trace_rewrites",
 }
 
 
