@@ -1,0 +1,84 @@
+"""Static scale-invariant guards over the package source: the
+properties that make the engine viable at 100 TB are pinned here so a
+future change that violates one fails loudly instead of silently
+shipping a driver bottleneck.
+
+- No row-at-a-time Python UDFs anywhere (every Python kernel must be
+  an Arrow-batched pandas_udf / applyInPandas / mapInPandas).
+- ``.collect()`` only in modules whose collect sites are
+  bounded-by-construction (quantile survivors, R-factor rows, scan
+  partials, benchmark n-gram sets, driver-facing compute/diagnostics)
+  -- never in functions/ (the pipeline tier) or queries.py.
+- No ``.toPandas()`` outside the terminal compute path.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "dask_array_spark"
+
+# modules whose collect sites are each bounded by construction and
+# documented at the call site
+COLLECT_ALLOWED = {
+    "operators/reductions.py",   # <=100k quantile survivors; scalar aggs
+    "operators/linalg.py",       # fanin*k R-factor rows (TSQR)
+    "operators/linalg_blocked.py",  # single tiles in the wavefront
+    "operators/windows.py",      # per-block scan partials (<=#blocks)
+    "operators/random_dists.py", # choice value tables
+    "sources/ingest.py",         # metadata (chunk grids, lengths)
+    "sources/hdf5.py",           # dataset metadata
+    "core/array.py",             # terminal compute()
+    "core/blocks.py",            # block-shape metadata
+    "core/diagnostics.py",       # plan metadata
+    "streaming/governance.py",   # benchmark n-gram set (eval-suite sized)
+}
+
+
+def _sources():
+    for p in PKG.rglob("*.py"):
+        yield p.relative_to(PKG).as_posix(), p.read_text()
+
+
+def test_no_row_at_a_time_udfs():
+    bad = []
+    for rel, src in _sources():
+        # F.udf( / functions.udf( / @udf are the row-at-a-time forms;
+        # pandas_udf is the Arrow-batched one
+        for m in re.finditer(r"(?<!pandas_)\budf\s*\(", src):
+            line = src[: m.start()].count("\n") + 1
+            bad.append(f"{rel}:{line}")
+    assert not bad, f"row-at-a-time UDFs: {bad}"
+
+
+def test_collect_only_in_bounded_modules():
+    bad = []
+    for rel, src in _sources():
+        if ".collect()" in src and rel not in COLLECT_ALLOWED:
+            bad.append(rel)
+    assert not bad, (
+        f"unexpected .collect() in {bad} -- if the site is bounded by "
+        "construction, document it and add the module to COLLECT_ALLOWED"
+    )
+
+
+def test_no_collect_in_pipeline_functions_or_registry():
+    """The training-data pipeline tier and the query registry must be
+    fully distributed -- no driver-side loops at all."""
+    for rel, src in _sources():
+        if rel.startswith("functions/") or rel == "queries.py":
+            assert ".collect()" not in src, rel
+            assert ".toPandas()" not in src, rel
+
+
+def test_topandas_only_in_terminal_compute():
+    allowed = {
+        "core/array.py",      # terminal compute()
+        "operators/linalg.py",  # TSQR terminal R gather: fanin*k*k rows
+    }
+    bad = []
+    for rel, src in _sources():
+        if ".toPandas()" in src and rel not in allowed:
+            bad.append(rel)
+    assert not bad, f".toPandas() outside terminal compute: {bad}"
