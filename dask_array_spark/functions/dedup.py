@@ -29,6 +29,8 @@ __all__ = [
     "jaccard_on_pairs",
     "simhash",
     "simhash_col",
+    "kgram_positions",
+    "duplicated_spans",
 ]
 
 # affine hash family h_i(x) = (a_i * x + b_i) mod P with fixed odd
@@ -238,3 +240,92 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     replays, but computed as the in-row fold above -- the explode form
     was a corpus-sized shuffle; this is none)."""
     return df.select("doc_id", simhash_col(text_col, bits).alias("simhash"))
+
+
+def kgram_positions(
+    df: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """(doc_id, p, h): hash of the k-token gram starting at 0-based
+    token position p -- the positional (non-distinct) variant of
+    shingle_hashes that substring matching needs."""
+    from ..sources.ingest import widen_partitions
+
+    toks = tokens_col(text_col)
+    d = widen_partitions(df, "doc_id").select(
+        "doc_id", F.transform(toks, lambda t: polyhash_col(t)).alias("__th")
+    ).filter(F.size("__th") >= k)
+    idx = F.sequence(F.lit(1), F.size("__th") - (k - 1))
+
+    def combine(i):
+        h = F.element_at(F.col("__th"), i)
+        for j in range(1, k):
+            h = (h * M_COMB + F.element_at(F.col("__th"), i + F.lit(j))) % F.lit(P)
+        return h
+
+    return d.select(
+        "doc_id",
+        F.posexplode(F.transform(idx, combine)).alias("p", "h"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_tokens: int | None = None,
+    max_positions: int = 10_000,
+) -> DataFrame:
+    """Exact duplicated substrings across documents (the ExactSubstr
+    dedup of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better"): maximal token spans of length >=
+    ``min_tokens`` (default ``k``) shared verbatim by two documents.
+
+    Returns (doc_a, doc_b, a_start, b_start, length) with doc_a <
+    doc_b -- the spans a pipeline clips out of the lower-id document's
+    duplicates.
+
+    Scale shape: seed matches are an equi-join on k-gram hash (only
+    positions sharing a hash ever meet -- the suffix-array role), and
+    runs of consecutive seeds merge per (pair, diagonal) with a
+    gaps-and-islands window, where diagonal = a_start - b_start.  The
+    window partitions by (doc_a, doc_b, diagonal), so merging
+    parallelizes across pairs.  ``max_positions`` drops k-gram hashes
+    occurring more often than the threshold corpus-wide (stopword-like
+    boilerplate grams whose seed join would be quadratic), same
+    rationale and shape as the LSH hot-bucket cap.  Matching is by
+    polynomial hash: collisions (~n^2/P) are possible in principle; a
+    production pass re-verifies spans against the text, which is a
+    per-pair projection.
+    """
+    if min_tokens is None:
+        min_tokens = k
+    if min_tokens < k:
+        raise ValueError(f"min_tokens ({min_tokens}) must be >= k ({k})")
+    from pyspark.sql import Window
+
+    pos = kgram_positions(df, text_col, k)
+    if max_positions is not None:
+        hot = (
+            pos.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_positions)
+            .select("h")
+        )
+        pos = pos.join(F.broadcast(hot), on="h", how="left_anti")
+    a = pos.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "h")
+    b = pos.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "h")
+    seeds = a.join(b, on="h").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        seeds.select("doc_a", "doc_b", diag, "pa", "pb")
+        .withColumn("__grp", F.col("pa") - F.row_number().over(w))
+    )
+    spans = runs.groupBy("doc_a", "doc_b", "diag", "__grp").agg(
+        F.min("pa").cast("long").alias("a_start"),
+        F.min("pb").cast("long").alias("b_start"),
+        (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("length"),
+    )
+    return spans.filter(F.col("length") >= min_tokens).select(
+        "doc_a", "doc_b", "a_start", "b_start", "length"
+    )

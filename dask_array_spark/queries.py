@@ -1754,6 +1754,41 @@ _BPE_SQL = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))"
 
 
 @query(
+    "dedup_substring_spans",
+    f"""
+    WITH th AS (SELECT doc_id, {_TH} AS th FROM documents),
+    pos AS (SELECT doc_id,
+                   unnest(range(1, len(th) - 6)) - 1 AS p,
+                   unnest(list_transform(range(1, len(th) - 6),
+                                         i -> {_ngram_chain_sql(8)})) AS h
+            FROM th WHERE len(th) >= 8),
+    hot AS (SELECT h FROM pos GROUP BY h HAVING count(*) > 10000),
+    pos2 AS (SELECT * FROM pos WHERE h NOT IN (SELECT h FROM hot)),
+    seeds AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.p AS pa, b.p AS pb
+              FROM pos2 a JOIN pos2 b ON a.h = b.h AND a.doc_id < b.doc_id),
+    runs AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+                    pa - row_number() OVER (
+                      PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+             FROM seeds)
+    SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_start,
+           CAST(min(pb) AS BIGINT) AS b_start,
+           CAST(count(*) + 7 AS BIGINT) AS length
+    FROM runs GROUP BY doc_a, doc_b, diag, grp
+    """,
+)
+def q_dedup_substring_spans(spark, sf):
+    """exact duplicated substrings (ExactSubstr dedup, Lee et al.
+    2021): maximal verbatim token spans shared by document pairs --
+    k-gram hash equi-join seeds + per-(pair, diagonal)
+    gaps-and-islands merge, hot-gram capped
+    (functions/dedup.py::duplicated_spans)."""
+    from .functions import dedup as D
+
+    return D.duplicated_spans(_docs(spark, sf), k=8)
+
+
+@query(
     "tokenize_chunks",
     f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
@@ -3981,6 +4016,7 @@ _FINAL_ORDER = [
     # derives from the same signatures) ----
     "tokenize_chunks",
     "pack_sequences",
+    "dedup_substring_spans",
     "dedup_minhash_sigs",
     "svd_singular_values_rows",
     "approx_percentile_rows",

@@ -1,0 +1,75 @@
+"""Exact-substring span dedup (Lee et al. 2021 ExactSubstr;
+functions/dedup.py::duplicated_spans)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_maximal_spans_and_positions(spark):
+    from dask_array_spark.functions.dedup import duplicated_spans
+
+    docs = _docs(
+        spark,
+        [
+            "a b c d e f g h i j",
+            "z z c d e f g z z",      # shares "c d e f g" at (2, 2)
+            "a b c x y z q w e r",    # shares "a b c" at (0, 0)
+        ],
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): (r["a_start"], r["b_start"], r["length"])
+        for r in duplicated_spans(docs, k=3).collect()
+    }
+    assert rows == {(0, 1): (2, 2, 5), (0, 2): (0, 0, 3)}
+
+
+def test_repeat_occurrences_separate_diagonals(spark):
+    """The same span occurring twice in one doc yields one match per
+    (position pair) diagonal, each maximal."""
+    from dask_array_spark.functions.dedup import duplicated_spans
+
+    docs = _docs(spark, ["p q r s t", "p q r z p q r"])
+    rows = sorted(
+        (r["a_start"], r["b_start"], r["length"])
+        for r in duplicated_spans(docs, k=3).collect()
+    )
+    assert rows == [(0, 0, 3), (0, 4, 3)]
+
+
+def test_min_tokens_filters_short_spans(spark):
+    from dask_array_spark.functions.dedup import duplicated_spans
+
+    docs = _docs(spark, ["a b c d e f", "x x c d e x"])  # 3-token overlap
+    assert duplicated_spans(docs, k=3, min_tokens=4).count() == 0
+    assert duplicated_spans(docs, k=3).count() == 1
+    with pytest.raises(ValueError, match="min_tokens"):
+        duplicated_spans(docs, k=3, min_tokens=2)
+
+
+def test_identical_docs_full_span(spark):
+    from dask_array_spark.functions.dedup import duplicated_spans
+
+    text = " ".join(f"t{i}" for i in range(12))
+    rows = duplicated_spans(_docs(spark, [text, text]), k=4).collect()
+    assert len(rows) == 1
+    assert (rows[0]["a_start"], rows[0]["b_start"], rows[0]["length"]) == (0, 0, 12)
+
+
+def test_hot_gram_cap_drops_boilerplate(spark):
+    """A k-gram occurring corpus-wide above the cap never seeds
+    matches (quadratic guard), while rare grams still do."""
+    from dask_array_spark.functions.dedup import duplicated_spans
+
+    boiler = "same old boilerplate line"
+    docs = _docs(spark, [f"{boiler} unique{i} tail{i}" for i in range(30)])
+    capped = duplicated_spans(docs, k=4, max_positions=10)
+    assert capped.count() == 0
+    uncapped = duplicated_spans(docs, k=4, max_positions=None)
+    # every pair shares the 4-token boilerplate prefix
+    assert uncapped.count() == 30 * 29 // 2
