@@ -76,11 +76,13 @@ def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
             h = (h * M_COMB + F.element_at(F.col("__th"), i + F.lit(k))) % F.lit(P)
         return h
 
-    d = d.select(
+    # array_distinct already dedups within the row and doc_id makes
+    # rows unique across documents, so no post-explode distinct (a
+    # redundant full shuffle of the shingle table) is needed
+    return d.select(
         "doc_id",
         F.explode(F.array_distinct(F.transform(idx, combine))).alias("sh"),
     )
-    return d.distinct()
 
 
 def minhash_signatures(shingles: DataFrame, k: int = 16) -> DataFrame:
