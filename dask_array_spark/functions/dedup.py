@@ -133,24 +133,28 @@ def lsh_candidate_pairs(
     bucket; returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
     Band hash combines rows_per_band signature rows.
 
-    ``max_bucket`` caps the within-bucket pair generation: a
-    degenerate bucket of near-identical boilerplate (common in web
-    corpora) is quadratic with no bound, so production MinHash
+    ``max_bucket`` caps the within-bucket self-join: a degenerate
+    bucket of near-identical boilerplate (common in web corpora) makes
+    one join group quadratic with no bound, so production MinHash
     pipelines drop buckets above a size threshold -- members of a hot
     bucket are overwhelmingly exact/near-exact duplicates that the
     exact-dedup pass (or another, less-degenerate band) still catches.
-    Defaults to ``DEFAULT_MAX_BUCKET`` (10k); pass ``None`` to keep
-    every bucket.
+    The size count is one partial-aggregated groupBy over the
+    already-tiny band table.  Defaults to ``DEFAULT_MAX_BUCKET``
+    (10k); pass ``None`` to keep every bucket.
 
-    Plan shape: ONE aggregate collects each bucket's (sorted) member
-    list, the cap is a free ``size()`` filter on that list, and pairs
-    stream out of a double explode (each member against the tail of
-    the sorted list) -- executor-local, no second shuffle of the band
-    table.  The earlier self-join form shuffled the band table up to
-    three more times (bucket-size count, cap semi-join, second join
-    branch); at 100 TB those were full re-keyings of n_docs x bands
-    rows.  Per-bucket list memory is bounded by ``max_bucket`` (80 KB
-    at the default)."""
+    Plan shape: persisted band table + capped SELF-JOIN on
+    (band, bh).  A round-4 rewrite tried a single bucket aggregate
+    (collect_list of the member set + posexplode/slice fan-out); a
+    controlled A/B showed it ~2x slower end-to-end: the list
+    aggregate is heavier than a count, the non-literal
+    ``slice(__ds, __i+2, ...)`` re-materializes the tail per member,
+    AQE coalesces the tiny bucket table to ~2 partitions so the
+    quadratic pair fan-out runs nearly serial (a genuine scale-killer
+    at 100x), and ``max_bucket=None`` would build one unbounded
+    in-memory array per hot bucket.  The self-join shuffles the band
+    table (n_docs x bands rows -- tiny relative to the corpus) but
+    every stage stays partition-parallel and per-task memory is O(1)."""
     banded = sigs.withColumn("band", (F.col("sig_id") / rows_per_band).cast("long"))
     bh = banded.groupBy("doc_id", "band").agg(
         (F.aggregate(
@@ -159,25 +163,27 @@ def lsh_candidate_pairs(
             lambda a, x: (a * 1_000_003 + x) % F.lit(P),
         )).alias("bh")
     )
-    bucket = bh.groupBy("band", "bh").agg(
-        F.array_sort(F.collect_list("doc_id")).alias("__ds")
-    )
-    bucket = bucket.filter(F.size("__ds") >= 2)
+    # persist-at-fan-out (SURVEY.md section 4.4): the self-join below
+    # consumes bh twice and Catalyst does not reuse the exchange across
+    # the differently-aliased branches -- without this the whole
+    # shingle->minhash lineage (the expensive part) runs twice.  The
+    # band table is tiny relative to the corpus (n_docs x bands rows).
+    bh = bh.persist()
     if max_bucket is not None:
-        bucket = bucket.filter(F.size("__ds") <= max_bucket)
-    # doc_ids are unique within a bucket, so pairing each member with
-    # the slice AFTER its position yields each unordered pair exactly
-    # once with doc_a < doc_b
-    pairs = bucket.select(
-        F.posexplode("__ds").alias("__i", "doc_a"), "__ds"
-    ).select(
-        "doc_a",
-        F.explode(
-            F.slice(F.col("__ds"), F.col("__i") + 2, F.size("__ds"))
-        ).alias("doc_b"),
-    )
-    return pairs.groupBy("doc_a", "doc_b").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bands")
+        small = (
+            bh.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
+        bh = bh.join(small, on=["band", "bh"])
+    a = bh.select(F.col("doc_id").alias("doc_a"), "band", "bh")
+    b = bh.select(F.col("doc_id").alias("doc_b"), "band", "bh")
+    return (
+        a.join(b, on=["band", "bh"], how="inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bands"))
     )
 
 

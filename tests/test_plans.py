@@ -173,3 +173,29 @@ def test_similarity_no_corpus_sized_broadcast(spark, sf_dir):
                 or "Filter (vec_id" in window
                 or "Filter (__r" in window
             ), "broadcast hint on an unbounded side:\n" + window
+
+
+def test_lsh_pair_generation_is_partition_parallel(spark, sf_dir):
+    """LSH candidate-pair fan-out must be a partition-parallel equi-
+    JOIN on (band, bh), never a per-bucket list aggregate exploded on
+    the driver-coalesced bucket table (the round-4 shape: AQE squeezed
+    the tiny bucket relation to ~2 partitions, so the quadratic pair
+    fan-out ran nearly serial -- a scale-killer at 100x).  Pinned:
+    (a) the optimized plan contains an inner Join keyed by band/bh, and
+    (b) no collect_list of doc_ids (the bucket member-list aggregate
+    that fed the explode) exists anywhere in the plan.  The shingle
+    explode upstream is fine -- it is linear, not quadratic."""
+    from dask_array_spark.functions import dedup as D
+    from dask_array_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    sh = D.shingle_hashes(docs)
+    sigs = D.minhash_signatures(sh, k=8)
+    pairs = D.lsh_candidate_pairs(sigs, rows_per_band=1)
+    opt = _optimized(pairs)
+    assert "Join Inner" in opt and "band" in opt and "bh" in opt
+    assert "collect_list(doc_id" not in opt
+    # same contract on the opt-out path (max_bucket=None previously
+    # built one unbounded in-memory array per hot bucket)
+    opt_none = _optimized(D.lsh_candidate_pairs(sigs, max_bucket=None))
+    assert "Join Inner" in opt_none and "collect_list(doc_id" not in opt_none
