@@ -71,6 +71,9 @@ def _headline():
         # round-2 scale demonstrations
         ("window_1d_scalable", Q.QUERIES["window_1d_scalable"]),
         ("skew_salted_agg", skew_demo),
+        # round-5: the most join-intensive LLM-pipeline operator
+        # (k-gram seed join + per-diagonal islands merge)
+        ("dedup_substring_spans", Q.QUERIES["dedup_substring_spans"]),
     ]
 
 

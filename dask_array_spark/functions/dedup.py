@@ -281,7 +281,8 @@ def duplicated_spans(
     text_col: str = "text",
     k: int = 8,
     min_tokens: int | None = None,
-    max_positions: int = 10_000,
+    max_positions: int = 1_000,
+    verify: bool = False,
 ) -> DataFrame:
     """Exact duplicated substrings across documents (the ExactSubstr
     dedup of Lee et al. 2021, "Deduplicating Training Data Makes
@@ -300,10 +301,23 @@ def duplicated_spans(
     parallelizes across pairs.  ``max_positions`` drops k-gram hashes
     occurring more often than the threshold corpus-wide (stopword-like
     boilerplate grams whose seed join would be quadratic), same
-    rationale and shape as the LSH hot-bucket cap.  Matching is by
-    polynomial hash: collisions (~n^2/P) are possible in principle; a
-    production pass re-verifies spans against the text, which is a
-    per-pair projection.
+    rationale as the LSH hot-bucket cap -- but unlike the LSH cap
+    (which bounds a per-bucket LIST, i.e. memory) this one bounds a
+    JOIN MULTIPLICITY: a gram surviving at exactly the cap still
+    yields up to max_positions^2 / 2 seed rows (~5e5 at the 1k
+    default, ~5e7 at the old 10k default -- why the default was
+    lowered; web-corpus boilerplate clusters just under any cap).
+    Raise it for small clean corpora, lower it further for raw web
+    dumps.
+
+    Matching is by polynomial hash: collisions (~n^2/P) are possible
+    in principle.  ``verify=True`` re-checks every merged span against
+    the actual token text -- a per-span projection joining each side's
+    token array and comparing the clipped slices -- and drops spans
+    whose text differs (hash-collision artifacts).  Cost: two
+    hash-joins of spans against the (doc_id, tokens) projection;
+    span count is bounded by the seed output, so this never touches
+    non-matching documents.
     """
     if min_tokens is None:
         min_tokens = k
@@ -334,6 +348,22 @@ def duplicated_spans(
         F.min("pb").cast("long").alias("b_start"),
         (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("length"),
     )
-    return spans.filter(F.col("length") >= min_tokens).select(
+    out = spans.filter(F.col("length") >= min_tokens).select(
         "doc_a", "doc_b", "a_start", "b_start", "length"
     )
+    if verify:
+        toks = df.select("doc_id", tokens_col(text_col).alias("__t"))
+        ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("__t").alias("__ta"))
+        tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("__t").alias("__tb"))
+        out = (
+            out.join(ta, on="doc_a")
+            .join(tb, on="doc_b")
+            # a_start/b_start are 0-based token positions; slice is
+            # 1-based.  Equal slices == the span text matches verbatim.
+            .filter(
+                F.slice(F.col("__ta"), F.col("a_start") + 1, F.col("length"))
+                == F.slice(F.col("__tb"), F.col("b_start") + 1, F.col("length"))
+            )
+            .select("doc_a", "doc_b", "a_start", "b_start", "length")
+        )
+    return out

@@ -1762,7 +1762,7 @@ _BPE_SQL = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))"
                    unnest(list_transform(range(1, len(th) - 6),
                                          i -> {_ngram_chain_sql(8)})) AS h
             FROM th WHERE len(th) >= 8),
-    hot AS (SELECT h FROM pos GROUP BY h HAVING count(*) > 10000),
+    hot AS (SELECT h FROM pos GROUP BY h HAVING count(*) > 1000),
     pos2 AS (SELECT * FROM pos WHERE h NOT IN (SELECT h FROM hot)),
     seeds AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      a.p AS pa, b.p AS pb
@@ -1842,6 +1842,67 @@ def q_pack_sequences(spark, sf):
     from .functions import tokenize as TK
 
     return TK.pack_sequences(_docs(spark, sf), budget=128, n_groups=8)
+
+
+@query(
+    "tokenize_suite",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    ch AS (SELECT doc_id, tk,
+                  unnest(range(0, 1 + CAST(ceil(greatest(len(tk) - 16, 0) / 8.0)
+                                           AS INT))) AS ci
+           FROM tk WHERE len(tk) > 0),
+    chunks AS (
+      SELECT doc_id, CAST(ci AS BIGINT) AS seq_id,
+             CAST(len(list_slice(tk, ci * 8 + 1, ci * 8 + 16)) AS BIGINT)
+               AS n_tokens,
+             array_to_string(list_slice(tk, ci * 8 + 1, ci * 8 + 16), ' ')
+               AS payload
+      FROM ch),
+    d AS (
+      SELECT doc_id, doc_id % 8 AS g, CAST(len({_TOKS}) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents),
+    packed AS (
+      WITH RECURSIVE r AS (
+        SELECT g, rn, doc_id, n, CAST(0 AS BIGINT) AS bin, n AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.g, d.rn, d.doc_id, d.n,
+               CASE WHEN r.fill > 0 AND r.fill + d.n > 128
+                    THEN r.bin + 1 ELSE r.bin END,
+               CASE WHEN r.fill > 0 AND r.fill + d.n > 128
+                    THEN d.n ELSE r.fill + d.n END
+        FROM r JOIN d ON d.g = r.g AND d.rn = r.rn + 1)
+      SELECT doc_id, CAST(g AS BIGINT) AS seq_id, n AS n_tokens,
+             CAST(bin AS VARCHAR) AS payload
+      FROM r)
+    SELECT CAST(0 AS BIGINT) AS kind, * FROM chunks
+    UNION ALL
+    SELECT 1, * FROM packed
+    """,
+)
+def q_tokenize_suite(spark, sf):
+    """LLM sequence preparation in one verified result: kind 0 =
+    fixed-window token chunking with overlapping stride (window 16,
+    stride 8; in-row slices, zero shuffle), kind 1 = greedy next-fit
+    packing into 128-token bins per doc_id%8 group (Arrow-batched
+    applyInPandas; oracle replays the fold as a recursive CTE).
+    payload carries the chunk text (kind 0) / bin id as text (kind 1)
+    so one schema covers both (functions/tokenize.py)."""
+    from .functions import tokenize as TK
+
+    docs = _docs(spark, sf)
+    k = lambda n: F.lit(n).cast("long").alias("kind")
+    chunks = TK.chunk_tokens(docs, window=16, stride=8).select(
+        k(0), "doc_id", F.col("chunk_id").alias("seq_id"),
+        "n_tokens", F.col("chunk_text").alias("payload"),
+    )
+    packed = TK.pack_sequences(docs, budget=128, n_groups=8).select(
+        k(1), "doc_id", F.col("group_id").alias("seq_id"),
+        "n_tokens", F.col("bin_id").cast("string").alias("payload"),
+    )
+    return chunks.unionByName(packed)
 
 
 @query(
@@ -2919,20 +2980,50 @@ def q_histograms_suite(spark, sf):
     sld AS (SELECT d, CAST(max(v) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
                                         AND 29 FOLLOWING) AS BIGINT) AS slide_cents
             FROM t QUALIFY row_number() OVER (ORDER BY d DESC) > 29)
-    SELECT cum.d AS i0, cum_cents, dif_cents, mov6, slide_cents
+    SELECT CAST(0 AS BIGINT) AS kind, cum.d AS i0,
+           cum_cents, dif_cents, mov6, slide_cents
     FROM cum JOIN dif USING (d) JOIN mov USING (d) JOIN sld USING (d)
+    UNION ALL
+    SELECT 1, g.i0, CAST(last_value(t.v IGNORE NULLS)
+                           OVER (ORDER BY g.i0) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM (SELECT unnest(generate_series(0, {NDAYS - 1})) AS i0) g
+    LEFT JOIN ({_DAILY_ORACLE}) t ON t.d = g.i0
+    UNION ALL
+    SELECT 2, d // 7, CAST(SUM(v) AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)
+    FROM ({_DAILY_ORACLE}) t GROUP BY d // 7
     """,
 )
 def q_daily_windows_suite(spark, sf):
-    """cumsum + diff + trailing moving mean + forward sliding max over
-    the daily revenue series, inner-joined so every output row has all
-    four defined (reference reductions/_cumulative.py:100,
-    routines/_diff.py:6, reductions/_sliding_window.py:249,405)."""
+    """The daily-series window tier in one verified result: kind 0 =
+    cumsum + diff + trailing moving mean + forward sliding max joined
+    per day (reference reductions/_cumulative.py:100,
+    routines/_diff.py:6, reductions/_sliding_window.py:249,405);
+    kind 1 = push forward-fill over the densified day grid (reference
+    _overlap.py:1449) -- union, not join, so ffill is verified on the
+    FULL dense grid including gap days; kind 2 = coarsen into weekly
+    tumbling sums (reference routines/_coarsen.py:42)."""
+    k = lambda n: F.lit(n).cast("long").alias("kind")
+    nul_b = F.lit(None).cast("long")
+    nul_d = F.lit(None).cast("double")
     cum = q_cumsum(spark, sf).select("i0", F.col("v").alias("cum_cents"))
     dif = q_diff(spark, sf).select("i0", F.col("v").alias("dif_cents"))
     mov = q_moving_mean(spark, sf).select("i0", F.col("v").alias("mov6"))
     sld = q_sliding_max(spark, sf).select("i0", F.col("v").alias("slide_cents"))
-    return cum.join(dif, on="i0").join(mov, on="i0").join(sld, on="i0")
+    base = (
+        cum.join(dif, on="i0").join(mov, on="i0").join(sld, on="i0")
+        .select(k(0), "i0", "cum_cents", "dif_cents", "mov6", "slide_cents")
+    )
+    ffill = q_push(spark, sf).select(
+        k(1), "i0", F.col("v").cast("long").alias("cum_cents"),
+        nul_b.alias("dif_cents"), nul_d.alias("mov6"), nul_b.alias("slide_cents"),
+    )
+    weekly = q_coarsen(spark, sf).select(
+        k(2), "i0", F.col("v").cast("long").alias("cum_cents"),
+        nul_b.alias("dif_cents"), nul_d.alias("mov6"), nul_b.alias("slide_cents"),
+    )
+    return base.unionByName(ffill).unionByName(weekly)
 
 
 @query(
@@ -3970,10 +4061,9 @@ _FINAL_ORDER = [
     "topk_per_group",
     "histograms_suite",
     "unique_counts",
-    # windows / cumulative
+    # windows / cumulative (daily_windows_suite kinds 1-2 absorb the
+    # former push_ffill / coarsen_weekly rows -- same oracles, union'd)
     "daily_windows_suite",
-    "push_ffill",
-    "coarsen_weekly",
     "sliding_rows_2d",
     "cumprod_log_trick",
     "window_1d_scalable",
@@ -4006,6 +4096,8 @@ _FINAL_ORDER = [
     "text_suite",
     "dedup_exact_groups",
     "dedup_lsh_pairs_verify",
+    "dedup_substring_spans",
+    "tokenize_suite",
     "similarity_suite",
     "embed_assign_bucket",
     "pipeline_clean_corpus",
@@ -4013,10 +4105,9 @@ _FINAL_ORDER = [
     "media_bytes_frames",
     # ---- entries past the 50-slot window (weaker/rows-only checks;
     # minhash_sigs is implied-correct by dedup_lsh_pairs_verify, which
-    # derives from the same signatures) ----
-    "tokenize_chunks",
-    "pack_sequences",
-    "dedup_substring_spans",
+    # derives from the same signatures; the standalone tokenize_chunks
+    # / pack_sequences forms were absorbed into in-window
+    # tokenize_suite and left the registry) ----
     "dedup_minhash_sigs",
     "svd_singular_values_rows",
     "approx_percentile_rows",

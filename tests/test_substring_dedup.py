@@ -73,3 +73,43 @@ def test_hot_gram_cap_drops_boilerplate(spark):
     uncapped = duplicated_spans(docs, k=4, max_positions=None)
     # every pair shares the 4-token boilerplate prefix
     assert uncapped.count() == 30 * 29 // 2
+
+
+def test_verify_rejects_hash_collision_spans(spark, monkeypatch):
+    """verify=True re-checks merged spans against the token text and
+    drops hash-collision artifacts.  A real mod-P collision is
+    ~n^2/P, so the test forces one: with the gram combine multiplier
+    patched to 0 every k-gram hashes to its LAST token's hash, making
+    'a b' and 'c b' collide while their text differs."""
+    from dask_array_spark.functions import dedup as D
+
+    docs = _docs(spark, ["a b q w e r t y", "c b z x v n m k"])
+    monkeypatch.setattr(D, "M_COMB", 0)
+    collided = D.duplicated_spans(docs, k=2)
+    assert collided.count() == 1  # the false 'a b' ~ 'c b' match
+    assert D.duplicated_spans(docs, k=2, verify=True).count() == 0
+
+
+def test_verify_keeps_true_spans(spark):
+    """verify=True is a no-op on genuine matches (same rows out)."""
+    from dask_array_spark.functions.dedup import duplicated_spans
+
+    docs = _docs(
+        spark,
+        ["a b c d e f g h i j", "z z c d e f g z z", "a b c x y z q w e r"],
+    )
+    plain = sorted(map(tuple, duplicated_spans(docs, k=3).collect()))
+    checked = sorted(map(tuple, duplicated_spans(docs, k=3, verify=True).collect()))
+    assert plain == checked and len(plain) == 2
+
+
+def test_default_cap_is_1k(spark):
+    """The hot-gram default dropped 10k -> 1k: the cap bounds a JOIN
+    MULTIPLICITY (up to max_positions^2/2 seed rows per surviving
+    gram), not a list's memory, so the generous LSH-style default was
+    a scale hazard (VERDICT r4)."""
+    import inspect
+
+    from dask_array_spark.functions.dedup import duplicated_spans
+
+    assert inspect.signature(duplicated_spans).parameters["max_positions"].default == 1_000
