@@ -291,10 +291,12 @@ from .operators.linalg import (  # noqa: F401
     solve,
     solve_triangular,
     svd_compressed,
+    qr,
+    sfqr,
     svd_tall as svd,
     tensordot,
     trace,
-    tsqr as qr,
+    tsqr,
     vdot,
 )
 

@@ -22,14 +22,17 @@ def concat(seqs):
 
 
 def keepdims_wrapper(fn):
-    """Wrap an axis-reducing NumPy callable so it always keeps the
-    reduced dimensions (the contract chunk-stage reducers need so
-    partials stack back into the block grid)."""
+    """Wrap an axis-reducing NumPy callable with a ``keepdims``
+    parameter that re-expands the reduced dimensions so partials stack
+    back into the block grid.  Contract matches the reference
+    (_chunk.py:146): expansion happens ONLY when keepdims is truthy;
+    any falsy keepdims (False or the default None) returns the
+    reducer's un-expanded result, with or without an explicit axis."""
 
     @wraps(fn)
     def wrapped(x, axis=None, keepdims=None, **kwargs):
         out = fn(x, axis=axis, **kwargs)
-        if keepdims is False or axis is None and keepdims is None:
+        if not keepdims:
             return out
         axes = range(x.ndim) if axis is None else np.atleast_1d(axis)
         for ax in sorted(int(a) % x.ndim for a in np.atleast_1d(list(axes))):

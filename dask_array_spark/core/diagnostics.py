@@ -146,12 +146,21 @@ class Trace:
 
     @property
     def rules(self) -> list[str]:
-        """Rule names that ran at least once, busiest first."""
+        """Rule names that ran at least once, busiest first.  Parsed
+        from ``dumpTimeSpent``'s documented table layout: everything
+        after the ``Rule ... Effective Time / Total Time ...`` header
+        line is one rule row whose first whitespace-delimited token is
+        the fully-qualified rule name."""
         out = []
+        in_table = False
         for line in self.report.splitlines():
-            parts = line.strip().split()
-            if parts and parts[0].count(".") >= 2 and "Rule" not in parts[0][:4]:
-                out.append(parts[0])
+            stripped = line.strip()
+            if not in_table:
+                if stripped.startswith("Rule") and "Effective Time" in stripped:
+                    in_table = True
+                continue
+            if stripped:
+                out.append(stripped.split()[0])
         return out
 
     def __repr__(self) -> str:
@@ -166,6 +175,13 @@ def trace_rewrites(spark):
     JVM ``RuleExecutor`` metrics are the ground truth).  Resets the
     rule metrics on entry and captures the per-rule invocation/effect
     dump on exit.
+
+    Caveat: the ``RuleExecutor`` metrics registry is JVM-GLOBAL --
+    rules fired by ANY concurrently-planning query on the shared
+    SparkSession (another thread, a streaming micro-batch trigger)
+    land in the same counters and will appear in the report.  Use on
+    a quiet session when attribution matters; this mirrors the
+    reference, whose rewrite hooks are process-global too.
 
     >>> with trace_rewrites(spark) as t:       # doctest: +SKIP
     ...     df.filter("x > 0").select("x").collect()

@@ -223,9 +223,12 @@ def repetition_cols(text_col: str = "text") -> list[Column]:
         )
 
     top = F.aggregate(sorted_bg, init, step)
-    top_frac = F.round(
-        top["best"].cast("double") * F.length(top["bestg"]) / nc, 6
-    )
+    # empty-text guard: Spark's non-ANSI x/0 yields NULL while DuckDB's
+    # IEEE division yields NaN -- pin 0.0 like dup3gram_frac does
+    top_frac = F.when(
+        nc > 0,
+        F.round(top["best"].cast("double") * F.length(top["bestg"]) / nc, 6),
+    ).otherwise(F.lit(0.0))
 
     tg = _ngram_strings(toks, 3)
     m = F.size(tg).cast("double")

@@ -410,6 +410,70 @@ def tsqr(a: Array, block_rows: int = 10000, fanin: int = 16):
     return Array(q, (n, k)), r_final
 
 
+def sfqr(a: Array, max_rows: int = 4096):
+    """Direct short-and-fat QR (reference linalg/_qr.py:529): for a
+    matrix with few rows and many columns, Q [R_1 R_2 ...] =
+    [A_1 A_2 ...].
+
+    Q (m x m, tiny by the short-fat premise) comes from an in-core QR
+    of the leading m x m column block -- the same Q Householder
+    produces after eliminating the first m columns when that block has
+    full column rank, which is the reference's contract too (it QRs
+    the first chunk, whose width must be >= m).  The wide remainder
+    R = Q^T A is computed DISTRIBUTED as a broadcast join+agg over the
+    column-partitioned bulk; the n-wide side never gathers.  Returns
+    (q: numpy.ndarray (m x m), r: Array (m x n)); sign-normalized so
+    diag(R) >= 0, matching tsqr.  ``max_rows`` gates the in-core m x m
+    factor (above it, neither orientation is thin and blocked methods
+    apply)."""
+    import numpy as np
+
+    m, n = a.shape
+    if m is None:
+        raise ValueError("sfqr needs a known row count")
+    if m > max_rows:
+        raise ValueError(
+            f"sfqr in-core Q factor would be {m}x{m} (> max_rows="
+            f"{max_rows}); sfqr is for short-fat matrices"
+        )
+    head = _collect_dense(a[:, :m])  # m x m, dense, absent cells = 0
+    q_np = np.linalg.qr(head, mode="reduced")[0]  # m x m
+    # sign-normalize via diag(R) of the head factor
+    r_head = q_np.T @ head
+    signs = np.sign(np.diag(r_head))
+    signs[signs == 0] = 1.0
+    q_np = q_np * signs[None, :]
+    spark = a.spark
+    qt_rows = [
+        (int(i), int(j), float(q_np[i, j])) for i in range(m) for j in range(m)
+    ]
+    qt_df = spark.createDataFrame(qt_rows, "ri long, rj long, rv double")
+    # R = Q^T A : join Q rows (ri) against A rows (i0), group by (rj, i1)
+    r = (
+        a.df.join(F.broadcast(qt_df), on=F.col("i0") == F.col("ri"), how="inner")
+        .groupBy(F.col("rj").alias("__i0"), F.col("i1"))
+        .agg(F.sum(F.col(VALUE_COL) * F.col("rv")).alias(VALUE_COL))
+        .select(F.col("__i0").alias("i0"), "i1", VALUE_COL)
+    )
+    return q_np, Array(r, (m, n))
+
+
+def qr(a: Array, block_rows: int = 10000):
+    """QR dispatch (reference linalg/_qr.py:560): tall-or-square
+    inputs route to the distributed TSQR tree merge; short-and-fat
+    inputs (more columns than rows) route to the direct sfqr.  The
+    reference dispatches on block structure (single column chunk ->
+    tsqr, single row chunk -> sfqr); here partitioning is Catalyst's,
+    so the logical aspect ratio decides.  Returns (q, r) where the
+    corpus-sized factor is an Array and the small factor an ndarray:
+    tall -> (q: Array, r: ndarray), short-fat -> (q: ndarray,
+    r: Array)."""
+    m, n = a.shape
+    if m is not None and n is not None and n > m:
+        return sfqr(a)
+    return tsqr(a, block_rows=block_rows)
+
+
 def svd_tall(a: Array, block_rows: int = 10000):
     """TSQR-based thin SVD for tall-skinny matrices (reference
     linalg/_svd.py:19-229): A = QR (distributed TSQR), R = U_r S V^T

@@ -3686,8 +3686,9 @@ def q_events_windows_suite(spark, sf):
                    PARTITION BY doc_id ORDER BY i) = x THEN 0 ELSE 1 END AS brk
                  FROM tp)) GROUP BY doc_id, grp),
     rep AS (SELECT t.doc_id,
-              round(coalesce(b.c * length(b.g), 0) / CAST(t.nc AS DOUBLE), 6)
-                AS top2gram_char_frac,
+              CASE WHEN t.nc > 0 THEN
+                round(coalesce(b.c * length(b.g), 0) / CAST(t.nc AS DOUBLE), 6)
+              ELSE 0.0 END AS top2gram_char_frac,
               round(CASE WHEN len(tk) >= 3 THEN
                 (CAST(len(tk) - 2 AS DOUBLE)
                  - len(list_distinct(list_transform(range(1, len(tk) - 1),

@@ -48,11 +48,15 @@ def test_repetition_crafted(spark):
 
 
 def test_repetition_short_docs(spark):
-    """Below the n-gram width nothing divides by zero."""
+    """Below the n-gram width nothing divides by zero -- including the
+    fully EMPTY text, where n_chars == 0 and Spark's non-ANSI x/0
+    would otherwise yield NULL (vs DuckDB's IEEE NaN)."""
     from dask_array_spark.functions.text import repetition_stats
 
-    docs = _docs(spark, ["solo", "two tokens"])
+    docs = _docs(spark, ["solo", "two tokens", ""])
     out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[2]["top2gram_char_frac"] == 0.0
+    assert out[2]["dup3gram_frac"] == 0.0
     assert out[0]["top2gram_char_frac"] == 0.0
     assert out[0]["dup3gram_frac"] == 0.0
     assert out[0]["max_token_run"] == 1

@@ -309,3 +309,54 @@ def test_corrcoef_matrix_matches_numpy(spark, rng):
     np.testing.assert_allclose(
         linalg.corrcoef(from_numpy(spark, m)).compute(), np.corrcoef(m), atol=1e-12
     )
+
+
+def test_sfqr_short_fat_parity(spark):
+    """Direct short-fat QR (reference linalg/_qr.py:529): Q^T Q == I,
+    Q R == A, and R matches numpy's reduced factorization up to the
+    diag(R) >= 0 sign convention on a 6 x 80 fixture."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import linalg
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(6, 80))
+    q, r = linalg.sfqr(from_numpy(spark, mat))
+    assert q.shape == (6, 6)
+    assert np.allclose(q.T @ q, np.eye(6), atol=1e-8)
+    rmat = r.compute()
+    assert rmat.shape == (6, 80)
+    assert np.allclose(q @ rmat, mat, atol=1e-8)
+    # leading m x m of R upper triangular
+    assert np.allclose(np.tril(rmat[:, :6], -1), 0, atol=1e-8)
+    r_ref = np.linalg.qr(mat, mode="r")
+    r_ref = r_ref * np.sign(np.diag(r_ref[:, :6]))[:, None]
+    assert np.allclose(rmat, r_ref, atol=1e-8)
+
+
+def test_qr_dispatch_routes_by_aspect(spark):
+    """qr() sends tall inputs to tsqr and short-fat inputs to sfqr
+    (reference dispatch, linalg/_qr.py:560); both reconstruct A."""
+    import numpy as np
+    import pytest
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import linalg
+
+    rng = np.random.default_rng(3)
+    tall = rng.normal(size=(200, 4))
+    q, r = linalg.qr(from_numpy(spark, tall))
+    assert isinstance(r, np.ndarray) and r.shape == (4, 4)
+    assert np.allclose(q.compute() @ r, tall, atol=1e-8)
+
+    fat = rng.normal(size=(4, 200))
+    q, r = linalg.qr(from_numpy(spark, fat))
+    assert isinstance(q, np.ndarray) and q.shape == (4, 4)
+    assert np.allclose(q @ r.compute(), fat, atol=1e-8)
+
+    with pytest.raises(ValueError, match="max_rows"):
+        big = from_numpy(spark, np.zeros((2, 3)))
+        from dask_array_spark.core.array import Array
+
+        linalg.sfqr(Array(big.df, (5000, 6000)))
