@@ -34,6 +34,7 @@ __all__ = [
     "cosine_pairs_bucketed",
     "ivf_assign",
     "ivf_topk",
+    "semantic_dedup",
 ]
 
 
@@ -288,5 +289,112 @@ def ivf_topk(
             (F.col("rank") - 1).cast("long").alias("rank"),
             "vec_id",
             (F.round("cos", 6) + F.lit(0.0)).alias("cos"),
+        )
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 4,
+    eps: float = 0.95,
+    max_cell: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
+    embeddings with the IVF codebook, then inside each cluster drop
+    every vector whose cosine to an EARLIER-RANKED cluster member is
+    >= ``eps``.  Rank order follows the paper's keep-diverse policy:
+    members FARTHEST from their centroid rank first (kept
+    preferentially), ties -> smaller vec_id.  Returns one row per
+    vector: (vec_id, cell, ccos, is_dup) where ccos is the
+    centroid cosine and is_dup marks the semantic duplicates a
+    pipeline filters out.
+
+    Scale shape (the 100 TB story): the codebook is tiny and
+    broadcast (in production n_cells grows ~sqrt(corpus), keeping
+    per-cluster membership bounded); centroid cosines fold IN-ROW
+    (zip_with + aggregate -- the corpus is never exploded for
+    assignment); the intra-cluster pair join runs per (cell, pos) on
+    the exploded form exactly like cosine_pairs_bucketed, quadratic
+    only within a cluster; ``max_cell`` skips dedup inside clusters
+    larger than the threshold (the hot-bucket guard -- their members
+    are kept, flagged is_dup = false, and a degenerate cluster never
+    goes quadratic).  Comparisons use 6-decimal-rounded cosines so
+    the DuckDB oracle replays rank order and the eps boundary
+    bit-for-bit.
+    """
+    assign = ivf_assign(emb, n_cells)
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell"),
+        F.col("embedding").alias("cemb"),
+        _norm_col().alias("cnrm"),
+    )
+    cdot = F.aggregate(
+        F.zip_with(
+            "embedding", "cemb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    base = (
+        emb.select("vec_id", "embedding", _norm_col().alias("nrm"))
+        .join(assign, on="vec_id")
+        .join(F.broadcast(cents), on="cell")
+        .select(
+            "vec_id",
+            "cell",
+            (F.round(cdot / (F.col("nrm") * F.col("cnrm")), 6) + F.lit(0.0)).alias(
+                "ccos"
+            ),
+        )
+    )
+    wr = Window.partitionBy("cell").orderBy(F.col("ccos").asc(), F.col("vec_id").asc())
+    ranked = base.withColumn("rnk", F.row_number().over(wr))
+    dedupable = ranked
+    if max_cell is not None:
+        small = (
+            ranked.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__csz"))
+            .filter(F.col("__csz") <= max_cell)
+            .drop("__csz")
+        )
+        dedupable = ranked.join(small, on="cell")
+    # persist-at-fan-out: the pair join consumes the exploded ranked
+    # table on both sides (SURVEY.md section 4.4)
+    ex = _exploded(emb).join(
+        dedupable.select("vec_id", "cell", "rnk"), on="vec_id"
+    ).persist()
+    a = ex.select(
+        F.col("rnk").alias("rnk_a"), F.col("nrm").alias("na"),
+        "cell", "pos", F.col("e").alias("ea"),
+    )
+    b = ex.select(
+        F.col("vec_id").alias("vec_b"), F.col("rnk").alias("rnk_b"),
+        F.col("nrm").alias("nb"), "cell", "pos", F.col("e").alias("eb"),
+    )
+    dropped = (
+        a.join(b, on=["cell", "pos"])
+        .filter(F.col("rnk_a") < F.col("rnk_b"))
+        .groupBy("vec_b", "rnk_a")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("ea") * F.col("eb"))
+                    / (F.first("na") * F.first("nb")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("cos")
+        )
+        .filter(F.col("cos") >= eps)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        ranked.join(dropped.withColumn("__d", F.lit(True)), on="vec_id", how="left")
+        .select(
+            "vec_id",
+            "cell",
+            "ccos",
+            F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"),
         )
     )

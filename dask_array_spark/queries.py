@@ -3902,6 +3902,35 @@ _IVF_TOPK_SQL = f"""
 """
 
 
+_SEMDEDUP_SQL = f"""
+    WITH ex AS ({_EX_SQL}),
+    asg AS ({_IVF_ASSIGN_SQL}),
+    c AS (SELECT vec_id AS cell, pos, e AS ce FROM ex WHERE vec_id < 4),
+    cn AS (SELECT cell, sqrt(SUM(ce * ce)) AS cnrm FROM c GROUP BY 1),
+    vn AS (SELECT vec_id, sqrt(SUM(e * e)) AS nrm FROM ex GROUP BY 1),
+    cd AS (SELECT ex.vec_id, c.cell, SUM(ex.e * c.ce) AS dot
+           FROM ex JOIN c USING (pos) GROUP BY 1, 2),
+    base AS (SELECT a.vec_id, a.cell,
+                    round(cd.dot / (vn.nrm * cn.cnrm), 6) + 0.0 AS ccos
+             FROM asg a JOIN cd ON cd.vec_id = a.vec_id AND cd.cell = a.cell
+             JOIN vn ON vn.vec_id = a.vec_id JOIN cn ON cn.cell = a.cell),
+    rk AS (SELECT vec_id, cell, ccos, row_number() OVER (
+             PARTITION BY cell ORDER BY ccos ASC, vec_id ASC) AS rnk FROM base),
+    exr AS (SELECT ex.vec_id, ex.pos, ex.e, rk.cell, rk.rnk, vn.nrm
+            FROM ex JOIN rk ON rk.vec_id = ex.vec_id
+            JOIN vn ON vn.vec_id = ex.vec_id),
+    pd AS (SELECT b.vec_id AS vec_b, a.rnk AS rnk_a,
+                  round(SUM(a.e * b.e) / (MIN(a.nrm) * MIN(b.nrm)), 6) + 0.0 AS cos
+           FROM exr a JOIN exr b ON a.cell = b.cell AND a.pos = b.pos
+                                AND a.rnk < b.rnk
+           GROUP BY 1, 2),
+    drp AS (SELECT DISTINCT vec_b AS vec_id FROM pd WHERE cos >= 0.35)
+    SELECT rk.vec_id, rk.cell, rk.ccos,
+           rk.vec_id IN (SELECT vec_id FROM drp) AS is_dup
+    FROM rk
+"""
+
+
 @query(
     "similarity_suite",
     f"""
@@ -3911,14 +3940,18 @@ _IVF_TOPK_SQL = f"""
     SELECT 1, qid, vec_id, rank, cos FROM ({_IVF_TOPK_SQL}) iv
     UNION ALL
     SELECT 2, vec_a, vec_b, CAST(-1 AS BIGINT), cos FROM ({_PAIRS_COS_SQL}) pr
+    UNION ALL
+    SELECT 3, vec_id, cell, CAST(is_dup AS BIGINT), ccos
+    FROM ({_SEMDEDUP_SQL}) sd
     """,
 )
 def q_similarity_suite(spark, sf):
     """similarity search tier: brute-force cosine top-k baseline (0),
     IVF probe-pruned ANN top-k (1), LSH-bucketed cosine near-dup pairs
-    (2) -- all with inline F.aggregate norms, no corpus-sized
-    broadcast (the round-2 scale fix; plan-asserted in
-    tests/test_plans.py)."""
+    (2), SemDeDup semantic deduplication (3; Abbas et al. 2023 --
+    eps tuned to the synthetic embedding spread) -- all with inline
+    F.aggregate norms, no corpus-sized broadcast (the round-2 scale
+    fix; plan-asserted in tests/test_plans.py)."""
     from .functions import similarity as SIM
 
     embs = _embs(spark, sf)
@@ -3934,7 +3967,11 @@ def q_similarity_suite(spark, sf):
         k(2), F.col("vec_a").alias("a"), F.col("vec_b").alias("b"),
         neg1.alias("rank"), "cos",
     )
-    return bf.unionByName(iv).unionByName(pr)
+    sd = SIM.semantic_dedup(embs, n_cells=4, eps=0.35).select(
+        k(3), F.col("vec_id").alias("a"), F.col("cell").alias("b"),
+        F.col("is_dup").cast("long").alias("rank"), F.col("ccos").alias("cos"),
+    )
+    return bf.unionByName(iv).unionByName(pr).unionByName(sd)
 
 
 @query(

@@ -1,0 +1,80 @@
+"""SemDeDup semantic deduplication (Abbas et al. 2023;
+functions/similarity.py::semantic_dedup).  The oracle replica runs in
+tests/test_oracle.py (similarity_suite kind 3); these pin the
+operator-level semantics on hand-built embeddings."""
+
+from pyspark.sql import functions as F
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_exact_duplicate_dropped_keep_farthest(spark):
+    """Two identical vectors in one cluster: exactly one is flagged.
+    Keep-diverse policy: the member FARTHEST from the centroid ranks
+    first, so of two near-identical members the one with lower
+    centroid cosine survives (ties -> smaller vec_id survives)."""
+    from dask_array_spark.functions.similarity import semantic_dedup
+
+    # vec 0 is the single centroid (n_cells=1); 1 and 2 are identical
+    # to each other (cos = 1.0), 3 is orthogonal.  cos(0, 1) = 0.9939
+    # stays below the 0.995 threshold, so only the identical pair
+    # dedups.
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            _emb(
+                spark,
+                [[1, 0, 0], [0.9, 0.1, 0], [0.9, 0.1, 0], [0, 0, 1]],
+            ),
+            n_cells=1,
+            eps=0.995,
+        ).collect()
+    }
+    assert len(out) == 4
+    dropped = {v for v, r in out.items() if r["is_dup"]}
+    # identical pair 1/2: equal ccos, tie -> smaller vec_id ranks
+    # first and survives, so 2 is the duplicate
+    assert dropped == {2}
+    assert all(out[v]["cell"] == 0 for v in out)
+
+
+def test_eps_gates_similarity(spark):
+    from dask_array_spark.functions.similarity import semantic_dedup
+
+    vecs = [[1, 0, 0], [0.8, 0.6, 0], [0.6, 0.8, 0]]  # cos(1,2) = 0.96
+    strict = semantic_dedup(_emb(spark, vecs), n_cells=1, eps=0.99)
+    assert strict.filter("is_dup").count() == 0
+    loose = semantic_dedup(_emb(spark, vecs), n_cells=1, eps=0.9)
+    assert loose.filter("is_dup").count() == 1
+
+
+def test_max_cell_guard_skips_hot_cluster(spark):
+    """Clusters above max_cell skip pair generation entirely: all
+    members kept, flagged is_dup = false (quadratic guard)."""
+    from dask_array_spark.functions.similarity import semantic_dedup
+
+    vecs = [[1.0, 0.0]] + [[1.0, 0.001 * i] for i in range(1, 8)]
+    capped = semantic_dedup(_emb(spark, vecs), n_cells=1, eps=0.9, max_cell=4)
+    assert capped.filter("is_dup").count() == 0
+    assert capped.count() == 8
+    uncapped = semantic_dedup(_emb(spark, vecs), n_cells=1, eps=0.9, max_cell=None)
+    assert uncapped.filter("is_dup").count() == 7  # all near-identical
+
+
+def test_dedup_confined_to_cluster(spark):
+    """Near-identical vectors in DIFFERENT clusters are both kept --
+    SemDeDup only compares within a cluster."""
+    from dask_array_spark.functions.similarity import semantic_dedup
+
+    # centroids: vec 0 = x-axis, vec 1 = y-axis; vecs 2/3 similar to
+    # each other but assigned to different cells
+    vecs = [[1, 0], [0, 1], [0.71, 0.7], [0.7, 0.71]]
+    out = semantic_dedup(_emb(spark, vecs), n_cells=2, eps=0.9)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[2]["cell"] != rows[3]["cell"]
+    assert not rows[2]["is_dup"] and not rows[3]["is_dup"]
