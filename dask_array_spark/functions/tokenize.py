@@ -31,6 +31,7 @@ __all__ = [
     "bpe_token_count",
     "chunk_tokens",
     "pack_sequences",
+    "vocab_top_k",
 ]
 
 # GPT-2-style pre-tokenizer, reduced to the regex subset Java
@@ -149,4 +150,38 @@ def pack_sequences(
     return d.groupBy("group_id").applyInPandas(
         pack,
         "doc_id long, group_id long, n_tokens long, bin_id long",
+    )
+
+
+def vocab_top_k(
+    df: DataFrame, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus token vocabulary: the ``k`` most frequent whitespace
+    tokens with counts and a dense frequency rank (rank 1 = most
+    frequent; ties -> lexicographically smaller token first, so the
+    output is deterministic).  The seed step of building a tokenizer
+    vocabulary over a training corpus.
+
+    Scale shape: explode -> partial-aggregated count per token (the
+    heavy shuffle carries one row per DISTINCT token, map-side
+    combined); the global top-k is orderBy().limit(k), which Spark
+    plans as TakeOrderedAndProject -- each partition keeps only its
+    own top k, so the distinct-token table is never globally sorted.
+    Ranking the surviving k rows is driver-scale work.  Returns
+    (rank, token, n).
+    """
+    from pyspark.sql.window import Window
+
+    from ..sources.ingest import widen_partitions
+
+    counts = (
+        widen_partitions(df, "doc_id")
+        .select(F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"), "token", "n"
     )

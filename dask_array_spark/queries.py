@@ -1876,10 +1876,19 @@ def q_pack_sequences(spark, sf):
         FROM r JOIN d ON d.g = r.g AND d.rn = r.rn + 1)
       SELECT doc_id, CAST(g AS BIGINT) AS seq_id, n AS n_tokens,
              CAST(bin AS VARCHAR) AS payload
-      FROM r)
+      FROM r),
+    vocab AS (
+      SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT)
+               AS rank, token, n
+      FROM (SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+            GROUP BY token)
+      QUALIFY rank <= 100)
     SELECT CAST(0 AS BIGINT) AS kind, * FROM chunks
     UNION ALL
     SELECT 1, * FROM packed
+    UNION ALL
+    SELECT 2, rank, CAST(-1 AS BIGINT), n, token FROM vocab
     """,
 )
 def q_tokenize_suite(spark, sf):
@@ -1887,9 +1896,11 @@ def q_tokenize_suite(spark, sf):
     fixed-window token chunking with overlapping stride (window 16,
     stride 8; in-row slices, zero shuffle), kind 1 = greedy next-fit
     packing into 128-token bins per doc_id%8 group (Arrow-batched
-    applyInPandas; oracle replays the fold as a recursive CTE).
-    payload carries the chunk text (kind 0) / bin id as text (kind 1)
-    so one schema covers both (functions/tokenize.py)."""
+    applyInPandas; oracle replays the fold as a recursive CTE),
+    kind 2 = top-100 token vocabulary (partial-agg counts +
+    TakeOrdered top-k, the tokenizer-vocab seed step).  payload
+    carries the chunk text / bin id / token so one schema covers all
+    three (functions/tokenize.py)."""
     from .functions import tokenize as TK
 
     docs = _docs(spark, sf)
@@ -1902,7 +1913,12 @@ def q_tokenize_suite(spark, sf):
         k(1), "doc_id", F.col("group_id").alias("seq_id"),
         "n_tokens", F.col("bin_id").cast("string").alias("payload"),
     )
-    return chunks.unionByName(packed)
+    vocab = TK.vocab_top_k(docs, k=100).select(
+        k(2), F.col("rank").alias("doc_id"),
+        F.lit(-1).cast("long").alias("seq_id"),
+        F.col("n").alias("n_tokens"), F.col("token").alias("payload"),
+    )
+    return chunks.unionByName(packed).unionByName(vocab)
 
 
 @query(

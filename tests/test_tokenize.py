@@ -87,3 +87,30 @@ def test_chunking_plan_has_no_shuffle(spark):
     docs = _docs(spark, ["a b c d e"])
     plan = chunk_tokens(docs, window=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_vocab_top_k_counts_and_ties(spark):
+    """Top-k vocabulary: counts across the corpus, rank 1 = most
+    frequent, ties broken lexicographically."""
+    from dask_array_spark.functions.tokenize import vocab_top_k
+
+    docs = spark.createDataFrame(
+        [(0, "a b b c"), (1, "b c c a"), (2, "d")],
+        "doc_id long, text string",
+    )
+    rows = [(r["rank"], r["token"], r["n"]) for r in vocab_top_k(docs, k=3).collect()]
+    # counts: a=2 b=3 c=3 d=1 -> b and c tie at 3, b first
+    assert sorted(rows) == [(1, "b", 3), (2, "c", 3), (3, "a", 2)]
+
+
+def test_vocab_top_k_plans_take_ordered(spark):
+    """The global top-k must plan as TakeOrderedAndProject (per-
+    partition partial top-k), never a full global Sort of the
+    distinct-token table."""
+    from dask_array_spark.functions.tokenize import vocab_top_k
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} common") for i in range(50)], "doc_id long, text string"
+    )
+    plan = vocab_top_k(docs, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
