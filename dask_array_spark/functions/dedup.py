@@ -31,6 +31,7 @@ __all__ = [
     "simhash_col",
     "kgram_positions",
     "duplicated_spans",
+    "duplicate_clusters",
 ]
 
 # affine hash family h_i(x) = (a_i * x + b_i) mod P with fixed odd
@@ -366,4 +367,89 @@ def duplicated_spans(
             )
             .select("doc_a", "doc_b", "a_start", "b_start", "length")
         )
+    return out
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    check_every: int = 2,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph: groups the
+    verified near-duplicate pairs (doc_a, doc_b) into clusters so a
+    pipeline can keep ONE representative per cluster -- the step every
+    production MinHash dedup ends with (SlimPajama, FineWeb, BigCode
+    all cluster LSH pairs before dropping; pairs alone over-delete
+    because duplicate relations are not transitive row-by-row).
+
+    Returns (doc_id, rep, csize): every document that appears in at
+    least one pair, its cluster representative (= the smallest doc_id
+    reachable through the pair graph), and the cluster's size.  The
+    keep-list is ``doc_id == rep`` plus every unpaired document.
+
+    Scale shape: min-label propagation with POINTER DOUBLING.  Each
+    round is (a) one equi-join of the symmetrized edge list against
+    the current labels + a partial-aggregated min per vertex, and (b)
+    one self-join that replaces each vertex's label with its label's
+    label -- halving every chain, so rounds needed are O(log diameter)
+    rather than O(diameter).  Near-duplicate components are almost
+    always shallow cliques (diameter <= 3; one boilerplate template ->
+    one star), so this converges in 2-3 rounds at any corpus size.
+    Label/edge tables shuffle on doc_id -- both are candidate-pair
+    sized, tiny relative to the corpus.  Every ``check_every`` rounds
+    the loop runs a convergence probe (a scalar count of changed
+    labels -- an action, but no rows ever reach the driver), and
+    ``max_iters`` (default 20, i.e. diameter ~2^20 via doubling)
+    bounds the driver loop unconditionally.  Labels persist per round
+    so lineage stays linear, and superseded rounds unpersist eagerly.
+    """
+    e = pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("w"))
+    edges = e.unionByName(
+        e.select(F.col("w").alias("v"), F.col("v").alias("w"))
+    ).persist()
+    labels = (
+        edges.select("v").distinct().select("v", F.col("v").alias("rep"))
+    ).persist()
+    for it in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(F.col("v").alias("w"), F.col("rep").alias("wrep")),
+                on="w",
+            )
+            .groupBy("v")
+            .agg(F.min("wrep").alias("nrep"))
+        )
+        stepped = labels.join(nbr, on="v", how="left").select(
+            "v", F.least(F.col("rep"), F.coalesce("nrep", "rep")).alias("rep")
+        )
+        lut = stepped.select(
+            F.col("v").alias("__lv"), F.col("rep").alias("__lrep")
+        )
+        doubled = (
+            stepped.join(lut, stepped["rep"] == lut["__lv"], "left")
+            .select("v", F.coalesce("__lrep", "rep").alias("rep"))
+            .persist()
+        )
+        done = False
+        if it % check_every == check_every - 1 or it == max_iters - 1:
+            # convergence probe: one scalar per check -- a changed
+            # label exists iff some vertex still sees a smaller rep
+            # through an edge (rep stable under doubling by now)
+            old = labels.select("v", F.col("rep").alias("__old"))
+            done = (
+                doubled.join(old, on="v")
+                .filter(F.col("rep") != F.col("__old"))
+                .limit(1)
+                .count()
+                == 0
+            )
+        labels.unpersist()
+        labels = doubled
+        if done:
+            break
+    sizes = labels.groupBy("rep").agg(F.count(F.lit(1)).alias("csize"))
+    out = labels.join(sizes, on="rep").select(
+        F.col("v").alias("doc_id"), "rep", F.col("csize").cast("long")
+    )
+    edges.unpersist()
     return out

@@ -35,6 +35,8 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "semantic_dedup",
+    "kmeans_fit",
+    "kmeans_assign",
 ]
 
 
@@ -398,3 +400,94 @@ def semantic_dedup(
             F.coalesce(F.col("__d"), F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid by squared L2
+    distance: (vec_id, cell, dist).  ``cents`` is (cell, cemb) with
+    cemb an array<double>.  Ties break to the smaller cell id.
+
+    Scale shape: the codebook is tiny and broadcast with WHOLE
+    centroid arrays; each distance folds IN-ROW (zip_with +
+    aggregate), so the corpus is never exploded and the nearest-cell
+    argmin is a partial-aggregated min_by -- the corpus is scanned
+    once and shuffled only by vec_id for the final min.  Distances
+    round to 6 decimals BEFORE the argmin so a DuckDB oracle (whose
+    sum order differs) replays assignment boundaries bit-for-bit."""
+    sq = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "cemb",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell", (F.round(sq, 6) + F.lit(0.0)).alias("dist"))
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cell", "dist"), F.struct("dist", "cell")
+            ).alias("__m")
+        )
+        .select(
+            "vec_id",
+            F.col("__m.cell").cast("long").alias("cell"),
+            F.col("__m.dist").alias("dist"),
+        )
+    )
+
+
+def kmeans_fit(emb: DataFrame, k: int = 4, iters: int = 2) -> DataFrame:
+    """Distributed Lloyd k-means over the embedding column: trains the
+    IVF/SemDeDup codebook that ``ivf_assign`` stubs with the first k
+    vectors.  Deterministic: init centroids = vectors 0..k-1, squared
+    L2 assignment with ties to the smaller cell, centroid coordinates
+    rounded to 6 decimals each round (so an SQL oracle replays every
+    iteration exactly).  Returns the final (cell, cemb) codebook; a
+    cell that loses all members drops out (production pipelines
+    re-seed; at k << n this never happens in practice).
+
+    Scale shape (the 100 TB story): NOTHING is collected -- each
+    round is (a) one broadcast of the k x dim codebook (tiny) with
+    in-row distance folds and a partial-aggregated argmin, and (b)
+    one posexplode + groupBy(cell, pos) mean -- a single linear
+    shuffle carrying corpus x dim scalar rows with map-side partial
+    sums, independent of k.  The new codebook reassembles with a
+    dim-bounded collect_list per cell and persists, so lineage stays
+    one round deep instead of multiplying across iterations."""
+    cents = (
+        emb.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").cast("long").alias("cell"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
+        )
+        .persist()
+    )
+    for _ in range(iters):
+        asg = kmeans_assign(emb, cents).select("vec_id", "cell")
+        ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "e"))
+        newc = (
+            ex.join(asg, on="vec_id")
+            .groupBy("cell", "pos")
+            .agg(
+                (F.round(F.avg(F.col("e").cast("double")), 6) + F.lit(0.0)).alias(
+                    "c"
+                )
+            )
+        )
+        arr = newc.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("cemb")
+        )
+        old = cents
+        cents = arr.persist()
+        old.unpersist()
+    return cents

@@ -29,6 +29,7 @@ __all__ = [
     "repetition_cols",
     "token_stats_cols",
     "lang_id_col",
+    "bigram_lm_scores",
 ]
 
 P = 1_000_000_007
@@ -255,3 +256,94 @@ def repetition_cols(text_col: str = "text") -> list[Column]:
         dup3.alias("dup3gram_frac"),
         max_run.cast("long").alias("max_token_run"),
     ]
+
+
+M_BI = 1_000_003  # bigram combine multiplier (same as dedup.M_COMB)
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    ref: DataFrame | None = None,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style n-gram language-model quality score: mean
+    bits-per-bigram -log2 P(w_i | w_{i-1}) under an add-one-smoothed
+    bigram model counted over ``ref`` (default: the corpus itself).
+    Low bits = fluent/common phrasing, high bits = noise -- the
+    perplexity-bucket filter of Wenzek et al. 2020 (CCNet), with the
+    explicit polynomial token hashes standing in for the external
+    KenLM model so an SQL oracle replays it bit-for-bit.
+
+    Returns (doc_id, n_lm_bigrams, lm_bits) for documents with >= 2
+    tokens; callers left-join on the document grain (absent = too
+    short to score).  ``min_count`` prunes the bigram table the way
+    production LMs prune rare n-grams: a dropped bigram backs off to
+    pure add-one smoothing, shrinking the model table without touching
+    the common mass.
+
+    Scale shape (the 100 TB story): the model side (unigram + pruned
+    bigram counts) is VOCAB-sized, not corpus-sized, built with two
+    partial-aggregated explode+groupBy passes over the reference; the
+    scoring side explodes each document's bigrams once and equi-joins
+    the model tables on the gram hash (Zipf head keys are hot but
+    partial aggregation has already collapsed the model to one row per
+    gram, and the join fans out only per-document grams).  The vocab
+    size V joins as a one-row crossJoin, never a collected literal."""
+    if ref is None:
+        ref = df
+    P_ = F.lit(P)
+
+    def th_col(d):
+        return d.select(
+            "doc_id",
+            F.transform(tokens_col(text_col), lambda t: polyhash_col(t)).alias(
+                "__th"
+            ),
+        )
+
+    def bigrams(d):
+        dd = th_col(d).filter(F.size("__th") >= 2)
+        idx = F.sequence(F.lit(1), F.size("__th") - 1)
+        pair = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(F.col("__th"), i).alias("ph"),
+                (
+                    (F.element_at(F.col("__th"), i) * M_BI
+                     + F.element_at(F.col("__th"), i + F.lit(1))) % P_
+                ).alias("bh"),
+            ),
+        )
+        return dd.select("doc_id", F.explode(pair).alias("s")).select(
+            "doc_id", F.col("s.ph").alias("ph"), F.col("s.bh").alias("bh")
+        )
+
+    runi = (
+        th_col(ref)
+        .select(F.explode("__th").alias("ph"))
+        .groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    rbi = (
+        bigrams(ref)
+        .groupBy("bh")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .filter(F.col("cb") >= min_count)
+    )
+    vocab = runi.agg(F.count(F.lit(1)).alias("__v"))
+    bits = -F.log2(
+        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("__v")).cast("double")
+    )
+    return (
+        bigrams(df)
+        .join(runi, on="ph", how="left")
+        .join(rbi, on="bh", how="left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lm_bigrams"),
+            (F.round(F.avg(bits), 6) + F.lit(0.0)).alias("lm_bits"),
+        )
+    )

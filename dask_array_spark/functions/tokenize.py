@@ -32,6 +32,7 @@ __all__ = [
     "chunk_tokens",
     "pack_sequences",
     "vocab_top_k",
+    "shuffle_shards",
 ]
 
 # GPT-2-style pre-tokenizer, reduced to the regex subset Java
@@ -184,4 +185,50 @@ def vocab_top_k(
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"), "token", "n"
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: str = "sh1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic pseudo-random global shuffle into training
+    shards: every training pipeline's last step before writing --
+    examples must reach the trainer in an order uncorrelated with
+    their source layout, reproducibly.  shard = H mod n_shards and
+    pos = rank of H within the shard, where H is the polynomial hash
+    of ``seed || id`` passed through an affine mixing step
+    (h * 2654435761 mod P): the raw rolling hash is near-MONOTONE in
+    the id's trailing digits (the last character contributes +-1
+    steps), which would leave each shard largely source-ordered --
+    i.e. not a shuffle at all; the multiply-mod wraps the hash space
+    and decorrelates the rank order (pinned by test_pipeline_ops).
+    Changing ``seed`` reshuffles the corpus and re-running reproduces
+    it exactly.  Returns (id, shard, pos).
+
+    Scale shape: one shuffle keyed by shard (exactly the
+    repartition(n_shards) a shard writer needs), then an in-shard
+    rank.  Each shard orders through one task -- inherent to
+    producing one sequentially-ordered output file per shard, so
+    size n_shards to the target file size (corpus_bytes / ~2 GB),
+    exactly how production shard writers pick their file count.  No
+    stage touches the document payload until the final write join."""
+    from pyspark.sql.window import Window
+
+    from .text import polyhash_col
+
+    h = (
+        polyhash_col(
+            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+        )
+        * F.lit(2_654_435_761).cast("long")
+    ) % F.lit(1_000_000_007)
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        df.select(id_col, h.alias("__h"))
+        .withColumn("shard", (F.col("__h") % n_shards).cast("long"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
     )

@@ -1883,12 +1883,23 @@ def q_pack_sequences(spark, sf):
       FROM (SELECT token, CAST(count(*) AS BIGINT) AS n
             FROM (SELECT unnest({_TOKS}) AS token FROM documents)
             GROUP BY token)
-      QUALIFY rank <= 100)
+      QUALIFY rank <= 100),
+    shrd AS (
+      SELECT doc_id, h % 8 AS shard,
+             row_number() OVER (PARTITION BY h % 8
+                                ORDER BY h ASC, doc_id ASC) - 1 AS pos
+      FROM (SELECT doc_id,
+                   ({_POLY.format(s="'sh1:' || CAST(doc_id AS VARCHAR)")}
+                    * 2654435761) % 1000000007 AS h
+            FROM documents))
     SELECT CAST(0 AS BIGINT) AS kind, * FROM chunks
     UNION ALL
     SELECT 1, * FROM packed
     UNION ALL
     SELECT 2, rank, CAST(-1 AS BIGINT), n, token FROM vocab
+    UNION ALL
+    SELECT 3, doc_id, CAST(shard AS BIGINT), CAST(pos AS BIGINT), '-'
+    FROM shrd
     """,
 )
 def q_tokenize_suite(spark, sf):
@@ -1898,9 +1909,11 @@ def q_tokenize_suite(spark, sf):
     packing into 128-token bins per doc_id%8 group (Arrow-batched
     applyInPandas; oracle replays the fold as a recursive CTE),
     kind 2 = top-100 token vocabulary (partial-agg counts +
-    TakeOrdered top-k, the tokenizer-vocab seed step).  payload
-    carries the chunk text / bin id / token so one schema covers all
-    three (functions/tokenize.py)."""
+    TakeOrdered top-k, the tokenizer-vocab seed step), kind 3 =
+    deterministic pseudo-random shard shuffle (seeded-hash shard +
+    in-shard rank, the pre-training global shuffle).  payload carries
+    the chunk text / bin id / token / '-' so one schema covers all
+    four (functions/tokenize.py)."""
     from .functions import tokenize as TK
 
     docs = _docs(spark, sf)
@@ -1918,7 +1931,11 @@ def q_tokenize_suite(spark, sf):
         F.lit(-1).cast("long").alias("seq_id"),
         F.col("n").alias("n_tokens"), F.col("token").alias("payload"),
     )
-    return chunks.unionByName(packed).unionByName(vocab)
+    shards = TK.shuffle_shards(docs, n_shards=8, seed="sh1").select(
+        k(3), "doc_id", F.col("shard").alias("seq_id"),
+        F.col("pos").alias("n_tokens"), F.lit("-").alias("payload"),
+    )
+    return chunks.unionByName(packed).unionByName(vocab).unionByName(shards)
 
 
 @query(
@@ -3732,19 +3749,40 @@ def q_events_windows_suite(spark, sf):
             FROM documents),
     strat AS (SELECT doc_id, row_number() OVER (PARTITION BY lang
                 ORDER BY {_STRAT_H} ASC, doc_id ASC) <= 25 AS in_sample
-              FROM documents)
+              FROM documents),
+    lmth AS (SELECT doc_id, {_TH} AS th FROM documents),
+    lmbi AS (SELECT doc_id, th[i] AS ph,
+                    (th[i] * 1000003 + th[i + 1]) % 1000000007 AS bh
+             FROM (SELECT doc_id, th, unnest(range(1, len(th))) AS i
+                   FROM lmth WHERE len(th) >= 2)),
+    lmuni AS (SELECT h AS ph, count(*) AS cu FROM (
+                SELECT unnest(th) AS h FROM lmth) GROUP BY 1),
+    lmbic AS (SELECT bh, count(*) AS cb FROM lmbi
+              GROUP BY 1 HAVING count(*) >= 2),
+    lmsc AS (SELECT b.doc_id,
+                    CAST(count(*) AS BIGINT) AS n_lm_bigrams,
+                    round(avg(-log2((coalesce(c.cb, 0) + 1.0)
+                      / (coalesce(u.cu, 0)
+                         + (SELECT count(*) FROM lmuni)))), 6) + 0.0 AS lm_bits
+             FROM lmbi b
+             LEFT JOIN lmuni u USING (ph)
+             LEFT JOIN lmbic c USING (bh)
+             GROUP BY 1)
     SELECT st.doc_id, st.n_chars, st.n_tokens, st.avg_token_len,
            st.distinct_ratio, st.stopword_ratio, qu.quality, lg.pred_lang,
            fp.fp, sh.simhash, rep.top2gram_char_frac, rep.dup3gram_frac,
            rep.max_token_run, contam.n_contam, contam.contaminated,
            spl.split, strat.in_sample,
-           CAST(bpe.n_bpe_tokens AS BIGINT) AS n_bpe_tokens
+           CAST(bpe.n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+           CAST(coalesce(lmsc.n_lm_bigrams, 0) AS BIGINT) AS n_lm_bigrams,
+           coalesce(lmsc.lm_bits, 0.0) + 0.0 AS lm_bits
     FROM st JOIN qu USING (doc_id) JOIN lg USING (doc_id)
             JOIN fp USING (doc_id) JOIN sh USING (doc_id)
             JOIN rep USING (doc_id) JOIN contam USING (doc_id)
             JOIN spl USING (doc_id) JOIN strat USING (doc_id)
             JOIN (SELECT doc_id, {_BPE_SQL} AS n_bpe_tokens FROM documents)
               bpe USING (doc_id)
+            LEFT JOIN lmsc USING (doc_id)
     """,
 )
 def q_text_suite(spark, sf):
@@ -3754,9 +3792,11 @@ def q_text_suite(spark, sf):
     signals + benchmark decontamination (8-gram overlap vs the
     doc_id%97 'eval set', broadcast semi-join) + deterministic
     hash-based train/valid/test split + stratified per-language
-    sample flag (training-data pipeline scope; everything except the
-    decontamination broadcast join and the per-stratum rank is a pure
-    JVM projection)."""
+    sample flag + CCNet-style bigram-LM perplexity score (lm_bits,
+    add-one-smoothed self-model -- Wenzek et al. 2020) (training-data
+    pipeline scope; everything except the decontamination broadcast
+    join, the vocab-sized LM-count joins, and the per-stratum rank is
+    a pure JVM projection)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -3792,17 +3832,24 @@ def q_text_suite(spark, sf):
         TK.bpe_count_col("text").alias("n_bpe_tokens"),
     )
     hits = G.contamination_hits(docs, docs.filter(F.col("doc_id") % 97 == 0), n=8)
+    lm = T.bigram_lm_scores(docs)
     return (
         base.join(hits, on="doc_id", how="left")
         .withColumn("n_contam", F.coalesce(F.col("n_contam"), F.lit(0).cast("long")))
         .withColumn("contaminated", F.col("n_contam") > 0)
+        .join(lm, on="doc_id", how="left")
+        .withColumn(
+            "n_lm_bigrams",
+            F.coalesce(F.col("n_lm_bigrams"), F.lit(0).cast("long")),
+        )
+        .withColumn("lm_bits", F.coalesce(F.col("lm_bits"), F.lit(0.0)) + F.lit(0.0))
     )
 
 
 @query(
     "dedup_lsh_pairs_verify",
     f"""
-    WITH sh AS ({_SHINGLES_SQL}),
+    WITH RECURSIVE sh AS ({_SHINGLES_SQL}),
     sigs AS ({_SIGS_SQL}),
     bh AS (SELECT doc_id, sig_id AS band,
                   (17 * 1000003 + sig % 1000000007) % 1000000007 AS bh
@@ -3817,21 +3864,38 @@ def q_text_suite(spark, sf):
               FROM pairs p
               JOIN sh sa ON sa.doc_id = p.doc_a
               JOIN sh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
-              GROUP BY 1, 2)
-    SELECT p.doc_a, p.doc_b, p.n_bands,
-           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-                 / (ca.n + cb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
-    FROM pairs p
-    LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-    JOIN counts ca ON ca.doc_id = p.doc_a
-    JOIN counts cb ON cb.doc_id = p.doc_b
+              GROUP BY 1, 2),
+    jac AS (SELECT p.doc_a, p.doc_b, p.n_bands,
+                   round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+                         / (ca.n + cb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+            FROM pairs p
+            LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+            JOIN counts ca ON ca.doc_id = p.doc_a
+            JOIN counts cb ON cb.doc_id = p.doc_b),
+    edges AS (SELECT doc_a AS v, doc_b AS w FROM jac WHERE jaccard >= 0.5
+              UNION ALL
+              SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+    reach AS (SELECT v, v AS r FROM (SELECT DISTINCT v FROM edges) n
+              UNION
+              SELECT e.w AS v, reach.r FROM reach JOIN edges e ON e.v = reach.v),
+    comp AS (SELECT v, min(r) AS rep FROM reach GROUP BY v),
+    csz AS (SELECT rep, CAST(count(*) AS BIGINT) AS csize FROM comp GROUP BY rep)
+    SELECT CAST(0 AS BIGINT) AS kind, doc_a AS a, doc_b AS b, n_bands, jaccard
+    FROM jac
+    UNION ALL
+    SELECT 1, comp.v, comp.rep, csz.csize, CAST(-1.0 AS DOUBLE)
+    FROM comp JOIN csz USING (rep)
     """,
 )
 def q_dedup_lsh_pairs_verify(spark, sf):
-    """LSH banding candidate pairs (band-bucket equi-join, NOT the N^2
-    pair scan) + exact n-gram Jaccard verify on exactly those
-    candidates, in one output (training-data dedup scope; shingles and
-    pairs persist at their fan-outs)."""
+    """The full fuzzy-dedup chain in one verified result, kind-tagged:
+    kind 0 = LSH banding candidate pairs (band-bucket equi-join, NOT
+    the N^2 pair scan) + exact n-gram Jaccard verify on exactly those
+    candidates; kind 1 = connected-components duplicate CLUSTERS over
+    the verified pairs (jaccard >= 0.5), (doc_id, rep, csize) -- the
+    keep-one-per-cluster step every production MinHash pipeline ends
+    with, oracled by a DuckDB recursive transitive-closure CTE.
+    Shingles and pairs persist at their fan-outs."""
     from .functions import dedup as D
 
     docs = _docs(spark, sf)
@@ -3839,7 +3903,24 @@ def q_dedup_lsh_pairs_verify(spark, sf):
     sigs = D.minhash_signatures(sh, 16)
     pairs = D.lsh_candidate_pairs(sigs, rows_per_band=1).persist()
     jac = D.jaccard_on_pairs(sh, pairs.drop("n_bands"))
-    return pairs.join(jac, on=["doc_a", "doc_b"])
+    pj = pairs.join(jac, on=["doc_a", "doc_b"]).persist()
+    k = lambda n: F.lit(n).cast("long").alias("kind")
+    k0 = pj.select(
+        k(0),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        "n_bands",
+        "jaccard",
+    )
+    clusters = D.duplicate_clusters(pj.filter(F.col("jaccard") >= 0.5))
+    k1 = clusters.select(
+        k(1),
+        F.col("doc_id").alias("a"),
+        F.col("rep").alias("b"),
+        F.col("csize").alias("n_bands"),
+        F.lit(-1.0).alias("jaccard"),
+    )
+    return k0.unionByName(k1)
 
 
 _PAIRS_COS_SQL = f"""
@@ -3947,6 +4028,37 @@ _SEMDEDUP_SQL = f"""
 """
 
 
+_KMEANS_SQL = f"""
+    WITH ex AS ({_EX_SQL}),
+    c0 AS (SELECT vec_id AS cell, pos, e AS c FROM ex WHERE vec_id < 4),
+    d1 AS (SELECT ex.vec_id, c0.cell,
+                  round(SUM((ex.e - c0.c) * (ex.e - c0.c)), 6) + 0.0 AS dist
+           FROM ex JOIN c0 USING (pos) GROUP BY 1, 2),
+    a1 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS r
+             FROM d1) t WHERE r = 1),
+    c1 AS (SELECT a1.cell, ex.pos, round(AVG(ex.e), 6) + 0.0 AS c
+           FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+    d2 AS (SELECT ex.vec_id, c1.cell,
+                  round(SUM((ex.e - c1.c) * (ex.e - c1.c)), 6) + 0.0 AS dist
+           FROM ex JOIN c1 USING (pos) GROUP BY 1, 2),
+    a2 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS r
+             FROM d2) t WHERE r = 1),
+    c2 AS (SELECT a2.cell, ex.pos, round(AVG(ex.e), 6) + 0.0 AS c
+           FROM ex JOIN a2 USING (vec_id) GROUP BY 1, 2),
+    d3 AS (SELECT ex.vec_id, c2.cell,
+                  round(SUM((ex.e - c2.c) * (ex.e - c2.c)), 6) + 0.0 AS dist
+           FROM ex JOIN c2 USING (pos) GROUP BY 1, 2)
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell, dist FROM (
+      SELECT vec_id, cell, dist, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS r
+      FROM d3) t WHERE r = 1
+"""
+
+
 @query(
     "similarity_suite",
     f"""
@@ -3959,15 +4071,19 @@ _SEMDEDUP_SQL = f"""
     UNION ALL
     SELECT 3, vec_id, cell, CAST(is_dup AS BIGINT), ccos
     FROM ({_SEMDEDUP_SQL}) sd
+    UNION ALL
+    SELECT 4, vec_id, cell, CAST(-1 AS BIGINT), dist FROM ({_KMEANS_SQL}) km
     """,
 )
 def q_similarity_suite(spark, sf):
     """similarity search tier: brute-force cosine top-k baseline (0),
     IVF probe-pruned ANN top-k (1), LSH-bucketed cosine near-dup pairs
     (2), SemDeDup semantic deduplication (3; Abbas et al. 2023 --
-    eps tuned to the synthetic embedding spread) -- all with inline
-    F.aggregate norms, no corpus-sized broadcast (the round-2 scale
-    fix; plan-asserted in tests/test_plans.py)."""
+    eps tuned to the synthetic embedding spread), and a distributed
+    Lloyd k-means codebook fit, 2 rounds + final assignment (4; the
+    oracle replays every iteration as explicit CTE stages) -- all with
+    inline F.aggregate norms, no corpus-sized broadcast (the round-2
+    scale fix; plan-asserted in tests/test_plans.py)."""
     from .functions import similarity as SIM
 
     embs = _embs(spark, sf)
@@ -3987,7 +4103,11 @@ def q_similarity_suite(spark, sf):
         k(3), F.col("vec_id").alias("a"), F.col("cell").alias("b"),
         F.col("is_dup").cast("long").alias("rank"), F.col("ccos").alias("cos"),
     )
-    return bf.unionByName(iv).unionByName(pr).unionByName(sd)
+    km = SIM.kmeans_assign(embs, SIM.kmeans_fit(embs, k=4, iters=2)).select(
+        k(4), F.col("vec_id").alias("a"), F.col("cell").alias("b"),
+        neg1.alias("rank"), F.col("dist").alias("cos"),
+    )
+    return bf.unionByName(iv).unionByName(pr).unionByName(sd).unionByName(km)
 
 
 @query(

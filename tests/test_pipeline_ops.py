@@ -1,0 +1,154 @@
+"""Round-5 training-pipeline operators on hand-built inputs:
+connected-components duplicate clustering (functions/dedup.py::
+duplicate_clusters), distributed Lloyd k-means (functions/
+similarity.py::kmeans_fit/kmeans_assign), CCNet-style bigram LM
+scoring (functions/text.py::bigram_lm_scores), and the deterministic
+shard shuffle (functions/tokenize.py::shuffle_shards).  The DuckDB
+oracle replicas run in tests/test_oracle.py (dedup_lsh_pairs_verify
+kind 1, similarity_suite kind 4, text_suite lm_bits, tokenize_suite
+kind 3); these pin operator-level semantics."""
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+
+
+def test_clusters_components_and_sizes(spark):
+    from dask_array_spark.functions.dedup import duplicate_clusters
+
+    # chain 1-2-3 plus isolated pair 10-11: two components
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_clusters(
+            _pairs(spark, [(1, 2), (2, 3), (10, 11)])
+        ).collect()
+    }
+    assert {v: r["rep"] for v, r in out.items()} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+    }
+    assert {v: r["csize"] for v, r in out.items()} == {
+        1: 3, 2: 3, 3: 3, 10: 2, 11: 2,
+    }
+
+
+def test_clusters_long_chain_pointer_doubling(spark):
+    """A 17-node path needs label propagation across diameter 16;
+    pointer doubling must converge well inside the default budget."""
+    from dask_array_spark.functions.dedup import duplicate_clusters
+
+    out = duplicate_clusters(
+        _pairs(spark, [(i, i + 1) for i in range(100, 116)])
+    ).collect()
+    assert len(out) == 17
+    assert all(r["rep"] == 100 for r in out)
+    assert all(r["csize"] == 17 for r in out)
+
+
+def test_clusters_empty_pairs(spark):
+    from dask_array_spark.functions.dedup import duplicate_clusters
+
+    assert duplicate_clusters(_pairs(spark, [])).collect() == []
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_kmeans_separated_groups(spark):
+    """Two well-separated groups: the codebook converges onto the
+    group means regardless of the (deliberately bad) id-order init,
+    and every vector assigns to its own group's cell."""
+    from dask_array_spark.functions.similarity import kmeans_assign, kmeans_fit
+
+    left = [[0.0, 0.1], [0.1, 0.0], [0.0, -0.1], [-0.1, 0.0]]
+    right = [[10.0, 0.1], [10.1, 0.0], [10.0, -0.1], [9.9, 0.0]]
+    emb = _emb(spark, [left[0], right[0]] + left[1:] + right[1:])
+    cents = {r["cell"]: r["cemb"] for r in kmeans_fit(emb, k=2, iters=3).collect()}
+    assert abs(cents[0][0] - 0.0) < 0.01 and abs(cents[1][0] - 10.0) < 0.01
+    asg = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(
+            emb, kmeans_fit(emb, k=2, iters=3)
+        ).collect()
+    }
+    # vec 0 + vecs 2,3,4 are the left group; vec 1 + 5,6,7 the right
+    assert [asg[v] for v in (0, 2, 3, 4)] == [0, 0, 0, 0]
+    assert [asg[v] for v in (1, 5, 6, 7)] == [1, 1, 1, 1]
+
+
+def test_kmeans_assign_tie_smaller_cell(spark):
+    from dask_array_spark.functions.similarity import kmeans_assign
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])], "cell long, cemb array<double>"
+    )
+    emb = _emb(spark, [[0.0, 5.0]])  # equidistant from both centroids
+    row = kmeans_assign(emb, cents).collect()[0]
+    assert row["cell"] == 0
+
+
+def test_bigram_lm_matches_python_reference(spark):
+    """lm_bits replays the add-one-smoothed self-model exactly (up to
+    the documented 6-decimal rounding)."""
+    from dask_array_spark.functions.text import bigram_lm_scores
+
+    texts = {1: "a b a b c", 2: "a b", 3: "c c c", 4: "z"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+
+    # python reference on token strings (hash is injective here)
+    uni, bi = {}, {}
+    for t in texts.values():
+        toks = t.split()
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    bi = {k: v for k, v in bi.items() if v >= 2}
+    V = len(uni)
+    for d, t in texts.items():
+        toks = t.split()
+        if len(toks) < 2:
+            assert d not in out
+            continue
+        bits = [
+            -math.log2((bi.get((a, b), 0) + 1) / (uni[a] + V))
+            for a, b in zip(toks, toks[1:])
+        ]
+        assert out[d]["n_lm_bigrams"] == len(bits)
+        assert abs(out[d]["lm_bits"] - sum(bits) / len(bits)) < 1e-6
+
+
+def test_shuffle_shards_deterministic_and_dense(spark):
+    from dask_array_spark.functions.tokenize import shuffle_shards
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id long, text string"
+    )
+    a = sorted(shuffle_shards(docs, n_shards=4).collect())
+    b = sorted(shuffle_shards(docs, n_shards=4).collect())
+    assert a == b  # reproducible
+    c = sorted(shuffle_shards(docs, n_shards=4, seed="sh2").collect())
+    assert a != c  # seed changes the permutation
+    # positions are dense 0..n_s-1 within every shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) == {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # the shuffle decorrelates from doc_id order: the first shard's
+    # pos-ordered doc ids are not simply ascending
+    s0 = [r["doc_id"] for r in sorted(a, key=lambda r: (r["shard"], r["pos"])) if r["shard"] == 0]
+    assert s0 != sorted(s0)
