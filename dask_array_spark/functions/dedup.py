@@ -145,39 +145,73 @@ def lsh_candidate_pairs(
     (10k); pass ``None`` to keep every bucket.
 
     Plan shape: persisted band table + capped SELF-JOIN on
-    (band, bh).  A round-4 rewrite tried a single bucket aggregate
-    (collect_list of the member set + posexplode/slice fan-out); a
-    controlled A/B showed it ~2x slower end-to-end: the list
-    aggregate is heavier than a count, the non-literal
-    ``slice(__ds, __i+2, ...)`` re-materializes the tail per member,
-    AQE coalesces the tiny bucket table to ~2 partitions so the
-    quadratic pair fan-out runs nearly serial (a genuine scale-killer
-    at 100x), and ``max_bucket=None`` would build one unbounded
-    in-memory array per hot bucket.  The self-join shuffles the band
-    table (n_docs x bands rows -- tiny relative to the corpus) but
-    every stage stays partition-parallel and per-task memory is O(1)."""
-    banded = sigs.withColumn("band", (F.col("sig_id") / rows_per_band).cast("long"))
-    bh = banded.groupBy("doc_id", "band").agg(
-        (F.aggregate(
-            F.array_sort(F.collect_list(F.col("sig") % F.lit(P))),
-            F.lit(17).cast("long"),
-            lambda a, x: (a * 1_000_003 + x) % F.lit(P),
-        )).alias("bh")
-    )
+    (band, bh), with TWO stage-count cuts measured this round (~20%
+    off the warm slot; each tiny stage costs a fixed ~0.3-0.8 s in
+    task/AQE overhead, so fewer stages wins even when every stage is
+    cheap):
+    - ``rows_per_band == 1`` (the default banding) computes the band
+      hash as a PURE PROJECTION over the signature rows -- the
+      ordered-fold aggregate (collect_list + array_sort, an
+      ObjectHashAggregate that blocks whole-stage codegen) only runs
+      when a band actually combines multiple rows;
+    - the hot-bucket cap is a COUNT WINDOW over (band, bh) instead of
+      a separate count-aggregate + equi-join: one shuffle that the
+      self-join's join keys then reuse straight from the persisted
+      result.  WindowExec buffers each bucket's rows before the
+      filter, but the buffer is disk-spilling
+      (ExternalAppendOnlyUnsafeRowArray) and holds 24-byte rows --
+      a degenerate 10M-member bucket spills ~240 MB to local disk
+      rather than OOMing, and the cap still drops it before the
+      quadratic join.
+
+    A round-4 rewrite tried a single bucket aggregate (collect_list
+    of the member set + posexplode/slice fan-out); a controlled A/B
+    showed it ~2x slower end-to-end: the list aggregate is heavier
+    than a count, the non-literal ``slice(__ds, __i+2, ...)``
+    re-materializes the tail per member, AQE coalesces the tiny
+    bucket table to ~2 partitions so the quadratic pair fan-out runs
+    nearly serial (a genuine scale-killer at 100x), and
+    ``max_bucket=None`` would build one unbounded in-memory array per
+    hot bucket.  The self-join shuffles the band table (n_docs x
+    bands rows -- tiny relative to the corpus) but every stage stays
+    partition-parallel."""
+    from pyspark.sql.window import Window
+
+    if rows_per_band == 1:
+        # one signature row per band: the fold below collapses to a
+        # single affine step -- no aggregate, no shuffle
+        bh = sigs.select(
+            "doc_id",
+            F.col("sig_id").alias("band"),
+            (
+                (F.lit(17).cast("long") * M_COMB + F.col("sig") % F.lit(P))
+                % F.lit(P)
+            ).alias("bh"),
+        )
+    else:
+        banded = sigs.withColumn(
+            "band", (F.col("sig_id") / rows_per_band).cast("long")
+        )
+        bh = banded.groupBy("doc_id", "band").agg(
+            (F.aggregate(
+                F.array_sort(F.collect_list(F.col("sig") % F.lit(P))),
+                F.lit(17).cast("long"),
+                lambda a, x: (a * 1_000_003 + x) % F.lit(P),
+            )).alias("bh")
+        )
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bh")
+        bh = (
+            bh.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
+        )
     # persist-at-fan-out (SURVEY.md section 4.4): the self-join below
     # consumes bh twice and Catalyst does not reuse the exchange across
     # the differently-aliased branches -- without this the whole
     # shingle->minhash lineage (the expensive part) runs twice.  The
     # band table is tiny relative to the corpus (n_docs x bands rows).
     bh = bh.persist()
-    if max_bucket is not None:
-        small = (
-            bh.groupBy("band", "bh")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
-        bh = bh.join(small, on=["band", "bh"])
     a = bh.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = bh.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (

@@ -200,3 +200,25 @@ def test_lsh_pair_generation_is_partition_parallel(spark, sf_dir):
     # built one unbounded in-memory array per hot bucket)
     opt_none = _optimized(D.lsh_candidate_pairs(sigs, max_bucket=None))
     assert "Join Inner" in opt_none and "collect_list(doc_id" not in opt_none
+
+
+def test_kmeans_inrow_distance_bounded_broadcast(spark, sf_dir):
+    """kmeans_assign folds every distance IN-ROW (zip_with +
+    aggregate lambda) against a broadcast codebook: the corpus side
+    must never explode or shuffle per (vector, cell), and the only
+    forced broadcast is the k-row codebook itself."""
+    from dask_array_spark.functions import similarity as SIM
+    from dask_array_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    df = SIM.kmeans_assign(emb, SIM.kmeans_fit(emb, k=4, iters=1))
+    opt = _optimized(df)
+    assert "lambdafunction" in opt.lower()  # in-row distance fold
+    # no posexplode of the corpus feeds the scoring join (the mean
+    # recomputation inside fit explodes linearly, but the assignment
+    # path itself must not)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # one hint per codebook broadcast in the lineage: the final
+    # assignment plus the fit round's internal assignment -- both
+    # k-row sides, never the corpus
+    assert 1 <= analyzed.count("ResolvedHint") <= 2
