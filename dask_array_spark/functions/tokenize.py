@@ -33,6 +33,7 @@ __all__ = [
     "pack_sequences",
     "vocab_top_k",
     "shuffle_shards",
+    "write_shards",
 ]
 
 # GPT-2-style pre-tokenizer, reduced to the regex subset Java
@@ -231,4 +232,35 @@ def shuffle_shards(
         .withColumn("shard", (F.col("__h") % n_shards).cast("long"))
         .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
         .select(id_col, "shard", "pos")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    seed: str = "sh1",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize the deterministic shard shuffle as parquet: one
+    ``shard=N`` directory per shard, rows stored in shuffled (pos)
+    order -- the training-data sink a loader streams sequentially.
+
+    Plan: the (id, shard, pos) assignment from ``shuffle_shards``
+    joins back to the payload on the id (the payload itself never
+    enters the rank window), then ONE repartition keyed by shard
+    co-locates each output file's rows with its single writer and
+    sortWithinPartitions orders them by pos.  partitionBy(shard)
+    splits the directory tree without a second shuffle.  At 100 TB
+    the per-shard sort is the unavoidable cost of sequentially-
+    ordered shard files; size n_shards so corpus_bytes / n_shards is
+    a few GB, as production shard writers do."""
+    assign = shuffle_shards(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    (
+        df.join(assign, on=id_col)
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "pos")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
     )

@@ -18,10 +18,10 @@ PICKS = {
     "tpch_q3_shipping_priority": "3-table join with broadcast dimension + TakeOrderedAndProject for the global top-10.",
     "events_windows_suite": "Event-time windows: partial/final aggregates over window-start keys; sessionize is a per-user parallel window.",
     "window_1d_scalable": "10^7-element 1-D cumsum through the DISTRIBUTED two-pass scan: zero WindowExec, blockwise applyInPandas + tiny driver prefix.",
-    "similarity_suite": "ANN tier with INLINE F.aggregate norms: no corpus-sized broadcast anywhere; only query/centroid/probe sides carry hints; SemDeDup (kind 3) pairs only within IVF cells.",
-    "dedup_lsh_pairs_verify": "LSH candidate pairs as a partition-parallel SELF-JOIN on (band, bh) over the persisted band table -- the round-4 bucket-aggregate form serialized the pair fan-out; plan-pinned in tests/test_plans.py.",
+    "similarity_suite": "ANN tier with INLINE F.aggregate norms: no corpus-sized broadcast anywhere; only query/centroid/probe/codebook sides carry hints; SemDeDup (kind 3) pairs only within IVF cells; k-means (kind 4) folds distances in-row against the broadcast codebook.",
+    "dedup_lsh_pairs_verify": "Fuzzy-dedup chain: projection band hash (no ObjectHashAggregate at rows_per_band=1) + spill-backed count-window cap sharing ONE shuffle with the partition-parallel pair SELF-JOIN on (band, bh); kind 1 adds connected-components clustering over the verified pairs. Plan-pinned in tests/test_plans.py.",
     "dedup_substring_spans": "ExactSubstr: k-gram hash equi-join seeds + per-(pair, diagonal) islands-merge window; the hot-gram cap anti-join bounds seed multiplicity.",
-    "text_suite": "18-column document governance tier as ONE projection (token stats, quality, lang-ID, fingerprint, in-row SimHash, repetition, split, BPE count) + strata rank window + one broadcast-bench decontamination join: zero sort-merge joins.",
+    "text_suite": "20-column document governance tier as ONE projection (token stats, quality, lang-ID, fingerprint, in-row SimHash, repetition, split, BPE count) + strata rank window + one broadcast-bench decontamination join + vocab-sized bigram-LM joins (lm_bits).",
 }
 
 
