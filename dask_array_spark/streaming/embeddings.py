@@ -1,0 +1,101 @@
+"""Streaming embedding intake: assign each arriving vector to its
+IVF/k-means codebook cell ON the stream (additive scope, same
+rationale as streaming/governance.py) -- an ingestion pipeline that
+shards its ANN index or runs SemDeDup wants cell routing decided
+before vectors land in the lake.
+
+Scale/stream shape: the trained codebook (functions/similarity.py::
+kmeans_fit, or any (cell, cemb) table) collapses to ONE row holding a
+cell-sorted array of (cell, cemb) structs and joins the stream as a
+broadcast stream-static cross join -- stateless, no watermark, no
+state store.  The nearest-cell argmin then folds IN-ROW: an
+F.aggregate over the codebook array whose step computes the squared
+L2 distance with a nested zip_with fold, keeping the first
+(= smallest) cell on ties.  The stream is never exploded, never
+shuffled, and the per-row cost is k x dim multiply-adds exactly like
+the batch path.  Distances round to 6 decimals BEFORE the argmin so
+the result matches batch ``kmeans_assign`` bit-for-bit
+(test_streaming_embeddings pins batch parity and statelessness).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["stream_codebook_assign", "codebook_row"]
+
+
+def _read_embeddings_stream(spark: SparkSession, emb_path: str) -> DataFrame:
+    static = spark.read.parquet(emb_path)
+    reader = spark.readStream.schema(static.schema)
+    if os.path.isfile(emb_path):
+        reader = reader.option("pathGlobFilter", os.path.basename(emb_path))
+        return reader.parquet(os.path.dirname(emb_path))
+    return reader.parquet(emb_path)
+
+
+def codebook_row(cents: DataFrame) -> DataFrame:
+    """Collapse a (cell, cemb) codebook to ONE row carrying the
+    cell-sorted struct array (the broadcastable stream-static side).
+    collect_list order is nondeterministic, so the array sorts by its
+    leading struct field (cell) -- ties in the fold then resolve to
+    the smallest cell by keeping the first strict improvement."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cell"), F.col("cemb")))
+        ).alias("__cb")
+    )
+
+
+def stream_codebook_assign(
+    spark: SparkSession,
+    emb_path: str,
+    cents: DataFrame,
+) -> DataFrame:
+    """(vec_id, cell, dist) for every vector arriving on the stream:
+    nearest codebook cell by squared L2, ties to the smaller cell --
+    batch ``kmeans_assign`` semantics, computed as one stateless
+    projection per micro-batch."""
+    stream = _read_embeddings_stream(spark, emb_path)
+    cb = codebook_row(cents)
+
+    dist_to = lambda cemb: F.round(
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                cemb,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    ) + F.lit(0.0)
+
+    init = F.struct(
+        F.lit(-1).cast("long").alias("cell"),
+        F.lit(float("inf")).alias("dist"),
+    )
+    best = F.aggregate(
+        F.col("__cb"),
+        init,
+        lambda acc, c: F.when(
+            dist_to(c["cemb"]) < acc["dist"],
+            F.struct(
+                c["cell"].cast("long").alias("cell"),
+                dist_to(c["cemb"]).alias("dist"),
+            ),
+        ).otherwise(acc),
+    )
+    return (
+        stream.crossJoin(F.broadcast(cb))
+        .withColumn("__best", best)
+        .select(
+            "vec_id",
+            F.col("__best.cell").alias("cell"),
+            F.col("__best.dist").alias("dist"),
+        )
+    )

@@ -1,0 +1,59 @@
+"""Streaming codebook assignment (streaming/embeddings.py): the
+stateless in-row argmin on a drained file stream matches batch
+kmeans_assign exactly, and the plan carries no stateful operator."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_path(sf_dir):
+    return f"{sf_dir}/embeddings.parquet"
+
+
+def _drain(sdf, name):
+    q = sdf.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        return sdf.sparkSession.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+
+
+def test_stream_assign_matches_batch(spark, emb_path):
+    from dask_array_spark.functions.similarity import kmeans_assign, kmeans_fit
+    from dask_array_spark.streaming.embeddings import stream_codebook_assign
+
+    emb = spark.read.parquet(emb_path)
+    cents = kmeans_fit(emb, k=4, iters=2)
+    batch = {
+        r["vec_id"]: (r["cell"], r["dist"])
+        for r in kmeans_assign(emb, cents).collect()
+    }
+    streamed = {
+        r["vec_id"]: (r["cell"], r["dist"])
+        for r in _drain(
+            stream_codebook_assign(spark, emb_path, cents), "emb_assign"
+        )
+    }
+    assert streamed == batch
+
+
+def test_stream_assign_plan_is_stateless(spark, emb_path):
+    """The assignment is one stateless projection per micro-batch:
+    the only join is the broadcast stream-STATIC codebook cross join
+    (stateless by construction); no aggregation, dedup, or state
+    store ever enters the plan."""
+    from dask_array_spark.functions.similarity import kmeans_fit
+    from dask_array_spark.streaming.embeddings import stream_codebook_assign
+
+    emb = spark.read.parquet(emb_path)
+    sdf = stream_codebook_assign(spark, emb_path, kmeans_fit(emb, k=4, iters=1))
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    for stateful in ("Deduplicate", "FlatMapGroupsWithState", "EventTimeWatermark"):
+        assert stateful not in plan, f"unexpected stateful op {stateful}"
+    # the stream side (above the join) must not aggregate; the static
+    # codebook side below the join may (collect_list of k cells)
+    stream_side = plan.split("Join")[0]
+    assert "Aggregate" not in stream_side
