@@ -53,6 +53,12 @@ def _headline():
         )
         return salted_agg(skewed, ["k"], "l_extendedprice", "sum", salt=16)
 
+    def kmeans_demo(spark, sf_dir):
+        from dask_array_spark.functions import similarity as SIM
+
+        emb = Q._embs(spark, sf_dir)
+        return SIM.kmeans_assign(emb, SIM.kmeans_fit(emb, k=4, iters=2))
+
     return [
         # r1-comparable names (same building-block plans as BENCH_r01)
         ("elemwise_arith", Q.q_elemwise_arith),
@@ -74,6 +80,10 @@ def _headline():
         # round-5: the most join-intensive LLM-pipeline operator
         # (k-gram seed join + per-diagonal islands merge)
         ("dedup_substring_spans", Q.QUERIES["dedup_substring_spans"]),
+        # round-5: the iterative-codebook operator (2 Lloyd rounds +
+        # final assignment -- broadcast codebook, in-row distance
+        # folds, one linear mean shuffle per round)
+        ("kmeans_codebook", kmeans_demo),
     ]
 
 
