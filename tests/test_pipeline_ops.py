@@ -180,3 +180,76 @@ def test_write_shards_roundtrip(spark, tmp_path):
         assert [r["pos"] for r in rows] == sorted(r["pos"] for r in rows)
         for r in rows:
             assert assign[(shard, r["doc_id"])] == r["pos"]
+
+
+from hypothesis import given, settings, strategies as st
+
+_EDGE = st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+    lambda e: e[0] != e[1]
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_EDGE, min_size=0, max_size=20))
+def test_clusters_match_union_find(spark, edges):
+    """duplicate_clusters == union-find on arbitrary small graphs
+    (reps are component minima, csize the true component size)."""
+    from dask_array_spark.functions.dedup import duplicate_clusters
+
+    pairs = [(min(a, b), max(a, b)) for a, b in edges]
+    out = {
+        r["doc_id"]: (r["rep"], r["csize"])
+        for r in duplicate_clusters(_pairs(spark, pairs)).collect()
+    }
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comps = {}
+    for v in parent:
+        comps.setdefault(find(v), []).append(v)
+    want = {}
+    for members in comps.values():
+        rep, size = min(members), len(members)
+        for v in members:
+            want[v] = (rep, size)
+    assert out == want
+
+
+def test_bigram_lm_cross_corpus_unseen_tokens(spark):
+    """Scoring against a DIFFERENT reference corpus: bigrams and even
+    unigrams unseen in the reference back off to add-one smoothing
+    (cu = 0), matching the Python reference."""
+    from dask_array_spark.functions.text import bigram_lm_scores
+
+    ref_texts = {100: "a b a b", 101: "b c"}
+    doc_texts = {1: "a b c", 2: "z q"}  # z, q unseen in ref
+    ref = spark.createDataFrame(list(ref_texts.items()), "doc_id long, text string")
+    docs = spark.createDataFrame(list(doc_texts.items()), "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs, ref=ref).collect()}
+
+    uni, bi = {}, {}
+    for t in ref_texts.values():
+        toks = t.split()
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    bi = {k: v for k, v in bi.items() if v >= 2}
+    V = len(uni)
+    for d, t in doc_texts.items():
+        toks = t.split()
+        bits = [
+            -math.log2((bi.get((a, b), 0) + 1) / (uni.get(a, 0) + V))
+            for a, b in zip(toks, toks[1:])
+        ]
+        assert out[d]["n_lm_bigrams"] == len(bits)
+        assert abs(out[d]["lm_bits"] - sum(bits) / len(bits)) < 1e-6
