@@ -2488,7 +2488,7 @@ def q_embed_cosine_pairs(spark, sf):
 @query(
     "pipeline_clean_corpus",
     f"""
-    WITH q AS (
+    WITH RECURSIVE q AS (
       SELECT doc_id, text, lang,
              round(greatest(0.0, least(1.0,
                least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.4
@@ -2504,6 +2504,37 @@ def q_embed_cosine_pairs(spark, sf):
     bng AS (SELECT DISTINCT unnest({_NG8}) AS ng FROM th8
             WHERE doc_id % 97 = 0 AND len(th) >= 8),
     contam AS (SELECT DISTINCT doc_id FROM dng JOIN bng USING (ng)),
+    fsh AS ({_SHINGLES_SQL}),
+    fsigs AS ({_SIGS_SQL}),
+    fbh AS (SELECT doc_id, sig_id AS band,
+                   (17 * 1000003 + sig % 1000000007) % 1000000007 AS bh
+            FROM fsigs),
+    fpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM fbh a JOIN fbh b ON a.band = b.band AND a.bh = b.bh
+                                    AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+    fcounts AS (SELECT doc_id, count(*) AS n FROM fsh GROUP BY 1),
+    finter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+               FROM fpairs p
+               JOIN fsh sa ON sa.doc_id = p.doc_a
+               JOIN fsh sb ON sb.doc_id = p.doc_b AND sb.sh = sa.sh
+               GROUP BY 1, 2),
+    fjac AS (SELECT p.doc_a, p.doc_b
+             FROM fpairs p
+             JOIN finter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+             JOIN fcounts ca ON ca.doc_id = p.doc_a
+             JOIN fcounts cb ON cb.doc_id = p.doc_b
+             WHERE round(CAST(i.n_inter AS DOUBLE)
+                         / (ca.n + cb.n - i.n_inter), 6) >= 0.5),
+    fedges AS (SELECT doc_a AS v, doc_b AS w FROM fjac
+               UNION ALL SELECT doc_b, doc_a FROM fjac),
+    freach AS (SELECT v, v AS r FROM (SELECT DISTINCT v FROM fedges) n
+               UNION
+               SELECT e.w AS v, freach.r
+               FROM freach JOIN fedges e ON e.v = freach.v),
+    fdrops AS (SELECT v AS doc_id FROM (
+                 SELECT v, min(r) AS rep FROM freach GROUP BY v)
+               WHERE v != rep),
     spl AS (SELECT doc_id,
               CASE WHEN {_SPLIT_H} % 100 < 80 THEN 'train'
                    WHEN {_SPLIT_H} % 100 < 90 THEN 'valid'
@@ -2517,26 +2548,31 @@ def q_embed_cosine_pairs(spark, sf):
            JOIN spl ON spl.doc_id = q.doc_id
     WHERE q.quality >= 0.5
       AND q.doc_id NOT IN (SELECT doc_id FROM contam)
+      AND q.doc_id NOT IN (SELECT doc_id FROM fdrops)
     GROUP BY q.lang, spl.split
     """,
 )
 def q_pipeline_clean(spark, sf):
     """end-to-end corpus cleaning: exact-dedup (keep the minimum
-    doc_id per body) -> quality gate -> benchmark decontamination
+    doc_id per body) -> FUZZY dedup (MinHash LSH pairs -> Jaccard >=
+    0.5 -> connected-components clusters, keep each cluster's
+    representative) -> quality gate -> benchmark decontamination
     (drop docs sharing an 8-gram with the doc_id%97 'eval set') ->
     deterministic train/valid/test split -> per-(language, split)
     corpus stats.  The composite flow a real training-data pipeline
-    runs, as one declarative plan: dedup is a hash agg, quality and
-    split are projections, decontamination is a broadcast semi-join,
-    the rest one grouped agg."""
+    runs (SlimPajama/FineWeb shape), as one declarative plan: both
+    dedup tiers are hash aggs + anti-joins on candidate-pair-sized
+    tables, quality and split are projections, decontamination is a
+    broadcast semi-join, the rest one grouped agg."""
     from .functions import dedup as D
     from .functions import governance as G
     from .functions import text as T
 
     docs = _docs(spark, sf)
     # quality / token count / split are Column expressions; only the
-    # dedup representatives (a hash agg + semi-join) and the sparse
-    # contamination hits (broadcast-bench + left anti) are joins
+    # dedup representatives (a hash agg + semi-join), the fuzzy-dedup
+    # drop list (pair-sized), and the sparse contamination hits
+    # (broadcast-bench + left anti) are joins
     base = docs.select(
         "doc_id",
         "lang",
@@ -2546,9 +2582,16 @@ def q_pipeline_clean(spark, sf):
     )
     reps = D.exact_groups(docs).select(F.col("rep_id").alias("doc_id"))
     hits = G.contamination_hits(docs, docs.filter(F.col("doc_id") % 97 == 0), n=8)
+    sh = D.shingle_hashes(docs).persist()
+    sigs = D.minhash_signatures(sh, 16)
+    pairs = D.lsh_candidate_pairs(sigs, rows_per_band=1)
+    jac = D.jaccard_on_pairs(sh, pairs.drop("n_bands"))
+    clusters = D.duplicate_clusters(jac.filter(F.col("jaccard") >= 0.5))
+    fuzzy_drops = clusters.filter(F.col("doc_id") != F.col("rep")).select("doc_id")
     kept = (
         base.join(reps, on="doc_id")
         .join(hits.select("doc_id"), on="doc_id", how="left_anti")
+        .join(fuzzy_drops, on="doc_id", how="left_anti")
         .filter(F.col("quality") >= 0.5)
     )
     return kept.groupBy("lang", "split").agg(
