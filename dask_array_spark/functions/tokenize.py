@@ -34,6 +34,7 @@ __all__ = [
     "vocab_top_k",
     "shuffle_shards",
     "write_shards",
+    "oov_rate",
 ]
 
 # GPT-2-style pre-tokenizer, reduced to the regex subset Java
@@ -263,4 +264,48 @@ def write_shards(
         .write.partitionBy("shard")
         .mode("overwrite")
         .parquet(path)
+    )
+
+
+def oov_rate(
+    df: DataFrame,
+    k: int = 100,
+    vocab: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate under a top-k token
+    vocabulary: (doc_id, n_tokens, n_oov, oov_rate) -- the tokenizer-
+    coverage signal a pipeline reads before fixing a vocab size
+    (documents full of tokens the tokenizer will shatter into bytes
+    are flagged by a high rate).  ``vocab`` defaults to
+    ``vocab_top_k(df, k)`` (self-vocabulary); pass the production
+    vocabulary to score a new corpus against an existing tokenizer.
+
+    Scale shape: the vocabulary is k rows and broadcast as an IN-ROW
+    membership array (sorted token list in one row), so each
+    document's OOV count folds inside its own row with
+    array_contains -- the corpus is never exploded and never
+    shuffled; the whole scorer is one stream-composable projection
+    after the tiny vocab aggregate."""
+    if vocab is None:
+        vocab = vocab_top_k(df, k, text_col)
+    vrow = vocab.agg(F.array_sort(F.collect_list("token")).alias("__vocab"))
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks).cast("long")
+    n_oov = F.size(
+        F.filter(toks, lambda t: ~F.array_contains(F.col("__vocab"), t))
+    ).cast("long")
+    return (
+        df.crossJoin(F.broadcast(vrow))
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            F.when(
+                n_tok > 0,
+                F.round(n_oov.cast("double") / n_tok, 6) + F.lit(0.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("oov_rate"),
+        )
     )

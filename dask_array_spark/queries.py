@@ -1891,7 +1891,16 @@ def q_pack_sequences(spark, sf):
       FROM (SELECT doc_id,
                    ({_POLY.format(s="'sh1:' || CAST(doc_id AS VARCHAR)")}
                     * 2654435761) % 1000000007 AS h
-            FROM documents))
+            FROM documents)),
+    toke AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    oov AS (SELECT d.doc_id,
+                   CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(c.n_oov, 0) AS BIGINT) AS n_oov
+            FROM documents d LEFT JOIN (
+              SELECT toke.doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+              FROM toke LEFT JOIN vocab v ON v.token = toke.t
+              GROUP BY toke.doc_id) c ON c.doc_id = d.doc_id)
     SELECT CAST(0 AS BIGINT) AS kind, * FROM chunks
     UNION ALL
     SELECT 1, * FROM packed
@@ -1900,6 +1909,8 @@ def q_pack_sequences(spark, sf):
     UNION ALL
     SELECT 3, doc_id, CAST(shard AS BIGINT), CAST(pos AS BIGINT), '-'
     FROM shrd
+    UNION ALL
+    SELECT 4, doc_id, n_oov, n_tokens, '-' FROM oov
     """,
 )
 def q_tokenize_suite(spark, sf):
@@ -1911,9 +1922,12 @@ def q_tokenize_suite(spark, sf):
     kind 2 = top-100 token vocabulary (partial-agg counts +
     TakeOrdered top-k, the tokenizer-vocab seed step), kind 3 =
     deterministic pseudo-random shard shuffle (seeded-hash shard +
-    in-shard rank, the pre-training global shuffle).  payload carries
-    the chunk text / bin id / token / '-' so one schema covers all
-    four (functions/tokenize.py)."""
+    in-shard rank, the pre-training global shuffle), kind 4 = per-doc
+    out-of-vocabulary counts under the top-100 vocab (in-row
+    membership fold against the broadcast vocab array -- the
+    tokenizer-coverage signal).  payload carries the chunk text / bin
+    id / token / '-' so one schema covers all five
+    (functions/tokenize.py)."""
     from .functions import tokenize as TK
 
     docs = _docs(spark, sf)
@@ -1935,7 +1949,14 @@ def q_tokenize_suite(spark, sf):
         k(3), "doc_id", F.col("shard").alias("seq_id"),
         F.col("pos").alias("n_tokens"), F.lit("-").alias("payload"),
     )
-    return chunks.unionByName(packed).unionByName(vocab).unionByName(shards)
+    oov = TK.oov_rate(docs, k=100).select(
+        k(4), "doc_id", F.col("n_oov").alias("seq_id"),
+        "n_tokens", F.lit("-").alias("payload"),
+    )
+    return (
+        chunks.unionByName(packed).unionByName(vocab)
+        .unionByName(shards).unionByName(oov)
+    )
 
 
 @query(

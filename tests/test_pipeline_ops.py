@@ -253,3 +253,22 @@ def test_bigram_lm_cross_corpus_unseen_tokens(spark):
         ]
         assert out[d]["n_lm_bigrams"] == len(bits)
         assert abs(out[d]["lm_bits"] - sum(bits) / len(bits)) < 1e-6
+
+
+def test_oov_rate_self_and_external_vocab(spark):
+    from dask_array_spark.functions.tokenize import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a a b z"), (2, "q q"), (3, "a b")], "doc_id long, text string"
+    )
+    # top-2 self-vocab = {a (3x), b (2x)}  (q: 2x but 'b' wins the tie
+    # at rank 2? counts: a=3, b=2, q=2, z=1 -> top2 = a, b (tie b<q))
+    out = {r["doc_id"]: r for r in oov_rate(docs, k=2).collect()}
+    assert (out[1]["n_tokens"], out[1]["n_oov"]) == (4, 1)      # z
+    assert (out[2]["n_tokens"], out[2]["n_oov"]) == (2, 2)      # q q
+    assert (out[3]["n_tokens"], out[3]["n_oov"]) == (0 + 2, 0)
+    assert abs(out[1]["oov_rate"] - 0.25) < 1e-9
+    # external vocabulary
+    vocab = spark.createDataFrame([("z",), ("q",)], "token string")
+    out2 = {r["doc_id"]: r for r in oov_rate(docs, vocab=vocab).collect()}
+    assert (out2[1]["n_oov"], out2[2]["n_oov"], out2[3]["n_oov"]) == (3, 0, 2)
