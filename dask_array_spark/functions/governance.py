@@ -38,6 +38,7 @@ __all__ = [
     "assign_split",
     "split_col",
     "stratified_sample_flag",
+    "mixture_sample_flag",
 ]
 
 
@@ -157,4 +158,52 @@ def stratified_sample_flag(
     )
     return df.select(
         F.col(id_col).alias("doc_id"), (rn <= k).alias("in_sample")
+    )
+
+
+def mixture_sample_flag(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mx",
+    default: float = 1.0,
+) -> DataFrame:
+    """Deterministic domain-mixture downsampling: keep each document
+    with its stratum's target rate -- the mixture-weighting step every
+    pretraining corpus runs (e.g. upweight books, downsample web) --
+    decided by hash, not randomness, so re-runs and incremental
+    appends keep exactly the same documents.  A document survives iff
+    mixed_hash(salt || ':' || id) mod 1e6 < rate * 1e6 (the MIXED
+    hash -- raw polyhash residues are near-monotone in the id's
+    trailing digits and would gate whole digit-length classes
+    together; see text.mixed_hash_col); strata missing from
+    ``weights`` use ``default``.
+
+    Returns (doc_id, mix_keep BOOLEAN) at the ``df`` grain -- a flag,
+    not a filtered subset, like stratified_sample_flag.
+
+    Scale shape: the weights ship as a tiny broadcast table joined on
+    the stratum column (never a collected literal, so the same code
+    path takes a weights DataFrame of any size); the decision itself
+    is a pure projection -- no shuffle of the corpus, stream-
+    composable."""
+    spark = df.sparkSession
+    wt = F.broadcast(
+        spark.createDataFrame(
+            [(k, float(v)) for k, v in sorted(weights.items())],
+            f"{stratum_col} string, __rate double",
+        )
+    )
+    from .text import mixed_hash_col
+
+    h = mixed_hash_col(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    rate = F.coalesce(F.col("__rate"), F.lit(float(default)))
+    return (
+        df.join(wt, on=stratum_col, how="left")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            ((h % F.lit(1_000_000)).cast("double")
+             < rate * F.lit(1_000_000.0)).alias("mix_keep"),
+        )
     )

@@ -30,6 +30,7 @@ __all__ = [
     "token_stats_cols",
     "lang_id_col",
     "bigram_lm_scores",
+    "mixed_hash_col",
 ]
 
 P = 1_000_000_007
@@ -347,3 +348,20 @@ def bigram_lm_scores(
             (F.round(F.avg(bits), 6) + F.lit(0.0)).alias("lm_bits"),
         )
     )
+
+
+# affine mixing multiplier (Knuth's 2^32 golden-ratio constant): the
+# rolling polyhash is near-monotone in a string's trailing characters
+# (the last char contributes +-1 steps), so any DIRECT use of its
+# low-order residues -- h % n_shards, h % 1e6 rate gates -- inherits
+# source ordering instead of looking uniform.  One multiply-mod wraps
+# the hash space and decorrelates residues; products stay < 2^63
+# (h < 1e9+7, multiplier < 2^32).
+A_MIX = 2_654_435_761
+
+
+def mixed_hash_col(s: Column) -> Column:
+    """polyhash followed by the affine mixing step -- use this (never
+    raw polyhash_col) whenever low-order residues of the hash drive a
+    decision: shard assignment, rate gates, reservoir positions."""
+    return (polyhash_col(s) * F.lit(A_MIX).cast("long")) % F.lit(P)

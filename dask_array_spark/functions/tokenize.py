@@ -219,14 +219,11 @@ def shuffle_shards(
     stage touches the document payload until the final write join."""
     from pyspark.sql.window import Window
 
-    from .text import polyhash_col
+    from .text import mixed_hash_col
 
-    h = (
-        polyhash_col(
-            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
-        )
-        * F.lit(2_654_435_761).cast("long")
-    ) % F.lit(1_000_000_007)
+    h = mixed_hash_col(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
     w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
     return (
         df.select(id_col, h.alias("__h"))

@@ -1707,6 +1707,12 @@ _NG8 = (
 )
 _SPLIT_H = _POLY.format(s="'s1:' || CAST(doc_id AS VARCHAR)")
 _STRAT_H = _POLY.format(s="'st:' || CAST(doc_id AS VARCHAR)")
+# mixture-gate hash: polyhash + the affine mixing step (raw polyhash
+# residues are near-monotone in trailing id digits; text.mixed_hash_col)
+_MIX_H = (
+    "((" + _POLY.format(s="'mx:' || CAST(doc_id AS VARCHAR)")
+    + ") * 2654435761) % 1000000007"
+)
 
 _SIGS_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL})
@@ -3814,6 +3820,13 @@ def q_events_windows_suite(spark, sf):
     strat AS (SELECT doc_id, row_number() OVER (PARTITION BY lang
                 ORDER BY {_STRAT_H} ASC, doc_id ASC) <= 25 AS in_sample
               FROM documents),
+    mix AS (SELECT doc_id,
+              ({_MIX_H} % 1000000) < (CASE lang WHEN 'en' THEN 1.0
+                                                WHEN 'de' THEN 0.5
+                                                WHEN 'zh' THEN 0.25
+                                                ELSE 0.75 END) * 1000000.0
+                AS mix_keep
+            FROM documents),
     lmth AS (SELECT doc_id, {_TH} AS th FROM documents),
     lmbi AS (SELECT doc_id, th[i] AS ph,
                     (th[i] * 1000003 + th[i + 1]) % 1000000007 AS bh
@@ -3836,7 +3849,7 @@ def q_events_windows_suite(spark, sf):
            st.distinct_ratio, st.stopword_ratio, qu.quality, lg.pred_lang,
            fp.fp, sh.simhash, rep.top2gram_char_frac, rep.dup3gram_frac,
            rep.max_token_run, contam.n_contam, contam.contaminated,
-           spl.split, strat.in_sample,
+           spl.split, strat.in_sample, mix.mix_keep,
            CAST(bpe.n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
            CAST(coalesce(lmsc.n_lm_bigrams, 0) AS BIGINT) AS n_lm_bigrams,
            coalesce(lmsc.lm_bits, 0.0) + 0.0 AS lm_bits
@@ -3844,6 +3857,7 @@ def q_events_windows_suite(spark, sf):
             JOIN fp USING (doc_id) JOIN sh USING (doc_id)
             JOIN rep USING (doc_id) JOIN contam USING (doc_id)
             JOIN spl USING (doc_id) JOIN strat USING (doc_id)
+            JOIN mix USING (doc_id)
             JOIN (SELECT doc_id, {_BPE_SQL} AS n_bpe_tokens FROM documents)
               bpe USING (doc_id)
             LEFT JOIN lmsc USING (doc_id)
@@ -3856,8 +3870,10 @@ def q_text_suite(spark, sf):
     signals + benchmark decontamination (8-gram overlap vs the
     doc_id%97 'eval set', broadcast semi-join) + deterministic
     hash-based train/valid/test split + stratified per-language
-    sample flag + CCNet-style bigram-LM perplexity score (lm_bits,
-    add-one-smoothed self-model -- Wenzek et al. 2020) (training-data
+    sample flag + deterministic domain-mixture downsampling flag
+    (mix_keep, per-language hash-rate keep) + CCNet-style bigram-LM
+    perplexity score (lm_bits, add-one-smoothed self-model -- Wenzek
+    et al. 2020) (training-data
     pipeline scope; everything except the decontamination broadcast
     join, the vocab-sized LM-count joins, and the per-stratum rank is
     a pure JVM projection)."""
@@ -3897,10 +3913,14 @@ def q_text_suite(spark, sf):
     )
     hits = G.contamination_hits(docs, docs.filter(F.col("doc_id") % 97 == 0), n=8)
     lm = T.bigram_lm_scores(docs)
+    mix = G.mixture_sample_flag(
+        docs, {"en": 1.0, "de": 0.5, "zh": 0.25}, default=0.75
+    )
     return (
         base.join(hits, on="doc_id", how="left")
         .withColumn("n_contam", F.coalesce(F.col("n_contam"), F.lit(0).cast("long")))
         .withColumn("contaminated", F.col("n_contam") > 0)
+        .join(mix, on="doc_id")
         .join(lm, on="doc_id", how="left")
         .withColumn(
             "n_lm_bigrams",

@@ -200,3 +200,30 @@ def test_contamination_broadcasts_bench_side(spark):
     bench = _docs(spark, ["w1 " * 12])
     plan = contamination_counts(corpus, bench, n=8)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_flag_rates_and_determinism(spark):
+    from dask_array_spark.functions.governance import mixture_sample_flag
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    out = {
+        r["doc_id"]: r["mix_keep"]
+        for r in mixture_sample_flag(docs, {"en": 1.0, "zh": 0.25}).collect()
+    }
+    en = [out[i] for i in range(0, 2000, 2)]
+    zh = [out[i] for i in range(1, 2000, 2)]
+    assert all(en)                      # rate 1.0 keeps everything
+    frac = sum(zh) / len(zh)
+    assert 0.15 < frac < 0.35           # ~0.25 with hash noise
+    # deterministic: re-running yields the identical keep set
+    again = {
+        r["doc_id"]: r["mix_keep"]
+        for r in mixture_sample_flag(docs, {"en": 1.0, "zh": 0.25}).collect()
+    }
+    assert again == out
+    # unknown stratum falls back to default
+    docs2 = spark.createDataFrame([(1, "xx")], "doc_id long, lang string")
+    assert mixture_sample_flag(docs2, {}, default=1.0).collect()[0]["mix_keep"]
