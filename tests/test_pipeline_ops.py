@@ -272,3 +272,52 @@ def test_oov_rate_self_and_external_vocab(spark):
     vocab = spark.createDataFrame([("z",), ("q",)], "token string")
     out2 = {r["doc_id"]: r for r in oov_rate(docs, vocab=vocab).collect()}
     assert (out2[1]["n_oov"], out2[2]["n_oov"], out2[3]["n_oov"]) == (3, 0, 2)
+
+
+import numpy as np
+import pytest
+
+
+def _ref_kmeans(X, k, iters):
+    """Faithful replica of kmeans_fit/kmeans_assign semantics: squared
+    L2 rounded to 6 before argmin, ties to the smaller cell, means
+    rounded to 6 per round, empty cells drop."""
+    cents = {c: X[c].astype(np.float64) for c in range(k)}
+
+    def assign(cs):
+        cells = sorted(cs)
+        out = []
+        for x in X:
+            d = [round(float(((x.astype(np.float64) - cs[c]) ** 2).sum()), 6)
+                 for c in cells]
+            out.append((cells[int(np.argmin(d))], min(d)))
+        return out
+
+    for _ in range(iters):
+        a = assign(cents)
+        new = {}
+        for c in sorted(cents):
+            members = [X[i].astype(np.float64) for i, (ac, _) in enumerate(a)
+                       if ac == c]
+            if members:
+                new[c] = np.round(np.mean(members, axis=0), 6)
+        cents = new
+    return assign(cents)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_kmeans_matches_numpy_reference(spark, seed):
+    from dask_array_spark.functions.similarity import kmeans_assign, kmeans_fit
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(12, 3)).astype(np.float32)
+    emb = _emb(spark, X.tolist())
+    got = {
+        r["vec_id"]: (r["cell"], r["dist"])
+        for r in kmeans_assign(emb, kmeans_fit(emb, k=3, iters=2)).collect()
+    }
+    want = {i: (c, d) for i, (c, d) in enumerate(_ref_kmeans(X, 3, 2))}
+    assert set(got) == set(want)
+    for i in got:
+        assert got[i][0] == want[i][0], (i, got[i], want[i])
+        assert abs(got[i][1] - want[i][1]) < 2e-6
