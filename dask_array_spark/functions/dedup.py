@@ -434,8 +434,17 @@ def duplicate_clusters(
     the loop runs a convergence probe (a scalar count of changed
     labels -- an action, but no rows ever reach the driver), and
     ``max_iters`` (default 20, i.e. diameter ~2^20 via doubling)
-    bounds the driver loop unconditionally.  Labels persist per round
-    so lineage stays linear, and superseded rounds unpersist eagerly.
+    bounds the driver loop unconditionally.
+
+    Each round ends with an EAGER ``localCheckpoint``, not a persist:
+    the doubling step references the previous labels TWICE (directly
+    and through the label-of-label lookup), so the LOGICAL plan
+    doubles every round -- persist caches data but keeps the full
+    lineage tree, and within ~10 rounds merely rendering the plan
+    string OOMs the driver (hit by round 5's long-chain test).
+    localCheckpoint truncates lineage to the materialized partitions,
+    keeping the plan O(1) per round -- the standard Spark idiom for
+    iterative graph algorithms.
     """
     e = pairs.select(F.col("doc_a").alias("v"), F.col("doc_b").alias("w"))
     edges = e.unionByName(
@@ -443,7 +452,7 @@ def duplicate_clusters(
     ).persist()
     labels = (
         edges.select("v").distinct().select("v", F.col("v").alias("rep"))
-    ).persist()
+    ).localCheckpoint()
     for it in range(max_iters):
         nbr = (
             edges.join(
@@ -462,7 +471,7 @@ def duplicate_clusters(
         doubled = (
             stepped.join(lut, stepped["rep"] == lut["__lv"], "left")
             .select("v", F.coalesce("__lrep", "rep").alias("rep"))
-            .persist()
+            .localCheckpoint()
         )
         done = False
         if it % check_every == check_every - 1 or it == max_iters - 1:
@@ -477,7 +486,6 @@ def duplicate_clusters(
                 .count()
                 == 0
             )
-        labels.unpersist()
         labels = doubled
         if done:
             break

@@ -459,15 +459,19 @@ def kmeans_fit(emb: DataFrame, k: int = 4, iters: int = 2) -> DataFrame:
     one posexplode + groupBy(cell, pos) mean -- a single linear
     shuffle carrying corpus x dim scalar rows with map-side partial
     sums, independent of k.  The new codebook reassembles with a
-    dim-bounded collect_list per cell and persists, so lineage stays
-    one round deep instead of multiplying across iterations."""
+    dim-bounded collect_list per cell and eagerly localCheckpoints:
+    each round's plan references the previous codebook more than
+    once, so persist (which caches data but keeps full lineage) would
+    let the LOGICAL plan grow exponentially with ``iters`` -- the
+    same driver-OOM mode duplicate_clusters hit; checkpointing
+    truncates it to O(1) per round."""
     cents = (
         emb.filter(F.col("vec_id") < k)
         .select(
             F.col("vec_id").cast("long").alias("cell"),
             F.transform("embedding", lambda x: x.cast("double")).alias("cemb"),
         )
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(iters):
         asg = kmeans_assign(emb, cents).select("vec_id", "cell")
@@ -487,7 +491,5 @@ def kmeans_fit(emb: DataFrame, k: int = 4, iters: int = 2) -> DataFrame:
                 lambda s: s["c"],
             ).alias("cemb")
         )
-        old = cents
-        cents = arr.persist()
-        old.unpersist()
+        cents = arr.localCheckpoint()
     return cents
