@@ -32,6 +32,7 @@ __all__ = [
     "kgram_positions",
     "duplicated_spans",
     "duplicate_clusters",
+    "clip_duplicated_spans",
 ]
 
 # affine hash family h_i(x) = (a_i * x + b_i) mod P with fixed odd
@@ -495,3 +496,82 @@ def duplicate_clusters(
     )
     edges.unpersist()
     return out
+
+
+def clip_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply ExactSubstr dedup: REMOVE each duplicated span from the
+    higher-id document of its pair (the doc_b side), so exactly one
+    copy of every duplicated substring survives corpus-wide -- the
+    clipping step of Lee et al. 2021 that ``duplicated_spans`` only
+    locates.  A document that is the lower-id side everywhere keeps
+    its text; since every higher-id holder clips, the global minimum
+    holder is the one surviving copy.  Returns (doc_id, text,
+    n_tokens_kept, n_tokens_removed) for EVERY input document
+    (unclipped docs pass through with n_tokens_removed = 0).
+
+    Scale shape: spans group per doc_b with a collect_list bounded by
+    that document's span count (spans are rare relative to tokens),
+    overlapping intervals merge with one in-row sort + fold, and the
+    clip itself is a per-row filter over the token array (cost
+    O(tokens x merged_spans) inside the row).  One join of the corpus
+    against the span-doc table (span-holder-sized, not corpus-sized);
+    no shuffle of document text anywhere else."""
+    iv = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("b_start").alias("s"),
+                (F.col("b_start") + F.col("length")).alias("e"),
+            )
+        )
+    )
+    grouped = spans.groupBy(F.col("doc_b").alias("doc_id")).agg(iv.alias("__iv"))
+    # merge overlapping/adjacent intervals: fold over the sorted list,
+    # extending the last merged interval when the next one starts
+    # inside it
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    last = lambda acc: F.element_at(acc, -1)
+    merged = F.aggregate(
+        F.col("__iv"),
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (x["s"] <= last(acc)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["s"].alias("s"),
+                        F.greatest(last(acc)["e"], x["e"]).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    toks = tokens_col(text_col)
+    n_all = F.size(toks).cast("long")
+    # keep token i (0-based) unless a merged interval covers it
+    kept = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.size(toks) - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda p: ~F.exists(
+            F.col("__m"),
+            lambda s: (p["i"] >= s["s"]) & (p["i"] < s["e"]),
+        ),
+    )
+    return (
+        df.join(grouped, on="doc_id", how="left")
+        .withColumn("__m", F.coalesce(merged, empty))
+        .withColumn("__k", F.transform(kept, lambda p: p["t"]))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("__k")).alias(text_col),
+            F.size("__k").cast("long").alias("n_tokens_kept"),
+            (n_all - F.size("__k")).cast("long").alias("n_tokens_removed"),
+        )
+    )

@@ -1776,22 +1776,74 @@ _BPE_SQL = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))"
     runs AS (SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
                     pa - row_number() OVER (
                       PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
-             FROM seeds)
-    SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_start,
-           CAST(min(pb) AS BIGINT) AS b_start,
-           CAST(count(*) + 7 AS BIGINT) AS length
-    FROM runs GROUP BY doc_a, doc_b, diag, grp
+             FROM seeds),
+    spansq AS (SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_start,
+                      CAST(min(pb) AS BIGINT) AS b_start,
+                      CAST(count(*) + 7 AS BIGINT) AS length
+               FROM runs GROUP BY doc_a, doc_b, diag, grp),
+    m1 AS (SELECT doc_b AS doc_id, b_start AS s, b_start + length AS e,
+                  MAX(b_start + length) OVER (PARTITION BY doc_b
+                    ORDER BY b_start, b_start + length
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM spansq),
+    m3 AS (SELECT doc_id, s, e, SUM(brk) OVER (
+             PARTITION BY doc_id ORDER BY s, e) AS grp
+           FROM (SELECT doc_id, s, e,
+                        CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END
+                          AS brk
+                 FROM m1)),
+    mg AS (SELECT doc_id, grp, MIN(s) AS s, MAX(e) AS e FROM m3 GROUP BY 1, 2),
+    tkp AS (SELECT doc_id, unnest({_TOKS}) AS t,
+                   unnest(range(0, len({_TOKS}))) AS i
+            FROM documents),
+    agg AS (SELECT tkp.doc_id, string_agg(tkp.t, ' ' ORDER BY tkp.i) AS txt,
+                   CAST(count(*) AS BIGINT) AS nk
+            FROM tkp
+            WHERE NOT EXISTS (SELECT 1 FROM mg
+                              WHERE mg.doc_id = tkp.doc_id
+                                AND tkp.i >= mg.s AND tkp.i < mg.e)
+            GROUP BY tkp.doc_id),
+    clip AS (SELECT d.doc_id,
+                    coalesce(a.nk, 0) AS nk,
+                    CAST(len({_TOKS}) AS BIGINT) - coalesce(a.nk, 0) AS nrm,
+                    {_POLY.format(s="coalesce(a.txt, '')")} AS fp
+             FROM documents d LEFT JOIN agg a USING (doc_id))
+    SELECT CAST(0 AS BIGINT) AS kind, doc_a AS a, doc_b AS b,
+           a_start AS c, b_start AS d, length AS e
+    FROM spansq
+    UNION ALL
+    SELECT 1, doc_id, nk, nrm, fp, CAST(-1 AS BIGINT) FROM clip
     """,
 )
 def q_dedup_substring_spans(spark, sf):
-    """exact duplicated substrings (ExactSubstr dedup, Lee et al.
-    2021): maximal verbatim token spans shared by document pairs --
-    k-gram hash equi-join seeds + per-(pair, diagonal)
-    gaps-and-islands merge, hot-gram capped
-    (functions/dedup.py::duplicated_spans)."""
+    """ExactSubstr dedup (Lee et al. 2021) located AND applied, kind-
+    tagged: kind 0 = maximal verbatim token spans shared by document
+    pairs (k-gram hash equi-join seeds + per-(pair, diagonal)
+    gaps-and-islands merge, hot-gram capped); kind 1 = the CLIPPED
+    corpus -- each span removed from its pair's higher-id document so
+    one copy survives -- verified per doc by kept/removed token
+    counts plus the polynomial fingerprint of the reconstructed text
+    (functions/dedup.py::duplicated_spans / clip_duplicated_spans)."""
     from .functions import dedup as D
+    from .functions import text as T
 
-    return D.duplicated_spans(_docs(spark, sf), k=8)
+    docs = _docs(spark, sf)
+    spans = D.duplicated_spans(docs, k=8).persist()
+    k = lambda n: F.lit(n).cast("long").alias("kind")
+    k0 = spans.select(
+        k(0), F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
+        F.col("a_start").alias("c"), F.col("b_start").alias("d"),
+        F.col("length").alias("e"),
+    )
+    clipped = D.clip_duplicated_spans(docs, spans)
+    k1 = clipped.select(
+        k(1), F.col("doc_id").alias("a"),
+        F.col("n_tokens_kept").alias("b"),
+        F.col("n_tokens_removed").alias("c"),
+        T.polyhash_col(F.col("text")).alias("d"),
+        F.lit(-1).cast("long").alias("e"),
+    )
+    return k0.unionByName(k1)
 
 
 @query(

@@ -113,3 +113,42 @@ def test_default_cap_is_1k(spark):
     from dask_array_spark.functions.dedup import duplicated_spans
 
     assert inspect.signature(duplicated_spans).parameters["max_positions"].default == 1_000
+
+
+def test_clip_removes_one_copy_and_merges_overlaps(spark):
+    """clip_duplicated_spans removes the span from the HIGHER-id doc
+    only, passes unclipped docs through, and merges overlapping
+    spans before clipping (no double-count of shared tokens)."""
+    from dask_array_spark.functions.dedup import (
+        clip_duplicated_spans,
+        duplicated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 a b c d e f g h x3"),
+            (2, "y1 a b c d e f g h y2 y3"),
+            (3, "unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, k=4, min_tokens=4)
+    out = {r["doc_id"]: r for r in clip_duplicated_spans(docs, spans).collect()}
+    assert out[1]["text"] == "x1 x2 a b c d e f g h x3"
+    assert out[1]["n_tokens_removed"] == 0
+    assert out[2]["text"] == "y1 y2 y3"
+    assert (out[2]["n_tokens_kept"], out[2]["n_tokens_removed"]) == (3, 8)
+    assert out[3]["n_tokens_removed"] == 0
+
+    # overlapping spans merge: hand-built spans covering [1,5) and
+    # [3,7) over a 9-token doc remove exactly tokens 1..6
+    hand = spark.createDataFrame(
+        [(0, 9, 0, 1, 4), (0, 9, 0, 3, 4)],
+        "doc_a long, doc_b long, a_start long, b_start long, length long",
+    )
+    d9 = spark.createDataFrame(
+        [(9, "t0 t1 t2 t3 t4 t5 t6 t7 t8")], "doc_id long, text string"
+    )
+    row = clip_duplicated_spans(d9, hand).collect()[0]
+    assert row["text"] == "t0 t7 t8"
+    assert (row["n_tokens_kept"], row["n_tokens_removed"]) == (3, 6)
