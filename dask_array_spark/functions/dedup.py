@@ -552,22 +552,22 @@ def clip_duplicated_spans(
     )
     toks = tokens_col(text_col)
     n_all = F.size(toks).cast("long")
-    # keep token i (0-based) unless a merged interval covers it
+    # keep token i (0-based) unless a merged interval covers it; the
+    # two-arg filter lambda binds (element, index) -- no index array
+    # to build, and crucially no F.sequence(0, size-1), which COUNTS
+    # DOWN to [0, -1] on an empty token array (a zero-token document
+    # previously came back with n_tokens_kept=2, n_tokens_removed=-2)
     kept = F.filter(
-        F.zip_with(
-            toks,
-            F.sequence(F.lit(0), F.size(toks) - 1),
-            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
-        ),
-        lambda p: ~F.exists(
+        toks,
+        lambda t, i: ~F.exists(
             F.col("__m"),
-            lambda s: (p["i"] >= s["s"]) & (p["i"] < s["e"]),
+            lambda s: (i >= s["s"]) & (i < s["e"]),
         ),
     )
     return (
         df.join(grouped, on="doc_id", how="left")
         .withColumn("__m", F.coalesce(merged, empty))
-        .withColumn("__k", F.transform(kept, lambda p: p["t"]))
+        .withColumn("__k", kept)
         .select(
             "doc_id",
             F.concat_ws(" ", F.col("__k")).alias(text_col),

@@ -350,7 +350,10 @@ def semantic_dedup(
         )
     )
     wr = Window.partitionBy("cell").orderBy(F.col("ccos").asc(), F.col("vec_id").asc())
-    ranked = base.withColumn("rnk", F.row_number().over(wr))
+    # persist-at-fan-out: ranked feeds BOTH the pair join below and
+    # the final output join -- without this the corpus-scale
+    # assignment + centroid-cosine + rank-window lineage runs twice
+    ranked = base.withColumn("rnk", F.row_number().over(wr)).persist()
     dedupable = ranked
     if max_cell is not None:
         small = (

@@ -1998,7 +1998,11 @@ def q_tokenize_suite(spark, sf):
         k(1), "doc_id", F.col("group_id").alias("seq_id"),
         "n_tokens", F.col("bin_id").cast("string").alias("payload"),
     )
-    vocab = TK.vocab_top_k(docs, k=100).select(
+    # one corpus-wide token-count aggregate feeds both the kind-2
+    # rows and the OOV scorer (persist-at-fan-out; self-vocab default
+    # in oov_rate would recompute the identical aggregate)
+    vocab_src = TK.vocab_top_k(docs, k=100).persist()
+    vocab = vocab_src.select(
         k(2), F.col("rank").alias("doc_id"),
         F.lit(-1).cast("long").alias("seq_id"),
         F.col("n").alias("n_tokens"), F.col("token").alias("payload"),
@@ -2007,7 +2011,7 @@ def q_tokenize_suite(spark, sf):
         k(3), "doc_id", F.col("shard").alias("seq_id"),
         F.col("pos").alias("n_tokens"), F.lit("-").alias("payload"),
     )
-    oov = TK.oov_rate(docs, k=100).select(
+    oov = TK.oov_rate(docs, vocab=vocab_src).select(
         k(4), "doc_id", F.col("n_oov").alias("seq_id"),
         "n_tokens", F.lit("-").alias("payload"),
     )

@@ -38,15 +38,21 @@ __all__ = ["stream_exact_dedup", "stream_simhash_near_dedup", "simhash_col"]
 _STATE_CAP = 256  # bounded per-band state ring
 
 
-def _read_docs_stream(spark: SparkSession, docs_path: str) -> DataFrame:
-    static = spark.read.parquet(docs_path)
+def _read_parquet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File stream over a parquet file OR directory (schema inferred
+    from a static read; single-file paths stream their parent dir
+    with a glob filter).  Shared by the docs and embeddings intake
+    readers."""
+    static = spark.read.parquet(path)
     reader = spark.readStream.schema(static.schema)
-    if os.path.isfile(docs_path):
-        reader = reader.option("pathGlobFilter", os.path.basename(docs_path))
-        stream = reader.parquet(os.path.dirname(docs_path))
-    else:
-        stream = reader.parquet(docs_path)
-    return stream.withColumn(
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        return reader.parquet(os.path.dirname(path))
+    return reader.parquet(path)
+
+
+def _read_docs_stream(spark: SparkSession, docs_path: str) -> DataFrame:
+    return _read_parquet_stream(spark, docs_path).withColumn(
         "__ts", F.timestamp_seconds(F.lit(1_600_000_000) + F.col("doc_id"))
     )
 

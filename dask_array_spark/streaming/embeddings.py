@@ -20,8 +20,6 @@ the result matches batch ``kmeans_assign`` bit-for-bit
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -29,12 +27,9 @@ __all__ = ["stream_codebook_assign", "codebook_row"]
 
 
 def _read_embeddings_stream(spark: SparkSession, emb_path: str) -> DataFrame:
-    static = spark.read.parquet(emb_path)
-    reader = spark.readStream.schema(static.schema)
-    if os.path.isfile(emb_path):
-        reader = reader.option("pathGlobFilter", os.path.basename(emb_path))
-        return reader.parquet(os.path.dirname(emb_path))
-    return reader.parquet(emb_path)
+    from .dedup import _read_parquet_stream
+
+    return _read_parquet_stream(spark, emb_path)
 
 
 def codebook_row(cents: DataFrame) -> DataFrame:
@@ -79,17 +74,19 @@ def stream_codebook_assign(
         F.lit(-1).cast("long").alias("cell"),
         F.lit(float("inf")).alias("dist"),
     )
-    best = F.aggregate(
-        F.col("__cb"),
-        init,
-        lambda acc, c: F.when(
-            dist_to(c["cemb"]) < acc["dist"],
-            F.struct(
-                c["cell"].cast("long").alias("cell"),
-                dist_to(c["cemb"]).alias("dist"),
-            ),
-        ).otherwise(acc),
-    )
+
+    def step(acc, c):
+        # build the candidate struct once so the k x dim distance
+        # fold evaluates a single time per codebook entry (these
+        # higher-order lambdas are interpreted, not codegen'd, and
+        # the two when-branches would not share the subtree)
+        cand = F.struct(
+            c["cell"].cast("long").alias("cell"),
+            dist_to(c["cemb"]).alias("dist"),
+        )
+        return F.when(cand["dist"] < acc["dist"], cand).otherwise(acc)
+
+    best = F.aggregate(F.col("__cb"), init, step)
     return (
         stream.crossJoin(F.broadcast(cb))
         .withColumn("__best", best)

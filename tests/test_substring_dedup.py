@@ -152,3 +152,23 @@ def test_clip_removes_one_copy_and_merges_overlaps(spark):
     row = clip_duplicated_spans(d9, hand).collect()[0]
     assert row["text"] == "t0 t7 t8"
     assert (row["n_tokens_kept"], row["n_tokens_removed"]) == (3, 6)
+
+
+def test_clip_empty_and_whitespace_docs(spark):
+    """Zero-token documents pass through with (0, 0) counts -- the
+    F.sequence(0, size-1) formulation counted DOWN to [0, -1] on an
+    empty token array and reported n_tokens_kept=2,
+    n_tokens_removed=-2 (caught by round-5 review)."""
+    from dask_array_spark.functions.dedup import clip_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [], "doc_a long, doc_b long, a_start long, b_start long, length long"
+    )
+    out = {r["doc_id"]: r for r in clip_duplicated_spans(docs, spans).collect()}
+    for d in (1, 2):
+        assert (out[d]["n_tokens_kept"], out[d]["n_tokens_removed"]) == (0, 0)
+        assert out[d]["text"] == ""
+    assert out[3]["text"] == "a b"
