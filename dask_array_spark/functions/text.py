@@ -83,12 +83,20 @@ def token_stats_cols(text_col: str = "text") -> list[Column]:
     )
     distinct_n = F.size(F.array_distinct(toks)).cast("double")
     stop_n = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double")
+
+    def ratio(x):
+        # explicit zero-token contract: every ratio is 0.0 (not the
+        # engine-specific NULL/NaN a 0/0 division would give -- Spark
+        # non-ANSI yields NULL where DuckDB yields NaN, an oracle
+        # divergence the adversarial-corpus gate caught)
+        return F.when(n > 0, F.round(x / n, 6)).otherwise(F.lit(0.0))
+
     return [
         F.length(text_col).cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
-        F.round(total_len / n, 6).alias("avg_token_len"),
-        F.round(distinct_n / n, 6).alias("distinct_ratio"),
-        F.round(stop_n / n, 6).alias("stopword_ratio"),
+        ratio(total_len).alias("avg_token_len"),
+        ratio(distinct_n).alias("distinct_ratio"),
+        ratio(stop_n).alias("stopword_ratio"),
     ]
 
 
@@ -109,13 +117,16 @@ def quality_col(text_col: str = "text") -> Column:
     stop_pen = (
         F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double") / n * 0.5
     )
-    return F.round(
-        F.greatest(
-            F.lit(0.0),
-            F.least(F.lit(1.0), length_term * 0.4 + diversity * 0.6 - stop_pen),
+    return F.when(
+        n > 0,
+        F.round(
+            F.greatest(
+                F.lit(0.0),
+                F.least(F.lit(1.0), length_term * 0.4 + diversity * 0.6 - stop_pen),
+            ),
+            6,
         ),
-        6,
-    )
+    ).otherwise(F.lit(0.0))
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2573,11 +2573,12 @@ def q_embed_cosine_pairs(spark, sf):
     f"""
     WITH RECURSIVE q AS (
       SELECT doc_id, text, lang,
-             round(greatest(0.0, least(1.0,
-               least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.4
-               + CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) * 0.6
-               - CAST(len(list_filter({_TOKS}, t -> t IN ('a', 'the', 'and', 'of')))
-                      AS DOUBLE) / len({_TOKS}) * 0.5)), 6) AS quality,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0 ELSE
+               round(greatest(0.0, least(1.0,
+                 least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) * 0.6
+                 - CAST(len(list_filter({_TOKS}, t -> t IN ('a', 'the', 'and', 'of')))
+                        AS DOUBLE) / len({_TOKS}) * 0.5)), 6) END AS quality,
              len({_TOKS}) AS n_tokens
       FROM documents),
     reps AS (SELECT min(doc_id) AS rep_id FROM documents GROUP BY text),
@@ -3781,21 +3782,25 @@ def q_events_windows_suite(spark, sf):
       SELECT doc_id,
              CAST(length(text) AS BIGINT) AS n_chars,
              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-             round(CAST(list_sum(list_transform({_TOKS}, t -> length(t)))
-                   AS DOUBLE) / len({_TOKS}), 6) AS avg_token_len,
-             round(CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}), 6)
-               AS distinct_ratio,
-             round(CAST(len(list_filter({_TOKS},
-                   t -> t IN ('a', 'the', 'and', 'of'))) AS DOUBLE)
-                   / len({_TOKS}), 6) AS stopword_ratio
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0 ELSE
+               round(CAST(list_sum(list_transform({_TOKS}, t -> length(t)))
+                     AS DOUBLE) / len({_TOKS}), 6) END AS avg_token_len,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0 ELSE
+               round(CAST(len(list_distinct({_TOKS})) AS DOUBLE)
+                     / len({_TOKS}), 6) END AS distinct_ratio,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0 ELSE
+               round(CAST(len(list_filter({_TOKS},
+                     t -> t IN ('a', 'the', 'and', 'of'))) AS DOUBLE)
+                     / len({_TOKS}), 6) END AS stopword_ratio
       FROM documents),
     qu AS (
       SELECT doc_id,
-             round(greatest(0.0, least(1.0,
-               least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.4
-               + CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) * 0.6
-               - CAST(len(list_filter({_TOKS}, t -> t IN ('a', 'the', 'and', 'of')))
-                      AS DOUBLE) / len({_TOKS}) * 0.5)), 6) AS quality
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0 ELSE
+               round(greatest(0.0, least(1.0,
+                 least(CAST(len({_TOKS}) AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) * 0.6
+                 - CAST(len(list_filter({_TOKS}, t -> t IN ('a', 'the', 'and', 'of')))
+                        AS DOUBLE) / len({_TOKS}) * 0.5)), 6) END AS quality
       FROM documents),
     lg AS (
       WITH sc AS (
@@ -3903,14 +3908,15 @@ def q_events_windows_suite(spark, sf):
              GROUP BY 1)
     SELECT st.doc_id, st.n_chars, st.n_tokens, st.avg_token_len,
            st.distinct_ratio, st.stopword_ratio, qu.quality, lg.pred_lang,
-           fp.fp, sh.simhash, rep.top2gram_char_frac, rep.dup3gram_frac,
+           fp.fp, CAST(coalesce(sh.simhash, 0) AS BIGINT) AS simhash,
+           rep.top2gram_char_frac, rep.dup3gram_frac,
            rep.max_token_run, contam.n_contam, contam.contaminated,
            spl.split, strat.in_sample, mix.mix_keep,
            CAST(bpe.n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
            CAST(coalesce(lmsc.n_lm_bigrams, 0) AS BIGINT) AS n_lm_bigrams,
            coalesce(lmsc.lm_bits, 0.0) + 0.0 AS lm_bits
     FROM st JOIN qu USING (doc_id) JOIN lg USING (doc_id)
-            JOIN fp USING (doc_id) JOIN sh USING (doc_id)
+            JOIN fp USING (doc_id) LEFT JOIN sh USING (doc_id)
             JOIN rep USING (doc_id) JOIN contam USING (doc_id)
             JOIN spl USING (doc_id) JOIN strat USING (doc_id)
             JOIN mix USING (doc_id)
