@@ -92,3 +92,51 @@ def test_adversarial_corpus_matches_oracle(name, spark, adv_dir, adv_ddb):
     res = adv_ddb.execute(Q.ORACLES[name])
     want = _canon(res.fetchall(), [c[0] for c in res.description])
     assert got == want, f"{name}: {len(got)} spark rows vs {len(want)} oracle rows"
+
+
+ADVERSARIAL_VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),
+    (1, [0.0, 1.0, 0.0, 0.0], 0),
+    (2, [-1.0, 0.0, 0.0, 0.0], 1),
+    (3, [0.5, 0.5, 0.5, 0.5], 1),
+    (4, [0.0, 0.0, 0.0, 0.0], 2),      # zero vector (norm 0)
+    (5, [1.0, 0.0, 0.0, 0.0], 2),      # exact duplicate of 0
+    (6, [1e-8, 0.0, 0.0, 0.0], 0),     # near-zero norm
+    (7, [3.0, -4.0, 0.0, 0.0], 1),
+]
+
+EMB_QUERIES = ["similarity_suite", "embed_assign_bucket"]
+
+
+@pytest.fixture(scope="module")
+def adv_emb_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_emb")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], l) for i, v, l in ADVERSARIAL_VECS],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def adv_emb_ddb(adv_emb_dir):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{adv_emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_adversarial_embeddings_match_oracle(name, spark, adv_emb_dir, adv_emb_ddb):
+    """Zero-norm and duplicate vectors must not diverge between the
+    engine and the oracle (0/0 cosine is NULL in both after the
+    rounding projections; ties and probes stay deterministic)."""
+    from dask_array_spark import queries as Q
+
+    df = Q.QUERIES[name](spark, adv_emb_dir)
+    got = _canon([tuple(r) for r in df.collect()], df.columns)
+    res = adv_emb_ddb.execute(Q.ORACLES[name])
+    want = _canon(res.fetchall(), [c[0] for c in res.description])
+    assert got == want, f"{name}: {len(got)} spark rows vs {len(want)} oracle rows"
