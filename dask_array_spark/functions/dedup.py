@@ -513,43 +513,45 @@ def clip_duplicated_spans(
     n_tokens_kept, n_tokens_removed) for EVERY input document
     (unclipped docs pass through with n_tokens_removed = 0).
 
-    Scale shape: spans group per doc_b with a collect_list bounded by
-    that document's span count (spans are rare relative to tokens),
-    overlapping intervals merge with one in-row sort + fold, and the
-    clip itself is a per-row filter over the token array (cost
-    O(tokens x merged_spans) inside the row).  One join of the corpus
-    against the span-doc table (span-holder-sized, not corpus-sized);
-    no shuffle of document text anywhere else."""
-    iv = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("b_start").alias("s"),
-                (F.col("b_start") + F.col("length")).alias("e"),
-            )
-        )
+    Scale shape: overlapping intervals merge with a gaps-and-islands
+    WINDOW over (doc, start) -- WindowExec's per-doc buffer spills to
+    disk, so a boilerplate document that is the higher-id side of
+    millions of pairs (and therefore holds millions of raw spans)
+    never builds one in-memory array; only the MERGED intervals
+    (bounded by the document's token count, in practice a handful)
+    collect into the per-row clip list.  The clip itself is a per-row
+    filter over the token array (O(tokens x merged_spans) inside the
+    row).  One join of the corpus against the span-holder table
+    (span-holder-sized, not corpus-sized); no shuffle of document
+    text anywhere else."""
+    from pyspark.sql.window import Window
+
+    sp = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("b_start").alias("s"),
+        (F.col("b_start") + F.col("length")).alias("e"),
     )
-    grouped = spans.groupBy(F.col("doc_b").alias("doc_id")).agg(iv.alias("__iv"))
-    # merge overlapping/adjacent intervals: fold over the sorted list,
-    # extending the last merged interval when the next one starts
-    # inside it
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pmax = F.max("e").over(w_prev)
+    brk = F.when(pmax.isNull() | (F.col("s") > pmax), 1).otherwise(0)
+    islands = sp.withColumn("__grp", F.sum(brk).over(w_run))
+    mg = islands.groupBy("doc_id", "__grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    grouped = mg.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__mg")
+    )
+    merged = F.col("__mg")
     empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
-    last = lambda acc: F.element_at(acc, -1)
-    merged = F.aggregate(
-        F.col("__iv"),
-        empty,
-        lambda acc, x: F.when(
-            (F.size(acc) > 0) & (x["s"] <= last(acc)["e"]),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        last(acc)["s"].alias("s"),
-                        F.greatest(last(acc)["e"], x["e"]).alias("e"),
-                    )
-                ),
-            ),
-        ).otherwise(F.concat(acc, F.array(x))),
-    )
     toks = tokens_col(text_col)
     n_all = F.size(toks).cast("long")
     # keep token i (0-based) unless a merged interval covers it; the
