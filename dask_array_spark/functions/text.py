@@ -31,6 +31,7 @@ __all__ = [
     "lang_id_col",
     "bigram_lm_scores",
     "mixed_hash_col",
+    "perplexity_buckets",
 ]
 
 P = 1_000_000_007
@@ -376,3 +377,59 @@ def mixed_hash_col(s: Column) -> Column:
     raw polyhash_col) whenever low-order residues of the hash drive a
     decision: shard assignment, rate gates, reservoir positions."""
     return (polyhash_col(s) * F.lit(A_MIX).cast("long")) % F.lit(P)
+
+
+def perplexity_buckets(
+    lm: DataFrame,
+    qs: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    score_col: str = "lm_bits",
+) -> DataFrame:
+    """CCNet's perplexity-bucket assignment (Wenzek et al. 2020):
+    split scored documents into head / middle / tail by corpus-wide
+    quantiles of the LM score (low bits = fluent = head).  ``lm`` is
+    the (doc_id, n_lm_bigrams, lm_bits) output of
+    ``bigram_lm_scores``; returns (doc_id, ppl_bucket) with buckets
+    'head', 'middle', 'tail' (generally: bucket ``i`` of
+    ``len(qs)+1``, labeled b0..bn for other cut lists).
+
+    Cuts are DISCRETE (type-1) quantiles -- the smallest score whose
+    cumulative count reaches ceil(q * n) -- so there is no float
+    interpolation and an SQL oracle replays the boundary decisions
+    bit-for-bit on the 6-decimal-rounded scores.
+
+    Scale shape: scores first collapse to a (value, count) table (one
+    partial-aggregated shuffle, rows bounded by DISTINCT 6-decimal
+    score values -- value-granularity, not corpus size); the running
+    total is a window over that value table; the cut rows are a
+    len(qs)-row broadcast crossJoin.  No corpus-sized sort and no
+    in-memory percentile map anywhere."""
+    from pyspark.sql.window import Window
+
+    n = lm.count()  # scalar action; documented driver-side bound
+    counts = lm.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("__cum", F.sum("__c").over(w))
+    labels = (
+        ["head", "middle", "tail"] if len(qs) == 2
+        else [f"b{i}" for i in range(len(qs) + 1)]
+    )
+    import math as _math
+
+    cuts = None
+    for i, q in enumerate(qs):
+        need = _math.ceil(q * n)
+        c = cum.filter(F.col("__cum") >= need).agg(
+            F.min(score_col).alias(f"__cut{i}")
+        )
+        cuts = c if cuts is None else cuts.crossJoin(c)
+    bucket = F.lit(labels[-1])
+    for i in range(len(qs) - 1, -1, -1):
+        bucket = F.when(
+            F.col(score_col) <= F.col(f"__cut{i}"), F.lit(labels[i])
+        ).otherwise(bucket)
+    return lm.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", bucket.alias("ppl_bucket")
+    )

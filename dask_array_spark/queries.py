@@ -3905,7 +3905,21 @@ def q_events_windows_suite(spark, sf):
              FROM lmbi b
              LEFT JOIN lmuni u USING (ph)
              LEFT JOIN lmbic c USING (bh)
-             GROUP BY 1)
+             GROUP BY 1),
+    lmcum AS (SELECT lm_bits, SUM(cnt) OVER (ORDER BY lm_bits) AS cum FROM
+              (SELECT lm_bits, count(*) AS cnt FROM lmsc GROUP BY 1)),
+    lmcut AS (SELECT
+                (SELECT min(lm_bits) FROM lmcum
+                 WHERE cum >= ceil((1.0 / 3.0) * (SELECT count(*) FROM lmsc)))
+                  AS c1,
+                (SELECT min(lm_bits) FROM lmcum
+                 WHERE cum >= ceil((2.0 / 3.0) * (SELECT count(*) FROM lmsc)))
+                  AS c2),
+    lmbk AS (SELECT s.doc_id,
+                    CASE WHEN s.lm_bits <= k.c1 THEN 'head'
+                         WHEN s.lm_bits <= k.c2 THEN 'middle'
+                         ELSE 'tail' END AS ppl_bucket
+             FROM lmsc s CROSS JOIN lmcut k)
     SELECT st.doc_id, st.n_chars, st.n_tokens, st.avg_token_len,
            st.distinct_ratio, st.stopword_ratio, qu.quality, lg.pred_lang,
            fp.fp, CAST(coalesce(sh.simhash, 0) AS BIGINT) AS simhash,
@@ -3914,7 +3928,8 @@ def q_events_windows_suite(spark, sf):
            spl.split, strat.in_sample, mix.mix_keep,
            CAST(bpe.n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
            CAST(coalesce(lmsc.n_lm_bigrams, 0) AS BIGINT) AS n_lm_bigrams,
-           coalesce(lmsc.lm_bits, 0.0) + 0.0 AS lm_bits
+           coalesce(lmsc.lm_bits, 0.0) + 0.0 AS lm_bits,
+           coalesce(lmbk.ppl_bucket, 'unscored') AS ppl_bucket
     FROM st JOIN qu USING (doc_id) JOIN lg USING (doc_id)
             JOIN fp USING (doc_id) LEFT JOIN sh USING (doc_id)
             JOIN rep USING (doc_id) JOIN contam USING (doc_id)
@@ -3923,6 +3938,7 @@ def q_events_windows_suite(spark, sf):
             JOIN (SELECT doc_id, {_BPE_SQL} AS n_bpe_tokens FROM documents)
               bpe USING (doc_id)
             LEFT JOIN lmsc USING (doc_id)
+            LEFT JOIN lmbk USING (doc_id)
     """,
 )
 def q_text_suite(spark, sf):
@@ -3974,10 +3990,13 @@ def q_text_suite(spark, sf):
         TK.bpe_count_col("text").alias("n_bpe_tokens"),
     )
     hits = G.contamination_hits(docs, docs.filter(F.col("doc_id") % 97 == 0), n=8)
-    lm = T.bigram_lm_scores(docs)
+    # persist-at-fan-out: lm feeds the suite join, the bucket cuts
+    # (count + value-table cum), and the bucket assignment
+    lm = T.bigram_lm_scores(docs).persist()
     mix = G.mixture_sample_flag(
         docs, {"en": 1.0, "de": 0.5, "zh": 0.25}, default=0.75
     )
+    ppl = T.perplexity_buckets(lm)
     return (
         base.join(hits, on="doc_id", how="left")
         .withColumn("n_contam", F.coalesce(F.col("n_contam"), F.lit(0).cast("long")))
@@ -3989,6 +4008,10 @@ def q_text_suite(spark, sf):
             F.coalesce(F.col("n_lm_bigrams"), F.lit(0).cast("long")),
         )
         .withColumn("lm_bits", F.coalesce(F.col("lm_bits"), F.lit(0.0)) + F.lit(0.0))
+        .join(ppl, on="doc_id", how="left")
+        .withColumn(
+            "ppl_bucket", F.coalesce(F.col("ppl_bucket"), F.lit("unscored"))
+        )
     )
 
 

@@ -321,3 +321,26 @@ def test_kmeans_matches_numpy_reference(spark, seed):
     for i in got:
         assert got[i][0] == want[i][0], (i, got[i], want[i])
         assert abs(got[i][1] - want[i][1]) < 2e-6
+
+
+def test_perplexity_buckets_terciles(spark):
+    """Discrete-quantile terciles: 9 scored docs split 3/3/3 by
+    lm_bits order; boundary docs land in the lower bucket (cut =
+    smallest score reaching ceil(q*n) cumulative)."""
+    from dask_array_spark.functions.text import perplexity_buckets
+
+    lm = spark.createDataFrame(
+        [(i, 10, float(i)) for i in range(9)],
+        "doc_id long, n_lm_bigrams long, lm_bits double",
+    )
+    out = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(lm).collect()}
+    assert [out[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+    # duplicate scores cross the cut together (value-grain cuts)
+    lm2 = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 1, 1.0), (2, 1, 1.0), (3, 1, 2.0)],
+        "doc_id long, n_lm_bigrams long, lm_bits double",
+    )
+    out2 = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(lm2).collect()}
+    assert out2 == {0: "head", 1: "head", 2: "head", 3: "tail"}
