@@ -32,6 +32,7 @@ __all__ = [
     "bigram_lm_scores",
     "mixed_hash_col",
     "perplexity_buckets",
+    "tfidf_keywords",
 ]
 
 P = 1_000_000_007
@@ -432,4 +433,52 @@ def perplexity_buckets(
         ).otherwise(bucket)
     return lm.crossJoin(F.broadcast(cuts)).select(
         "doc_id", bucket.alias("ppl_bucket")
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the top ``k`` tokens by
+    TF-IDF (tf = in-doc count, idf = ln((N+1)/(df+1)) + 1 with N =
+    corpus size and df = documents containing the token -- the
+    smoothed scikit-learn formulation).  Returns (doc_id, rank,
+    token, tfidf) with rank 1 = strongest; ties break toward the
+    lexicographically smaller token.  Scores round to 6 decimals
+    BEFORE ranking so an SQL oracle replays the order bit-for-bit.
+
+    Scale shape: term counts are one explode + partial-aggregated
+    groupBy(doc, token); document frequencies aggregate the SAME
+    table again by token (vocab-sized result, no second corpus
+    pass); N joins as a one-row broadcast crossJoin; the final
+    per-doc top-k is a rank window partitioned by doc_id -- no
+    global sort, no corpus-sized broadcast."""
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select("doc_id", F.explode(tokens_col(text_col)).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    ).persist()
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    idf = F.log((F.col("__n") + 1).cast("double") / (F.col("__df") + 1)) + 1
+    scored = (
+        tf.join(dfreq, on="token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (F.round(F.col("__tf") * idf, 6) + F.lit(0.0)).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", F.col("rank").cast("long"), "token", "tfidf")
     )

@@ -1951,6 +1951,17 @@ def q_pack_sequences(spark, sf):
                     * 2654435761) % 1000000007 AS h
             FROM documents)),
     toke AS (SELECT doc_id, unnest({_TOKS}) AS t FROM documents),
+    tfc AS (SELECT doc_id, t AS token, count(*) AS tf FROM toke GROUP BY 1, 2),
+    dfc AS (SELECT token, count(*) AS df FROM tfc GROUP BY 1),
+    tfidf AS (SELECT tfc.doc_id, tfc.token,
+                     round(tf * (ln(((SELECT count(*) FROM documents) + 1.0)
+                                    / (df + 1)) + 1), 6) + 0.0 AS s
+              FROM tfc JOIN dfc USING (token)),
+    kw AS (SELECT doc_id, rnk, token,
+                  CAST(round(s * 1000000) AS BIGINT) AS sm FROM (
+             SELECT doc_id, token, s, row_number() OVER (
+               PARTITION BY doc_id ORDER BY s DESC, token ASC) AS rnk
+             FROM tfidf) t WHERE rnk <= 3),
     oov AS (SELECT d.doc_id,
                    CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
                    CAST(coalesce(c.n_oov, 0) AS BIGINT) AS n_oov
@@ -1969,6 +1980,8 @@ def q_pack_sequences(spark, sf):
     FROM shrd
     UNION ALL
     SELECT 4, doc_id, n_oov, n_tokens, '-' FROM oov
+    UNION ALL
+    SELECT 5, doc_id, CAST(rnk AS BIGINT), sm, token FROM kw
     """,
 )
 def q_tokenize_suite(spark, sf):
@@ -1983,9 +1996,10 @@ def q_tokenize_suite(spark, sf):
     in-shard rank, the pre-training global shuffle), kind 4 = per-doc
     out-of-vocabulary counts under the top-100 vocab (in-row
     membership fold against the broadcast vocab array -- the
-    tokenizer-coverage signal).  payload carries the chunk text / bin
-    id / token / '-' so one schema covers all five
-    (functions/tokenize.py)."""
+    tokenizer-coverage signal), kind 5 = per-doc top-3 TF-IDF
+    keywords (smoothed idf, micro-unit scores).  payload carries the
+    chunk text / bin id / token / '-' / keyword so one schema covers
+    all six (functions/tokenize.py, functions/text.py)."""
     from .functions import tokenize as TK
 
     docs = _docs(spark, sf)
@@ -2015,9 +2029,16 @@ def q_tokenize_suite(spark, sf):
         k(4), "doc_id", F.col("n_oov").alias("seq_id"),
         "n_tokens", F.lit("-").alias("payload"),
     )
+    from .functions import text as TX
+
+    kw = TX.tfidf_keywords(docs, k=3).select(
+        k(5), "doc_id", F.col("rank").alias("seq_id"),
+        F.round(F.col("tfidf") * 1_000_000).cast("long").alias("n_tokens"),
+        F.col("token").alias("payload"),
+    )
     return (
         chunks.unionByName(packed).unionByName(vocab)
-        .unionByName(shards).unionByName(oov)
+        .unionByName(shards).unionByName(oov).unionByName(kw)
     )
 
 

@@ -344,3 +344,32 @@ def test_perplexity_buckets_terciles(spark):
     )
     out2 = {r["doc_id"]: r["ppl_bucket"] for r in perplexity_buckets(lm2).collect()}
     assert out2 == {0: "head", 1: "head", 2: "head", 3: "tail"}
+
+
+def test_tfidf_keywords_ranks_rare_terms(spark):
+    from dask_array_spark.functions.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common common"),
+            (2, "common rare2 rare2"),
+            (3, "common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in tfidf_keywords(docs, k=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["rank"], r["token"]))
+    for d in out:
+        out[d].sort()
+    # doc 1: 'common' tf=3 x idf(ln(4/4)+1=1) = 3.0 beats 'rare1'
+    # (1 x (ln(2)+1) ~ 1.693); doc 2: 'rare2' tf=2 doubles the idf
+    # boost and outranks 'common'
+    assert out[1] == [(1, "common"), (2, "rare1")]
+    assert out[2] == [(1, "rare2"), (2, "common")]
+    assert [t for _, t in out[3]] == ["common"]
+    import math
+    r = {(x["doc_id"], x["token"]): x["tfidf"]
+         for x in tfidf_keywords(docs, k=2).collect()}
+    assert abs(r[(1, "common")] - 3.0) < 1e-9
+    assert abs(r[(2, "rare2")] - 2 * (math.log(4 / 2) + 1)) < 1e-5
