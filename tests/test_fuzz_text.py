@@ -102,3 +102,56 @@ def test_pack_matches_python_nextfit(spark, lengths, budget):
         bins.append(cur)
         fill += n
     assert [r["bin_id"] for r in out] == bins, (lengths, budget)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TOKENS, min_size=1, max_size=5))
+def test_tfidf_keywords_matches_python(spark, token_lists):
+    """tfidf_keywords == the smoothed tf-idf formula + (score desc,
+    token asc) ranking computed in plain Python."""
+    import math
+
+    from dask_array_spark.functions.text import tfidf_keywords
+
+    docs = _mk_docs(spark, token_lists)
+    got = {}
+    for r in tfidf_keywords(docs, k=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["token"], round(r["tfidf"], 6))
+        )
+    for d in got:
+        got[d].sort()
+
+    n = len(token_lists)
+    df_counts = Counter()
+    for toks in token_lists:
+        for t in set(toks):
+            df_counts[t] += 1
+    want = {}
+    for i, toks in enumerate(token_lists):
+        tf = Counter(toks)
+        scored = sorted(
+            (
+                (-round(c * (math.log((n + 1) / (df_counts[t] + 1)) + 1), 6), t)
+                for t, c in tf.items()
+            ),
+        )[:2]
+        want[i] = [
+            (rk + 1, t, round(-s, 6)) for rk, (s, t) in enumerate(scored)
+        ]
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(TOKENS, min_size=1, max_size=5))
+def test_oov_rate_matches_python(spark, token_lists):
+    from dask_array_spark.functions.tokenize import oov_rate, vocab_top_k
+
+    docs = _mk_docs(spark, token_lists)
+    vocab = {r["token"] for r in vocab_top_k(docs, k=3).collect()}
+    out = {r["doc_id"]: r for r in oov_rate(docs, k=3).collect()}
+    for i, toks in enumerate(token_lists):
+        n_oov = sum(1 for t in toks if t not in vocab)
+        assert out[i]["n_tokens"] == len(toks)
+        assert out[i]["n_oov"] == n_oov
+        assert abs(out[i]["oov_rate"] - round(n_oov / len(toks), 6)) < 1e-9
