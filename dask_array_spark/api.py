@@ -368,5 +368,64 @@ from .operators.parity import (  # noqa: F401
 )
 from .operators.reductions import arg_reduction  # noqa: F401
 from .sources.ingest import from_tiledb, to_tiledb  # noqa: F401  (lib-gated stubs)
+
+# -- namespace alias tail (round-5 audit: the 53 remaining reference
+# names -- dunder-dispatching aliases, dtype/constant names,
+# ufunc/gufunc wrappers, nextafter/spacing/i0) ----------------------------
+from .operators.ufuncs import (  # noqa: F401
+    abs,  # noqa: A004
+    add,
+    as_gufunc,
+    bitwise_and,
+    bitwise_not,
+    bitwise_or,
+    bitwise_xor,
+    bool,  # noqa: A004
+    complex64,
+    complex128,
+    conjugate,
+    divide,
+    divmod,  # noqa: A004
+    e,
+    equal,
+    euler_gamma,
+    fabs,
+    float32,
+    float64,
+    floor_divide,
+    greater,
+    greater_equal,
+    gufunc,
+    i0,
+    inf,
+    int8,
+    int16,
+    int32,
+    int64,
+    invert,
+    isreal,
+    less,
+    less_equal,
+    mod,
+    multiply,
+    nan,
+    negative,
+    newaxis,
+    nextafter,
+    not_equal,
+    optimize,
+    pi,
+    positive,
+    power,
+    remainder,
+    spacing,
+    subtract,
+    true_divide,
+    ufunc,
+    uint8,
+    uint16,
+    uint32,
+    uint64,
+)
 from . import random  # noqa: F401  (da.random namespace)
 from . import chunk  # noqa: F401  (da.chunk block-kernel helpers)

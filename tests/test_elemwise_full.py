@@ -195,3 +195,140 @@ def test_choose_with_array_choices(spark):
     out = E.choose(from_numpy(spark, idx_np), arrs)
     want = np.choose(idx_np.astype(int), [a_np, a_np * 10, a_np * 100])
     assert np.allclose(out.compute(), want)
+
+
+# -- round-6 namespace alias tail (reference __init__ parity) -------------
+
+
+def test_binary_alias_dispatch(spark, xs):
+    """add/subtract/... dispatch through the Array dunders, including
+    the scalar-first reflected forms (reference exports these as
+    np.ufunc wrappers, _ufunc.py:249-300)."""
+    import dask_array_spark.api as da
+
+    arr, a = xs
+    b = np.array([1.5, -0.5, 2.0, 1.0, -2.0, 0.5, 3.0, -1.0])
+    brr = da.from_numpy(spark, b)
+    assert_eq(da.add(arr, brr), a + b)
+    assert_eq(da.subtract(arr, brr), a - b)
+    assert_eq(da.multiply(arr, brr), a * b)
+    assert_eq(da.divide(arr, brr), a / b)
+    assert_eq(da.true_divide(2.0, brr), 2.0 / b)  # reflected scalar-first
+    assert_eq(da.power(da.abs(arr), 2.0), np.abs(a) ** 2.0)
+    assert_eq(da.mod(arr, 2.0), np.mod(a, 2.0))  # sign-of-divisor, like np.mod
+    assert_eq(da.negative(arr), -a)
+    assert_eq(da.positive(arr), +a)
+    assert_eq(da.fabs(arr), np.fabs(a))
+
+
+def test_comparison_alias_dispatch(spark, xs):
+    import dask_array_spark.api as da
+
+    arr, a = xs
+    assert_eq(da.equal(arr, 1.0).astype("long"), (a == 1.0).astype("int64"))
+    assert_eq(da.not_equal(arr, 0.0).astype("long"), (a != 0.0).astype("int64"))
+    assert_eq(da.greater(arr, 0.0).astype("long"), (a > 0.0).astype("int64"))
+    assert_eq(da.less_equal(arr, 1.0).astype("long"), (a <= 1.0).astype("int64"))
+    # scalar-first reflected comparison
+    assert_eq(da.greater(1.0, arr).astype("long"), (1.0 > a).astype("int64"))
+
+
+def test_bitwise_alias_dispatch(spark):
+    import dask_array_spark.api as da
+
+    a = np.array([0, 1, 2, 3, 12, 255], dtype="int64")
+    b = np.array([1, 1, 3, 5, 10, 15], dtype="int64")
+    arr, brr = da.from_numpy(spark, a), da.from_numpy(spark, b)
+    assert_eq(da.bitwise_and(arr, brr), a & b)
+    assert_eq(da.bitwise_or(arr, brr), a | b)
+    assert_eq(da.bitwise_xor(arr, brr), a ^ b)
+    assert_eq(da.bitwise_not(arr), ~a)
+    assert_eq(da.invert(arr), ~a)
+
+
+def test_conjugate_isreal(spark):
+    import dask_array_spark.api as da
+
+    re = np.array([1.0, -2.0, 0.5])
+    im = np.array([0.5, 0.0, -3.0])
+    c = da.make_complex(da.from_numpy(spark, re), da.from_numpy(spark, im))
+    assert_eq(da.imag(da.conjugate(c)), -im)
+    assert_eq(da.real(da.conjugate(c)), re)
+    assert_eq(da.isreal(c).astype("long"), (im == 0).astype("int64"))
+    r = da.from_numpy(spark, re)
+    assert_eq(da.conjugate(r), re)  # identity on real arrays
+    assert_eq(da.isreal(r).astype("long"), np.ones(3, dtype="int64"))
+
+
+def test_nextafter_spacing_i0(spark):
+    """The three genuinely-new ufuncs vs the numpy oracle (reference
+    _ufunc.py:363-364,390)."""
+    import dask_array_spark.api as da
+
+    a = np.array([-2.5, -1.0, 0.0, 1.0, 1.5, 1e10, -1e-300])
+    arr = da.from_numpy(spark, a)
+    assert_eq(da.nextafter(arr, 10.0), np.nextafter(a, 10.0), rtol=0, atol=0)
+    b = np.array([1.0, -1.0, 0.0, 5.0, -2.0, 1e10, 0.0])
+    brr = da.from_numpy(spark, b)
+    assert_eq(da.nextafter(arr, brr), np.nextafter(a, b), rtol=0, atol=0)
+    assert_eq(da.spacing(arr), np.spacing(a), rtol=0, atol=0)
+    x = np.array([0.0, 0.5, 1.0, 2.5, 3.7])
+    assert_eq(da.i0(da.from_numpy(spark, x)), np.i0(x), rtol=1e-12)
+
+
+def test_ufunc_wrapper_and_outer(spark):
+    """da.ufunc wraps an elemwise callable with nin/nout metadata and
+    an outer() built on expand_dims broadcasting (reference
+    _ufunc.py:189-240)."""
+    import dask_array_spark.api as da
+    from dask_array_spark.operators.elemwise import maximum
+
+    u = da.ufunc(maximum)
+    assert u.nin == 2 and u.nout == 1
+    a = np.array([1.0, 5.0, 3.0])
+    b = np.array([2.0, 4.0])
+    arr, brr = da.from_numpy(spark, a), da.from_numpy(spark, b)
+    c = np.array([2.0, 4.0, 0.0])
+    assert_eq(u(arr, da.from_numpy(spark, c)), np.maximum(a, c))
+    assert_eq(u.outer(arr, brr), np.maximum.outer(a, b))
+    import pytest
+
+    with pytest.raises(ValueError):
+        da.ufunc(lambda x: x, nin=1).outer(arr, brr)
+
+
+def test_gufunc_and_as_gufunc(spark):
+    """Bound gufunc + decorator form delegate to apply_gufunc
+    (reference _gufunc.py:544,707)."""
+    import dask_array_spark.api as da
+
+    a = np.arange(12, dtype="float64").reshape(3, 4)
+    arr = da.from_numpy(spark, a)
+
+    g = da.gufunc(lambda x: x.sum(axis=-1), signature="(i)->()")
+    assert_eq(g(arr), a.sum(axis=-1))
+
+    @da.as_gufunc("(i)->()")
+    def rowmax(x):
+        return x.max(axis=-1)
+
+    assert_eq(rowmax(arr), a.max(axis=-1))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        da.gufunc(lambda x: x)  # signature is required
+
+
+def test_optimize_and_constants(spark):
+    import dask_array_spark.api as da
+
+    a = np.array([1.0, 2.0])
+    arr = da.from_numpy(spark, a)
+    assert da.optimize(arr) is arr  # Catalyst optimizes at action time
+    assert da.newaxis is None
+    assert da.pi == np.pi and da.e == np.e
+    assert np.isnan(da.nan) and da.inf == np.inf
+    assert da.euler_gamma == np.euler_gamma
+    assert da.float64 is np.float64 and da.int32 is np.int32
+    assert da.complex128 is np.complex128
