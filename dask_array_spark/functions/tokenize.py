@@ -264,11 +264,21 @@ def write_shards(
     )
 
 
+#: vocab sizes at or below this use the zero-shuffle in-row probe;
+#: above it the broadcast-hash-join probe wins (A/B: at k=50k on the
+#: sf0.1 documents the in-row scan did not finish a single pass in 10
+#: minutes -- 5e10 string compares -- while the join form completes in
+#: ~1 s; at k=100 the in-row form is faster by skipping the re-agg
+#: shuffle).
+OOV_INROW_MAX = 4096
+
+
 def oov_rate(
     df: DataFrame,
     k: int = 100,
     vocab: DataFrame | None = None,
     text_col: str = "text",
+    probe: str = "auto",
 ) -> DataFrame:
     """Per-document out-of-vocabulary rate under a top-k token
     vocabulary: (doc_id, n_tokens, n_oov, oov_rate) -- the tokenizer-
@@ -277,32 +287,82 @@ def oov_rate(
     are flagged by a high rate).  ``vocab`` defaults to
     ``vocab_top_k(df, k)`` (self-vocabulary); pass the production
     vocabulary to score a new corpus against an existing tokenizer.
+    ``vocab`` tokens must be distinct (vocab_top_k guarantees this).
 
-    Scale shape: the vocabulary is k rows and broadcast as an IN-ROW
-    membership array (sorted token list in one row), so each
-    document's OOV count folds inside its own row with
-    array_contains -- the corpus is never exploded and never
-    shuffled; the whole scorer is one stream-composable projection
-    after the tiny vocab aggregate."""
+    Two probe strategies, because Spark has NO in-row O(1) membership
+    structure -- ``array_contains`` is a linear scan and MAP lookup
+    (``element_at``/``map_contains_key``) is ALSO a linear scan over
+    ArrayBasedMapData, with the added cost that a crossJoined map
+    column is copied into every row buffer:
+
+    - ``inrow`` (vocab <= OOV_INROW_MAX): broadcast the vocab as one
+      sorted in-row array; each document folds its OOV count inside
+      its own row.  Zero shuffle, stream-composable, linear-but-tiny
+      scan per token.
+    - ``join`` (large vocab): explode tokens, LEFT broadcast-hash-join
+      against the vocab (a true O(1) hash probe per token, whole-stage
+      codegen), re-aggregate per doc_id.  Map-side partial agg folds
+      each document's tokens before the exchange, so the shuffle
+      carries one small row per document -- the 100 TB-safe shape for
+      a production 50k-250k-entry tokenizer vocabulary.
+
+    ``probe="auto"`` picks by vocabulary size (k when self-built, else
+    one vocab-sized count() -- a documented bounded scalar action)."""
     if vocab is None:
         vocab = vocab_top_k(df, k, text_col)
-    vrow = vocab.agg(F.array_sort(F.collect_list("token")).alias("__vocab"))
-    toks = tokens_col(text_col)
-    n_tok = F.size(toks).cast("long")
-    n_oov = F.size(
-        F.filter(toks, lambda t: ~F.array_contains(F.col("__vocab"), t))
-    ).cast("long")
+        n_vocab = k
+    else:
+        n_vocab = None
+    if probe == "auto":
+        if n_vocab is None:
+            n_vocab = vocab.count()  # bounded: vocab is k rows
+        probe = "inrow" if n_vocab <= OOV_INROW_MAX else "join"
+    if probe == "inrow":
+        vrow = vocab.agg(F.array_sort(F.collect_list("token")).alias("__vocab"))
+        toks = tokens_col(text_col)
+        n_tok = F.size(toks).cast("long")
+        n_oov = F.size(
+            F.filter(toks, lambda t: ~F.array_contains(F.col("__vocab"), t))
+        ).cast("long")
+        return (
+            df.crossJoin(F.broadcast(vrow))
+            .select(
+                "doc_id",
+                n_tok.alias("n_tokens"),
+                n_oov.alias("n_oov"),
+                _rate(n_oov, n_tok),
+            )
+        )
+    if probe != "join":
+        raise ValueError(f"probe must be auto|inrow|join, got {probe!r}")
+    ex = df.select("doc_id", F.explode_outer(tokens_col(text_col)).alias("__tok"))
+    vt = F.broadcast(
+        vocab.select(F.col("token").alias("__tok"), F.lit(True).alias("__in"))
+    )
+    tok = F.col("__tok")
+    n_tok = F.count("__tok")  # non-null only: empty docs keep n_tokens=0
+    n_oov = F.sum(
+        F.when(tok.isNotNull() & F.col("__in").isNull(), 1).otherwise(0)
+    )
     return (
-        df.crossJoin(F.broadcast(vrow))
+        ex.join(vt, "__tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            n_tok.cast("long").alias("n_tokens"),
+            n_oov.cast("long").alias("n_oov"),
+        )
         .select(
             "doc_id",
-            n_tok.alias("n_tokens"),
-            n_oov.alias("n_oov"),
-            F.when(
-                n_tok > 0,
-                F.round(n_oov.cast("double") / n_tok, 6) + F.lit(0.0),
-            )
-            .otherwise(F.lit(0.0))
-            .alias("oov_rate"),
+            "n_tokens",
+            "n_oov",
+            _rate(F.col("n_oov"), F.col("n_tokens")),
         )
+    )
+
+
+def _rate(n_oov, n_tok):
+    return (
+        F.when(n_tok > 0, F.round(n_oov.cast("double") / n_tok, 6) + F.lit(0.0))
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate")
     )

@@ -274,6 +274,36 @@ def test_oov_rate_self_and_external_vocab(spark):
     assert (out2[1]["n_oov"], out2[2]["n_oov"], out2[3]["n_oov"]) == (3, 0, 2)
 
 
+def test_oov_rate_probe_equivalence(spark):
+    """The zero-shuffle in-row scan and the broadcast-hash-join probe
+    are interchangeable: identical rows (incl. empty docs, which the
+    join path keeps via explode_outer), and auto picks join above
+    OOV_INROW_MAX."""
+    from dask_array_spark.functions.tokenize import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a a b z"), (2, "q q"), (3, "a b"), (4, ""), (5, "   ")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame([("a",), ("q",)], "token string")
+    rows_in = sorted(
+        tuple(r) for r in oov_rate(docs, vocab=vocab, probe="inrow").collect()
+    )
+    rows_jn = sorted(
+        tuple(r) for r in oov_rate(docs, vocab=vocab, probe="join").collect()
+    )
+    assert rows_in == rows_jn
+    assert (4, 0, 0, 0.0) in rows_jn and (5, 0, 0, 0.0) in rows_jn
+    # the join probe's plan is a broadcast hash join + pre-exchange
+    # partial agg (the 100 TB shape for a large vocabulary)
+    plan = oov_rate(docs, vocab=vocab, probe="join")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    import pytest
+
+    with pytest.raises(ValueError):
+        oov_rate(docs, vocab=vocab, probe="nope")
+
+
 import numpy as np
 import pytest
 
