@@ -490,6 +490,21 @@ def duplicate_clusters(
         labels = doubled
         if done:
             break
+    else:
+        # loop exhausted max_iters and the final probe (it always runs
+        # on the last iteration) reported labels still moving --
+        # surface it instead of silently returning under-merged
+        # clusters into downstream drop lists
+        import warnings
+
+        warnings.warn(
+            f"duplicate_clusters: min-label propagation did not converge "
+            f"within max_iters={max_iters}; returned clusters may be "
+            f"under-merged (raise max_iters -- rounds needed is "
+            f"O(log graph diameter))",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     sizes = labels.groupBy("rep").agg(F.count(F.lit(1)).alias("csize"))
     out = labels.join(sizes, on="rep").select(
         F.col("v").alias("doc_id"), "rep", F.col("csize").cast("long")

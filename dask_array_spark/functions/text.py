@@ -280,6 +280,7 @@ def bigram_lm_scores(
     ref: DataFrame | None = None,
     min_count: int = 2,
     text_col: str = "text",
+    broadcast_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """CCNet-style n-gram language-model quality score: mean
     bits-per-bigram -log2 P(w_i | w_{i-1}) under an add-one-smoothed
@@ -298,14 +299,24 @@ def bigram_lm_scores(
 
     Scale shape (the 100 TB story): the model side (unigram + pruned
     bigram counts) is VOCAB-sized, not corpus-sized, built with two
-    partial-aggregated explode+groupBy passes over the reference; the
-    scoring side explodes each document's bigrams once and equi-joins
-    the model tables on the gram hash (Zipf head keys are hot but
-    partial aggregation has already collapsed the model to one row per
-    gram, and the join fans out only per-document grams).  The vocab
-    size V joins as a one-row crossJoin, never a collected literal."""
+    partial-aggregated explode+groupBy passes over the reference.  By
+    default the model tables are persisted and counted (two
+    vocab-sized scalar actions) and, when under ``broadcast_rows``,
+    BROADCAST into the scoring joins -- each document's grams then
+    probe a hash map map-side, so the corpus is never shuffled and the
+    Zipf-head gram keys ("the ..." bigrams) cannot pile onto one
+    sort-merge reducer.  The hashed-token projection of a self-scored
+    corpus is computed ONCE (persisted at its fan-out into unigram /
+    bigram counts and the scoring side); the returned plan pins that
+    cache entry and the two model tables (see the functions-tier
+    persist policy note in functions/__init__.py).  Above the gate, or
+    with ``broadcast_rows=None``, the joins fall back to the fully
+    lazy shuffle form (no persists, no driver actions) -- the vocab
+    size then rides along as a one-row crossJoin instead of a
+    literal."""
     if ref is None:
         ref = df
+    self_ref = ref is df
     P_ = F.lit(P)
 
     def th_col(d):
@@ -316,8 +327,8 @@ def bigram_lm_scores(
             ),
         )
 
-    def bigrams(d):
-        dd = th_col(d).filter(F.size("__th") >= 2)
+    def bigrams_of(th):
+        dd = th.filter(F.size("__th") >= 2)
         idx = F.sequence(F.lit(1), F.size("__th") - 1)
         pair = F.transform(
             idx,
@@ -333,33 +344,53 @@ def bigram_lm_scores(
             "doc_id", F.col("s.ph").alias("ph"), F.col("s.bh").alias("bh")
         )
 
-    runi = (
-        th_col(ref)
-        .select(F.explode("__th").alias("ph"))
-        .groupBy("ph")
-        .agg(F.count(F.lit(1)).alias("cu"))
-    )
-    rbi = (
-        bigrams(ref)
-        .groupBy("bh")
-        .agg(F.count(F.lit(1)).alias("cb"))
-        .filter(F.col("cb") >= min_count)
-    )
-    vocab = runi.agg(F.count(F.lit(1)).alias("__v"))
-    bits = -F.log2(
-        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1)).cast("double")
-        / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("__v")).cast("double")
-    )
-    return (
-        bigrams(df)
-        .join(runi, on="ph", how="left")
-        .join(rbi, on="bh", how="left")
-        .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_lm_bigrams"),
-            (F.round(F.avg(bits), 6) + F.lit(0.0)).alias("lm_bits"),
+    def model_tables(th_ref):
+        runi = (
+            th_ref.select(F.explode("__th").alias("ph"))
+            .groupBy("ph")
+            .agg(F.count(F.lit(1)).alias("cu"))
         )
+        rbi = (
+            bigrams_of(th_ref)
+            .groupBy("bh")
+            .agg(F.count(F.lit(1)).alias("cb"))
+            .filter(F.col("cb") >= min_count)
+        )
+        return runi, rbi
+
+    def score(grams, runi, rbi, v_col):
+        bits = -F.log2(
+            (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1)).cast("double")
+            / (F.coalesce(F.col("cu"), F.lit(0)) + v_col).cast("double")
+        )
+        return grams.join(runi, on="ph", how="left").join(
+            rbi, on="bh", how="left"
+        ), bits
+
+    if broadcast_rows is None:
+        # fully lazy legacy shape: sort-merge model joins, vocab size
+        # as a one-row crossJoin
+        runi, rbi = model_tables(th_col(ref))
+        vocab = runi.agg(F.count(F.lit(1)).alias("__v"))
+        joined, bits = score(bigrams_of(th_col(df)), runi, rbi, F.col("__v"))
+        joined = joined.crossJoin(F.broadcast(vocab))
+    else:
+        th_ref = th_col(ref).persist()
+        runi, rbi = model_tables(th_ref)
+        runi, rbi = runi.persist(), rbi.persist()
+        nv, nb = runi.count(), rbi.count()
+        if not self_ref:
+            # both consumers (the model counts) are materialized; the
+            # scoring side re-derives from df, so the ref projection
+            # cache is dead weight past this point
+            th_ref.unpersist()
+        runi_j = F.broadcast(runi) if nv <= broadcast_rows else runi
+        rbi_j = F.broadcast(rbi) if nb <= broadcast_rows else rbi
+        grams = bigrams_of(th_ref if self_ref else th_col(df))
+        joined, bits = score(grams, runi_j, rbi_j, F.lit(nv))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lm_bigrams"),
+        (F.round(F.avg(bits), 6) + F.lit(0.0)).alias("lm_bits"),
     )
 
 
@@ -399,20 +430,52 @@ def perplexity_buckets(
     bit-for-bit on the 6-decimal-rounded scores.
 
     Scale shape: scores first collapse to a (value, count) table (one
-    partial-aggregated shuffle, rows bounded by DISTINCT 6-decimal
-    score values -- value-granularity, not corpus size); the running
-    total is a window over that value table; the cut rows are a
-    len(qs)-row broadcast crossJoin.  No corpus-sized sort and no
-    in-memory percentile map anywhere."""
-    from pyspark.sql.window import Window
+    partial-aggregated shuffle).  Distinct 6-decimal score values are
+    ~corpus-sized in practice (lm_bits is a per-doc mean), so the
+    running total is computed WITHOUT any global single-task window:
+    values coarse-bin by floor(score*100) (monotone, so (bin, score)
+    order == score order), the within-bin cumulative runs as a window
+    PARTITIONED by bin (distributed across executors), and the
+    bin-start offsets come from one window over the tiny per-bin
+    totals table (rows bounded by 100x the score range, ~4k for
+    lm_bits).  Full cumulative = offset + within-bin -- identical to
+    the single-window result, with no corpus-sized sort through one
+    task.  The cut rows are a len(qs)-row broadcast crossJoin.
 
+    ``lm`` is scanned several times (the count, the value table, the
+    final assignment); it is persisted here if the caller has not
+    already cached it, and the returned plan pins that entry (see the
+    functions-tier persist policy note in functions/__init__.py)."""
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    if lm.storageLevel == StorageLevel.NONE:
+        lm = lm.persist()
     n = lm.count()  # scalar action; documented driver-side bound
-    counts = lm.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
-    w = (
-        Window.orderBy(F.col(score_col).asc())
+    sc = F.col(score_col)
+    counts = lm.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c")).withColumn(
+        "__bin", F.floor(sc * 100).cast("long")
+    )
+    w_in = (
+        Window.partitionBy("__bin")
+        .orderBy(sc.asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = counts.withColumn("__cum", F.sum("__c").over(w))
+    w_bins = (
+        Window.orderBy(F.col("__bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    boff = (
+        counts.groupBy("__bin")
+        .agg(F.sum("__c").alias("__bc"))
+        .withColumn("__boff", F.sum("__bc").over(w_bins) - F.col("__bc"))
+        .select("__bin", "__boff")
+    )
+    cum = (
+        counts.withColumn("__cumin", F.sum("__c").over(w_in))
+        .join(F.broadcast(boff), on="__bin")
+        .withColumn("__cum", F.col("__boff") + F.col("__cumin"))
+    ).persist()
     labels = (
         ["head", "middle", "tail"] if len(qs) == 2
         else [f"b{i}" for i in range(len(qs) + 1)]
@@ -454,7 +517,11 @@ def tfidf_keywords(
     table again by token (vocab-sized result, no second corpus
     pass); N joins as a one-row broadcast crossJoin; the final
     per-doc top-k is a rank window partitioned by doc_id -- no
-    global sort, no corpus-sized broadcast."""
+    global sort, no corpus-sized broadcast.
+
+    The term-count table persists at its fan-out (tf scores + document
+    frequencies) and the returned plan pins that cache entry -- see
+    the persist policy note in functions/__init__.py."""
     from pyspark.sql.window import Window
 
     tf = (

@@ -2133,7 +2133,8 @@ def q_minhash_sigs(spark, sf):
     WITH sigs AS ({_SIGS_SQL}),
     bh AS (SELECT doc_id, sig_id AS band,
                   (17 * 1000003 + sig % 1000000007) % 1000000007 AS bh
-           FROM sigs)
+           FROM sigs
+           QUALIFY count(*) OVER (PARTITION BY band, bh) <= 10000)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS n_bands
     FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh
@@ -2158,7 +2159,8 @@ def q_minhash_pairs(spark, sf):
     sigs AS ({_SIGS_SQL}),
     bh AS (SELECT doc_id, sig_id AS band,
                   (17 * 1000003 + sig % 1000000007) % 1000000007 AS bh
-           FROM sigs),
+           FROM sigs
+           QUALIFY count(*) OVER (PARTITION BY band, bh) <= 10000),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
               FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh
                                  AND a.doc_id < b.doc_id
@@ -2613,7 +2615,8 @@ def q_embed_cosine_pairs(spark, sf):
     fsigs AS ({_SIGS_SQL}),
     fbh AS (SELECT doc_id, sig_id AS band,
                    (17 * 1000003 + sig % 1000000007) % 1000000007 AS bh
-            FROM fsigs),
+            FROM fsigs
+            QUALIFY count(*) OVER (PARTITION BY band, bh) <= 10000),
     fpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
                FROM fbh a JOIN fbh b ON a.band = b.band AND a.bh = b.bh
                                     AND a.doc_id < b.doc_id
@@ -4043,7 +4046,8 @@ def q_text_suite(spark, sf):
     sigs AS ({_SIGS_SQL}),
     bh AS (SELECT doc_id, sig_id AS band,
                   (17 * 1000003 + sig % 1000000007) % 1000000007 AS bh
-           FROM sigs),
+           FROM sigs
+           QUALIFY count(*) OVER (PARTITION BY band, bh) <= 10000),
     pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(count(*) AS BIGINT) AS n_bands
               FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh

@@ -100,3 +100,43 @@ def test_cosine_bucket_cap(spark):
     got = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
     assert (100, 101) in got
     assert all(a >= 100 for a, _ in got)
+
+
+def test_cap_oracle_qualify_equivalence(spark):
+    """The registry oracles express the hot-bucket cap as
+    ``QUALIFY count(*) OVER (PARTITION BY band, bh) <= cap``; pin that
+    this reproduces the engine's drop exactly on a corpus where the
+    cap actually bites (ADVICE r5: the oracles previously had no cap,
+    a latent divergence on any >10k band bucket)."""
+    import duckdb
+
+    from dask_array_spark.functions import dedup
+
+    texts = ["hot bucket boilerplate body " * 3] * 30 + [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",
+    ]
+    sigs = _sigs_for(spark, texts).persist()
+    got = sorted(
+        (r["doc_a"], r["doc_b"], r["n_bands"])
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket=20).collect()
+    )
+    con = duckdb.connect()
+    con.register("sigs", sigs.toPandas())
+    ora = sorted(
+        (int(a), int(b), int(n))
+        for a, b, n in con.execute(
+            """
+            WITH bh AS (SELECT doc_id, sig_id AS band,
+                               (17 * 1000003 + sig % 1000000007) % 1000000007 AS bh
+                        FROM sigs
+                        QUALIFY count(*) OVER (PARTITION BY band, bh) <= 20)
+            SELECT a.doc_id, b.doc_id, count(*)
+            FROM bh a JOIN bh b ON a.band = b.band AND a.bh = b.bh
+                               AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got == ora and len(got) > 0
+    sigs.unpersist()

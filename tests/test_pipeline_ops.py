@@ -403,3 +403,19 @@ def test_tfidf_keywords_ranks_rare_terms(spark):
          for x in tfidf_keywords(docs, k=2).collect()}
     assert abs(r[(1, "common")] - 3.0) < 1e-9
     assert abs(r[(2, "rare2")] - 2 * (math.log(4 / 2) + 1)) < 1e-5
+
+
+def test_duplicate_clusters_nonconvergence_warns(spark):
+    """Exhausting max_iters with labels still moving must be loud
+    (ADVICE r5: silently under-merged clusters would flow into
+    fuzzy-dedup drop lists)."""
+    import pytest
+
+    from dask_array_spark.functions.dedup import duplicate_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        rows = duplicate_clusters(chain, max_iters=1).collect()
+    assert len(rows) == 13  # labels returned even when unconverged
