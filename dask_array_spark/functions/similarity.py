@@ -187,12 +187,44 @@ def cosine_pairs_bucketed(
     )
 
 
-def ivf_assign(emb: DataFrame, n_cells: int = 4) -> DataFrame:
+def _codebook(
+    emb: DataFrame, n_cells: int, cents: DataFrame | None = None
+) -> DataFrame:
+    """The broadcastable (cell, cemb, cnrm) codebook side.  ``cents``
+    None (the default) keeps the deterministic first-``n_cells``-
+    vectors stub the DuckDB oracles replay; pass a trained (cell,
+    cemb) codebook -- e.g. the output of ``kmeans_fit`` -- to cluster
+    on it instead (the production path: train offline, broadcast the
+    tiny table the same way)."""
+    if cents is None:
+        return emb.filter(F.col("vec_id") < n_cells).select(
+            F.col("vec_id").alias("cell"),
+            F.col("embedding").alias("cemb"),
+            _norm_col().alias("cnrm"),
+        )
+    cnrm = F.sqrt(
+        F.aggregate(
+            "cemb",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return cents.select(
+        F.col("cell").cast("long").alias("cell"),
+        F.col("cemb"),
+        cnrm.alias("cnrm"),
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, n_cells: int = 4, cents: DataFrame | None = None
+) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
-    centroid by cosine (ties -> smaller cell id).  Centroids here are
-    the first ``n_cells`` vectors (a deterministic stand-in for a
-    k-means codebook -- in production the codebook is trained offline
-    and broadcast exactly the same way).  Returns (vec_id, cell).
+    centroid by cosine (ties -> smaller cell id).  The default
+    codebook is the first ``n_cells`` vectors (a deterministic
+    stand-in the oracles replay); pass ``cents`` -- a trained (cell,
+    cemb) codebook, e.g. from ``kmeans_fit`` -- to cluster on it
+    instead.  Returns (vec_id, cell).
 
     Scale shape: the centroid side is tiny and broadcast (whole
     arrays); the corpus is never exploded -- each dot product folds
@@ -200,11 +232,7 @@ def ivf_assign(emb: DataFrame, n_cells: int = 4) -> DataFrame:
     partial-aggregated max_by.  The corpus is never shuffled by pair
     and never broadcast."""
     corpus = emb.select("vec_id", "embedding", _norm_col().alias("nrm"))
-    cents = emb.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"),
-        F.col("embedding").alias("cemb"),
-        _norm_col().alias("cnrm"),
-    )
+    cents = _codebook(emb, n_cells, cents)
     dot = F.aggregate(
         F.zip_with(
             "embedding", "cemb", lambda x, y: x.cast("double") * y.cast("double")
@@ -229,6 +257,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 4,
     n_probe: int = 2,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: search only the ``n_probe``
     cells whose centroids are nearest each query (the scale path --
@@ -237,14 +266,12 @@ def ivf_topk(
     exact cosine among candidates, ties -> smaller vec_id.  Broadcast
     hints only on the query / centroid / probe sides; candidate
     arrays and norms ride the candidate rows -- no explode anywhere
-    (in-row zip_with dot products, like cosine_topk)."""
-    assign = ivf_assign(emb, n_cells)
+    (in-row zip_with dot products, like cosine_topk).  ``cents``
+    swaps the stub codebook for a trained one (see ``_codebook``);
+    it feeds both the assignment and the probe ranking."""
+    cents = _codebook(emb, n_cells, cents)
+    assign = ivf_assign(emb, n_cells, cents)
     corpus = emb.select("vec_id", "embedding", _norm_col().alias("nrm"))
-    cents = emb.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"),
-        F.col("embedding").alias("cemb"),
-        _norm_col().alias("cnrm"),
-    )
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
@@ -300,6 +327,7 @@ def semantic_dedup(
     n_cells: int = 4,
     eps: float = 0.95,
     max_cell: int | None = DEFAULT_MAX_BUCKET,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster
     embeddings with the IVF codebook, then inside each cluster drop
@@ -322,14 +350,12 @@ def semantic_dedup(
     are kept, flagged is_dup = false, and a degenerate cluster never
     goes quadratic).  Comparisons use 6-decimal-rounded cosines so
     the DuckDB oracle replays rank order and the eps boundary
-    bit-for-bit.
+    bit-for-bit.  ``cents`` swaps the stub codebook for a trained
+    (cell, cemb) one -- e.g. ``kmeans_fit`` output -- used for both
+    the assignment and the keep-diverse centroid-cosine ranking.
     """
-    assign = ivf_assign(emb, n_cells)
-    cents = emb.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell"),
-        F.col("embedding").alias("cemb"),
-        _norm_col().alias("cnrm"),
-    )
+    cents = _codebook(emb, n_cells, cents)
+    assign = ivf_assign(emb, n_cells, cents)
     cdot = F.aggregate(
         F.zip_with(
             "embedding", "cemb", lambda x, y: x.cast("double") * y.cast("double")

@@ -78,3 +78,57 @@ def test_dedup_confined_to_cluster(spark):
     rows = {r["vec_id"]: r for r in out.collect()}
     assert rows[2]["cell"] != rows[3]["cell"]
     assert not rows[2]["is_dup"] and not rows[3]["is_dup"]
+
+
+def test_trained_codebook_path(spark):
+    """ivf_assign / semantic_dedup accept a kmeans_fit-trained
+    codebook: assignment follows the TRAINED centroids, not the
+    first-k stub, and the dedup semantics are unchanged."""
+    from dask_array_spark.functions.similarity import (
+        ivf_assign,
+        kmeans_fit,
+        semantic_dedup,
+    )
+
+    # two tight clusters around the x- and y-axes, but the FIRST two
+    # vectors both sit in the x cluster -- the stub codebook (first-2
+    # vectors) cannot separate the clusters; a trained one does
+    vecs = [
+        [1.0, 0.0], [0.99, 0.01],            # x cluster (incl. both stubs)
+        [0.98, 0.02], [0.0, 1.0], [0.01, 0.99], [0.02, 0.98],
+    ]
+    emb = _emb(spark, vecs)
+    cents = kmeans_fit(emb, k=2, iters=3)
+    asg = {r["vec_id"]: r["cell"] for r in ivf_assign(emb, cents=cents).collect()}
+    x_cells = {asg[0], asg[1], asg[2]}
+    y_cells = {asg[3], asg[4], asg[5]}
+    assert len(x_cells) == 1 and len(y_cells) == 1 and x_cells != y_cells
+
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, eps=0.999, cents=cents).collect()
+    }
+    assert len(out) == 6
+    # vectors 0/1 (cos = 0.99995) dedup within the trained x cell;
+    # the y cluster's closest pair (cos(3,4) = 0.9998) stays distinct
+    # under eps=0.999?  cos(3,4) = (0*0.01 + 1*0.99)/(1*0.990...)
+    dropped = {v for v, r in out.items() if r["is_dup"]}
+    assert 1 in dropped or 0 in dropped
+    # cross-cluster: nothing in the y cluster pairs with the x cluster
+    assert all(out[v]["cell"] == asg[v] for v in out)
+
+
+def test_ivf_topk_trained_codebook(spark):
+    """ivf_topk with a trained codebook probes the right cell: a query
+    in the y cluster finds its y-cluster neighbors even though the
+    stub codebook would lump everything into one x-ish cell."""
+    from dask_array_spark.functions.similarity import ivf_topk, kmeans_fit
+
+    vecs = [
+        [1.0, 0.0], [0.99, 0.01], [0.98, 0.02],
+        [0.0, 1.0], [0.01, 0.99], [0.02, 0.98],
+    ]
+    emb = _emb(spark, vecs)
+    cents = kmeans_fit(emb, k=2, iters=3)
+    out = ivf_topk(emb, [3], k=2, n_probe=1, cents=cents).collect()
+    assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [4, 5]
