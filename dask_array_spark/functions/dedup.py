@@ -146,24 +146,24 @@ def lsh_candidate_pairs(
     (10k); pass ``None`` to keep every bucket.
 
     Plan shape: persisted band table + capped SELF-JOIN on
-    (band, bh), with TWO stage-count cuts measured this round (~20%
-    off the warm slot; each tiny stage costs a fixed ~0.3-0.8 s in
-    task/AQE overhead, so fewer stages wins even when every stage is
-    cheap):
+    (band, bh):
     - ``rows_per_band == 1`` (the default banding) computes the band
       hash as a PURE PROJECTION over the signature rows -- the
       ordered-fold aggregate (collect_list + array_sort, an
       ObjectHashAggregate that blocks whole-stage codegen) only runs
       when a band actually combines multiple rows;
-    - the hot-bucket cap is a COUNT WINDOW over (band, bh) instead of
-      a separate count-aggregate + equi-join: one shuffle that the
-      self-join's join keys then reuse straight from the persisted
-      result.  WindowExec buffers each bucket's rows before the
-      filter, but the buffer is disk-spilling
-      (ExternalAppendOnlyUnsafeRowArray) and holds 24-byte rows --
-      a degenerate 10M-member bucket spills ~240 MB to local disk
-      rather than OOMing, and the cap still drops it before the
-      quadratic join.
+    - the hot-bucket cap is a count-aggregate over the persisted band
+      table producing the (usually EMPTY) hot-bucket list, broadcast
+      into a LEFT ANTI join -- hot membership is checked map-side
+      with no extra shuffle of the band rows and no WindowExec
+      buffer.  A round-6 A/B at sf0.1 (min of 6 warm runs) measured
+      the three cap forms: this anti-join 1.74 s, the round-5 count
+      WINDOW over (band, bh) 1.89 s (the window's shuffle is NOT
+      reused by the self-join, and every bucket's rows buffer through
+      ExternalAppendOnlyUnsafeRowArray before the filter), a
+      non-broadcast count-rejoin 2.08 s.  The broadcast side is
+      bounded: buckets with > max_bucket members are, by construction,
+      rarer than n_docs x bands / max_bucket.
 
     A round-4 rewrite tried a single bucket aggregate (collect_list
     of the member set + posexplode/slice fan-out); a controlled A/B
@@ -176,8 +176,6 @@ def lsh_candidate_pairs(
     hot bucket.  The self-join shuffles the band table (n_docs x
     bands rows -- tiny relative to the corpus) but every stage stays
     partition-parallel."""
-    from pyspark.sql.window import Window
-
     if rows_per_band == 1:
         # one signature row per band: the fold below collapses to a
         # single affine step -- no aggregate, no shuffle
@@ -200,19 +198,22 @@ def lsh_candidate_pairs(
                 lambda a, x: (a * 1_000_003 + x) % F.lit(P),
             )).alias("bh")
         )
-    if max_bucket is not None:
-        w = Window.partitionBy("band", "bh")
-        bh = (
-            bh.withColumn("__bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("__bsz") <= max_bucket)
-            .drop("__bsz")
-        )
-    # persist-at-fan-out (SURVEY.md section 4.4): the self-join below
-    # consumes bh twice and Catalyst does not reuse the exchange across
-    # the differently-aliased branches -- without this the whole
-    # shingle->minhash lineage (the expensive part) runs twice.  The
-    # band table is tiny relative to the corpus (n_docs x bands rows).
+    # persist-at-fan-out (SURVEY.md section 4.4): every consumer below
+    # (the hot-bucket count, the anti-join probe side, and both
+    # self-join branches) reads bh, and Catalyst does not reuse the
+    # exchange across the differently-aliased branches -- without this
+    # the whole shingle->minhash lineage (the expensive part) runs
+    # once per consumer.  The band table is tiny relative to the
+    # corpus (n_docs x bands rows).
     bh = bh.persist()
+    if max_bucket is not None:
+        hot = (
+            bh.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "bh")
+        )
+        bh = bh.join(F.broadcast(hot), on=["band", "bh"], how="left_anti")
     a = bh.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = bh.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (
