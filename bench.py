@@ -9,8 +9,10 @@ Execution is measured with the noop sink (full distributed execution,
 no driver-side collect) -- the number is engine time, not toPandas
 transfer time.
 
-Methodology: each query executes THREE times with a short settle sleep
-between queries and reports the MINIMUM (steady-state throughput),
+Methodology: each query runs ONE untimed warmup execution (JIT, cache
+population, Arrow-worker spin-up), then executes THREE timed runs with
+a short settle sleep between queries and reports the MINIMUM
+(steady-state throughput),
 plus the min-max spread so the driver can see measurement noise
 (round 2's adjudication found a phantom 4.3x regression caused by
 machine load during a min-of-2 run).  Persisted fan-out tables are
@@ -133,6 +135,13 @@ def main() -> None:
     results: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name, fn in _headline():
+        # one UNTIMED warmup execution per slot: populates persisted
+        # fan-out tables, JITs the codegen'd stages, and spins up the
+        # Arrow workers the slot uses, so the timed min reflects the
+        # warm engine even when the machine is briefly contended
+        # during the first run (round-6 adjudication chased a phantom
+        # boolean_mask regression caused exactly by that cold spike)
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times = []
         for _ in range(max(runs, extra.get(name, 0))):
             t0 = time.perf_counter()

@@ -195,7 +195,13 @@ def _codebook(
     vectors stub the DuckDB oracles replay; pass a trained (cell,
     cemb) codebook -- e.g. the output of ``kmeans_fit`` -- to cluster
     on it instead (the production path: train offline, broadcast the
-    tiny table the same way)."""
+    tiny table the same way).  Idempotent: a ``cents`` that already
+    carries ``cnrm`` (i.e. a codebook this function produced) passes
+    through unchanged, so ivf_topk/semantic_dedup can prepare the
+    codebook once and hand it to ivf_assign without the plan
+    duplicating the norm fold."""
+    if cents is not None and "cnrm" in cents.columns:
+        return cents
     if cents is None:
         return emb.filter(F.col("vec_id") < n_cells).select(
             F.col("vec_id").alias("cell"),

@@ -4096,10 +4096,12 @@ def q_dedup_lsh_pairs_verify(spark, sf):
     keep-one-per-cluster step every production MinHash pipeline ends
     with, oracled by a DuckDB recursive transitive-closure CTE; kind
     2 = a per-document SIGNATURE checksum pair (sum of sigs mod P,
-    position-weighted sum mod P) that pins every individual (sig_id,
-    sig) value -- the signature math itself, not just the pairs it
-    induces (round-5 verdict ask 7).  Shingles and pairs persist at
-    their fan-outs."""
+    position-weighted sum mod P) over the signature math itself, not
+    just the pairs it induces (round-5 verdict ask 7).  The pair
+    detects any single-value error and any permutation of values
+    across positions; like any fixed-size checksum it is not a full
+    pinning -- compensating multi-position corruptions can collide
+    mod P.  Shingles and pairs persist at their fan-outs."""
     from .functions import dedup as D
     from .functions.text import P as _P
 

@@ -202,6 +202,42 @@ def test_lsh_pair_generation_is_partition_parallel(spark, sf_dir):
     assert "Join Inner" in opt_none and "collect_list(doc_id" not in opt_none
 
 
+def test_bigram_lm_model_joins_broadcast(spark, sf_dir):
+    """The bigram-LM scoring joins (unigram + pruned-bigram model
+    tables, text.py::bigram_lm_scores) must stay BROADCAST hash joins
+    under the default 2M-row gate, with ZERO SortMergeJoin anywhere in
+    the plan: the corpus is never shuffled for scoring, so the
+    Zipf-head gram keys ('the ...' bigrams) cannot pile onto one
+    sort-merge reducer -- the round-6 headline scale shape, pinned so
+    it cannot silently regress past the gate logic."""
+    from dask_array_spark.functions.text import bigram_lm_scores
+    from dask_array_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(300)
+    plan = _plan(bigram_lm_scores(docs))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_lsh_hot_bucket_cap_is_broadcast_anti_join(spark, sf_dir):
+    """The LSH hot-bucket cap must be a broadcast LEFT-ANTI join of
+    the (usually empty, always bounded) hot-bucket list -- checked
+    map-side with no extra shuffle of the band rows -- and the plan
+    must contain NO WindowExec (the round-5 count-window form buffered
+    every bucket through ExternalAppendOnlyUnsafeRowArray; the
+    round-6 A/B retired it).  Pinned per round-6 verdict ask 1."""
+    from dask_array_spark.functions import dedup as D
+    from dask_array_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(200)
+    sigs = D.minhash_signatures(D.shingle_hashes(docs), k=8)
+    plan = _plan(D.lsh_candidate_pairs(sigs, rows_per_band=1))
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti, "hot-bucket cap (LeftAnti join) missing from the plan"
+    assert all("BroadcastHashJoin" in l for l in anti)
+    assert "Window" not in plan
+
+
 def test_kmeans_inrow_distance_bounded_broadcast(spark, sf_dir):
     """kmeans_assign folds every distance IN-ROW (zip_with +
     aggregate lambda) against a broadcast codebook: the corpus side

@@ -109,11 +109,13 @@ def test_trained_codebook_path(spark):
         for r in semantic_dedup(emb, eps=0.999, cents=cents).collect()
     }
     assert len(out) == 6
-    # vectors 0/1 (cos = 0.99995) dedup within the trained x cell;
-    # the y cluster's closest pair (cos(3,4) = 0.9998) stays distinct
-    # under eps=0.999?  cos(3,4) = (0*0.01 + 1*0.99)/(1*0.990...)
+    # EVERY within-cluster pair clears eps=0.999 (the smallest is
+    # cos(0,2) = cos(3,5) = 0.98/sqrt(0.9608) ~= 0.999791), so each
+    # trained cell keeps exactly its one top-ranked member and drops
+    # the other two -- 4 duplicates total, one survivor per cluster
     dropped = {v for v, r in out.items() if r["is_dup"]}
-    assert 1 in dropped or 0 in dropped
+    assert len(dropped) == 4
+    assert len(dropped & {0, 1, 2}) == 2 and len(dropped & {3, 4, 5}) == 2
     # cross-cluster: nothing in the y cluster pairs with the x cluster
     assert all(out[v]["cell"] == asg[v] for v in out)
 
