@@ -4326,6 +4326,64 @@ _KMEANS_SQL = f"""
 """
 
 
+# the composed TRAINED path: kmeans_fit (2 Lloyd rounds, centroid
+# coordinates rounded to 6 decimals each round -- the c0..c2 CTE chain
+# of _KMEANS_SQL) feeding semantic_dedup's assignment, keep-diverse
+# ranking, and in-cell pair scan.  This is the production composition
+# (train the codebook, then dedup on it); the stub-codebook kind 3
+# stays alongside so both paths are oracle-checked.
+_SEMDEDUP_TRAINED_SQL = f"""
+    WITH ex AS ({_EX_SQL}),
+    c0 AS (SELECT vec_id AS cell, pos, e AS c FROM ex WHERE vec_id < 4),
+    d1 AS (SELECT ex.vec_id, c0.cell,
+                  round(SUM((ex.e - c0.c) * (ex.e - c0.c)), 6) + 0.0 AS dist
+           FROM ex JOIN c0 USING (pos) GROUP BY 1, 2),
+    a1 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS r
+             FROM d1) t WHERE r = 1),
+    c1 AS (SELECT a1.cell, ex.pos, round(AVG(ex.e), 6) + 0.0 AS c
+           FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+    d2 AS (SELECT ex.vec_id, c1.cell,
+                  round(SUM((ex.e - c1.c) * (ex.e - c1.c)), 6) + 0.0 AS dist
+           FROM ex JOIN c1 USING (pos) GROUP BY 1, 2),
+    a2 AS (SELECT vec_id, cell FROM (
+             SELECT vec_id, cell, row_number() OVER (
+               PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS r
+             FROM d2) t WHERE r = 1),
+    c2 AS (SELECT a2.cell, ex.pos, round(AVG(ex.e), 6) + 0.0 AS c
+           FROM ex JOIN a2 USING (vec_id) GROUP BY 1, 2),
+    cn AS (SELECT cell, sqrt(SUM(c * c)) AS cnrm FROM c2 GROUP BY 1),
+    vn AS (SELECT vec_id, sqrt(SUM(e * e)) AS nrm FROM ex GROUP BY 1),
+    cd AS (SELECT ex.vec_id, c2.cell, SUM(ex.e * c2.c) AS dot
+           FROM ex JOIN c2 USING (pos) GROUP BY 1, 2),
+    asg AS (SELECT vec_id, cell FROM (
+              SELECT cd.vec_id, cd.cell, row_number() OVER (
+                PARTITION BY cd.vec_id
+                ORDER BY cd.dot / (cn.cnrm * vn.nrm) DESC, cd.cell ASC) AS r
+              FROM cd JOIN cn USING (cell) JOIN vn USING (vec_id)) t
+            WHERE r = 1),
+    base AS (SELECT a.vec_id, a.cell,
+                    round(cd.dot / (vn.nrm * cn.cnrm), 6) + 0.0 AS ccos
+             FROM asg a JOIN cd ON cd.vec_id = a.vec_id AND cd.cell = a.cell
+             JOIN vn ON vn.vec_id = a.vec_id JOIN cn ON cn.cell = a.cell),
+    rk AS (SELECT vec_id, cell, ccos, row_number() OVER (
+             PARTITION BY cell ORDER BY ccos ASC, vec_id ASC) AS rnk FROM base),
+    exr AS (SELECT ex.vec_id, ex.pos, ex.e, rk.cell, rk.rnk, vn.nrm
+            FROM ex JOIN rk ON rk.vec_id = ex.vec_id
+            JOIN vn ON vn.vec_id = ex.vec_id),
+    pd AS (SELECT b.vec_id AS vec_b, a.rnk AS rnk_a,
+                  round(SUM(a.e * b.e) / (MIN(a.nrm) * MIN(b.nrm)), 6) + 0.0 AS cos
+           FROM exr a JOIN exr b ON a.cell = b.cell AND a.pos = b.pos
+                                AND a.rnk < b.rnk
+           GROUP BY 1, 2),
+    drp AS (SELECT DISTINCT vec_b AS vec_id FROM pd WHERE cos >= 0.35)
+    SELECT rk.vec_id, rk.cell, rk.ccos,
+           rk.vec_id IN (SELECT vec_id FROM drp) AS is_dup
+    FROM rk
+"""
+
+
 @query(
     "similarity_suite",
     f"""
@@ -4340,17 +4398,24 @@ _KMEANS_SQL = f"""
     FROM ({_SEMDEDUP_SQL}) sd
     UNION ALL
     SELECT 4, vec_id, cell, CAST(-1 AS BIGINT), dist FROM ({_KMEANS_SQL}) km
+    UNION ALL
+    SELECT 5, vec_id, cell, CAST(is_dup AS BIGINT), ccos
+    FROM ({_SEMDEDUP_TRAINED_SQL}) sdt
     """,
 )
 def q_similarity_suite(spark, sf):
     """similarity search tier: brute-force cosine top-k baseline (0),
     IVF probe-pruned ANN top-k (1), LSH-bucketed cosine near-dup pairs
     (2), SemDeDup semantic deduplication (3; Abbas et al. 2023 --
-    eps tuned to the synthetic embedding spread), and a distributed
+    eps tuned to the synthetic embedding spread), a distributed
     Lloyd k-means codebook fit, 2 rounds + final assignment (4; the
-    oracle replays every iteration as explicit CTE stages) -- all with
-    inline F.aggregate norms, no corpus-sized broadcast (the round-2
-    scale fix; plan-asserted in tests/test_plans.py)."""
+    oracle replays every iteration as explicit CTE stages), and the
+    COMPOSED trained path (5): kmeans_fit -> semantic_dedup(cents=...)
+    -- train the codebook, dedup on it, exactly the production
+    composition, with the oracle chaining the Lloyd CTEs into the
+    dedup CTEs (round-6 verdict ask 6) -- all with inline F.aggregate
+    norms, no corpus-sized broadcast (the round-2 scale fix;
+    plan-asserted in tests/test_plans.py)."""
     from .functions import similarity as SIM
 
     embs = _embs(spark, sf)
@@ -4370,11 +4435,19 @@ def q_similarity_suite(spark, sf):
         k(3), F.col("vec_id").alias("a"), F.col("cell").alias("b"),
         F.col("is_dup").cast("long").alias("rank"), F.col("ccos").alias("cos"),
     )
-    km = SIM.kmeans_assign(embs, SIM.kmeans_fit(embs, k=4, iters=2)).select(
+    trained = SIM.kmeans_fit(embs, k=4, iters=2)
+    km = SIM.kmeans_assign(embs, trained).select(
         k(4), F.col("vec_id").alias("a"), F.col("cell").alias("b"),
         neg1.alias("rank"), F.col("dist").alias("cos"),
     )
-    return bf.unionByName(iv).unionByName(pr).unionByName(sd).unionByName(km)
+    sdt = SIM.semantic_dedup(embs, n_cells=4, eps=0.35, cents=trained).select(
+        k(5), F.col("vec_id").alias("a"), F.col("cell").alias("b"),
+        F.col("is_dup").cast("long").alias("rank"), F.col("ccos").alias("cos"),
+    )
+    return (
+        bf.unionByName(iv).unionByName(pr).unionByName(sd)
+        .unionByName(km).unionByName(sdt)
+    )
 
 
 @query(
