@@ -1626,7 +1626,9 @@ def q_map_overlap(spark, sf):
 def q_approx_percentile(spark, sf):
     """approx_percentile (t-digest analogue, reference
     reductions/_percentile.py:21-256).  No oracle: the sketch is
-    engine-specific; the driver records the weaker rows-only check."""
+    engine-specific -> rows-only here, but the sketch's rank-error
+    contract is hash-verified IN-WINDOW by scalar_suite.rand_tail_ok
+    (approx p95 inside the exact per-row [p90, p99] band)."""
     m = from_table_matrix(_li(spark, sf), FLAG_IDX, LI_IDX, "l_extendedprice", (3, None))
     return R.percentile_approx(m, 0.95, axis=1).df
 
@@ -1653,8 +1655,11 @@ def q_random_permutation(spark, sf):
 
 @query("random_choice_counts_rows")
 def q_random_choice(spark, sf):
-    """weighted choice draw counts (seed-dependent -> rows-only
-    check; distribution sanity is pinned in tests/test_random.py)."""
+    """weighted choice draw counts (Spark's seeded bitgen is
+    implementation-defined vs DuckDB -> raw values are rows-only, but
+    the multinomial 6-sigma invariant over these exact draws is
+    hash-verified IN-WINDOW by scalar_suite.rand_tail_ok; distribution
+    sanity also in tests/test_random.py)."""
     x = creation.random_choice(
         spark, 10_000, [1.0, 2.0, 3.0], p=[0.5, 0.3, 0.2], seed=11, numparts=8
     )
@@ -1665,7 +1670,9 @@ def q_random_choice(spark, sf):
 def q_random_hist(spark, sf):
     """seeded per-partition RNG -> histogram (reference
     random/_generator.py:16; deterministic per partitioning, not
-    oracle-checkable across engines -> rows-only check)."""
+    oracle-checkable across engines -> raw bins are rows-only, but
+    the 10-bin uniformity 6-sigma invariant over these exact draws is
+    hash-verified IN-WINDOW by scalar_suite.rand_tail_ok)."""
     x = creation.random_uniform(spark, 100_000, seed=7, numparts=8)
     return R.histogram(x, 10, (0.0, 1.0)).df
 
@@ -3051,15 +3058,19 @@ def q_reduce_stats_by_flag(spark, sf):
        WHERE c.i1 <= c.i0) AS trisum,
       CAST(1000 AS BIGINT) AS n_rows, CAST(1000 AS BIGINT) AS n_distinct,
       CAST(0 AS BIGINT) AS min_v, CAST(999 AS BIGINT) AS max_v,
-      CAST(12 AS BIGINT) AS rand_ok
+      CAST(12 AS BIGINT) AS rand_ok,
+      CAST(3 AS BIGINT) AS rand_tail_ok
     """,
 )
 def q_scalar_suite(spark, sf):
     """Every scalar-output reduction family in one row: grand total,
     prod (exp-sum-log), count_nonzero, weighted average, corr, cov,
     scalable exact median (iterative bucket narrowing), linspace*arange
-    creation, Frobenius norm, einsum trace, tri-masked sum, and the
-    random-permutation validity invariants (reference
+    creation, Frobenius norm, einsum trace, tri-masked sum, the
+    random-permutation validity invariants, the 12-distribution moment
+    invariants (rand_ok), and the random-tail distributional pins
+    (rand_tail_ok: choice multinomial / uniform histogram / approx-
+    percentile band, see _rand_tail_ok) (reference
     reductions/_common.py:57, routines/_statistics.py:27-164,
     creation/_linspace.py:15, linalg/_norm.py:13, _einsum.py:181,
     creation/_tri.py:9, random/_generator.py)."""
@@ -3083,6 +3094,7 @@ def q_scalar_suite(spark, sf):
     return (
         out.crossJoin(q_random_permutation(spark, sf))
         .crossJoin(_rand_moments_ok(spark).select(F.col("v").alias("rand_ok")))
+        .crossJoin(_rand_tail_ok(spark, sf).select(F.col("v").alias("rand_tail_ok")))
     )
 
 
@@ -3122,6 +3134,79 @@ def _rand_moments_ok(spark):
         )
         out = d if out is None else out.unionByName(d)
     return out.agg(F.sum("ok").cast("long").alias("v"))
+
+
+def _rand_tail_ok(spark, sf):
+    """IN-WINDOW distributional pinning of the three rows-only tail
+    slots (round-6 verdict ask 7).  Seeded per-partition RNG draws
+    are implementation-defined (Spark's bitgen != DuckDB's), so the
+    raw values cannot be oracle-replayed across engines; the
+    INVARIANTS below are deterministic under the fixed seed and catch
+    any distributional regression:
+
+    1. random_choice(10k, p=[.5,.3,.2]): exactly the 3 support values,
+       total 10k, every multinomial count within 6 sigma of n*p;
+    2. random_uniform(100k) 10-bin histogram: 10 bins, total 100k,
+       every bin within 6 sigma of n/10;
+    3. percentile_approx(0.95) per lineitem flag row sits inside the
+       EXACT per-row [p90, p99] band (the sketch's rank-error bound at
+       accuracy=10000 is ~1e-4 n, far inside the band).
+
+    Returns the count of passing checks (expected: 3)."""
+    import math
+
+    from .operators import creation
+
+    n1 = 10_000
+    ch = creation.random_choice(
+        spark, n1, [1.0, 2.0, 3.0], p=[0.5, 0.3, 0.2], seed=11, numparts=8
+    )
+    pv = F.when(F.col("v") == 1.0, F.lit(0.5)).when(
+        F.col("v") == 2.0, F.lit(0.3)
+    ).otherwise(F.lit(0.2))
+    cc = ch.df.groupBy("v").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    z1 = F.abs(F.col("n") - pv * n1) / F.sqrt(pv * (1 - pv) * n1)
+    ok1 = cc.agg(
+        F.when(
+            (F.count(F.lit(1)) == 3) & (F.sum("n") == n1) & (F.max(z1) < 6.0),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("ok")
+    )
+    n2 = 100_000
+    h = R.histogram(
+        creation.random_uniform(spark, n2, seed=7, numparts=8), 10, (0.0, 1.0)
+    ).df
+    tol2 = 6.0 * math.sqrt(n2 * 0.1 * 0.9)
+    ok2 = h.agg(
+        F.when(
+            (F.count(F.lit(1)) == 10)
+            & (F.sum("v") == n2)
+            & (F.max(F.abs(F.col("v") - F.lit(n2 / 10.0))) < tol2),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("ok")
+    )
+    m = from_table_matrix(
+        _li(spark, sf), FLAG_IDX, LI_IDX, "l_extendedprice", (3, None)
+    )
+    ap = R.percentile_approx(m, 0.95, axis=1).df.select("i0", F.col("v").alias("ap"))
+    ex = R.quantiles(m, [0.90, 0.99], axis=1).df
+    band = (
+        ap.join(ex.filter(F.col("i1") == 0).select("i0", F.col("v").alias("lo")), "i0")
+        .join(ex.filter(F.col("i1") == 1).select("i0", F.col("v").alias("hi")), "i0")
+    )
+    inside = ((F.col("ap") >= F.col("lo")) & (F.col("ap") <= F.col("hi"))).cast("int")
+    ok3 = band.agg(
+        F.when((F.count(F.lit(1)) == 3) & (F.min(inside) == 1), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ok")
+    )
+    return ok1.unionByName(ok2).unionByName(ok3).agg(
+        F.sum("ok").cast("long").alias("v")
+    )
 
 
 @query(
