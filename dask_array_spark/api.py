@@ -367,7 +367,7 @@ from .operators.parity import (  # noqa: F401
     unify_chunks,
 )
 from .operators.reductions import arg_reduction  # noqa: F401
-from .sources.ingest import from_tiledb, to_tiledb  # noqa: F401  (lib-gated stubs)
+from .sources.ingest import from_tiledb, to_tiledb  # noqa: F401  (lib-gated, injectable)
 
 # -- namespace alias tail (round-5 audit: the 53 remaining reference
 # names -- dunder-dispatching aliases, dtype/constant names,

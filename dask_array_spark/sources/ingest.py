@@ -807,17 +807,191 @@ def to_zarr(a: Array, url: str, chunks=None, compressor: str | None = None) -> N
     d.groupBy(*bcols).applyInPandas(write_chunk, schema="n long").count()
 
 
-def from_tiledb(spark: SparkSession, uri: str, attribute: str | None = None) -> Array:
-    """TileDB array read (reference io/_tiledb.py:12) -- STUB."""
-    _require("tiledb", "from_tiledb")
-    raise NotImplementedError("tiledb decode not wired")
+def _tiledb_to_chunks(schema) -> tuple:
+    """Default chunking = the array's tile extents (reference
+    io/_tiledb.py:7): one engine block per storage tile, so each read
+    task touches exactly one tile's worth of cells."""
+    return tuple(int(schema.domain.dim(i).tile) for i in range(schema.ndim))
 
 
-def to_tiledb(a: Array, uri: str, **kwargs) -> None:
-    """TileDB array write (reference io/_tiledb.py:72) -- STUB, same
-    library gate as from_tiledb."""
-    _require("tiledb", "to_tiledb")
-    raise NotImplementedError("tiledb encode not wired")
+def from_tiledb(
+    spark: SparkSession,
+    uri,
+    attribute: str | None = None,
+    chunks=None,
+    storage_options: dict | None = None,
+    *,
+    _tiledb=None,
+) -> Array:
+    """Dense TileDB array -> cell-form Array (reference
+    io/_tiledb.py:12).  Semantics mirror the reference exactly: dense
+    arrays only (ValueError on sparse), ``attribute`` required for
+    multi-attribute arrays (TypeError otherwise), the handle must be
+    open for reading (ValueError if writable), and ``chunks`` defaults
+    to the schema's tile extents.
+
+    Spark-side the read is the same chunk-grid mapping as from_zarr:
+    the driver touches only metadata (schema, shape, tiles); a
+    metadata-sized grid of tile coordinates fans out and each task
+    opens the array itself and slices one tile -- tile bytes never
+    transit the driver, and task count scales with the tile grid, not
+    the cell count.
+
+    ``_tiledb`` injects the library namespace (``tiledb`` imported by
+    default); the injected object ships inside the task closure, so
+    the exact executor code path is exercised by the API-faithful fake
+    in tests/test_tiledb.py even though the sandbox lacks the library.
+    """
+    mod = _tiledb if _tiledb is not None else _require("tiledb", "from_tiledb")
+    cfg = dict(storage_options or {})
+    key = cfg.pop("key", None)
+    if isinstance(uri, str):
+        tdb = mod.open(uri, attr=attribute, config=cfg or None, key=key)
+    else:
+        tdb = uri  # an already-open tiledb.Array (reference accepts both)
+        uri = tdb.uri
+    schema = tdb.schema
+    if schema.sparse:
+        raise ValueError("Sparse TileDB arrays are not supported")
+    if not attribute:
+        if schema.nattr > 1:
+            raise TypeError(
+                "keyword 'attribute' must be provided when loading a "
+                "multi-attribute TileDB array"
+            )
+        attribute = schema.attr(0).name
+    if tdb.iswritable:
+        raise ValueError("TileDB array must be open for reading")
+    shape = tuple(int(s) for s in tdb.shape)
+    chunks = tuple(int(c) for c in chunks) if chunks else _tiledb_to_chunks(schema)
+    if len(chunks) != len(shape):
+        raise ValueError(
+            f"chunks {chunks} do not match array dimensionality {len(shape)}"
+        )
+    ndim = len(shape)
+
+    import itertools
+
+    grid = list(
+        itertools.product(*[range(-(-shape[k] // chunks[k])) for k in range(ndim)])
+    )
+    bcols = ", ".join(f"b{k} long" for k in range(ndim))
+    gdf = spark.createDataFrame(
+        [tuple(int(c) for c in g) for g in grid], bcols
+    ).repartition(min(len(grid), spark.sparkContext.defaultParallelism))
+
+    def read_tiles(it):
+        t = mod if mod is not None else __import__("tiledb")
+        tdb = t.open(uri, attr=attribute, config=cfg or None, key=key)
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                coords = tuple(int(getattr(row, f"b{k}")) for k in range(ndim))
+                sl, offs = [], []
+                for k in range(ndim):
+                    lo = coords[k] * chunks[k]
+                    sl.append(slice(lo, min(lo + chunks[k], shape[k])))
+                    offs.append(lo)
+                block = np.asarray(tdb[tuple(sl)], dtype="float64")
+                idx = np.indices(block.shape).reshape(ndim, -1)
+                flat = block.reshape(-1)
+                keep = ~np.isnan(flat)  # absent-cell encoding
+                cols = {f"i{k}": idx[k][keep] + offs[k] for k in range(ndim)}
+                cols[VALUE_COL] = flat[keep]
+                yield pd.DataFrame(cols)
+
+    out_schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+    return Array(gdf.mapInPandas(read_tiles, schema=out_schema), shape)
+
+
+def to_tiledb(
+    a: Array,
+    uri,
+    tile=None,
+    storage_options: dict | None = None,
+    key: str | None = None,
+    *,
+    _tiledb=None,
+    **kwargs,
+) -> None:
+    """Array -> dense TileDB array (reference io/_tiledb.py:72).
+    Reference semantics: a string uri creates a fresh array shaped
+    like the source (``tiledb.empty_like`` with ``tile`` as the tile
+    extents -- the reference derives them from the dask chunks; the
+    cell-form engine has no static chunks, so pass ``tile`` or accept
+    the axis-0 split default), an already-open writable
+    ``tiledb.Array`` is written into after a dtype/ndim compatibility
+    check, anything else is a ValueError.
+
+    Each engine block becomes one TileDB subarray write executed
+    executor-side (the ``store(tdb)`` role, io/_tiledb.py:172): cells
+    group by tile, each task opens the array writable and assigns one
+    dense block -- TileDB's fragment-per-write model makes concurrent
+    tile writes safe, and nothing but metadata touches the driver.
+    ``_tiledb`` injects the library namespace exactly as in
+    from_tiledb."""
+    mod = _tiledb if _tiledb is not None else _require("tiledb", "to_tiledb")
+    cfg = dict(storage_options or {})
+    key = key or cfg.pop("key", None)
+    shape = a.shape
+    if any(s is None for s in shape):
+        raise ValueError("to_tiledb needs a known shape")
+    ndim = a.ndim
+    if tile is None:
+        # default: split axis 0 into <=32 tiles, other axes whole
+        tile = (max(1, -(-shape[0] // 32)),) + tuple(shape[1:])
+    tile = tuple(int(t) for t in tile)
+    if len(tile) != ndim:
+        raise ValueError(f"tile {tile} does not match array dimensionality {ndim}")
+
+    if isinstance(uri, str):
+        # zero-alloc proxy carrying .shape/.dtype/.ndim for empty_like
+        proxy = np.broadcast_to(np.float64(0.0), shape)
+        mod.empty_like(uri, proxy, tile=tile, config=cfg or None, key=key, **kwargs)
+    elif hasattr(uri, "schema"):
+        tdb = uri
+        if not (np.dtype("float64") == tdb.dtype and ndim == tdb.ndim):
+            raise ValueError(
+                "Target TileDB array layout is not compatible with source array"
+            )
+        if not (tdb.isopen and tdb.iswritable):
+            raise ValueError("Target TileDB array is not open and writable.")
+        uri = tdb.uri
+    else:
+        raise ValueError(
+            "'uri' must be string pointing to supported TileDB store "
+            "location or an open, writable TileDB array."
+        )
+
+    d = a.df
+    bcols = []
+    for k in range(ndim):
+        bc = f"__b{k}"
+        d = d.withColumn(bc, (F.col(f"i{k}") / F.lit(tile[k])).cast("long"))
+        bcols.append(bc)
+
+    def write_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        t = mod if mod is not None else __import__("tiledb")
+        coords = tuple(int(pdf[c].iloc[0]) for c in bcols)
+        sl, dims = [], []
+        for k in range(ndim):
+            lo = coords[k] * tile[k]
+            hi = min(lo + tile[k], shape[k])
+            sl.append(slice(lo, hi))
+            dims.append(hi - lo)
+        block = np.full(tuple(dims), np.nan)
+        loc = tuple(
+            pdf[f"i{k}"].to_numpy(dtype="int64") - sl[k].start for k in range(ndim)
+        )
+        block[loc] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
+        tdb = t.open(uri, mode="w", config=cfg or None, key=key)
+        try:
+            tdb[tuple(sl)] = block
+        finally:
+            if hasattr(tdb, "close"):
+                tdb.close()  # real tiledb flushes the fragment on close
+        return pd.DataFrame({"n": [int(block.size)]})
+
+    d.groupBy(*bcols).applyInPandas(write_tile, schema="n long").count()
 
 
 
