@@ -134,7 +134,13 @@ def main() -> None:
     load_start = os.getloadavg()
     results: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    for name, fn in _headline():
+    # iteration aid: SPARK_GRAFT_BENCH_ONLY=slot1,slot2 runs a subset
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    slots = _headline()
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        slots = [(n, f) for n, f in slots if n in keep]
+    for name, fn in slots:
         # one UNTIMED warmup execution per slot: populates persisted
         # fan-out tables, JITs the codegen'd stages, and spins up the
         # Arrow workers the slot uses, so the timed min reflects the

@@ -96,7 +96,16 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
         corpus.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
-            "qid", "vec_id", (dot / (F.col("nrm") * F.col("qnrm"))).alias("cos")
+            "qid",
+            "vec_id",
+            # round BEFORE ranking (and + 0.0 to normalize IEEE -0.0):
+            # in-row fold vs the oracle's SUM can differ in the last
+            # ulps, so an unrounded rank could flip at a near-tie --
+            # rounding first makes rank order engine-independent (same
+            # policy as kmeans_assign)
+            (F.round(dot / (F.col("nrm") * F.col("qnrm")), 6) + F.lit(0.0)).alias(
+                "cos"
+            ),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
@@ -107,8 +116,7 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
             "qid",
             (F.col("rank") - 1).cast("long").alias("rank"),
             "vec_id",
-            # + 0.0 normalizes IEEE -0.0 after rounding (oracle-hash parity)
-            (F.round("cos", 6) + F.lit(0.0)).alias("cos"),
+            "cos",
         )
     )
 
@@ -201,7 +209,13 @@ def _codebook(
     codebook once and hand it to ivf_assign without the plan
     duplicating the norm fold."""
     if cents is not None and "cnrm" in cents.columns:
-        return cents
+        # already prepared -- skip the norm fold, but still project and
+        # cast: extra columns (a codebook joined with diagnostics) would
+        # make the downstream crossJoin's references ambiguous, and an
+        # int cell would change the output schema
+        return cents.select(
+            F.col("cell").cast("long").alias("cell"), "cemb", "cnrm"
+        )
     if cents is None:
         return emb.filter(F.col("vec_id") < n_cells).select(
             F.col("vec_id").alias("cell"),
@@ -247,7 +261,13 @@ def ivf_assign(
         lambda acc, x: acc + x,
     )
     scored = corpus.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cell", (dot / (F.col("nrm") * F.col("cnrm"))).alias("c")
+        "vec_id",
+        "cell",
+        # 6-decimal rounding before the argmax so assignment boundaries
+        # replay bit-for-bit cross-engine (fold-order ulps would
+        # otherwise flip near-ties between centroids; same policy as
+        # kmeans_assign)
+        F.round(dot / (F.col("nrm") * F.col("cnrm")), 6).alias("c"),
     )
     # argmax with deterministic ties (higher cosine, then smaller cell)
     return scored.groupBy("vec_id").agg(
@@ -290,7 +310,10 @@ def ivf_topk(
         lambda acc, x: acc + x,
     )
     csim = q.crossJoin(F.broadcast(cents)).select(
-        "qid", "cell", (cdot / (F.col("cnrm") * F.col("qnrm"))).alias("c")
+        "qid",
+        "cell",
+        # rounded before probe ranking (cross-engine near-tie guard)
+        F.round(cdot / (F.col("cnrm") * F.col("qnrm")), 6).alias("c"),
     )
     wp = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cell").asc())
     probes = (
@@ -312,7 +335,12 @@ def ivf_topk(
         .join(F.broadcast(q), on="qid")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
-            "qid", "vec_id", (qdot / (F.col("nrm") * F.col("qnrm"))).alias("cos")
+            "qid",
+            "vec_id",
+            # rounded before ranking (cross-engine near-tie guard)
+            (F.round(qdot / (F.col("nrm") * F.col("qnrm")), 6) + F.lit(0.0)).alias(
+                "cos"
+            ),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
@@ -323,7 +351,7 @@ def ivf_topk(
             "qid",
             (F.col("rank") - 1).cast("long").alias("rank"),
             "vec_id",
-            (F.round("cos", 6) + F.lit(0.0)).alias("cos"),
+            "cos",
         )
     )
 

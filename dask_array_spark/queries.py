@@ -2245,12 +2245,12 @@ _EX_SQL = """
              FROM ex JOIN q USING (pos) GROUP BY 1, 2),
     norms AS (SELECT vec_id, sqrt(SUM(e * e)) AS nrm FROM ex GROUP BY 1),
     cos AS (SELECT d.qid, d.vec_id,
-                   d.dot / (n1.nrm * n2.nrm) AS c
+                   round(d.dot / (n1.nrm * n2.nrm), 6) + 0.0 AS c
             FROM dots d
             JOIN norms n1 ON n1.vec_id = d.vec_id
             JOIN norms n2 ON n2.vec_id = d.qid
             WHERE d.vec_id != d.qid)
-    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(c, 6) + 0.0 AS cos
+    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, c AS cos
     FROM (SELECT qid, vec_id, c,
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY c DESC, vec_id ASC) AS rnk
@@ -2506,7 +2506,8 @@ _IVF_ASSIGN_SQL = f"""
              FROM ex JOIN c USING (pos) GROUP BY 1, 2),
     cn AS (SELECT cell, sqrt(SUM(ce * ce)) AS cnrm FROM c GROUP BY 1),
     vn AS (SELECT vec_id, sqrt(SUM(e * e)) AS nrm FROM ex GROUP BY 1),
-    cos AS (SELECT d.vec_id, d.cell, d.dot / (cn.cnrm * vn.nrm) AS cs
+    cos AS (SELECT d.vec_id, d.cell,
+                   round(d.dot / (cn.cnrm * vn.nrm), 6) AS cs
             FROM dots d JOIN cn USING (cell) JOIN vn USING (vec_id))
     SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM (
       SELECT vec_id, cell,
@@ -2541,7 +2542,8 @@ def q_ivf_assign(spark, sf):
     probes AS (SELECT qid, cell FROM (
         SELECT cd.qid, cd.cell,
                row_number() OVER (PARTITION BY cd.qid
-                 ORDER BY cd.dot / (cn.cnrm * qn.qnrm) DESC, cd.cell ASC) AS r
+                 ORDER BY round(cd.dot / (cn.cnrm * qn.qnrm), 6) DESC,
+                          cd.cell ASC) AS r
         FROM cd JOIN cn USING (cell) JOIN qn USING (qid)) t WHERE r <= 2),
     cand AS (SELECT p.qid, a.vec_id FROM assign a JOIN probes p ON a.cell = p.cell),
     dots AS (SELECT ca.qid, ca.vec_id, SUM(ex.e * q.qe) AS dot
@@ -2549,11 +2551,12 @@ def q_ivf_assign(spark, sf):
              JOIN ex ON ex.vec_id = ca.vec_id
              JOIN q ON q.qid = ca.qid AND q.pos = ex.pos
              GROUP BY 1, 2),
-    cos AS (SELECT d.qid, d.vec_id, d.dot / (vn.nrm * qn.qnrm) AS cs
+    cos AS (SELECT d.qid, d.vec_id,
+                   round(d.dot / (vn.nrm * qn.qnrm), 6) + 0.0 AS cs
             FROM dots d JOIN vn ON vn.vec_id = d.vec_id
             JOIN qn ON qn.qid = d.qid
             WHERE d.vec_id != d.qid)
-    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(cs, 6) + 0.0 AS cos
+    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, cs AS cos
     FROM (SELECT qid, vec_id, cs,
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY cs DESC, vec_id ASC) AS rnk
@@ -4304,12 +4307,12 @@ _BF_TOPK_SQL = f"""
              FROM ex JOIN q USING (pos) GROUP BY 1, 2),
     norms AS (SELECT vec_id, sqrt(SUM(e * e)) AS nrm FROM ex GROUP BY 1),
     cos AS (SELECT d.qid, d.vec_id,
-                   d.dot / (n1.nrm * n2.nrm) AS c
+                   round(d.dot / (n1.nrm * n2.nrm), 6) + 0.0 AS c
             FROM dots d
             JOIN norms n1 ON n1.vec_id = d.vec_id
             JOIN norms n2 ON n2.vec_id = d.qid
             WHERE d.vec_id != d.qid)
-    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(c, 6) + 0.0 AS cos
+    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, c AS cos
     FROM (SELECT qid, vec_id, c,
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY c DESC, vec_id ASC) AS rnk
@@ -4330,7 +4333,8 @@ _IVF_TOPK_SQL = f"""
     probes AS (SELECT qid, cell FROM (
         SELECT cd.qid, cd.cell,
                row_number() OVER (PARTITION BY cd.qid
-                 ORDER BY cd.dot / (cn.cnrm * qn.qnrm) DESC, cd.cell ASC) AS r
+                 ORDER BY round(cd.dot / (cn.cnrm * qn.qnrm), 6) DESC,
+                          cd.cell ASC) AS r
         FROM cd JOIN cn USING (cell) JOIN qn USING (qid)) t WHERE r <= 2),
     cand AS (SELECT p.qid, a.vec_id FROM assign a JOIN probes p ON a.cell = p.cell),
     dots AS (SELECT ca.qid, ca.vec_id, SUM(ex.e * q.qe) AS dot
@@ -4338,11 +4342,12 @@ _IVF_TOPK_SQL = f"""
              JOIN ex ON ex.vec_id = ca.vec_id
              JOIN q ON q.qid = ca.qid AND q.pos = ex.pos
              GROUP BY 1, 2),
-    cos AS (SELECT d.qid, d.vec_id, d.dot / (vn.nrm * qn.qnrm) AS cs
+    cos AS (SELECT d.qid, d.vec_id,
+                   round(d.dot / (vn.nrm * qn.qnrm), 6) + 0.0 AS cs
             FROM dots d JOIN vn ON vn.vec_id = d.vec_id
             JOIN qn ON qn.qid = d.qid
             WHERE d.vec_id != d.qid)
-    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, round(cs, 6) + 0.0 AS cos
+    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, cs AS cos
     FROM (SELECT qid, vec_id, cs,
                  row_number() OVER (PARTITION BY qid
                                     ORDER BY cs DESC, vec_id ASC) AS rnk
@@ -4445,7 +4450,8 @@ _SEMDEDUP_TRAINED_SQL = f"""
     asg AS (SELECT vec_id, cell FROM (
               SELECT cd.vec_id, cd.cell, row_number() OVER (
                 PARTITION BY cd.vec_id
-                ORDER BY cd.dot / (cn.cnrm * vn.nrm) DESC, cd.cell ASC) AS r
+                ORDER BY round(cd.dot / (cn.cnrm * vn.nrm), 6) DESC,
+                         cd.cell ASC) AS r
               FROM cd JOIN cn USING (cell) JOIN vn USING (vec_id)) t
             WHERE r = 1),
     base AS (SELECT a.vec_id, a.cell,

@@ -845,10 +845,16 @@ def from_tiledb(
     mod = _tiledb if _tiledb is not None else _require("tiledb", "from_tiledb")
     cfg = dict(storage_options or {})
     key = cfg.pop("key", None)
-    if isinstance(uri, str):
+    opened_here = isinstance(uri, str)
+    if opened_here:
         tdb = mod.open(uri, attr=attribute, config=cfg or None, key=key)
     else:
-        tdb = uri  # an already-open tiledb.Array (reference accepts both)
+        # an already-open tiledb.Array (reference accepts both).  NOTE:
+        # executors re-open by uri with only storage_options-derived
+        # config/key -- an encryption key or context config baked into
+        # the handle does not travel with it, so pass them via
+        # ``storage_options`` too when reading encrypted arrays
+        tdb = uri
         uri = tdb.uri
     schema = tdb.schema
     if schema.sparse:
@@ -864,6 +870,8 @@ def from_tiledb(
         raise ValueError("TileDB array must be open for reading")
     shape = tuple(int(s) for s in tdb.shape)
     chunks = tuple(int(c) for c in chunks) if chunks else _tiledb_to_chunks(schema)
+    if opened_here and hasattr(tdb, "close"):
+        tdb.close()  # metadata extracted; executors open their own handles
     if len(chunks) != len(shape):
         raise ValueError(
             f"chunks {chunks} do not match array dimensionality {len(shape)}"
@@ -881,23 +889,30 @@ def from_tiledb(
     ).repartition(min(len(grid), spark.sparkContext.defaultParallelism))
 
     def read_tiles(it):
-        t = mod if mod is not None else __import__("tiledb")
-        tdb = t.open(uri, attr=attribute, config=cfg or None, key=key)
-        for pdf in it:
-            for row in pdf.itertuples(index=False):
-                coords = tuple(int(getattr(row, f"b{k}")) for k in range(ndim))
-                sl, offs = [], []
-                for k in range(ndim):
-                    lo = coords[k] * chunks[k]
-                    sl.append(slice(lo, min(lo + chunks[k], shape[k])))
-                    offs.append(lo)
-                block = np.asarray(tdb[tuple(sl)], dtype="float64")
-                idx = np.indices(block.shape).reshape(ndim, -1)
-                flat = block.reshape(-1)
-                keep = ~np.isnan(flat)  # absent-cell encoding
-                cols = {f"i{k}": idx[k][keep] + offs[k] for k in range(ndim)}
-                cols[VALUE_COL] = flat[keep]
-                yield pd.DataFrame(cols)
+        tdb = mod.open(uri, attr=attribute, config=cfg or None, key=key)
+        try:
+            for pdf in it:
+                for row in pdf.itertuples(index=False):
+                    coords = tuple(
+                        int(getattr(row, f"b{k}")) for k in range(ndim)
+                    )
+                    sl, offs = [], []
+                    for k in range(ndim):
+                        lo = coords[k] * chunks[k]
+                        sl.append(slice(lo, min(lo + chunks[k], shape[k])))
+                        offs.append(lo)
+                    block = np.asarray(tdb[tuple(sl)], dtype="float64")
+                    idx = np.indices(block.shape).reshape(ndim, -1)
+                    flat = block.reshape(-1)
+                    keep = ~np.isnan(flat)  # absent-cell encoding
+                    cols = {
+                        f"i{k}": idx[k][keep] + offs[k] for k in range(ndim)
+                    }
+                    cols[VALUE_COL] = flat[keep]
+                    yield pd.DataFrame(cols)
+        finally:
+            if hasattr(tdb, "close"):
+                tdb.close()
 
     out_schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
     return Array(gdf.mapInPandas(read_tiles, schema=out_schema), shape)
@@ -937,8 +952,12 @@ def to_tiledb(
         raise ValueError("to_tiledb needs a known shape")
     ndim = a.ndim
     if tile is None:
-        # default: split axis 0 into <=32 tiles, other axes whole
-        tile = (max(1, -(-shape[0] // 32)),) + tuple(shape[1:])
+        # default: ~1e6 cells per tile (same bound as to_zarr) so one
+        # tile's dense block stays executor-memory-sized regardless of
+        # the array's shape -- an axis-proportional split would
+        # densify O(array/ntasks) per task and cap parallelism
+        per = max(1, int(round(1_000_000 ** (1.0 / max(ndim, 1)))))
+        tile = tuple(min(s, per) for s in shape)
     tile = tuple(int(t) for t in tile)
     if len(tile) != ndim:
         raise ValueError(f"tile {tile} does not match array dimensionality {ndim}")
@@ -970,7 +989,6 @@ def to_tiledb(
         bcols.append(bc)
 
     def write_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        t = mod if mod is not None else __import__("tiledb")
         coords = tuple(int(pdf[c].iloc[0]) for c in bcols)
         sl, dims = [], []
         for k in range(ndim):
@@ -983,7 +1001,7 @@ def to_tiledb(
             pdf[f"i{k}"].to_numpy(dtype="int64") - sl[k].start for k in range(ndim)
         )
         block[loc] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
-        tdb = t.open(uri, mode="w", config=cfg or None, key=key)
+        tdb = mod.open(uri, mode="w", config=cfg or None, key=key)
         try:
             tdb[tuple(sl)] = block
         finally:

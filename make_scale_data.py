@@ -135,6 +135,31 @@ def main() -> None:
             label FROM {src('embeddings')}"""
         ),
     )
+    # sf1v: the TEXT-DISTRIBUTION control.  The '~i' token suffix above
+    # keeps cross-copy shingle/k-gram collision density constant (what
+    # the DEDUP slots need) but shifts per-row token statistics
+    # (stopword ratio drops to ~0 for copies i>0, token length +2) and
+    # grows the distinct-gram vocabulary ~10x linearly (a real corpus
+    # saturates per Heaps' law), inflating the vocab-sized bigram-LM
+    # model side.  Text-tier slots (text_quality) are therefore ALSO
+    # measured on this verbatim-copy variant, which preserves per-row
+    # text statistics and the vocabulary EXACTLY (and is safe for
+    # per-document operators, which never join across documents).
+    dstv = DST + "v"
+    os.makedirs(dstv, exist_ok=True)
+    sqlv = " UNION ALL ".join(
+        f"""SELECT doc_id + {i * stride['doc_id']} AS doc_id,
+            text, lang, source, n_chars FROM {src('documents')}"""
+        for i in range(COPIES)
+    )
+    con.execute(f"COPY ({sqlv}) TO '{dstv}/documents.parquet' (FORMAT PARQUET)")
+    for t in (
+        "region nation customer supplier part orders lineitem events embeddings"
+    ).split():
+        lnk = os.path.join(dstv, f"{t}.parquet")
+        if not os.path.exists(lnk):
+            os.link(os.path.join(DST, f"{t}.parquet"), lnk)
+    print("sf1v (verbatim documents):", dstv)
     print("done ->", DST)
 
 

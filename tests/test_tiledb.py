@@ -193,6 +193,20 @@ def test_roundtrip_2d_edge_tiles(spark, tmp_path):
     assert len(frags) == 4 * 3  # ceil(13/4) * ceil(9/4)
 
 
+def test_default_tile_is_cell_bounded(spark, tmp_path):
+    """With tile=None the default bounds each tile at ~1e6 cells
+    (per-axis 1e6^(1/ndim), same policy as to_zarr) instead of
+    splitting axis 0 proportionally -- a shape-proportional default
+    would densify O(array/32) per task at scale."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(2100, 2))
+    uri = os.path.join(str(tmp_path), "deftile")
+    to_tiledb(from_numpy(spark, x), uri, _tiledb=FAKE)
+    frags = [f for f in os.listdir(uri) if f.startswith("frag_")]
+    assert len(frags) == 3  # ceil(2100/1000) x ceil(2/1000)
+    assert_eq(from_tiledb(spark, uri, _tiledb=FAKE), x)
+
+
 def test_chunks_override(spark, tmp_path):
     x = np.arange(40, dtype="float64")
     uri = _mkarray(str(tmp_path), x, tile=(10,))
