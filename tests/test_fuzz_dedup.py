@@ -1,0 +1,170 @@
+"""Property-based fuzz of the full MinHash/LSH dedup chain against an
+INDEPENDENT plain-Python model of the published hash spec (affine
+family / polynomial token hashes / band buckets, functions/dedup.py).
+
+The chain is oracle-checked against DuckDB SQL on the driver corpora;
+this adds implementation diversity (Python sets and dicts instead of
+SQL) and input diversity (random corpora with deliberate verbatim and
+near-duplicate copies), the same two axes the reference's fuzz suite
+covers (SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+# the published spec constants (functions/text.py, functions/dedup.py)
+P = 1_000_000_007
+SEED = 7
+M_COMB = 1_000_003
+A_MUL = 1_664_525
+B_ADD = 1_013_904_223
+K_SIGS = 8
+NGRAM = 3
+
+
+# ----------------------------------------------------- python model
+def py_polyhash(tok: str) -> int:
+    acc = SEED
+    for ch in tok:
+        acc = (acc * 31 + ord(ch)) % P
+    return acc
+
+
+def py_shingles(text: str, n: int = NGRAM) -> set:
+    th = [py_polyhash(t) for t in text.split(" ") if t]
+    out = set()
+    for i in range(len(th) - n + 1):
+        h = th[i]
+        for k in range(1, n):
+            h = (h * M_COMB + th[i + k]) % P
+        out.add(h)
+    return out
+
+
+def py_sigs(sh: set, k: int = K_SIGS) -> dict:
+    return {
+        i: min(((A_MUL * (i + 1) % P) * x + B_ADD * (i + 1)) % P for x in sh)
+        for i in range(k)
+    }
+
+
+def py_pairs(sigs_by_doc: dict) -> dict:
+    """rows_per_band=1, uncapped: (doc_a, doc_b) -> n shared bands."""
+    buckets = defaultdict(list)
+    for d, s in sigs_by_doc.items():
+        for band, v in s.items():
+            buckets[(band, (17 * M_COMB + v % P) % P)].append(d)
+    pairs = defaultdict(int)
+    for docs in buckets.values():
+        docs = sorted(docs)
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                pairs[(docs[i], docs[j])] += 1
+    return dict(pairs)
+
+
+def py_components(vertices, edges) -> dict:
+    """Union-find -> {doc: min doc reachable}."""
+    parent = {v: v for v in vertices}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+# ------------------------------------------------------- strategies
+WORDS = ["alpha", "beta", "g", "dd", "ee", "zq", "the", "of", "x9"]
+DOC = st.lists(st.sampled_from(WORDS), min_size=NGRAM, max_size=14)
+
+
+@st.composite
+def corpora(draw):
+    """Base docs plus verbatim copies and 1-token mutations -- the
+    shapes that actually exercise bucket sharing."""
+    base = draw(st.lists(DOC, min_size=2, max_size=5))
+    docs = list(base)
+    for _ in range(draw(st.integers(0, 3))):
+        src = list(draw(st.sampled_from(base)))
+        if draw(st.booleans()):
+            pos = draw(st.integers(0, len(src) - 1))
+            src[pos] = draw(st.sampled_from(WORDS))
+        docs.append(src)
+    return [" ".join(d) for d in docs]
+
+
+@settings(max_examples=10, deadline=None)
+@given(corpora())
+def test_minhash_lsh_chain_matches_python(spark, texts):
+    from dask_array_spark.functions import dedup as D
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    model_sh = {i: py_shingles(t) for i, t in enumerate(texts)}
+
+    sh = D.shingle_hashes(df, n=NGRAM)
+    got_sh = defaultdict(set)
+    for r in sh.collect():
+        got_sh[r["doc_id"]].add(r["sh"])
+    assert dict(got_sh) == {i: s for i, s in model_sh.items() if s}
+
+    sigs = D.minhash_signatures(sh, K_SIGS)
+    got_sigs = defaultdict(dict)
+    for r in sigs.collect():
+        got_sigs[r["doc_id"]][r["sig_id"]] = r["sig"]
+    model_sigs = {i: py_sigs(s) for i, s in model_sh.items() if s}
+    assert dict(got_sigs) == model_sigs
+
+    pairs = D.lsh_candidate_pairs(sigs, rows_per_band=1, max_bucket=None)
+    got_pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_bands"] for r in pairs.collect()
+    }
+    model_pairs = py_pairs(model_sigs)
+    assert got_pairs == model_pairs
+
+    if model_pairs:
+        jac = D.jaccard_on_pairs(sh, pairs.drop("n_bands"))
+        got_j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jac.collect()}
+        for (a, b), jv in got_j.items():
+            inter = len(model_sh[a] & model_sh[b])
+            exact = inter / (len(model_sh[a]) + len(model_sh[b]) - inter)
+            assert abs(jv - exact) <= 1e-6, (a, b, jv, exact)
+
+        clusters = D.duplicate_clusters(pairs.select("doc_a", "doc_b"))
+        got_rep = {r["doc_id"]: r["rep"] for r in clusters.collect()}
+        verts = {d for p in model_pairs for d in p}
+        model_rep = py_components(verts, model_pairs.keys())
+        assert got_rep == model_rep
+        # csize is consistent with the rep map
+        sizes = defaultdict(int)
+        for v, r in model_rep.items():
+            sizes[r] += 1
+        got_sz = {r["doc_id"]: r["csize"] for r in clusters.collect()}
+        assert got_sz == {v: sizes[r] for v, r in model_rep.items()}
+
+
+@settings(max_examples=6, deadline=None)
+@given(corpora())
+def test_exact_groups_matches_python(spark, texts):
+    from dask_array_spark.functions import dedup as D
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {r["rep_id"]: r["n_dups"] for r in D.exact_groups(df).collect()}
+    model = defaultdict(list)
+    for i, t in enumerate(texts):
+        model[t].append(i)
+    assert got == {min(ids): len(ids) for ids in model.values()}
