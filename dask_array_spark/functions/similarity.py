@@ -34,6 +34,7 @@ __all__ = [
     "cosine_pairs_bucketed",
     "ivf_assign",
     "ivf_topk",
+    "ann_recall",
     "semantic_dedup",
     "kmeans_fit",
     "kmeans_assign",
@@ -352,6 +353,50 @@ def ivf_topk(
             (F.col("rank") - 1).cast("long").alias("rank"),
             "vec_id",
             "cos",
+        )
+    )
+
+
+def ann_recall(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Recall@k of the IVF probe-pruned search against the exact
+    brute-force top-k -- the standard ANN quality diagnostic a
+    pipeline runs when tuning (n_cells, n_probe) or validating a
+    trained codebook.  Returns (qid, n_hits, recall) where n_hits =
+    |exact top-k ∩ IVF top-k| and recall = n_hits / k (6-decimal
+    rounded for oracle parity).
+
+    Scale shape: both inputs are query-bounded outputs
+    (|query_ids| x k rows), so the hit join and the per-query count
+    are trivially tiny no matter the corpus size; the cost is the two
+    searches themselves (and in production the exact side runs on a
+    SAMPLE of queries, which is exactly what ``query_ids`` is)."""
+    exact = cosine_topk(emb, query_ids, k).select("qid", "vec_id")
+    ap = (
+        ivf_topk(emb, query_ids, k, n_cells, n_probe, cents)
+        .select("qid", "vec_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        exact.join(ap, on=["qid", "vec_id"], how="left")
+        .groupBy("qid")
+        .agg(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits")
+        )
+        .select(
+            "qid",
+            "n_hits",
+            (F.round(F.col("n_hits") / F.lit(float(k)), 6) + F.lit(0.0)).alias(
+                "recall"
+            ),
         )
     )
 

@@ -4492,6 +4492,13 @@ _SEMDEDUP_TRAINED_SQL = f"""
     UNION ALL
     SELECT 5, vec_id, cell, CAST(is_dup AS BIGINT), ccos
     FROM ({_SEMDEDUP_TRAINED_SQL}) sdt
+    UNION ALL
+    SELECT 6, bf.qid, COUNT(iv.vec_id), CAST(-1 AS BIGINT),
+           round(COUNT(iv.vec_id) / 5.0, 6) + 0.0
+    FROM ({_BF_TOPK_SQL}) bf
+    LEFT JOIN ({_IVF_TOPK_SQL}) iv
+      ON iv.qid = bf.qid AND iv.vec_id = bf.vec_id
+    GROUP BY bf.qid
     """,
 )
 def q_similarity_suite(spark, sf):
@@ -4504,9 +4511,12 @@ def q_similarity_suite(spark, sf):
     COMPOSED trained path (5): kmeans_fit -> semantic_dedup(cents=...)
     -- train the codebook, dedup on it, exactly the production
     composition, with the oracle chaining the Lloyd CTEs into the
-    dedup CTEs (round-6 verdict ask 6) -- all with inline F.aggregate
-    norms, no corpus-sized broadcast (the round-2 scale fix;
-    plan-asserted in tests/test_plans.py)."""
+    dedup CTEs (round-6 verdict ask 6) -- and recall@k of the IVF
+    search against the exact top-k (6; the ANN quality diagnostic,
+    (qid, n_hits, recall) verified against the oracle's join of the
+    two search CTEs) -- all with inline F.aggregate norms, no
+    corpus-sized broadcast (the round-2 scale fix; plan-asserted in
+    tests/test_plans.py)."""
     from .functions import similarity as SIM
 
     embs = _embs(spark, sf)
@@ -4535,9 +4545,13 @@ def q_similarity_suite(spark, sf):
         k(5), F.col("vec_id").alias("a"), F.col("cell").alias("b"),
         F.col("is_dup").cast("long").alias("rank"), F.col("ccos").alias("cos"),
     )
+    rc = SIM.ann_recall(embs, [0, 1, 2], k=5, n_cells=4, n_probe=2).select(
+        k(6), F.col("qid").alias("a"), F.col("n_hits").alias("b"),
+        neg1.alias("rank"), F.col("recall").alias("cos"),
+    )
     return (
         bf.unionByName(iv).unionByName(pr).unionByName(sd)
-        .unionByName(km).unionByName(sdt)
+        .unionByName(km).unionByName(sdt).unionByName(rc)
     )
 
 

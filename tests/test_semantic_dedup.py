@@ -134,3 +134,52 @@ def test_ivf_topk_trained_codebook(spark):
     cents = kmeans_fit(emb, k=2, iters=3)
     out = ivf_topk(emb, [3], k=2, n_probe=1, cents=cents).collect()
     assert [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])] == [4, 5]
+
+
+def test_ann_recall_full_probe_is_perfect(spark):
+    """Probing every cell makes IVF search exhaustive, so recall@k
+    must be exactly 1.0 for every query; with one probe on a spread
+    corpus recall stays in [0, 1] and n_hits/k == recall."""
+    from dask_array_spark.functions.similarity import ann_recall
+
+    vecs = [
+        [1.0, 0.0, 0.0], [0.9, 0.1, 0.0], [0.8, 0.2, 0.0],
+        [0.0, 1.0, 0.0], [0.1, 0.9, 0.0], [0.0, 0.8, 0.2],
+        [0.0, 0.0, 1.0], [0.2, 0.0, 0.9],
+    ]
+    emb = _emb(spark, vecs)
+    full = {
+        r["qid"]: r
+        for r in ann_recall(
+            emb, [0, 3], k=3, n_cells=2, n_probe=2
+        ).collect()
+    }
+    assert set(full) == {0, 3}
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 3 for r in full.values())
+
+    one = ann_recall(emb, [0, 3], k=3, n_cells=2, n_probe=1).collect()
+    for r in one:
+        assert 0.0 <= r["recall"] <= 1.0
+        # recall is 6-decimal rounded by design (oracle parity)
+        assert abs(r["recall"] - r["n_hits"] / 3.0) <= 5e-7
+
+
+def test_ann_recall_trained_codebook(spark):
+    """A trained codebook routes queries to the right cells: with
+    kmeans-fit centroids and n_probe=1, each query's own cluster is
+    probed, so its same-cluster neighbors are found."""
+    from dask_array_spark.functions.similarity import ann_recall, kmeans_fit
+
+    vecs = [
+        [1.0, 0.02, 0.0], [0.98, 0.0, 0.01], [0.97, 0.05, 0.0],
+        [0.0, 1.0, 0.03], [0.02, 0.98, 0.0], [0.0, 0.97, 0.05],
+    ]
+    emb = _emb(spark, vecs)
+    cents = kmeans_fit(emb, k=2, iters=3)
+    out = {
+        r["qid"]: r["recall"]
+        for r in ann_recall(
+            emb, [0, 3], k=2, n_cells=2, n_probe=1, cents=cents
+        ).collect()
+    }
+    assert out == {0: 1.0, 3: 1.0}
