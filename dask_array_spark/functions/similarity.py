@@ -521,7 +521,18 @@ def kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     argmin is a partial-aggregated min_by -- the corpus is scanned
     once and shuffled only by vec_id for the final min.  Distances
     round to 6 decimals BEFORE the argmin so a DuckDB oracle (whose
-    sum order differs) replays assignment boundaries bit-for-bit."""
+    sum order differs) replays assignment boundaries bit-for-bit.
+
+    A round-7 rewrite tried collapsing the codebook to ONE broadcast
+    array-of-structs row with the whole argmin as a single in-row
+    higher-order fold (eliminating this min_by shuffle and the fit
+    round's corpus join); a controlled A/B at sf0.1 (min of 6 warm
+    runs) measured it ~7x SLOWER (11.6 s vs 1.6 s for the
+    kmeans_codebook slot): nesting F.aggregate over the codebook with
+    a zip_with distance fold per element falls out of whole-stage
+    codegen into interpreted evaluation per corpus row, while this
+    crossJoin + min_by form stays fully codegen'd and its k-per-vector
+    fan-out and argmin shuffle are cheap.  Keep the join form."""
     sq = F.aggregate(
         F.zip_with(
             "embedding",
