@@ -364,39 +364,58 @@ def ann_recall(
     n_cells: int = 4,
     n_probe: int = 2,
     cents: DataFrame | None = None,
+    exact: DataFrame | None = None,
+    approx: DataFrame | None = None,
 ) -> DataFrame:
     """Recall@k of the IVF probe-pruned search against the exact
     brute-force top-k -- the standard ANN quality diagnostic a
     pipeline runs when tuning (n_cells, n_probe) or validating a
-    trained codebook.  Returns (qid, n_hits, recall) where n_hits =
-    |exact top-k ∩ IVF top-k| and recall = n_hits / k (6-decimal
-    rounded for oracle parity).
+    trained codebook.  Returns one row per REQUESTED qid:
+    (qid, n_hits, recall) where n_hits = |exact top-k ∩ IVF top-k|
+    and recall = n_hits / |exact top-k| (standard recall@k divides
+    by the achievable count, so a corpus smaller than k+1 can still
+    score 1.0; 6-decimal rounded for oracle parity).  A qid absent
+    from ``emb`` gets n_hits = 0 and a NULL recall rather than
+    silently vanishing, so an average over the recall column cannot
+    over-report quality.
+
+    When ``exact`` / ``approx`` are given they must be the outputs of
+    ``cosine_topk`` / ``ivf_topk`` for the same (query_ids, k); the
+    suite passes its already-built frames so the two most expensive
+    subtrees are not evaluated twice.
 
     Scale shape: both inputs are query-bounded outputs
     (|query_ids| x k rows), so the hit join and the per-query count
     are trivially tiny no matter the corpus size; the cost is the two
     searches themselves (and in production the exact side runs on a
     SAMPLE of queries, which is exactly what ``query_ids`` is)."""
-    exact = cosine_topk(emb, query_ids, k).select("qid", "vec_id")
-    ap = (
-        ivf_topk(emb, query_ids, k, n_cells, n_probe, cents)
-        .select("qid", "vec_id")
-        .withColumn("__hit", F.lit(1))
-    )
-    return (
-        exact.join(ap, on=["qid", "vec_id"], how="left")
+    if exact is None:
+        exact = cosine_topk(emb, query_ids, k)
+    if approx is None:
+        approx = ivf_topk(emb, query_ids, k, n_cells, n_probe, cents)
+    ap = approx.select("qid", "vec_id").withColumn("__hit", F.lit(1))
+    per = (
+        exact.select("qid", "vec_id")
+        .join(ap, on=["qid", "vec_id"], how="left")
         .groupBy("qid")
         .agg(
             F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
             .cast("long")
-            .alias("n_hits")
+            .alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("__n_exact"),
         )
+    )
+    qs = emb.sparkSession.createDataFrame(
+        [(int(q),) for q in query_ids], "qid long"
+    )
+    return (
+        qs.join(F.broadcast(per), on="qid", how="left")
         .select(
             "qid",
-            "n_hits",
-            (F.round(F.col("n_hits") / F.lit(float(k)), 6) + F.lit(0.0)).alias(
-                "recall"
-            ),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (
+                F.round(F.col("n_hits") / F.col("__n_exact"), 6) + F.lit(0.0)
+            ).alias("recall"),
         )
     )
 

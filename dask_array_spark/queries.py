@@ -4493,12 +4493,17 @@ _SEMDEDUP_TRAINED_SQL = f"""
     SELECT 5, vec_id, cell, CAST(is_dup AS BIGINT), ccos
     FROM ({_SEMDEDUP_TRAINED_SQL}) sdt
     UNION ALL
-    SELECT 6, bf.qid, COUNT(iv.vec_id), CAST(-1 AS BIGINT),
-           round(COUNT(iv.vec_id) / 5.0, 6) + 0.0
-    FROM ({_BF_TOPK_SQL}) bf
-    LEFT JOIN ({_IVF_TOPK_SQL}) iv
-      ON iv.qid = bf.qid AND iv.vec_id = bf.vec_id
-    GROUP BY bf.qid
+    SELECT 6, q.qid, COALESCE(per.n_hits, 0), CAST(-1 AS BIGINT),
+           round(per.n_hits * 1.0 / per.n_exact, 6) + 0.0
+    FROM (SELECT CAST(unnest([0, 1, 2]) AS BIGINT) AS qid) q
+    LEFT JOIN (
+      SELECT bf.qid, CAST(COUNT(iv.vec_id) AS BIGINT) AS n_hits,
+             COUNT(*) AS n_exact
+      FROM ({_BF_TOPK_SQL}) bf
+      LEFT JOIN ({_IVF_TOPK_SQL}) iv
+        ON iv.qid = bf.qid AND iv.vec_id = bf.vec_id
+      GROUP BY bf.qid
+    ) per USING (qid)
     """,
 )
 def q_similarity_suite(spark, sf):
@@ -4522,10 +4527,12 @@ def q_similarity_suite(spark, sf):
     embs = _embs(spark, sf)
     k = lambda n: F.lit(n).cast("long").alias("kind")
     neg1 = F.lit(-1).cast("long")
-    bf = SIM.cosine_topk(embs, [0, 1, 2], k=5).select(
+    bf_raw = SIM.cosine_topk(embs, [0, 1, 2], k=5)
+    iv_raw = SIM.ivf_topk(embs, [0, 1, 2], k=5, n_cells=4, n_probe=2)
+    bf = bf_raw.select(
         k(0), F.col("qid").alias("a"), F.col("vec_id").alias("b"), "rank", "cos"
     )
-    iv = SIM.ivf_topk(embs, [0, 1, 2], k=5, n_cells=4, n_probe=2).select(
+    iv = iv_raw.select(
         k(1), F.col("qid").alias("a"), F.col("vec_id").alias("b"), "rank", "cos"
     )
     pr = SIM.cosine_pairs_bucketed(embs, n_planes=8, min_cos=0.2).select(
@@ -4545,7 +4552,9 @@ def q_similarity_suite(spark, sf):
         k(5), F.col("vec_id").alias("a"), F.col("cell").alias("b"),
         F.col("is_dup").cast("long").alias("rank"), F.col("ccos").alias("cos"),
     )
-    rc = SIM.ann_recall(embs, [0, 1, 2], k=5, n_cells=4, n_probe=2).select(
+    rc = SIM.ann_recall(
+        embs, [0, 1, 2], k=5, exact=bf_raw, approx=iv_raw
+    ).select(
         k(6), F.col("qid").alias("a"), F.col("n_hits").alias("b"),
         neg1.alias("rank"), F.col("recall").alias("cos"),
     )

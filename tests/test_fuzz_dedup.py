@@ -137,13 +137,16 @@ def test_minhash_lsh_chain_matches_python(spark, texts):
     if model_pairs:
         jac = D.jaccard_on_pairs(sh, pairs.drop("n_bands"))
         got_j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jac.collect()}
+        # every candidate pair must come back with a jaccard row --
+        # a join-key regression that drops pairs would otherwise pass
+        assert set(got_j) == set(model_pairs)
         for (a, b), jv in got_j.items():
             inter = len(model_sh[a] & model_sh[b])
             exact = inter / (len(model_sh[a]) + len(model_sh[b]) - inter)
             assert abs(jv - exact) <= 1e-6, (a, b, jv, exact)
 
-        clusters = D.duplicate_clusters(pairs.select("doc_a", "doc_b"))
-        got_rep = {r["doc_id"]: r["rep"] for r in clusters.collect()}
+        rows = D.duplicate_clusters(pairs.select("doc_a", "doc_b")).collect()
+        got_rep = {r["doc_id"]: r["rep"] for r in rows}
         verts = {d for p in model_pairs for d in p}
         model_rep = py_components(verts, model_pairs.keys())
         assert got_rep == model_rep
@@ -151,7 +154,7 @@ def test_minhash_lsh_chain_matches_python(spark, texts):
         sizes = defaultdict(int)
         for v, r in model_rep.items():
             sizes[r] += 1
-        got_sz = {r["doc_id"]: r["csize"] for r in clusters.collect()}
+        got_sz = {r["doc_id"]: r["csize"] for r in rows}
         assert got_sz == {v: sizes[r] for v, r in model_rep.items()}
 
 

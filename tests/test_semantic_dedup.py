@@ -183,3 +183,27 @@ def test_ann_recall_trained_codebook(spark):
         ).collect()
     }
     assert out == {0: 1.0, 3: 1.0}
+
+
+def test_ann_recall_small_corpus_and_missing_qid(spark):
+    """recall@k divides by the ACHIEVABLE exact count, not the fixed
+    k: a 4-vector corpus with k=5 has only 3 exact neighbors per
+    query, and a full probe finding all 3 must score 1.0 (not 3/5).
+    A requested qid absent from the corpus still yields a row --
+    n_hits 0 and NULL recall -- instead of silently vanishing."""
+    from dask_array_spark.functions.similarity import ann_recall
+
+    vecs = [
+        [1.0, 0.0, 0.0], [0.9, 0.1, 0.0],
+        [0.0, 1.0, 0.0], [0.1, 0.9, 0.0],
+    ]
+    emb = _emb(spark, vecs)
+    rows = {
+        r["qid"]: r
+        for r in ann_recall(
+            emb, [0, 999], k=5, n_cells=2, n_probe=2
+        ).collect()
+    }
+    assert set(rows) == {0, 999}
+    assert rows[0]["n_hits"] == 3 and rows[0]["recall"] == 1.0
+    assert rows[999]["n_hits"] == 0 and rows[999]["recall"] is None
