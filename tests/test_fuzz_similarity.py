@@ -1,0 +1,138 @@
+"""Property-based fuzz of the ANN similarity tier -- cosine_topk,
+ivf_assign, ivf_topk, ann_recall -- against a plain-Python model on
+random small-integer embeddings.  Integer components keep every dot
+product and squared norm exact in float64, so the engine's in-row
+zip_with/aggregate folds and the model's arithmetic agree bit-for-bit
+and the shared 6-decimal pre-rank rounding replays identically; the
+model re-implements the documented tie policies (higher cosine first,
+then smaller vec_id / smaller cell) rather than calling the engine.
+
+Also pins two structural invariants of the committed ann_recall
+semantics: a FULL probe makes IVF == exact (recall exactly 1.0 with
+the per-query achievable denominator), and every requested qid gets a
+row."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+
+def _r6(v: float) -> float:
+    """Spark F.round(x, 6) -- HALF_UP on the scaled value."""
+    s = v * 1e6
+    return (math.floor(s + 0.5) if s >= 0 else -math.floor(-s + 0.5)) / 1e6
+
+
+VEC = st.lists(
+    st.integers(min_value=0, max_value=3), min_size=3, max_size=3
+).filter(lambda v: any(v))
+CORPUS = st.lists(VEC, min_size=5, max_size=9)
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return _r6(dot / (na * nb))
+
+
+def py_topk(vecs, qids, k):
+    out = {}
+    for q in qids:
+        scored = sorted(
+            (( -_cos(v, vecs[q]), i) for i, v in enumerate(vecs) if i != q),
+        )[:k]
+        out[q] = [(r, i, -nc) for r, (nc, i) in enumerate(scored)]
+    return out
+
+
+def py_assign(vecs, n_cells):
+    # stub codebook: first n_cells vectors, ties -> smaller cell
+    out = {}
+    for i, v in enumerate(vecs):
+        out[i] = max(
+            range(n_cells), key=lambda c: (_cos(v, vecs[c]), -c)
+        )
+    return out
+
+
+def py_ivf_topk(vecs, qids, k, n_cells, n_probe):
+    assign = py_assign(vecs, n_cells)
+    out = {}
+    for q in qids:
+        probes = sorted(
+            range(n_cells), key=lambda c: (-_cos(vecs[q], vecs[c]), c)
+        )[:n_probe]
+        cand = [i for i in range(len(vecs)) if assign[i] in probes and i != q]
+        scored = sorted(((-_cos(vecs[i], vecs[q]), i) for i in cand))[:k]
+        out[q] = [(r, i, -nc) for r, (nc, i) in enumerate(scored)]
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(CORPUS)
+def test_similarity_tier_matches_python(spark, vecs):
+    from dask_array_spark.functions import similarity as SIM
+
+    emb = _emb(spark, vecs)
+    qids, k, n_cells, n_probe = [0, 2], 3, 2, 1
+
+    got = {}
+    for r in SIM.cosine_topk(emb, qids, k=k).collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    model = py_topk(vecs, qids, k)
+    assert {q: sorted(v) for q, v in got.items()} == {
+        q: sorted(v) for q, v in model.items()
+    }
+
+    got_asg = {
+        r["vec_id"]: r["cell"]
+        for r in SIM.ivf_assign(emb, n_cells=n_cells).collect()
+    }
+    assert got_asg == py_assign(vecs, n_cells)
+
+    got_iv = {}
+    for r in SIM.ivf_topk(
+        emb, qids, k=k, n_cells=n_cells, n_probe=n_probe
+    ).collect():
+        got_iv.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    model_iv = py_ivf_topk(vecs, qids, k, n_cells, n_probe)
+    assert {q: sorted(v) for q, v in got_iv.items()} == {
+        q: sorted(v) for q, v in model_iv.items() if v
+    }
+
+    # recall vs the model's intersection, with the achievable-count
+    # denominator; every requested qid present (999 never is)
+    rc = {
+        r["qid"]: (r["n_hits"], r["recall"])
+        for r in SIM.ann_recall(
+            emb, qids + [999], k=k, n_cells=n_cells, n_probe=n_probe
+        ).collect()
+    }
+    assert set(rc) == set(qids) | {999}
+    assert rc[999] == (0, None)
+    for q in qids:
+        ex = {i for _, i, _ in model[q]}
+        ap = {i for _, i, _ in model_iv[q]}
+        hits = len(ex & ap)
+        assert rc[q][0] == hits
+        assert abs(rc[q][1] - _r6(hits / len(ex))) <= 1e-9
+
+    # structural: a full probe makes IVF exhaustive == exact top-k
+    full = {}
+    for r in SIM.ivf_topk(
+        emb, qids, k=k, n_cells=n_cells, n_probe=n_cells
+    ).collect():
+        full.setdefault(r["qid"], []).append((r["rank"], r["vec_id"], r["cos"]))
+    assert {q: sorted(v) for q, v in full.items()} == {
+        q: sorted(v) for q, v in model.items()
+    }
