@@ -87,11 +87,30 @@ def _propagate(agg: Column, c: Column) -> Column:
     return F.when(F.count(F.lit(1)) > F.count(c), F.lit(None)).otherwise(agg)
 
 
+def _nan_normalized(a: Array) -> DataFrame:
+    """Cell frame with stray double NaNs folded into the NULL encoding.
+
+    NaN is NULL by core contract (core/array.py:17), but a real double
+    NaN can still be computed JVM-side (inf-inf, inf*0, a NaN literal).
+    Spark's aggregate/sort NaN semantics (NaN sorts LARGEST, sum/avg
+    propagate it) differ from both the contract and NumPy's nan*
+    family, so every reduction normalizes first; one codegen-stage
+    ``when(isnan)`` per cell, no extra shuffle or pass."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    d = a.df
+    if isinstance(d.schema[VALUE_COL].dataType, (DoubleType, FloatType)):
+        c = F.col(VALUE_COL)
+        keep = [F.col(f) for f in d.columns if f != VALUE_COL]
+        d = d.select(*keep, F.when(F.isnan(c), F.lit(None)).otherwise(c).alias(VALUE_COL))
+    return d
+
+
 def reduce_axes(a: Array, axis, aggs: Callable[[Column], list[Column]]) -> Array:
     """Shared groupBy-on-kept-axes skeleton.  ``aggs(valuecol)`` returns
     one aggregate Column aliased ``v`` (first element used)."""
     red, kept = _norm_axes(a, axis)
-    d = a.df
+    d = _nan_normalized(a)
     exprs = aggs(F.col(VALUE_COL))
     if not kept:
         out = d.agg(exprs[0].alias(VALUE_COL))
@@ -111,12 +130,13 @@ def quantiles(a: Array, qs: Sequence[float], axis=None) -> Array:
     arr_q = F.array(*[F.lit(float(q)) for q in qs])
     agg = F.percentile(F.col(VALUE_COL), arr_q)
     m = len(kept)
+    base = _nan_normalized(a)
     if kept:
-        d = a.df.groupBy(*[F.col(f"i{ax}") for ax in kept]).agg(agg.alias("__qs"))
+        d = base.groupBy(*[F.col(f"i{ax}") for ax in kept]).agg(agg.alias("__qs"))
         sel = [F.col(f"i{ax}").alias(f"i{k}") for k, ax in enumerate(kept)]
         out = d.select(*sel, F.posexplode("__qs").alias(f"i{m}", VALUE_COL))
     else:
-        d = a.df.agg(agg.alias("__qs"))
+        d = base.agg(agg.alias("__qs"))
         out = d.select(F.posexplode("__qs").alias("i0", VALUE_COL))
     shape = tuple(a.shape[ax] for ax in kept) + (len(qs),)
     return Array(out.select(*[f"i{k}" for k in range(m + 1)], VALUE_COL), shape)
@@ -269,7 +289,7 @@ def _arg_reduce(a: Array, axis, best: Callable[[Column], Column], skipna: bool) 
     if len(red) != 1:
         raise ValueError("argmin/argmax reduce exactly one axis (or flatten first)")
     ax = red[0]
-    d = a.df
+    d = _nan_normalized(a)
     kcols = [f"i{x}" for x in kept]
     bestv = d.groupBy(*kcols).agg(best(F.col(VALUE_COL)).alias("__best")) if kcols else d.agg(best(F.col(VALUE_COL)).alias("__best"))
     j = d.join(F.broadcast(bestv), on=kcols, how="inner") if kcols else d.crossJoin(F.broadcast(bestv))

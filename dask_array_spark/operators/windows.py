@@ -64,6 +64,15 @@ _BLOCK_1D = 1 << 18
 _PARTIALS_WINDOW_LIMIT = 1 << 17
 
 
+def _nanfix(a: Array) -> Array:
+    """Stray double NaNs (inf-inf, NaN literals) -> the NULL encoding,
+    so the NULL-flag scan/window logic below sees them; no-op on
+    integer/boolean arrays (see reductions._nan_normalized)."""
+    from .reductions import _nan_normalized
+
+    return Array(_nan_normalized(a), a.shape)
+
+
 def _axis_window(a: Array, axis: int, frame=None):
     axis = axis % a.ndim
     others = [f"i{k}" for k in range(a.ndim) if k != axis]
@@ -307,6 +316,7 @@ def cumsum(a: Array, axis: int = 0, scalable: bool | None = None) -> Array:
     """Running sum with NumPy NaN propagation (once NaN, all later NaN).
     Pure-1-D axes above SCALABLE_1D_THRESHOLD route to the two-pass
     distributed scan."""
+    a = _nanfix(a)
     if _route_1d(a, axis, scalable):
         return _scan_1d(a, "cumsum")
     w, ax = _axis_window(a, axis, (Window.unboundedPreceding, Window.currentRow))
@@ -316,6 +326,7 @@ def cumsum(a: Array, axis: int = 0, scalable: bool | None = None) -> Array:
 
 
 def nancumsum(a: Array, axis: int = 0, scalable: bool | None = None) -> Array:
+    a = _nanfix(a)
     if _route_1d(a, axis, scalable):
         return _scan_1d(a, "nancumsum")
     w, ax = _axis_window(a, axis, (Window.unboundedPreceding, Window.currentRow))
@@ -326,6 +337,7 @@ def nancumsum(a: Array, axis: int = 0, scalable: bool | None = None) -> Array:
 def cumprod(a: Array, axis: int = 0, scalable: bool | None = None) -> Array:
     """Running product via the exp-log-sum decomposition with running
     sign / zero tracking (SURVEY.md section 4.4 'cumprod log-trick')."""
+    a = _nanfix(a)
     if _route_1d(a, axis, scalable):
         return _scan_1d(a, "cumprod")
     w, ax = _axis_window(a, axis, (Window.unboundedPreceding, Window.currentRow))
@@ -343,6 +355,7 @@ def cumprod(a: Array, axis: int = 0, scalable: bool | None = None) -> Array:
 def nancumprod(a: Array, axis: int = 0, scalable: bool | None = None) -> Array:
     """NaN-skipping running product (reference nancumprod,
     reductions/_cumulative.py): NULL cells contribute factor 1."""
+    a = _nanfix(a)
     if _route_1d(a, axis, scalable):
         return _scan_1d(a, "nancumprod")
     w, ax = _axis_window(a, axis, (Window.unboundedPreceding, Window.currentRow))
@@ -359,6 +372,7 @@ def nancumprod(a: Array, axis: int = 0, scalable: bool | None = None) -> Array:
 
 def push(a: Array, axis: int = 0, limit: int | None = None, scalable: bool | None = None) -> Array:
     """Forward-fill last valid value (reference _overlap.py:1441)."""
+    a = _nanfix(a)
     if limit is None and _route_1d(a, axis, scalable):
         return _push_1d(a)
     if limit is None:
@@ -489,6 +503,7 @@ def moving_reduce(
     """Trailing window [i-size+1, i] with min_count NaN masking
     (reference ``MovingWindowReduction``,
     reductions/_sliding_window.py:249; xarray rolling semantics)."""
+    a = _nanfix(a)
     if _route_1d(a, axis, scalable):
         d, w = _halo_blocks(a, left=size - 1, right=0)
         frame = w.rowsBetween(-(size - 1), 0)
@@ -511,6 +526,7 @@ def coarsen(a: Array, factor: int, agg: str = "sum", axis: int = 0) -> Array:
     """Block-local downsample by `factor` (reference ``Coarsen``,
     routines/_coarsen.py:42) == groupBy(i DIV k) -- a tumbling index
     window, one partial-aggregated shuffle."""
+    a = _nanfix(a)
     axis = axis % a.ndim
     keys = [
         (F.floor(F.col(f"i{k}") / F.lit(factor)).cast("long") if k == axis else F.col(f"i{k}")).alias(f"i{k}")

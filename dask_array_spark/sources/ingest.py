@@ -211,16 +211,29 @@ def from_numpy(spark: SparkSession, arr: np.ndarray, npartitions: int | None = N
     idx = np.indices(arr.shape).reshape(arr.ndim, -1)
     cols = {f"i{k}": idx[k].astype("int64") for k in range(arr.ndim)}
     flat = arr.reshape(-1)
+    # NaN -> real SQL NULL (the engine's absent-value encoding).  A
+    # float64 pandas Series silently coerces None back to NaN, and the
+    # non-Arrow createDataFrame path ships that NaN as a double NaN --
+    # so the value column must be object-dtyped with true Nones and an
+    # explicit schema.
     if arr.dtype.kind == "f":
-        vals = pd.Series(flat).where(~np.isnan(flat), None)
+        vals = pd.Series(flat.astype(object)).where(~pd.isna(flat), None)
+        vtype = "double"
     elif arr.dtype.kind == "b":
         vals = pd.Series(flat.astype(bool))
+        vtype = "boolean"
     else:
         vals = pd.Series(flat.astype("int64"))
+        vtype = "long"
     pdf = pd.DataFrame({**cols, VALUE_COL: vals})
+    schema = ", ".join([f"i{k} long" for k in range(arr.ndim)] + [f"{VALUE_COL} {vtype}"])
     if arr.ndim == 0:
-        pdf = pd.DataFrame({VALUE_COL: [arr.item()]})
-    sdf = spark.createDataFrame(pdf)
+        item = arr.item()
+        if arr.dtype.kind == "f" and np.isnan(item):
+            item = None
+        pdf = pd.DataFrame({VALUE_COL: pd.Series([item], dtype=object if vtype == "double" else None)})
+        schema = f"{VALUE_COL} {vtype}"
+    sdf = spark.createDataFrame(pdf, schema=schema)
     if npartitions:
         sdf = sdf.repartition(npartitions)
     return Array(sdf, arr.shape)
