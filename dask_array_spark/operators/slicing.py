@@ -36,16 +36,13 @@ def _norm_slice(sl: slice, n: int | None):
         raise ValueError("slice step cannot be zero")
     if n is None and (start is None or start < 0 or stop is None or stop < 0 or step < 0):
         raise ValueError("negative/open slicing needs a known axis length")
-    if step > 0:
-        start = 0 if start is None else (start + n if (start < 0) else start)
-        stop = n if stop is None else (stop + n if (stop < 0) else stop)
-        if n is not None:
-            start, stop = max(0, min(start, n)), max(0, min(stop, n))
+    if n is None:
         length = max(0, -(-(stop - start) // step))
-    else:
-        start = n - 1 if start is None else (start + n if start < 0 else min(start, n - 1))
-        stop = -1 if stop is None else (stop + n if stop < 0 else stop)
-        length = max(0, -(-(start - stop) // -step))
+        return start, stop, step, length
+    # CPython slice.indices IS the NumPy clamping spec (negative-step
+    # stop floors at -1, out-of-range starts clamp per direction)
+    start, stop, step = sl.indices(n)
+    length = len(range(start, stop, step))
     return start, stop, step, length
 
 
