@@ -51,6 +51,82 @@ def _is_scalar(x: Any) -> bool:
     return isinstance(x, (int, float, bool, np.integer, np.floating, np.bool_))
 
 
+# -- IEEE-754 arithmetic helpers ------------------------------------------
+# Spark with ANSI off returns NULL for x/0, x%0 on DOUBLE (SQL, not
+# IEEE); NumPy wants ±inf / NaN.  NULL is this engine's NaN encoding,
+# so the NaN cases coincide for free, but the ±inf ones need explicit
+# repair.  All of these are single codegen-stage CASE WHEN chains.
+
+_INF = float("inf")
+
+
+def _is_neg_zero(c: Column) -> Column:
+    # -0.0 == 0.0 compares true in SQL; the sign survives a string cast
+    return c.cast("string").startswith("-")
+
+
+def _zero_div(a: Column, b: Column) -> Column:
+    """IEEE x / ±0: ±inf by the operand signs, NaN (NULL) for 0/0."""
+    inf = F.when(_is_neg_zero(b), F.lit(-_INF)).otherwise(F.lit(_INF))
+    return (
+        F.when(a.isNull() | (a == 0), F.lit(None).cast("double"))
+        .otherwise(F.signum(a) * inf)
+    )
+
+
+def _ieee_div(a: Column, b: Column) -> Column:
+    """a / b with IEEE zero-divisor semantics (NumPy true_divide)."""
+    return F.when(b == 0, _zero_div(a, b)).otherwise(a / b)
+
+
+def _copysign_zero(b: Column) -> Column:
+    return F.when((b < 0) | ((b == 0) & _is_neg_zero(b)), F.lit(-0.0)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def _npy_mod(a: Column, b: Column) -> Column:
+    """NumPy float remainder (sign of the DIVISOR), the npy_divmod
+    algorithm: fmod, then +b when the signs disagree.  Handles the
+    b=±inf cases the ((a%b)+b)%b folk formula gets wrong (fmod(3,inf)=3
+    but (3+inf)%inf=NaN)."""
+    m = a % b  # Spark % on DOUBLE is Java fmod (sign of dividend)
+    return (
+        F.when((m != 0) & ((m < 0) != (b < 0)), m + b)
+        .when(m == 0, _copysign_zero(b))
+        .otherwise(m)
+    )
+
+
+def _npy_floordiv(a: Column, b: Column) -> Column:
+    """NumPy float floor-division, replicating npy_divmod
+    (numpy/core/src/npymath): div = (a - fmod(a,b)) / b, minus one when
+    the remainder sign disagrees with the divisor, floored with an
+    fp-rounding repair; b==0 falls back to IEEE a/b."""
+    m = a % b
+    div = (a - m) / b
+    adj = F.when((m != 0) & ((m < 0) != (b < 0)), div - 1).otherwise(div)
+    fl = F.floor(adj).cast("double")
+    fl = F.when(adj - fl > 0.5, fl + 1.0).otherwise(fl)
+    # |adj| >= 2^52 doubles are already integral; also catches ±inf,
+    # and Spark's NaN-largest comparison catches a NaN adj (inf - inf)
+    fin = F.when(F.abs(adj) >= F.lit(2.0**52), adj).otherwise(fl)
+    return F.when(b == 0, _zero_div(a, b)).otherwise(fin)
+
+
+def _npy_pow(a: Column, b: Column) -> Column:
+    """F.pow plus the IEEE/C99 special cases the NULL encoding (and the
+    JVM) lose: pow(x, 0)=1 and pow(1, y)=1 even for NaN partners, and
+    pow(±1, ±inf)=1 (Java returns NaN there, C99/NumPy return 1)."""
+    one = F.lit(1.0)
+    return (
+        F.when(b == 0, one)
+        .when(a == 1, one)
+        .when((F.abs(a) == one) & (F.abs(b) == F.lit(_INF)), one)
+        .otherwise(F.pow(a, b))
+    )
+
+
 class Array:
     """Lazy, distributed N-d array (cell/COO form).
 
@@ -173,30 +249,48 @@ class Array:
 
     __rmul__ = __mul__
 
+    def _float_op(self, other: Any) -> bool:
+        """True when NumPy type promotion makes the op a FLOAT op."""
+        from pyspark.sql.types import DoubleType, FloatType
+
+        if isinstance(self.dtype, (DoubleType, FloatType)):
+            return True
+        if isinstance(other, Array):
+            return isinstance(other.dtype, (DoubleType, FloatType))
+        return isinstance(other, (float, np.floating))
+
     def __truediv__(self, o):
-        return self._binary(o, lambda a, b: a / b)
+        return self._binary(o, _ieee_div)
 
     def __rtruediv__(self, o):
-        return self._binary(o, lambda a, b: a / b, reflected=True)
+        return self._binary(o, _ieee_div, reflected=True)
 
     def __floordiv__(self, o):
+        if self._float_op(o):
+            return self._binary(o, _npy_floordiv)
         return self._binary(o, lambda a, b: F.floor(a / b))
 
     def __rfloordiv__(self, o):
+        if self._float_op(o):
+            return self._binary(o, _npy_floordiv, reflected=True)
         return self._binary(o, lambda a, b: F.floor(a / b), reflected=True)
 
     def __mod__(self, o):
         # Python/NumPy modulo (sign of divisor), not SQL pmod-of-dividend
+        if self._float_op(o):
+            return self._binary(o, _npy_mod)
         return self._binary(o, lambda a, b: ((a % b) + b) % b)
 
     def __rmod__(self, o):
+        if self._float_op(o):
+            return self._binary(o, _npy_mod, reflected=True)
         return self._binary(o, lambda a, b: ((a % b) + b) % b, reflected=True)
 
     def __pow__(self, o):
-        return self._binary(o, lambda a, b: F.pow(a, b))
+        return self._binary(o, _npy_pow)
 
     def __rpow__(self, o):
-        return self._binary(o, lambda a, b: F.pow(a, b), reflected=True)
+        return self._binary(o, _npy_pow, reflected=True)
 
     def __neg__(self):
         return self._unary(lambda c: -c)
@@ -225,23 +319,26 @@ class Array:
 
     __rxor__ = __xor__
 
+    # NumPy: a comparison with NaN is False (and != is True); a NULL
+    # (NaN-encoded) operand must not yield a NULL boolean that breaks
+    # downstream casts/sums
     def __eq__(self, o):  # type: ignore[override]
-        return self._binary(o, lambda a, b: a == b)
+        return self._binary(o, lambda a, b: F.coalesce(a == b, F.lit(False)))
 
     def __ne__(self, o):  # type: ignore[override]
-        return self._binary(o, lambda a, b: a != b)
+        return self._binary(o, lambda a, b: F.coalesce(a != b, F.lit(True)))
 
     def __lt__(self, o):
-        return self._binary(o, lambda a, b: a < b)
+        return self._binary(o, lambda a, b: F.coalesce(a < b, F.lit(False)))
 
     def __le__(self, o):
-        return self._binary(o, lambda a, b: a <= b)
+        return self._binary(o, lambda a, b: F.coalesce(a <= b, F.lit(False)))
 
     def __gt__(self, o):
-        return self._binary(o, lambda a, b: a > b)
+        return self._binary(o, lambda a, b: F.coalesce(a > b, F.lit(False)))
 
     def __ge__(self, o):
-        return self._binary(o, lambda a, b: a >= b)
+        return self._binary(o, lambda a, b: F.coalesce(a >= b, F.lit(False)))
 
     def __matmul__(self, o):
         from ..operators import linalg

@@ -16,7 +16,7 @@ from typing import Callable
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..core.array import Array, VALUE_COL
+from ..core.array import Array, VALUE_COL, _ieee_div, _is_neg_zero
 
 __all__ = [
     "sqrt", "cbrt", "exp", "exp2", "expm1", "log", "log1p", "log2", "log10",
@@ -46,14 +46,22 @@ def _u(fn: Callable[[Column], Column]):
     return apply
 
 
+def _log_like(fn: Callable[[Column], Column], pole: float):
+    """Spark's log family returns NULL at the pole (log(0), log1p(-1));
+    NumPy returns -inf.  Out-of-domain (negative) stays NULL == NaN."""
+    return _u(
+        lambda c: F.when(c == F.lit(pole), F.lit(-_INF)).otherwise(fn(c))
+    )
+
+
 sqrt = _u(F.sqrt)
 cbrt = _u(F.cbrt)
 exp = _u(F.exp)
 expm1 = _u(F.expm1)
-log = _u(F.log)
-log1p = _u(F.log1p)
-log2 = _u(F.log2)
-log10 = _u(F.log10)
+log = _log_like(F.log, 0.0)
+log1p = _log_like(F.log1p, -1.0)
+log2 = _log_like(F.log2, 0.0)
+log10 = _log_like(F.log10, 0.0)
 square = _u(lambda c: c * c)
 sin = _u(F.sin)
 cos = _u(F.cos)
@@ -67,19 +75,33 @@ tanh = _u(F.tanh)
 arcsinh = _u(F.asinh)
 arccosh = _u(F.acosh)
 arctanh = _u(F.atanh)
-floor = _u(lambda c: F.floor(c).cast("double"))
-ceil = _u(lambda c: F.ceil(c).cast("double"))
-trunc = _u(lambda c: F.when(c < 0, F.ceil(c)).otherwise(F.floor(c)).cast("double"))
+def _already_integral(c: Column) -> Column:
+    # |x| >= 2^52 doubles carry no fractional bits; also catches ±inf
+    # (Spark's F.floor returns BIGINT, which overflows on both)
+    return F.abs(c) >= F.lit(2.0**52)
+
+
+floor = _u(lambda c: F.when(_already_integral(c), c).otherwise(F.floor(c).cast("double")))
+ceil = _u(lambda c: F.when(_already_integral(c), c).otherwise(F.ceil(c).cast("double")))
+trunc = _u(
+    lambda c: F.when(_already_integral(c), c).otherwise(
+        F.when(c < 0, F.ceil(c)).otherwise(F.floor(c)).cast("double")
+    )
+)
 rint = _u(lambda c: F.rint(c))
 sign = _u(F.signum)
 absolute = _u(F.abs)
-reciprocal = _u(lambda c: F.lit(1.0) / c)
+reciprocal = _u(lambda c: _ieee_div(F.lit(1.0), c))
 deg2rad = _u(F.radians)
 rad2deg = _u(F.degrees)
 isnull = _u(lambda c: c.isNull())
 notnull = _u(lambda c: c.isNotNull())
 logical_not = _u(lambda c: ~c.cast("boolean"))
-signbit = _u(lambda c: c < 0)
+# -0.0 compares == 0 but its sign bit is set; NULL (NaN) -> False like
+# np.signbit(nan)
+signbit = _u(
+    lambda c: F.coalesce((c < 0) | ((c == 0) & _is_neg_zero(c)), F.lit(False))
+)
 exp2 = _u(lambda c: F.pow(F.lit(2.0), c))
 fix = trunc  # NumPy alias: round toward zero
 degrees, radians = rad2deg, deg2rad
@@ -222,16 +244,21 @@ def sinc(a: Array) -> Array:
 
 def divmod_(a: Array, b) -> tuple[Array, Array]:
     """(floor quotient, remainder) -- one fused projection each over
-    the same base; Catalyst dedups the shared subexpressions."""
-    q = a._binary(b, lambda x, y: F.floor(x / y))
-    r = a._binary(b, lambda x, y: ((x % y) + y) % y)
-    return q, r
+    the same base; Catalyst dedups the shared subexpressions.  Routed
+    through // and % so the npy_divmod IEEE edge cases hold."""
+    return a // b, a % b
 
 
 def modf(a: Array) -> tuple[Array, Array]:
-    """(fractional, integral) parts, both carrying the sign of x."""
-    ipart = a._unary(lambda c: F.when(c < 0, F.ceil(c)).otherwise(F.floor(c)).cast("double"))
-    fpart = a._binary(ipart, lambda x, i: x - i)
+    """(fractional, integral) parts, both carrying the sign of x.
+    C99 modf: an already-integral x (incl. ±inf) has fpart ±0."""
+    from ..core.array import _copysign_zero
+
+    ipart = trunc(a)
+    fpart = a._binary(
+        ipart,
+        lambda x, i: F.when(_already_integral(x), _copysign_zero(x)).otherwise(x - i),
+    )
     return fpart, ipart
 
 
