@@ -218,16 +218,42 @@ def trace(a: Array, offset: int = 0) -> Array:
 
 
 def norm(a: Array, ord=None) -> Array:
-    """Frobenius / vector norms as pure reductions (reference
-    linalg/_norm.py:13)."""
+    """np.linalg.norm parity (reference linalg/_norm.py:13): Frobenius
+    and the full vector-p family as pure reductions; matrix 1/±inf as
+    an axis reduction + max/min; matrix ±2/'nuc' through the TSQR thin
+    SVD (the k x k R factor is in-core by design, the corpus is not)."""
     from . import reductions as R
 
-    if ord is None or ord == "fro" or ord == 2 and a.ndim == 1:
+    inf = float("inf")
+    if ord is None or ord == "fro" or (ord == 2 and a.ndim == 1):
         return R.sum(a._unary(lambda c: c * c), axis=None)._unary(F.sqrt)
-    if ord == 1 and a.ndim == 1:
-        return R.sum(a._unary(F.abs), axis=None)
-    if ord == float("inf") and a.ndim == 1:
-        return R.amax(a._unary(F.abs), axis=None)
+    if a.ndim == 1:
+        if ord == inf:
+            return R.amax(a._unary(F.abs), axis=None)
+        if ord == -inf:
+            return R.amin(a._unary(F.abs), axis=None)
+        if ord == 0:
+            return R.sum(a._unary(lambda c: (c != 0).cast("double")), axis=None)
+        if isinstance(ord, (int, float)):
+            p = float(ord)
+            s = R.sum(a._unary(lambda c: F.pow(F.abs(c), F.lit(p))), axis=None)
+            return s._unary(lambda c: F.pow(c, F.lit(1.0 / p)))
+    if a.ndim == 2:
+        if ord in (1, -1):
+            colsums = R.sum(a._unary(F.abs), axis=0)
+            return (R.amax if ord == 1 else R.amin)(colsums, axis=None)
+        if ord in (inf, -inf):
+            rowsums = R.sum(a._unary(F.abs), axis=1)
+            return (R.amax if ord == inf else R.amin)(rowsums, axis=None)
+        if ord in (2, -2, "nuc"):
+            from .manipulation import transpose as _t
+
+            m, n = a.shape
+            mat = _t(a) if (m is not None and n is not None and n > m) else a
+            s = svd_tall(mat)[1]  # singular values of A == those of A^T
+            val = {2: s.max(), -2: s.min(), "nuc": s.sum()}[ord]
+            d = a.spark.range(1).select(F.lit(float(val)).alias(VALUE_COL))
+            return Array(d.select(VALUE_COL), ())
     raise ValueError(f"unsupported ord {ord!r} for ndim {a.ndim}")
 
 
