@@ -213,7 +213,20 @@ def lsh_candidate_pairs(
             .filter(F.col("__n") > max_bucket)
             .select("band", "bh")
         )
-        bh = bh.join(F.broadcast(hot), on=["band", "bh"], how="left_anti")
+        # persist the CAPPED table too: the self-join's two branches
+        # would otherwise each re-plan the hot-agg + anti-join subtree
+        # above the raw cache (4 InMemoryTableScans, 3 broadcast
+        # builds, 13 exchanges at sf0.1), which is pure stage-count
+        # overhead on a band-table-sized input.  A round-8 A/B (min of
+        # 8 warm runs, quiet machine, sf0.1) measured 1.37 s without
+        # this persist vs 0.58 s with it -- and the uncached form's
+        # rep noise (the round-7 "first-rep spike") was exactly the
+        # duplicated subtree's extra GC + AQE scheduling.  Memory
+        # cost: one more band-table-sized cache (n_docs x bands rows,
+        # a subset of the raw one) -- negligible against the corpus at
+        # any scale; the raw cache above stays only to feed the hot
+        # count and the anti probe a single shingle->minhash pass.
+        bh = bh.join(F.broadcast(hot), on=["band", "bh"], how="left_anti").persist()
     a = bh.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = bh.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (

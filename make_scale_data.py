@@ -156,9 +156,13 @@ def main() -> None:
     for t in (
         "region nation customer supplier part orders lineitem events embeddings"
     ).split():
+        # re-link unconditionally: a re-run rewrites the base sf1
+        # parquet to NEW inodes, so a kept link would silently pin the
+        # previous generation and desync sf1v from sf1
         lnk = os.path.join(dstv, f"{t}.parquet")
-        if not os.path.exists(lnk):
-            os.link(os.path.join(DST, f"{t}.parquet"), lnk)
+        if os.path.exists(lnk):
+            os.remove(lnk)
+        os.link(os.path.join(DST, f"{t}.parquet"), lnk)
     print("sf1v (verbatim documents):", dstv)
     print("done ->", DST)
 
