@@ -127,6 +127,16 @@ def _npy_pow(a: Column, b: Column) -> Column:
     )
 
 
+def _nan_as_null(c: Column) -> Column:
+    """Fold a stray JVM-computed NaN (inf-inf, inf*0, ... -- values
+    the NULL encoding never saw) into NULL so comparisons take the
+    same coalesce fallback as NULL-encoded NaNs.  Without this, Spark
+    comparison semantics leak through: NaN == NaN is true and NaN
+    sorts above every double, so (a-a)==(a-a) over an inf cell would
+    return True where NumPy returns False."""
+    return F.when(F.isnan(c.cast("double")), F.lit(None)).otherwise(c)
+
+
 class Array:
     """Lazy, distributed N-d array (cell/COO form).
 
@@ -321,24 +331,36 @@ class Array:
 
     # NumPy: a comparison with NaN is False (and != is True); a NULL
     # (NaN-encoded) operand must not yield a NULL boolean that breaks
-    # downstream casts/sums
+    # downstream casts/sums.  Float operands are _nan_as_null-wrapped
+    # first so a stray JVM NaN (inf-inf, inf*0 -- never NULL-encoded)
+    # hits the same coalesce fallback instead of Spark's NaN==NaN /
+    # NaN-sorts-largest semantics.
+    def _compare(self, o, op, null_result: bool):
+        if self._float_op(o):
+            fn = lambda a, b: F.coalesce(  # noqa: E731
+                op(_nan_as_null(a), _nan_as_null(b)), F.lit(null_result)
+            )
+        else:
+            fn = lambda a, b: F.coalesce(op(a, b), F.lit(null_result))  # noqa: E731
+        return self._binary(o, fn)
+
     def __eq__(self, o):  # type: ignore[override]
-        return self._binary(o, lambda a, b: F.coalesce(a == b, F.lit(False)))
+        return self._compare(o, lambda a, b: a == b, False)
 
     def __ne__(self, o):  # type: ignore[override]
-        return self._binary(o, lambda a, b: F.coalesce(a != b, F.lit(True)))
+        return self._compare(o, lambda a, b: a != b, True)
 
     def __lt__(self, o):
-        return self._binary(o, lambda a, b: F.coalesce(a < b, F.lit(False)))
+        return self._compare(o, lambda a, b: a < b, False)
 
     def __le__(self, o):
-        return self._binary(o, lambda a, b: F.coalesce(a <= b, F.lit(False)))
+        return self._compare(o, lambda a, b: a <= b, False)
 
     def __gt__(self, o):
-        return self._binary(o, lambda a, b: F.coalesce(a > b, F.lit(False)))
+        return self._compare(o, lambda a, b: a > b, False)
 
     def __ge__(self, o):
-        return self._binary(o, lambda a, b: F.coalesce(a >= b, F.lit(False)))
+        return self._compare(o, lambda a, b: a >= b, False)
 
     def __matmul__(self, o):
         from ..operators import linalg

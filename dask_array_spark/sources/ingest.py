@@ -883,6 +883,11 @@ def from_tiledb(
         raise ValueError("TileDB array must be open for reading")
     shape = tuple(int(s) for s in tdb.shape)
     chunks = tuple(int(c) for c in chunks) if chunks else _tiledb_to_chunks(schema)
+    # dtype travels from the schema, like from_numpy: int/bool arrays
+    # keep their type (long/boolean columns) instead of silently
+    # widening to double (round-7 ADVICE; reference preserves the
+    # TileDB dtype)
+    kind = np.dtype(tdb.dtype).kind if hasattr(tdb, "dtype") else "f"
     if opened_here and hasattr(tdb, "close"):
         tdb.close()  # metadata extracted; executors open their own handles
     if len(chunks) != len(shape):
@@ -899,7 +904,12 @@ def from_tiledb(
     bcols = ", ".join(f"b{k} long" for k in range(ndim))
     gdf = spark.createDataFrame(
         [tuple(int(c) for c in g) for g in grid], bcols
-    ).repartition(min(len(grid), spark.sparkContext.defaultParallelism))
+    ).repartition(
+        # max(1, ...): a zero-length dimension yields an EMPTY grid,
+        # and repartition(0) raises instead of returning the empty
+        # Array (round-7 ADVICE)
+        max(1, min(len(grid), spark.sparkContext.defaultParallelism))
+    )
 
     def read_tiles(it):
         tdb = mod.open(uri, attr=attribute, config=cfg or None, key=key)
@@ -914,20 +924,33 @@ def from_tiledb(
                         lo = coords[k] * chunks[k]
                         sl.append(slice(lo, min(lo + chunks[k], shape[k])))
                         offs.append(lo)
-                    block = np.asarray(tdb[tuple(sl)], dtype="float64")
+                    block = np.asarray(tdb[tuple(sl)])
                     idx = np.indices(block.shape).reshape(ndim, -1)
                     flat = block.reshape(-1)
-                    keep = ~np.isnan(flat)  # absent-cell encoding
-                    cols = {
-                        f"i{k}": idx[k][keep] + offs[k] for k in range(ndim)
-                    }
-                    cols[VALUE_COL] = flat[keep]
+                    cols = {f"i{k}": idx[k] + offs[k] for k in range(ndim)}
+                    if kind == "f":
+                        # NaN cells (dense-array fill values included)
+                        # -> NULL rows, exactly like from_numpy: an
+                        # absent ROW would be invisible to reductions'
+                        # count(*)-vs-count(v) NaN propagation, so
+                        # sum/mean over a NaN-bearing TileDB read must
+                        # see the NULL, not a shorter frame (round-7
+                        # ADVICE).  pandas nullable Float64 maps NaN
+                        # -> pd.NA -> SQL NULL through Arrow.
+                        cols[VALUE_COL] = pd.array(
+                            flat.astype("float64"), dtype="Float64"
+                        )
+                    elif kind == "b":
+                        cols[VALUE_COL] = flat.astype(bool)
+                    else:
+                        cols[VALUE_COL] = flat.astype("int64")
                     yield pd.DataFrame(cols)
         finally:
             if hasattr(tdb, "close"):
                 tdb.close()
 
-    out_schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+    vtype = {"f": "double", "b": "boolean"}.get(kind, "long")
+    out_schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} {vtype}"
     return Array(gdf.mapInPandas(read_tiles, schema=out_schema), shape)
 
 

@@ -64,6 +64,25 @@ def test_power_hostile(spark, pairs):
 
 @settings(max_examples=6, deadline=None)
 @given(PAIRS)
+def test_comparisons_jvm_nan_hostile(spark, pairs):
+    # JVM-COMPUTED NaNs (inf-inf, inf*0) never went through the NULL
+    # encoding, so without _nan_as_null in the comparison dunders
+    # Spark semantics leak: NaN==NaN true, NaN sorts above every
+    # double -- (a-a)==(a-a) or (a-a)>0 over an inf cell would return
+    # True where NumPy returns False (round-7 ADVICE, array.py:325)
+    a, b, x, y = _arrs(spark, pairs)
+    d, xd = a - a, _np(np.subtract, x, x)      # NaN at |x| = inf
+    m, ym = a * b, _np(np.multiply, x, y)      # NaN at inf * 0
+    assert_eq((d == d).astype("long"), _np(np.equal, xd, xd).astype("int64"))
+    assert_eq((d != d).astype("long"), _np(np.not_equal, xd, xd).astype("int64"))
+    assert_eq((d > b).astype("long"), _np(np.greater, xd, y).astype("int64"))
+    assert_eq((d >= m).astype("long"), _np(np.greater_equal, xd, ym).astype("int64"))
+    assert_eq((m < b).astype("long"), _np(np.less, ym, y).astype("int64"))
+    assert_eq((m <= d).astype("long"), _np(np.less_equal, ym, xd).astype("int64"))
+
+
+@settings(max_examples=6, deadline=None)
+@given(PAIRS)
 def test_comparisons_minmax_hostile(spark, pairs):
     from dask_array_spark.operators import elemwise as E
 

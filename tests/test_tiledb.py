@@ -98,7 +98,13 @@ class FakeArray:
         )
 
     def __getitem__(self, idx):
-        base = np.full(self.shape, np.nan, dtype=self._meta["dtype"])
+        # dtype-appropriate fill for unwritten cells: NaN for floats
+        # (TileDB's default float fill), 0 for int/bool (real TileDB
+        # uses dtype-specific defaults; the plumbing under test only
+        # needs SOME fill for non-float kinds)
+        dt = np.dtype(self._meta["dtype"])
+        fill = np.nan if dt.kind == "f" else 0
+        base = np.full(self.shape, fill, dtype=dt)
         for f in self._frags():
             z = np.load(os.path.join(self.uri, f))
             starts, block = z["starts"], z["block"]
@@ -292,3 +298,51 @@ def test_library_gate_without_injection(spark):
         pass
     with pytest.raises(NotImplementedError, match="tiledb"):
         from_tiledb(spark, "/nonexistent")
+
+
+def test_nan_propagates_through_reductions(spark, tmp_path):
+    """NaN cells must arrive as NULL ROWS (from_numpy's encoding), not
+    be dropped: an absent row is invisible to reductions' count(*) vs
+    count(v) NaN propagation, so sum/mean over a NaN-bearing TileDB
+    read would return a finite value where NumPy wants NaN (round-7
+    ADVICE, ingest.py:920)."""
+    from dask_array_spark.operators import reductions as R
+
+    x = np.arange(12, dtype="float64")
+    x[5] = np.nan
+    uri = _mkarray(str(tmp_path), x, tile=(4,))
+    a = from_tiledb(spark, uri, _tiledb=FAKE)
+    assert a.df.count() == 12  # every cell present, NaN as NULL
+    assert np.isnan(R.sum(a, axis=None).compute())
+    assert np.isnan(R.mean(a, axis=None).compute())
+    assert R.nansum(a, axis=None).compute() == np.nansum(x)
+
+
+def test_int_and_bool_dtypes_preserved(spark, tmp_path):
+    """int/bool TileDB attributes keep their dtype (long/boolean
+    columns) instead of silently widening to double and routing
+    through the NaN-based filtering (round-7 ADVICE, ingest.py:1053).
+    Reference io/_tiledb.py preserves the array dtype."""
+    xi = (np.arange(10) * 3 - 7).astype("int64")
+    uri = _mkarray(str(tmp_path), xi, tile=(4,))
+    ai = from_tiledb(spark, uri, _tiledb=FAKE)
+    assert dict(ai.df.dtypes)["v"] == "bigint"
+    assert_eq(ai, xi)
+
+    xb = np.array([True, False, True, True, False])
+    urib = _mkarray(str(tmp_path), xb, tile=(2,))
+    ab = from_tiledb(spark, urib, _tiledb=FAKE)
+    assert dict(ab.df.dtypes)["v"] == "boolean"
+    got = ab.compute()
+    np.testing.assert_array_equal(got.astype(bool), xb)
+
+
+def test_zero_length_dim_returns_empty(spark, tmp_path):
+    """A zero-length dimension yields an empty tile grid; the read
+    must return an empty Array instead of raising on repartition(0)
+    (round-7 ADVICE, ingest.py:1038)."""
+    x = np.empty((0, 3), dtype="float64")
+    uri = _mkarray(str(tmp_path), x, tile=(2, 2))
+    a = from_tiledb(spark, uri, _tiledb=FAKE)
+    assert a.shape == (0, 3)
+    assert a.df.count() == 0
