@@ -51,7 +51,28 @@ DEFAULT_NB = 1024
 # per call for genuinely large clusters.
 MAX_WAVEFRONT_CELLS = 1 << 31
 
+# The wavefront is STRUCTURALLY SEQUENTIAL over block columns (the
+# same trade the reference makes, linalg/_cholesky.py:27-214): each
+# of the K = ceil(n/nb) steps runs O(1) Spark jobs, so the total plan
+# is O(K) driver-sequenced stages.  That is fine at modest K and
+# catastrophic at K ~ 10^4 (a ten-thousand-stage job storm a caller
+# could silently submit with a tiny nb); refuse past this bound and
+# say what to change.  The per-step job constant is regression-pinned
+# by tests/test_linalg_blocked.py::test_wavefront_stage_count_is_linear.
+MAX_WAVEFRONT_STEPS = 256
+
 _BLOCK_SCHEMA = "bi long, bj long, data binary"
+
+
+def _check_steps(K: int) -> None:
+    if K > MAX_WAVEFRONT_STEPS:
+        raise ValueError(
+            f"blocked wavefront would sequence {K} block-column steps "
+            f"(> {MAX_WAVEFRONT_STEPS}): each step is O(1) eager Spark "
+            "jobs, so this plan is a driver-sequenced stage storm -- "
+            "raise nb (bigger tiles) or use lstsq/tsqr/svd for tall "
+            "problems"
+        )
 
 
 def _check_size(a: Array, max_cells: int | None) -> None:
@@ -239,6 +260,7 @@ def cholesky_blocked(a: Array, nb: int | None = None, max_cells: int | None = No
     n = a.shape[0]
     nb = nb or min(DEFAULT_NB, n)
     K = math.ceil(n / nb)
+    _check_steps(K)
     spark = a.spark
 
     ab = _materialize(
@@ -356,6 +378,7 @@ def lu_blocked(a: Array, nb: int | None = None, max_cells: int | None = None):
     n = a.shape[0]
     nb = nb or min(DEFAULT_NB, n)
     K = math.ceil(n / nb)
+    _check_steps(K)
 
     ab = _materialize(_to_blocks(a, nb))
 
@@ -590,6 +613,7 @@ def _subst(abdf: DataFrame, bb: DataFrame, n: int, m: int, nb: int, lower: bool)
     linalg/_solve.py SolveTriangular): sequential over block rows, each
     step one metadata-sized Spark job over that row's tiles."""
     K = math.ceil(n / nb)
+    _check_steps(K)
     order = range(K) if lower else range(K - 1, -1, -1)
     xparts: dict[int, DataFrame] = {}
 
@@ -695,6 +719,7 @@ def solve_blocked(a: Array, b: Array, assume_a: str = "gen", nb: int | None = No
     nb = nb or min(DEFAULT_NB, n)
     m = b.shape[1] if b.ndim == 2 else 1
     K = math.ceil(n / nb)
+    _check_steps(K)
 
     if assume_a == "pos":
         l_arr = cholesky_blocked(a, nb)

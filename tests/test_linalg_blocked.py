@@ -138,3 +138,77 @@ def test_cholesky_above_incore_guard(spark):
     cnt = L.df.count()
     assert cnt == n * (n + 1) // 2
     assert err < 1e-8
+
+
+def _count_jobs(spark, group, fn):
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup("", "")
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_wavefront_stage_count_is_linear(spark):
+    """The cholesky/lu wavefront is structurally sequential over the
+    K = ceil(n/nb) block columns (the reference's trade,
+    linalg/_cholesky.py:27-214); the CONTRACT is that each step costs
+    O(1) eager Spark jobs, so total jobs grow LINEARLY in K with a
+    bounded per-step constant.  Pinned so a future edit cannot
+    silently make a step quadratic (e.g. re-materializing history) --
+    measured as job-count deltas between a K=2 and a K=6 grid of the
+    same matrix."""
+    import numpy as np
+
+    from dask_array_spark.operators import linalg_blocked as LB
+    from dask_array_spark.sources import from_numpy
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(12, 12))
+    spd = m @ m.T + 12 * np.eye(12)
+
+    def chol(nb):
+        a = from_numpy(spark, spd)
+        LB.cholesky_blocked(a, nb=nb).df.count()
+
+    j2 = _count_jobs(spark, "wf-chol-k2", lambda: chol(6))   # K = 2
+    j6 = _count_jobs(spark, "wf-chol-k6", lambda: chol(2))   # K = 6
+    per_step = (j6 - j2) / 4.0
+    assert per_step >= 0.5, f"expected >=1 job per extra step, got {per_step}"
+    assert per_step <= 10, f"per-step job constant blew up: {per_step} (j2={j2}, j6={j6})"
+
+    def lu(nb):
+        a = from_numpy(spark, spd)
+        p, l, u = LB.lu_blocked(a, nb=nb)
+        u.df.count()
+
+    j2 = _count_jobs(spark, "wf-lu-k2", lambda: lu(6))
+    j6 = _count_jobs(spark, "wf-lu-k6", lambda: lu(2))
+    per_step = (j6 - j2) / 4.0
+    assert per_step >= 0.5
+    assert per_step <= 14, f"LU per-step job constant blew up: {per_step} (j2={j2}, j6={j6})"
+
+
+def test_wavefront_step_guard(spark):
+    """K > MAX_WAVEFRONT_STEPS must refuse up front (round-7 verdict
+    ask 6): a tiny nb on a big matrix would otherwise silently submit
+    a ~10^4-stage driver-sequenced plan."""
+    import numpy as np
+    import pytest as _pt
+
+    from dask_array_spark.core.array import Array
+    from dask_array_spark.operators import linalg_blocked as LB
+    from pyspark.sql import functions as F
+
+    n = LB.MAX_WAVEFRONT_STEPS + 1  # nb=1 -> K = n > limit
+    cells = (
+        spark.range(n)
+        .select(F.col("id").alias("i0"), F.col("id").alias("i1"),
+                F.lit(1.0).alias("v"))
+    )
+    a = Array(cells, (n, n))
+    with _pt.raises(ValueError, match="block-column steps"):
+        LB.cholesky_blocked(a, nb=1)
+    with _pt.raises(ValueError, match="block-column steps"):
+        LB.lu_blocked(a, nb=1)
