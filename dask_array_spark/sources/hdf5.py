@@ -43,6 +43,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 
 from ..core.array import VALUE_COL, Array
+from .ingest import _cells_value, _value_sql_type
 
 __all__ = ["from_hdf5", "to_hdf5", "h5_ls"]
 
@@ -564,8 +565,10 @@ def _materialize_fill(spark, arr, info, table, shape, chunks, dtype) -> Array:
     fill = 0.0
     if fill_bytes is not None and len(fill_bytes) == dtype.itemsize:
         fill = float(np.frombuffer(fill_bytes, dtype=dtype)[0])
-    if math.isnan(fill):
-        return arr  # NaN fill == absent cells in the engine encoding
+    # a NaN fill emits NULL cells below via _cells_value (the engine's
+    # NaN encoding) -- absent ROWS would be invisible to reductions'
+    # count(*)-vs-count(v) propagation (round-8 IO-tier NaN sweep)
+    kind = dtype.kind
     ndim = len(shape)
     grid = [math.ceil(shape[k] / chunks[k]) for k in range(ndim)]
     present = {tuple(int(row[2 + k]) // chunks[k] for k in range(ndim))
@@ -587,23 +590,37 @@ def _materialize_fill(spark, arr, info, table, shape, chunks, dtype) -> Array:
                 idx = np.indices(dims).reshape(ndim, -1)
                 cols = {f"i{k}": idx[k] + coords[k] * chunks[k]
                         for k in range(ndim)}
-                cols[VALUE_COL] = np.full(idx.shape[1], fill)
+                cols[VALUE_COL] = _cells_value(
+                    np.full(idx.shape[1], fill), kind
+                )
                 yield pd.DataFrame(cols)
 
-    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+    vt = _value_sql_type(kind)
+    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} {vt}"
     return Array(arr.df.unionByName(mdf.mapInPandas(emit_fill, schema=schema)),
                  shape)
 
 
 def _from_driver_dense(spark, vals: np.ndarray) -> Array:
-    vals = np.asarray(vals, dtype="float64")
+    vals = np.asarray(vals)
+    kind = vals.dtype.kind
     ndim = vals.ndim
     idx = np.indices(vals.shape).reshape(ndim, -1)
+    flat = vals.reshape(-1)
+
+    def pyval(x):
+        # NaN -> None (true SQL NULL: a raw Python NaN would ship as a
+        # double NaN through createDataFrame, bypassing the encoding)
+        if kind == "f":
+            return None if math.isnan(float(x)) else float(x)
+        return bool(x) if kind == "b" else int(x)
+
     rows = [
-        tuple(int(idx[k][j]) for k in range(ndim)) + (float(vals.reshape(-1)[j]),)
+        tuple(int(idx[k][j]) for k in range(ndim)) + (pyval(flat[j]),)
         for j in range(vals.size)
     ]
-    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+    vt = _value_sql_type(kind)
+    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} {vt}"
     return Array(spark.createDataFrame(rows, schema), vals.shape)
 
 
@@ -637,26 +654,29 @@ def _read_contiguous(spark, path, info, shape, dtype, filters) -> Array:
                 for a, n, r0 in zip(pdf["addr"], pdf["nbytes"], pdf["row0"]):
                     f.seek(int(a))
                     raw = f.read(int(n))
-                    vals = np.frombuffer(raw, dtype=dtype_str).astype("float64")
+                    vals = np.frombuffer(raw, dtype=dtype_str)
                     nrows = len(vals) // max(row_elems, 1)
                     block = vals.reshape((nrows,) + tuple(shape[1:]))
                     idx = np.indices(block.shape).reshape(ndim, -1)
                     flat = block.reshape(-1)
-                    keep = ~np.isnan(flat)  # NaN <-> NULL cell encoding
-                    cols = {f"i{k}": idx[k][keep] for k in range(ndim)}
+                    # NaN -> NULL rows; int/bool dtypes preserved
+                    cols = {f"i{k}": idx[k] for k in range(ndim)}
                     cols["i0"] = cols["i0"] + int(r0)
-                    cols[VALUE_COL] = flat[keep]
+                    cols[VALUE_COL] = _cells_value(flat, np.dtype(dtype_str).kind)
                     yield pd.DataFrame(cols)
 
-    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+    vt = _value_sql_type(np.dtype(dtype_str).kind)
+    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} {vt}"
     return Array(sdf.mapInPandas(read_slab, schema=schema), shape)
 
 
 def _read_chunked(spark, path, table, shape, chunks, dtype, filters) -> Array:
     ndim = len(shape)
     if not table:
-        # no chunks written: all-fill dataset -> empty cell form
-        schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+        # no chunks written: all-fill dataset -> empty cell form (the
+        # caller's _materialize_fill emits every cell at the fill)
+        vt = _value_sql_type(np.dtype(dtype).kind)
+        schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} {vt}"
         return Array(spark.createDataFrame([], schema), shape)
     cdf = spark.createDataFrame(
         [tuple(int(x) for x in row) for row in table],
@@ -680,15 +700,16 @@ def _read_chunked(spark, path, table, shape, chunks, dtype, filters) -> Array:
                         slice(0, min(chunks[k], shape[k] - offs[k]))
                         for k in range(ndim)
                     )
-                    core = np.asarray(block[sl], dtype="float64")
+                    core = np.asarray(block[sl])
                     idx = np.indices(core.shape).reshape(ndim, -1)
                     flat = core.reshape(-1)
-                    keep = ~np.isnan(flat)  # NaN <-> NULL cell encoding
-                    cols = {f"i{k}": idx[k][keep] + offs[k] for k in range(ndim)}
-                    cols[VALUE_COL] = flat[keep]
+                    # NaN -> NULL rows; int/bool dtypes preserved
+                    cols = {f"i{k}": idx[k] + offs[k] for k in range(ndim)}
+                    cols[VALUE_COL] = _cells_value(flat, np.dtype(dtype_str).kind)
                     yield pd.DataFrame(cols)
 
-    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+    vt = _value_sql_type(np.dtype(dtype_str).kind)
+    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} {vt}"
     return Array(cdf.mapInPandas(read_chunks, schema=schema), shape)
 
 

@@ -31,6 +31,25 @@ TABLES = (
 ).split()
 
 
+def _cells_value(flat: np.ndarray, kind: str):
+    """Value column for one decoded IO block, honoring the core NaN
+    contract (core/array.py:17): float NaNs become pandas NA (-> SQL
+    NULL through Arrow) so reductions' count(*)-vs-count(v)
+    propagation sees them -- DROPPING the cells instead would make
+    sum/mean over a NaN-bearing store return a finite value where
+    NumPy propagates NaN (the round-7 TileDB ADVICE, closed for every
+    reader in round 8).  int/bool blocks keep their native type."""
+    if kind == "f":
+        return pd.array(flat.astype("float64"), dtype="Float64")
+    if kind == "b":
+        return flat.astype(bool)
+    return flat.astype("int64")
+
+
+def _value_sql_type(kind: str) -> str:
+    return {"f": "double", "b": "boolean"}.get(kind, "long")
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the caller's session may not be ours (the driver creates its
     # own): Spark 4 defaults ANSI mode ON, which turns the engine's
@@ -287,17 +306,22 @@ def from_npy_stack(spark: SparkSession, dirname: str) -> Array:
     offsets = {}
     acc = 0
     ncols = None
+    kind = "f"
     for f in names:
         with open(os.path.join(dirname, f), "rb") as fh:
             version = np.lib.format.read_magic(fh)
-            shp, _, _ = np.lib.format._read_array_header(fh, version)
+            shp, _, hdr_dt = np.lib.format._read_array_header(fh, version)
         offsets[int(f.split(".")[0])] = acc
         acc += shp[0]
         ncols = shp[1] if len(shp) > 1 else None
+        kind = np.dtype(hdr_dt).kind
 
     d = spark.read.format("binaryFile").option("pathGlobFilter", "*.npy").load(dirname)
 
     def decode(it):
+        # NaN cells -> NULL rows (all cells present, reductions see
+        # them); native int/bool dtypes preserved -- same contract as
+        # from_numpy/from_zarr/from_tiledb
         for pdf in it:
             for _, row in pdf.iterrows():
                 blk = int(os.path.basename(row["path"]).split(".")[0])
@@ -305,26 +329,25 @@ def from_npy_stack(spark: SparkSession, dirname: str) -> Array:
                 lo = offsets[blk]
                 if arr.ndim == 1:
                     idx = np.arange(arr.shape[0], dtype="int64")
-                    keep = ~np.isnan(arr)
                     yield pd.DataFrame(
-                        {"i0": idx[keep] + lo, VALUE_COL: arr[keep]}
+                        {"i0": idx + lo, VALUE_COL: _cells_value(arr, kind)}
                     )
                 else:
                     ii = np.indices(arr.shape).reshape(2, -1)
                     flat = arr.reshape(-1)
-                    keep = ~np.isnan(flat)
                     yield pd.DataFrame(
                         {
-                            "i0": ii[0][keep] + lo,
-                            "i1": ii[1][keep],
-                            VALUE_COL: flat[keep],
+                            "i0": ii[0] + lo,
+                            "i1": ii[1],
+                            VALUE_COL: _cells_value(flat, kind),
                         }
                     )
 
+    vtype = _value_sql_type(kind)
     if ncols is None:
-        schema = f"i0 long, {VALUE_COL} double"
+        schema = f"i0 long, {VALUE_COL} {vtype}"
         return Array(d.mapInPandas(decode, schema=schema), (acc,))
-    schema = f"i0 long, i1 long, {VALUE_COL} double"
+    schema = f"i0 long, i1 long, {VALUE_COL} {vtype}"
     return Array(d.mapInPandas(decode, schema=schema), (acc, ncols))
 
 
@@ -624,8 +647,13 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
     recursiveFileLookup and parse coordinates from the trailing path
     segments.  The store's ``fill_value`` is honored: chunks absent
     from the store materialize as fill cells (metadata-sized driver
-    work: only chunk COORDINATES are compared, never chunk bytes);
-    NaN/null fills keep the engine's absent-cell encoding."""
+    work: only chunk COORDINATES are compared, never chunk bytes); a
+    NaN fill materializes NULL cells (the engine's NaN encoding, so
+    reductions propagate like NumPy over the dense NaN-filled array
+    the reference would read) and only fill_value null ("undefined")
+    keeps truly absent cells.  In-chunk NaNs likewise arrive as NULL
+    ROWS, and int/bool stores keep their dtype (long/boolean columns)
+    instead of widening to double."""
     import json
     import math
     import os
@@ -649,6 +677,7 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
     dtype = _ZARR_DTYPES.get(meta["dtype"])
     if dtype is None:
         raise NotImplementedError(f"zarr dtype {meta['dtype']!r} not mapped")
+    kind = np.dtype(dtype).kind
     shape = tuple(int(s) for s in meta["shape"])
     chunks = tuple(int(c) for c in meta["chunks"])
     ndim = len(shape)
@@ -656,7 +685,6 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
     fill = meta.get("fill_value")
     if isinstance(fill, str):
         fill = float(fill)  # "NaN"/"Infinity" JSON encodings
-    fill_is_absent = fill is None or (isinstance(fill, float) and math.isnan(fill))
 
     reader = spark.read.format("binaryFile")
     if sep == "/":
@@ -704,23 +732,30 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
                     lo = coords[k] * chunks[k]
                     sl.append(slice(0, min(chunks[k], shape[k] - lo)))
                     offs.append(lo)
-                core = np.asarray(block[tuple(sl)], dtype="float64")
+                core = np.asarray(block[tuple(sl)])
                 idx = np.indices(core.shape).reshape(ndim, -1)
                 flat = core.reshape(-1)
-                keep = ~np.isnan(flat)
                 cols = {
-                    f"i{k}": idx[k][keep] + offs[k] for k in range(ndim)
+                    f"i{k}": idx[k] + offs[k] for k in range(ndim)
                 }
-                cols[VALUE_COL] = flat[keep]
+                # NaN cells -> NULL rows (all cells PRESENT); native
+                # int/bool dtypes preserved instead of widening to
+                # double (same contract as from_tiledb/from_numpy)
+                cols[VALUE_COL] = _cells_value(flat, kind)
                 yield pd.DataFrame(cols)
 
-    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} double"
+    vtype = _value_sql_type(kind)
+    schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} {vtype}"
     out = files.mapInPandas(decode, schema=schema)
 
-    if not fill_is_absent:
+    if fill is not None:
         # materialize omitted chunks at the fill value: compare chunk
         # COORDINATES (file listing, metadata-sized) against the full
-        # grid on the driver, then emit fill cells executor-side
+        # grid on the driver, then emit fill cells executor-side.  A
+        # NaN fill emits NULL cells (the engine's NaN encoding) so a
+        # partially-written float store reduces exactly like the dense
+        # NaN-filled array the reference would read; only fill_value
+        # null (zarr: "undefined") keeps truly absent cells
         grid = [
             tuple(c)
             for c in np.ndindex(*(math.ceil(shape[k] / chunks[k]) for k in range(ndim)))
@@ -751,7 +786,9 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
                             f"i{k}": idx[k] + coords[k] * chunks[k]
                             for k in range(ndim)
                         }
-                        cols[VALUE_COL] = np.full(idx.shape[1], fillv)
+                        cols[VALUE_COL] = _cells_value(
+                            np.full(idx.shape[1], fillv), kind
+                        )
                         yield pd.DataFrame(cols)
 
             out = out.unionByName(mdf.mapInPandas(emit_fill, schema=schema))
