@@ -375,7 +375,16 @@ def duplicated_spans(
         raise ValueError(f"min_tokens ({min_tokens}) must be >= k ({k})")
     from pyspark.sql import Window
 
-    pos = kgram_positions(df, text_col, k)
+    # persist-at-fan-out, same policy as lsh_candidate_pairs (round
+    # 8): the position table feeds the hot-gram count, the anti probe,
+    # and BOTH self-join branches -- unpersisted, Catalyst re-plans
+    # the tokenize+posexplode lineage once per consumer (4x the most
+    # expensive pass) and duplicates the cap subtree under each join
+    # branch.  Both tables are token-position-sized (the operator's
+    # own join input, already shuffled at this scale); the default
+    # StorageLevel spills to disk, so the trade holds at 100 TB where
+    # recomputing the corpus explode 4x is strictly worse.
+    pos = kgram_positions(df, text_col, k).persist()
     if max_positions is not None:
         hot = (
             pos.groupBy("h")
@@ -383,7 +392,7 @@ def duplicated_spans(
             .filter(F.col("__n") > max_positions)
             .select("h")
         )
-        pos = pos.join(F.broadcast(hot), on="h", how="left_anti")
+        pos = pos.join(F.broadcast(hot), on="h", how="left_anti").persist()
     a = pos.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "h")
     b = pos.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "h")
     seeds = a.join(b, on="h").filter(F.col("doc_a") < F.col("doc_b"))
