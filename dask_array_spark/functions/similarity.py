@@ -285,6 +285,7 @@ def ivf_topk(
     n_cells: int = 4,
     n_probe: int = 2,
     cents: DataFrame | None = None,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: search only the ``n_probe``
     cells whose centroids are nearest each query (the scale path --
@@ -295,9 +296,18 @@ def ivf_topk(
     arrays and norms ride the candidate rows -- no explode anywhere
     (in-row zip_with dot products, like cosine_topk).  ``cents``
     swaps the stub codebook for a trained one (see ``_codebook``);
-    it feeds both the assignment and the probe ranking."""
+    it feeds both the assignment and the probe ranking.
+
+    ``assign`` supplies a PRECOMPUTED (vec_id, cell) index (the output
+    of ``ivf_assign`` for the same cents, typically persisted).  This
+    is how a production IVF index runs -- vectors are assigned ONCE at
+    ingest and queries pay only probe selection + the candidate scan;
+    recomputing the assignment per query costs a full corpus pass of
+    n_cells distance folds, which can exceed the brute-force scan it
+    is supposed to avoid (n_cells > |queries|)."""
     cents = _codebook(emb, n_cells, cents)
-    assign = ivf_assign(emb, n_cells, cents)
+    if assign is None:
+        assign = ivf_assign(emb, n_cells, cents)
     corpus = emb.select("vec_id", "embedding", _norm_col().alias("nrm"))
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),

@@ -207,3 +207,34 @@ def test_ann_recall_small_corpus_and_missing_qid(spark):
     assert set(rows) == {0, 999}
     assert rows[0]["n_hits"] == 3 and rows[0]["recall"] == 1.0
     assert rows[999]["n_hits"] == 0 and rows[999]["recall"] is None
+
+
+def test_ivf_topk_precomputed_assignment_parity(spark):
+    """ivf_topk(assign=...) -- the production index path (vectors
+    assigned ONCE at ingest, queries pay only probe + candidate scan)
+    -- must return exactly the rows the self-assigning form computes
+    for the same codebook."""
+    from dask_array_spark.functions.similarity import (
+        ivf_assign,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    vecs = [
+        [1.0, 0.0], [0.99, 0.01], [0.98, 0.02],
+        [0.0, 1.0], [0.01, 0.99], [0.02, 0.98],
+        [0.7, 0.7], [0.71, 0.69],
+    ]
+    emb = _emb(spark, vecs)
+    cents = kmeans_fit(emb, k=3, iters=3)
+    index = ivf_assign(emb, 3, cents)
+    auto = ivf_topk(emb, [0, 3, 6], k=3, n_cells=3, n_probe=2, cents=cents)
+    pre = ivf_topk(
+        emb, [0, 3, 6], k=3, n_cells=3, n_probe=2, cents=cents, assign=index
+    )
+    key = lambda r: (r["qid"], r["rank"])  # noqa: E731
+    rows = lambda df: [  # noqa: E731
+        (r["qid"], r["rank"], r["vec_id"], r["cos"])
+        for r in sorted(df.collect(), key=key)
+    ]
+    assert rows(pre) == rows(auto)
