@@ -314,3 +314,34 @@ def test_hdf5_garbled_inputs(spark):
     to_hdf5(from_numpy(spark, x), p3, "/x")
     with pytest.raises(Exception, match="y"):
         from_hdf5(spark, p3, "/y")
+
+
+def test_zarr_narrow_dtypes_upcast(spark):
+    """<f4 / <i4 external stores: float32 upcasts to double, int32 to
+    long -- value-exact, with NaN-in-f4 arriving as NULL."""
+    xf = np.array([1.5, np.nan, -2.25, 8.0], dtype="<f4")
+    url = _mkdir()
+    _hand_zarr(
+        url,
+        {"zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "<f4",
+         "compressor": None, "fill_value": None, "filters": None,
+         "order": "C"},
+        {"0": xf[:2].tobytes(), "1": xf[2:].tobytes()},
+    )
+    a = from_zarr(spark, url)
+    assert dict(a.df.dtypes)["v"] == "double"
+    assert_eq(a, xf.astype("float64"))
+    assert np.isnan(R.sum(a, axis=None).compute())
+
+    xi = np.array([-7, 0, 123456, 42], dtype="<i4")
+    urli = _mkdir()
+    _hand_zarr(
+        urli,
+        {"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<i4",
+         "compressor": None, "fill_value": 0, "filters": None,
+         "order": "C"},
+        {"0": xi.tobytes()},
+    )
+    b = from_zarr(spark, urli)
+    assert dict(b.df.dtypes)["v"] == "bigint"
+    assert_eq(b, xi.astype("int64"))
