@@ -192,3 +192,48 @@ def test_foreign_int32_unfiltered(spark, tmp_path):
     _foreign_chunked_file(fn, data, chunk=16, filtered=False)
     got = from_hdf5(spark, fn, "dset").compute()
     np.testing.assert_array_equal(got, data.astype("float64"))
+
+
+def test_external_int_dataset_reads_as_long(spark, tmp_path):
+    """External tools write fixed-point datasets; the reader parses
+    class-0 datatypes and (round 8) must surface them as LONG columns,
+    value-exact, instead of widening to double.  No int writer exists
+    here (to_hdf5 is f8-only), so simulate the external file by
+    patching a written file's datatype message from IEEE-f8 to
+    signed-i8 (same message length, trailing pad zeroed) and
+    rewriting the contiguous data region with the int64 bytes."""
+    import struct
+
+    import numpy as np
+
+    from dask_array_spark.sources import from_numpy
+    from dask_array_spark.sources import hdf5 as H
+
+    xi = (np.arange(40) * 7 - 100).astype("int64")
+    path = str(tmp_path / "ext_int.h5")
+    H.to_hdf5(from_numpy(spark, xi.astype("float64")), path, "/x")
+
+    r = H._Reader(path)
+    info = r.dataset_info(r.resolve("/x"))
+    addr = info["addr"]
+    r.close()
+
+    f8msg = H._dt_f8_message()
+    raw = bytearray(open(path, "rb").read())
+    at = raw.find(bytes(f8msg))
+    assert at > 0, "f8 datatype message not found"
+    i8 = struct.pack("<BBBBI", 0x10, 0x08, 0x00, 0x00, 8)  # class 0 v1, LE, signed
+    i8 += struct.pack("<HH", 0, 64)  # bit offset 0, precision 64
+    i8 = i8.ljust(len(f8msg), b"\x00")
+    raw[at : at + len(f8msg)] = i8
+    raw[addr : addr + xi.nbytes] = xi.tobytes()
+    with open(path, "wb") as f:
+        f.write(bytes(raw))
+
+    a = H.from_hdf5(spark, path, "/x")
+    assert dict(a.df.dtypes)["v"] == "bigint"
+    got = a.compute()
+    np.testing.assert_array_equal(got.astype("int64"), xi)
+    from dask_array_spark.operators import reductions as R
+
+    assert R.sum(a, axis=None).compute() == xi.sum()
