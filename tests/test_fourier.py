@@ -237,3 +237,86 @@ def test_fft_auto_routes_long_axis(spark):
     assert abs(got[3] - n / 2) < 1e-5 * n
     assert abs(got[n - 3] - n / 2) < 1e-5 * n
     assert abs(got[7]) < 1e-5 * n
+
+
+# ---------------------------------------------------------------- fuzz
+# (round 8) random lengths -- primes, odd composites, powers of two --
+# exercise every routing branch (direct DFT, four-step split via
+# _mid_divisor) against np.fft; random complex values exercise the
+# STRUCT<re,im> algebra.
+from hypothesis import given, settings, strategies as st
+
+
+def _collect_c1d(arr, n):
+    import numpy as np
+
+    out = np.zeros(n, dtype="complex128")
+    for r in arr.df.collect():
+        out[r["i0"]] = complex(r["v"]["re"], r["v"]["im"])
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(0, 2**31), n=st.integers(2, 60))
+def test_fuzz_fft_any_length(spark, seed, n):
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import fourier
+
+    rng = np.random.default_rng(seed)
+    x = np.round(rng.normal(size=n) * 3, 3)
+    got = _collect_c1d(fourier.fft(from_numpy(spark, x)), n)
+    np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-8)
+    # rfft half-spectrum on the same vector
+    m = n // 2 + 1
+    gr = _collect_c1d(fourier.rfft(from_numpy(spark, x)), m)
+    np.testing.assert_allclose(gr, np.fft.rfft(x), atol=1e-8)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 2**31), k=st.integers(2, 8), m=st.integers(2, 8))
+def test_fuzz_fft_long_composite_split(spark, seed, k, m):
+    """four-step split N = n1 x n2 for arbitrary factorizations,
+    including deliberately unbalanced ones."""
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import fourier
+
+    n = k * m
+    rng = np.random.default_rng(seed)
+    x = np.round(rng.normal(size=n) * 3, 3)
+    got = _collect_c1d(fourier.fft_long(from_numpy(spark, x), n1=k), n)
+    np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-8)
+
+
+@settings(max_examples=6, deadline=None)
+@given(seed=st.integers(0, 2**31), n=st.integers(2, 40))
+def test_fuzz_complex_algebra(spark, seed, n):
+    import numpy as np
+
+    from dask_array_spark import from_numpy
+    from dask_array_spark.operators import complexes as C
+
+    rng = np.random.default_rng(seed)
+    re = np.round(rng.normal(size=n) * 3, 3)
+    im = np.round(rng.normal(size=n) * 3, 3)
+    im[rng.random(n) < 0.2] = 0.0  # some purely real entries
+    z = re + 1j * im
+    a = C.make_complex(from_numpy(spark, re), from_numpy(spark, im))
+    np.testing.assert_allclose(C.real(a).compute(), z.real, atol=1e-12)
+    np.testing.assert_allclose(C.imag(a).compute(), z.imag, atol=1e-12)
+    np.testing.assert_allclose(
+        _collect_c1d(C.conj(a), n), np.conj(z), atol=1e-12
+    )
+    np.testing.assert_allclose(C.cabs(a).compute(), np.abs(z), atol=1e-12)
+    np.testing.assert_allclose(C.angle(a).compute(), np.angle(z), atol=1e-12)
+    w = rng.permutation(n)
+    b = C.make_complex(from_numpy(spark, re[w]), from_numpy(spark, im[w]))
+    zb = z[w]
+    np.testing.assert_allclose(_collect_c1d(C.cadd(a, b), n), z + zb, atol=1e-12)
+    np.testing.assert_allclose(_collect_c1d(C.cmul(a, b), n), z * zb, atol=1e-12)
+    np.testing.assert_array_equal(
+        C.iscomplex(a).compute().astype(bool), z.imag != 0
+    )
