@@ -33,8 +33,15 @@ import os
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scaledata", "sf1")
-COPIES = 10
+# SPARK_GRAFT_SCALE_COPIES / SPARK_GRAFT_SCALE_OUT parameterize the
+# multiplier and output dir (round 8: used for the one-shot 30x point
+# in SCALE.md; defaults reproduce the per-round 10x sf1 ritual data)
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+DST = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    ".scaledata",
+    os.environ.get("SPARK_GRAFT_SCALE_OUT", "sf1"),
+)
 
 
 def main() -> None:
