@@ -246,27 +246,41 @@ def main() -> None:
 # ---------------------------------------------------------------------------
 
 
-def _last_ritual_ratios() -> dict[str, float] | None:
-    """Parse the most recent ritual row out of SCALE.md (rows look
-    like `| r7 | 1.7 | 6.0 | 4.5 | 2.9 | ... |`)."""
+def _ritual_rows() -> list[tuple[int, dict[str, float]]]:
+    """Parse the ritual rows out of SCALE.md (rows look like
+    `| r7 | 1.7 | 6.0 | 4.5 | 2.9 | ... |`), returning
+    [(round_no, ratios), ...] in file order."""
     path = os.path.join(REPO, "SCALE.md")
     if not os.path.exists(path):
-        return None
-    last = None
+        return []
+    rows = []
     with open(path) as f:
         for line in f:
             parts = [c.strip() for c in line.strip().strip("|").split("|")]
             if len(parts) >= 5 and parts[0].startswith("r") and parts[0][1:].split()[0].isdigit():
                 try:
-                    last = dict(
-                        zip(
-                            SF1_SLOTS,
-                            (float(p.split()[0].rstrip("x×")) for p in parts[1:5]),
+                    rows.append(
+                        (
+                            int(parts[0][1:].split()[0]),
+                            dict(
+                                zip(
+                                    SF1_SLOTS,
+                                    (
+                                        float(p.split()[0].rstrip("x×"))
+                                        for p in parts[1:5]
+                                    ),
+                                )
+                            ),
                         )
                     )
                 except (ValueError, IndexError):
                     continue
-    return last
+    return rows
+
+
+def _last_ritual_ratios() -> dict[str, float] | None:
+    rows = _ritual_rows()
+    return rows[-1][1] if rows else None
 
 
 def _ivf_vs_brute(spark, sf1_dir, runs, settle):
@@ -339,7 +353,10 @@ def sf1_main() -> None:
     if not os.path.exists(os.path.join(sf1_dir, "documents.parquet")):
         import make_scale_data
 
-        make_scale_data.main()
+        # pin copies/out explicitly: a still-exported 30x environment
+        # (SPARK_GRAFT_SCALE_COPIES/SCALE_OUT from the one-shot point)
+        # must not corrupt the ritual's 10x dataset
+        make_scale_data.main(copies=10, out="sf1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     settle = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "0.5"))
     load_start = os.getloadavg()
@@ -360,7 +377,14 @@ def sf1_main() -> None:
     ann = _ivf_vs_brute(spark, sf1_dir, runs, settle)
     load_end = os.getloadavg()
     ncpus = os.cpu_count() or 1
-    round_no = os.environ.get("SPARK_GRAFT_ROUND", "?")
+    # without SPARK_GRAFT_ROUND, auto-increment past the last parsed
+    # row: an unparseable label (e.g. 'r?') would silently break the
+    # next run's >20%-growth baseline -- the exact regression signal
+    # the ritual exists to catch
+    round_no = os.environ.get("SPARK_GRAFT_ROUND")
+    if not round_no:
+        rows = _ritual_rows()
+        round_no = str(rows[-1][0] + 1) if rows else "1"
     row = (
         f"| r{round_no} | "
         + " | ".join(f"{ratios[n]} ({base[n]}→{scaled[n]}s)" for n in SF1_SLOTS)

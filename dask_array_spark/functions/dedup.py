@@ -204,7 +204,9 @@ def lsh_candidate_pairs(
     # exchange across the differently-aliased branches -- without this
     # the whole shingle->minhash lineage (the expensive part) runs
     # once per consumer.  The band table is tiny relative to the
-    # corpus (n_docs x bands rows).
+    # corpus (n_docs x bands rows).  LIFECYCLE: see duplicated_spans
+    # -- a long-lived service should clearCache() between distinct
+    # corpus batches; plan-identical re-calls share one cache entry.
     bh = bh.persist()
     if max_bucket is not None:
         hot = (
@@ -384,6 +386,12 @@ def duplicated_spans(
     # own join input, already shuffled at this scale); the default
     # StorageLevel spills to disk, so the trade holds at 100 TB where
     # recomputing the corpus explode 4x is strictly worse.
+    # LIFECYCLE: the caches back the returned lazy frame, so nothing
+    # here can unpersist them; one-shot pipelines drop them with the
+    # app, while a long-lived service calling this per corpus batch
+    # should spark.catalog.clearCache() (or re-create the session)
+    # between batches -- plan-identical re-calls reuse the same cache
+    # entries, so growth only occurs across DIFFERENT inputs.
     pos = kgram_positions(df, text_col, k).persist()
     if max_positions is not None:
         hot = (

@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import SparkSession
 
 from ..core.array import VALUE_COL, Array
-from .ingest import _cells_value, _value_sql_type
+from .ingest import _cells_value, _value_kind, _value_sql_type
 
 __all__ = ["from_hdf5", "to_hdf5", "h5_ls"]
 
@@ -562,13 +562,16 @@ def _materialize_fill(spark, arr, info, table, shape, chunks, dtype) -> Array:
     for the grid positions absent from the chunk index -- same
     chunk-coordinate diff the zarr reader does (metadata-sized)."""
     fill_bytes = info.get("fill")
-    fill = 0.0
+    fill = np.zeros(1, dtype=dtype)[0]  # h5py default fill = 0
     if fill_bytes is not None and len(fill_bytes) == dtype.itemsize:
-        fill = float(np.frombuffer(fill_bytes, dtype=dtype)[0])
+        # keep the NATIVE scalar: routing an int64 fill through
+        # float() would round values above 2**53 and break the
+        # value-exact int contract for fill cells
+        fill = np.frombuffer(fill_bytes, dtype=dtype)[0]
     # a NaN fill emits NULL cells below via _cells_value (the engine's
     # NaN encoding) -- absent ROWS would be invisible to reductions'
     # count(*)-vs-count(v) propagation (round-8 IO-tier NaN sweep)
-    kind = dtype.kind
+    kind = _value_kind(dtype)
     ndim = len(shape)
     grid = [math.ceil(shape[k] / chunks[k]) for k in range(ndim)]
     present = {tuple(int(row[2 + k]) // chunks[k] for k in range(ndim))
@@ -591,7 +594,7 @@ def _materialize_fill(spark, arr, info, table, shape, chunks, dtype) -> Array:
                 cols = {f"i{k}": idx[k] + coords[k] * chunks[k]
                         for k in range(ndim)}
                 cols[VALUE_COL] = _cells_value(
-                    np.full(idx.shape[1], fill), kind
+                    np.full(idx.shape[1], fill, dtype=dtype), kind
                 )
                 yield pd.DataFrame(cols)
 
@@ -603,7 +606,7 @@ def _materialize_fill(spark, arr, info, table, shape, chunks, dtype) -> Array:
 
 def _from_driver_dense(spark, vals: np.ndarray) -> Array:
     vals = np.asarray(vals)
-    kind = vals.dtype.kind
+    kind = _value_kind(vals.dtype)
     ndim = vals.ndim
     idx = np.indices(vals.shape).reshape(ndim, -1)
     flat = vals.reshape(-1)
@@ -662,10 +665,10 @@ def _read_contiguous(spark, path, info, shape, dtype, filters) -> Array:
                     # NaN -> NULL rows; int/bool dtypes preserved
                     cols = {f"i{k}": idx[k] for k in range(ndim)}
                     cols["i0"] = cols["i0"] + int(r0)
-                    cols[VALUE_COL] = _cells_value(flat, np.dtype(dtype_str).kind)
+                    cols[VALUE_COL] = _cells_value(flat, _value_kind(dtype_str))
                     yield pd.DataFrame(cols)
 
-    vt = _value_sql_type(np.dtype(dtype_str).kind)
+    vt = _value_sql_type(_value_kind(dtype_str))
     schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} {vt}"
     return Array(sdf.mapInPandas(read_slab, schema=schema), shape)
 
@@ -675,7 +678,7 @@ def _read_chunked(spark, path, table, shape, chunks, dtype, filters) -> Array:
     if not table:
         # no chunks written: all-fill dataset -> empty cell form (the
         # caller's _materialize_fill emits every cell at the fill)
-        vt = _value_sql_type(np.dtype(dtype).kind)
+        vt = _value_sql_type(_value_kind(dtype))
         schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} {vt}"
         return Array(spark.createDataFrame([], schema), shape)
     cdf = spark.createDataFrame(
@@ -705,10 +708,10 @@ def _read_chunked(spark, path, table, shape, chunks, dtype, filters) -> Array:
                     flat = core.reshape(-1)
                     # NaN -> NULL rows; int/bool dtypes preserved
                     cols = {f"i{k}": idx[k] + offs[k] for k in range(ndim)}
-                    cols[VALUE_COL] = _cells_value(flat, np.dtype(dtype_str).kind)
+                    cols[VALUE_COL] = _cells_value(flat, _value_kind(dtype_str))
                     yield pd.DataFrame(cols)
 
-    vt = _value_sql_type(np.dtype(dtype_str).kind)
+    vt = _value_sql_type(_value_kind(dtype_str))
     schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} {vt}"
     return Array(cdf.mapInPandas(read_chunks, schema=schema), shape)
 

@@ -31,6 +31,25 @@ TABLES = (
 ).split()
 
 
+def _value_kind(dtype) -> str:
+    """Normalize a source dtype to the engine's value-kind char for
+    ``_cells_value``: floats -> 'f', bool -> 'b', signed ints and
+    EXACTLY-REPRESENTABLE unsigned ints (u1/u2/u4) -> 'i'.  uint64 is
+    refused loudly: Spark has no unsigned 64-bit type, so values >=
+    2**63 would silently WRAP negative under an int64 cast (and the
+    old float64 widening silently lost low bits) -- cast upstream."""
+    dt = np.dtype(dtype)
+    if dt.kind == "u" and dt.itemsize >= 8:
+        raise NotImplementedError(
+            "uint64 values are not representable in Spark's long type "
+            "(>= 2**63 would wrap negative); cast the source to int64 "
+            "or float64 upstream"
+        )
+    if dt.kind == "u":
+        return "i"
+    return dt.kind
+
+
 def _cells_value(flat: np.ndarray, kind: str):
     """Value column for one decoded IO block, honoring the core NaN
     contract (core/array.py:17): float NaNs become pandas NA (-> SQL
@@ -314,7 +333,7 @@ def from_npy_stack(spark: SparkSession, dirname: str) -> Array:
         offsets[int(f.split(".")[0])] = acc
         acc += shp[0]
         ncols = shp[1] if len(shp) > 1 else None
-        kind = np.dtype(hdr_dt).kind
+        kind = _value_kind(hdr_dt)
 
     d = spark.read.format("binaryFile").option("pathGlobFilter", "*.npy").load(dirname)
 
@@ -677,7 +696,7 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
     dtype = _ZARR_DTYPES.get(meta["dtype"])
     if dtype is None:
         raise NotImplementedError(f"zarr dtype {meta['dtype']!r} not mapped")
-    kind = np.dtype(dtype).kind
+    kind = _value_kind(dtype)
     shape = tuple(int(s) for s in meta["shape"])
     chunks = tuple(int(c) for c in meta["chunks"])
     ndim = len(shape)
@@ -924,7 +943,7 @@ def from_tiledb(
     # keep their type (long/boolean columns) instead of silently
     # widening to double (round-7 ADVICE; reference preserves the
     # TileDB dtype)
-    kind = np.dtype(tdb.dtype).kind if hasattr(tdb, "dtype") else "f"
+    kind = _value_kind(tdb.dtype) if hasattr(tdb, "dtype") else "f"
     if opened_here and hasattr(tdb, "close"):
         tdb.close()  # metadata extracted; executors open their own handles
     if len(chunks) != len(shape):
@@ -965,28 +984,18 @@ def from_tiledb(
                     idx = np.indices(block.shape).reshape(ndim, -1)
                     flat = block.reshape(-1)
                     cols = {f"i{k}": idx[k] + offs[k] for k in range(ndim)}
-                    if kind == "f":
-                        # NaN cells (dense-array fill values included)
-                        # -> NULL rows, exactly like from_numpy: an
-                        # absent ROW would be invisible to reductions'
-                        # count(*)-vs-count(v) NaN propagation, so
-                        # sum/mean over a NaN-bearing TileDB read must
-                        # see the NULL, not a shorter frame (round-7
-                        # ADVICE).  pandas nullable Float64 maps NaN
-                        # -> pd.NA -> SQL NULL through Arrow.
-                        cols[VALUE_COL] = pd.array(
-                            flat.astype("float64"), dtype="Float64"
-                        )
-                    elif kind == "b":
-                        cols[VALUE_COL] = flat.astype(bool)
-                    else:
-                        cols[VALUE_COL] = flat.astype("int64")
+                    # NaN cells (dense-array fill values included) ->
+                    # NULL rows, int/bool dtypes preserved -- the
+                    # shared _cells_value encoding (round-7 ADVICE; an
+                    # absent ROW would be invisible to reductions'
+                    # count(*)-vs-count(v) NaN propagation)
+                    cols[VALUE_COL] = _cells_value(flat, kind)
                     yield pd.DataFrame(cols)
         finally:
             if hasattr(tdb, "close"):
                 tdb.close()
 
-    vtype = {"f": "double", "b": "boolean"}.get(kind, "long")
+    vtype = _value_sql_type(kind)
     out_schema = ", ".join(f"i{k} long" for k in range(ndim)) + f", {VALUE_COL} {vtype}"
     return Array(gdf.mapInPandas(read_tiles, schema=out_schema), shape)
 

@@ -34,17 +34,23 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 # SPARK_GRAFT_SCALE_COPIES / SPARK_GRAFT_SCALE_OUT parameterize the
-# multiplier and output dir (round 8: used for the one-shot 30x point
-# in SCALE.md; defaults reproduce the per-round 10x sf1 ritual data)
-COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
-DST = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)),
-    ".scaledata",
-    os.environ.get("SPARK_GRAFT_SCALE_OUT", "sf1"),
-)
+# multiplier and output dir for CLI runs (round 8: used for the
+# one-shot 30x point in SCALE.md).  main(copies=, out=) overrides both
+# -- bench.py's --sf1 ritual pins copies=10/out='sf1' explicitly so a
+# still-exported 30x environment cannot corrupt the sf1 ritual data.
 
 
-def main() -> None:
+def main(copies: int | None = None, out: str | None = None) -> None:
+    COPIES = (
+        copies
+        if copies is not None
+        else int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+    )
+    DST = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scaledata",
+        out or os.environ.get("SPARK_GRAFT_SCALE_OUT", "sf1"),
+    )
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
 

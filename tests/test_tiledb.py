@@ -346,3 +346,21 @@ def test_zero_length_dim_returns_empty(spark, tmp_path):
     a = from_tiledb(spark, uri, _tiledb=FAKE)
     assert a.shape == (0, 3)
     assert a.df.count() == 0
+
+
+def test_uint64_refused_u32_exact(spark, tmp_path):
+    """uint64 attributes are refused loudly at plan time (Spark has no
+    unsigned 64-bit type; an int64 cast would silently WRAP values >=
+    2**63 negative -- round-8 review finding), while u1/u2/u4 read
+    value-exact as long."""
+    x32 = np.array([0, 1, 2**31, 2**32 - 1], dtype="uint32")
+    uri = _mkarray(str(tmp_path), x32, tile=(2,))
+    a = from_tiledb(spark, uri, _tiledb=FAKE)
+    assert dict(a.df.dtypes)["v"] == "bigint"
+    got = a.compute()
+    np.testing.assert_array_equal(got.astype("int64"), x32.astype("int64"))
+
+    x64 = np.array([1, 2], dtype="uint64")
+    uri64 = _mkarray(str(tmp_path), x64, tile=(2,))
+    with pytest.raises(NotImplementedError, match="uint64"):
+        from_tiledb(spark, uri64, _tiledb=FAKE)
