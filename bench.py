@@ -65,7 +65,9 @@ EXTRA_RUNS = {
     "tpch_q3_shipping_priority": 5,
     "dedup_minhash_pairs": 6,
     "boolean_mask": 5,
-    "window_1d_scalable": 5,
+    # round-8 10-rep data showed this slot (the largest: 10^7-element
+    # scan, many stages) still converging at rep ~8-9 under JIT
+    "window_1d_scalable": 8,
     # round-8: the r7 judge's quiet rerun posted 0.456 here (r6:
     # 0.218) with a tiny spread -- a 10-rep harness run showed the
     # slot converges monotonically 0.317 -> 0.206 over ~5 warm reps
