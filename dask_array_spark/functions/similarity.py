@@ -38,6 +38,10 @@ __all__ = [
     "semantic_dedup",
     "kmeans_fit",
     "kmeans_assign",
+    "pq_train",
+    "pq_encode",
+    "pq_pack",
+    "pq_topk",
 ]
 
 
@@ -641,3 +645,181 @@ def kmeans_fit(emb: DataFrame, k: int = 4, iters: int = 2) -> DataFrame:
         )
         cents = arr.localCheckpoint()
     return cents
+
+
+# -- product quantization (Jegou, Douze, Schmid 2011: "Product
+# Quantization for Nearest Neighbor Search") --------------------------------
+#
+# The memory leg of the ANN story: IVF prunes WHICH vectors a query
+# scans (ivf_topk); PQ shrinks WHAT each scanned vector costs -- a
+# dim-float embedding becomes m small codes, and query-vs-vector
+# distance becomes m table lookups (ADC).  At 100 TB the encoded
+# corpus is ~dim*4/m bytes-per-vector smaller than the raw embeddings
+# and the scan never touches the original arrays.
+
+
+def _pq_subspaces(
+    emb: DataFrame, dim: int, m: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, s, semb): each vector split into its m contiguous
+    subvectors IN-ROW (array slices + one posexplode -- a bounded
+    m-fold fan-out, no shuffle, no join)."""
+    if m <= 0 or dim % m:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
+    dsub = dim // m
+    subs = F.array(
+        *[F.slice(F.col("embedding"), s * dsub + 1, dsub) for s in range(m)]
+    )
+    return emb.select(F.col(id_col), F.posexplode(subs).alias("s", "semb")).select(
+        id_col,
+        F.col("s").cast("long").alias("s"),
+        F.transform("semb", lambda x: x.cast("double")).alias("semb"),
+    )
+
+
+def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Nearest code per (vector, subspace) by squared L2: (id, s,
+    code, dist).  Same discipline as kmeans_assign: the (s, code)
+    codebook is tiny and broadcast with whole centroid arrays, each
+    distance folds in-row, distances round to 6 decimals BEFORE the
+    argmin (cross-engine tie stability), ties break to the smaller
+    code, and the argmin is a partial-aggregated min_by."""
+    sq = F.aggregate(
+        F.zip_with(
+            "semb",
+            "cemb",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(cents), on="s").select(
+        id_col, "s", "code", (F.round(sq, 6) + F.lit(0.0)).alias("dist")
+    )
+    return (
+        scored.groupBy(id_col, "s")
+        .agg(F.min_by(F.struct("code", "dist"), F.struct("dist", "code")).alias("__m"))
+        .select(
+            id_col,
+            "s",
+            F.col("__m.code").cast("long").alias("code"),
+            F.col("__m.dist").alias("dist"),
+        )
+    )
+
+
+def pq_train(
+    emb: DataFrame, dim: int, m: int = 4, n_codes: int = 4, iters: int = 2
+) -> DataFrame:
+    """Train a product-quantization codebook: an independent
+    ``n_codes``-centroid Lloyd k-means per subspace, all m subspaces
+    advancing inside the SAME jobs.  Deterministic like kmeans_fit:
+    init code c of every subspace = vector c's subvector, squared-L2
+    assignment with 6-decimal pre-argmin rounding and ties to the
+    smaller code, centroid coordinates rounded to 6 decimals per
+    round.  Returns the (s, code, cemb) codebook (m x n_codes rows --
+    always broadcastable).  ``dim`` is the embedding length (schema
+    metadata every real pipeline knows); it must divide by ``m``.
+
+    Scale shape: identical to kmeans_fit per round -- one broadcast
+    codebook join with in-row distance folds + partial-aggregated
+    argmin, one posexplode + groupBy(s, code, spos) mean (map-side
+    partial sums), localCheckpoint to keep the iterated plan O(1)."""
+    sub = _pq_subspaces(emb, dim, m)
+    cents = (
+        sub.filter(F.col("vec_id") < n_codes)
+        .select("s", F.col("vec_id").cast("long").alias("code"), F.col("semb").alias("cemb"))
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        asg = _pq_assign(sub, cents).select("vec_id", "s", "code")
+        ex = sub.select("vec_id", "s", F.posexplode("semb").alias("spos", "e"))
+        newc = (
+            ex.join(asg, on=["vec_id", "s"])
+            .groupBy("s", "code", "spos")
+            .agg((F.round(F.avg(F.col("e")), 6) + F.lit(0.0)).alias("c"))
+        )
+        arr = newc.groupBy("s", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("spos", "c"))),
+                lambda t: t["c"],
+            ).alias("cemb")
+        )
+        cents = arr.localCheckpoint()
+    return cents
+
+
+def pq_encode(emb: DataFrame, cents: DataFrame, dim: int, m: int = 4) -> DataFrame:
+    """Quantize every vector against a trained PQ codebook: (vec_id,
+    s, code, dist) -- the long-form index ``pq_topk`` scans (persist
+    it once at ingest, like ``ivf_topk``'s ``assign``), with ``dist``
+    the per-subspace quantization error (the reconstruction-quality
+    diagnostic).  One bounded m-fold fan-out + one broadcast join +
+    one partial-aggregated argmin; the corpus is never broadcast."""
+    return _pq_assign(_pq_subspaces(emb, dim, m), cents)
+
+
+def pq_pack(codes: DataFrame) -> DataFrame:
+    """Pack the long-form PQ index into one (vec_id, codes) row per
+    vector (codes[s] = code), the storage layout a serving sink
+    writes: m small ints replacing dim floats."""
+    return codes.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))), lambda t: t["code"]
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    cents: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 5,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus:
+    queries stay raw, corpus vectors are their m codes, and each
+    query x vector distance is the sum of m per-subspace lookups in a
+    (qid, s, code) -> distance table built once per query.  Output
+    (qid, rank, vec_id, dist) ranked by ADC distance ascending, ties
+    to the smaller vec_id.
+
+    Scale shape: the lookup table is |queries| * m * n_codes rows --
+    tiny -- and broadcast; the encoded corpus (``codes``, from
+    ``pq_encode``, typically persisted -- recomputing it per query
+    re-pays the assignment pass, the same amortization lesson
+    SCALE.md records for ivf_topk) flows through ONE broadcast-hash
+    join and a partial-aggregated (qid, vec_id) sum; the raw
+    embedding column is never read for the scan.  Composes with IVF:
+    feed ``codes`` pre-filtered to the probed cells."""
+    if codes is None:
+        codes = pq_encode(emb, cents, dim, m)
+    qsub = _pq_subspaces(
+        emb.filter(F.col("vec_id").isin(query_ids)), dim, m
+    ).withColumnRenamed("vec_id", "qid")
+    sq = F.aggregate(
+        F.zip_with(
+            "semb",
+            "cemb",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtab = qsub.join(F.broadcast(cents), on="s").select(
+        "qid", "s", "code", (F.round(sq, 6) + F.lit(0.0)).alias("d")
+    )
+    scored = (
+        codes.select("vec_id", "s", "code")
+        .join(F.broadcast(dtab), on=["s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg((F.round(F.sum("d"), 6) + F.lit(0.0)).alias("dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "dist")
+    )

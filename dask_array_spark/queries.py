@@ -4475,6 +4475,71 @@ _SEMDEDUP_TRAINED_SQL = f"""
 """
 
 
+# product quantization (Jegou et al. 2011), m=4 subspaces of 16 dims,
+# 4 codes, 2 Lloyd rounds per subspace -- the same per-iteration CTE
+# replay as _KMEANS_SQL but on the (vec, subspace) grain, then the
+# encode pass (a3, keeping the per-subspace quantization error) and
+# the ADC top-k (per-query lookup table dtab, summed over the encoded
+# corpus).  Every distance rounds to 6 decimals before its argmin and
+# the ADC sum re-rounds, exactly like the engine.
+_PQ_SQL = f"""
+    WITH ex AS ({_EX_SQL}),
+    sub AS (SELECT vec_id, CAST((pos - 1) // 16 AS BIGINT) AS s,
+                   (pos - 1) % 16 AS spos, e
+            FROM ex),
+    p0 AS (SELECT s, vec_id AS code, spos, e AS c FROM sub WHERE vec_id < 4),
+    d1 AS (SELECT sub.vec_id, sub.s, p0.code,
+                  round(SUM((sub.e - p0.c) * (sub.e - p0.c)), 6) + 0.0 AS dist
+           FROM sub JOIN p0 ON p0.s = sub.s AND p0.spos = sub.spos
+           GROUP BY 1, 2, 3),
+    a1 AS (SELECT vec_id, s, code FROM (
+             SELECT vec_id, s, code, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS r
+             FROM d1) t WHERE r = 1),
+    p1 AS (SELECT sub.s, a1.code, sub.spos, round(AVG(sub.e), 6) + 0.0 AS c
+           FROM sub JOIN a1 ON a1.vec_id = sub.vec_id AND a1.s = sub.s
+           GROUP BY 1, 2, 3),
+    d2 AS (SELECT sub.vec_id, sub.s, p1.code,
+                  round(SUM((sub.e - p1.c) * (sub.e - p1.c)), 6) + 0.0 AS dist
+           FROM sub JOIN p1 ON p1.s = sub.s AND p1.spos = sub.spos
+           GROUP BY 1, 2, 3),
+    a2 AS (SELECT vec_id, s, code FROM (
+             SELECT vec_id, s, code, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS r
+             FROM d2) t WHERE r = 1),
+    p2 AS (SELECT sub.s, a2.code, sub.spos, round(AVG(sub.e), 6) + 0.0 AS c
+           FROM sub JOIN a2 ON a2.vec_id = sub.vec_id AND a2.s = sub.s
+           GROUP BY 1, 2, 3),
+    d3 AS (SELECT sub.vec_id, sub.s, p2.code,
+                  round(SUM((sub.e - p2.c) * (sub.e - p2.c)), 6) + 0.0 AS dist
+           FROM sub JOIN p2 ON p2.s = sub.s AND p2.spos = sub.spos
+           GROUP BY 1, 2, 3),
+    a3 AS (SELECT vec_id, s, code, dist FROM (
+             SELECT vec_id, s, code, dist, row_number() OVER (
+               PARTITION BY vec_id, s ORDER BY dist ASC, code ASC) AS r
+             FROM d3) t WHERE r = 1),
+    qsub AS (SELECT vec_id AS qid, s, spos, e FROM sub WHERE vec_id IN (0, 1, 2)),
+    dtab AS (SELECT q.qid, p2.s, p2.code,
+                    round(SUM((q.e - p2.c) * (q.e - p2.c)), 6) + 0.0 AS d
+             FROM qsub q JOIN p2 ON p2.s = q.s AND p2.spos = q.spos
+             GROUP BY 1, 2, 3),
+    adc AS (SELECT dtab.qid, a3.vec_id, round(SUM(dtab.d), 6) + 0.0 AS dist
+            FROM a3 JOIN dtab ON dtab.s = a3.s AND dtab.code = a3.code
+            GROUP BY 1, 2),
+    adctop AS (SELECT qid, vec_id, dist, rnk FROM (
+                 SELECT qid, vec_id, dist, row_number() OVER (
+                   PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+                 FROM adc) t WHERE rnk <= 5)
+    SELECT CAST(7 AS BIGINT) AS kind, s AS a, code AS b,
+           CAST(spos AS BIGINT) AS rank, c AS cos
+    FROM p2
+    UNION ALL
+    SELECT 8, vec_id, s, code, dist FROM a3
+    UNION ALL
+    SELECT 9, qid, vec_id, rnk, dist FROM adctop
+"""
+
+
 @query(
     "similarity_suite",
     f"""
@@ -4504,6 +4569,8 @@ _SEMDEDUP_TRAINED_SQL = f"""
         ON iv.qid = bf.qid AND iv.vec_id = bf.vec_id
       GROUP BY bf.qid
     ) per USING (qid)
+    UNION ALL
+    SELECT kind, a, b, rank, cos FROM ({_PQ_SQL}) pq
     """,
 )
 def q_similarity_suite(spark, sf):
@@ -4519,9 +4586,14 @@ def q_similarity_suite(spark, sf):
     dedup CTEs (round-6 verdict ask 6) -- and recall@k of the IVF
     search against the exact top-k (6; the ANN quality diagnostic,
     (qid, n_hits, recall) verified against the oracle's join of the
-    two search CTEs) -- all with inline F.aggregate norms, no
-    corpus-sized broadcast (the round-2 scale fix; plan-asserted in
-    tests/test_plans.py)."""
+    two search CTEs), plus product quantization (Jegou et al. 2011;
+    the memory leg of the ANN story): the per-subspace Lloyd codebook
+    (7), the encoded corpus with per-subspace quantization error (8),
+    and the ADC top-k over the encoded corpus (9), the oracle
+    replaying every Lloyd round, the encode pass, and the per-query
+    lookup-table sum as explicit CTEs -- all with inline F.aggregate
+    norms, no corpus-sized broadcast (the round-2 scale fix;
+    plan-asserted in tests/test_plans.py)."""
     from .functions import similarity as SIM
 
     embs = _embs(spark, sf)
@@ -4558,9 +4630,27 @@ def q_similarity_suite(spark, sf):
         k(6), F.col("qid").alias("a"), F.col("n_hits").alias("b"),
         neg1.alias("rank"), F.col("recall").alias("cos"),
     )
+    pqc = SIM.pq_train(embs, dim=64, m=4, n_codes=4, iters=2)
+    pq7 = pqc.select(
+        k(7), F.col("s").alias("a"), F.col("code").alias("b"),
+        F.posexplode("cemb").alias("spos", "c"),
+    ).select(
+        "kind", "a", "b", F.col("spos").cast("long").alias("rank"),
+        F.col("c").alias("cos"),
+    )
+    enc = SIM.pq_encode(embs, pqc, dim=64, m=4)
+    pq8 = enc.select(
+        k(8), F.col("vec_id").alias("a"), F.col("s").alias("b"),
+        F.col("code").alias("rank"), F.col("dist").alias("cos"),
+    )
+    pq9 = SIM.pq_topk(embs, [0, 1, 2], pqc, dim=64, m=4, k=5, codes=enc).select(
+        k(9), F.col("qid").alias("a"), F.col("vec_id").alias("b"),
+        "rank", F.col("dist").alias("cos"),
+    )
     return (
         bf.unionByName(iv).unionByName(pr).unionByName(sd)
         .unionByName(km).unionByName(sdt).unionByName(rc)
+        .unionByName(pq7).unionByName(pq8).unionByName(pq9)
     )
 
 

@@ -1,0 +1,176 @@
+"""Product quantization (pq_train / pq_encode / pq_pack / pq_topk) vs
+an exact plain-Python model.
+
+The model replays the engine's full determinism contract: init code c
+= vector c's subvector, squared-L2 distances rounded to 6 decimals
+BEFORE every argmin, ties to the smaller code / vec_id, centroid
+coordinates rounded to 6 decimals per Lloyd round, ADC distance =
+round(sum of rounded per-subspace lookups, 6).  Any drift in slicing,
+assignment, update, packing, or ranking shows up as an exact
+mismatch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+def _emb_df(spark, X):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(X)), "embedding": [row.astype("float32") for row in X]}
+        )
+    )
+
+
+def _r6(x):
+    """Spark's round(col, 6): HALF_UP over the double's shortest
+    decimal representation (BigDecimal.valueOf semantics) -- NOT
+    NumPy's banker's rounding.  repr(float) is the same shortest
+    representation, so Decimal(repr(.)) replays it exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("0.000001")
+
+    def one(v):
+        return float(Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP)) + 0.0
+
+    arr = np.asarray(x, dtype="float64")
+    if arr.ndim == 0:
+        return one(arr)
+    return np.asarray([one(v) for v in arr.ravel()]).reshape(arr.shape)
+
+
+def _model_train(X, m, n_codes, iters):
+    """{(s, code): centroid ndarray} after `iters` Lloyd rounds."""
+    n, dim = X.shape
+    dsub = dim // m
+    subs = {(i, s): X[i, s * dsub : (s + 1) * dsub].astype("float64") for i in range(n) for s in range(m)}
+    cents = {(s, c): subs[(c, s)].copy() for s in range(m) for c in range(n_codes)}
+    for _ in range(iters):
+        asg = _model_assign(subs, cents, n, m)
+        new = {}
+        for (s, c) in set(cents):
+            members = [subs[(i, s)] for i in range(n) if asg[(i, s)][0] == c]
+            if members:
+                new[(s, c)] = _r6(np.mean(members, axis=0))
+        cents = new
+    return cents
+
+
+def _model_assign(subs, cents, n, m):
+    """{(i, s): (code, dist)} with the engine's rounding/tie contract."""
+    out = {}
+    for i in range(n):
+        for s in range(m):
+            best = None
+            for (cs, c), cent in sorted(cents.items()):
+                if cs != s:
+                    continue
+                d = _r6(np.sum((subs[(i, s)] - cent) ** 2))
+                if best is None or (d, c) < best[1]:
+                    best = ((c, d), (d, c))
+            out[(i, s)] = best[0]
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(5, 12),
+    st.sampled_from([2, 4]),
+    st.integers(2, 4),
+    st.integers(1, 3),
+    st.integers(0, 10_000),
+)
+def test_pq_train_encode_model(spark, n, m, n_codes, iters, seed):
+    from dask_array_spark.functions import similarity as SIM
+
+    dim = 8
+    rng = np.random.default_rng(seed)
+    # half-precision grid values: FP-exact through slicing and the
+    # float32 ingest column, so the model comparison is bit-for-bit
+    X = rng.integers(-8, 9, size=(n, dim)).astype("float64") / 4.0
+    emb = _emb_df(spark, X)
+
+    cents = SIM.pq_train(emb, dim=dim, m=m, n_codes=n_codes, iters=iters)
+    got_cents = {
+        (r["s"], r["code"]): np.asarray(r["cemb"]) for r in cents.collect()
+    }
+    want_cents = _model_train(X, m, n_codes, iters)
+    assert set(got_cents) == set(want_cents)
+    for key in want_cents:
+        np.testing.assert_allclose(got_cents[key], want_cents[key], atol=1e-9)
+
+    enc = SIM.pq_encode(emb, cents, dim=dim, m=m)
+    got_enc = {(r["vec_id"], r["s"]): (r["code"], r["dist"]) for r in enc.collect()}
+    dsub = dim // m
+    subs = {
+        (i, s): X[i, s * dsub : (s + 1) * dsub] for i in range(n) for s in range(m)
+    }
+    want_enc = _model_assign(subs, want_cents, n, m)
+    assert set(got_enc) == set(want_enc)
+    for key, (c, d) in want_enc.items():
+        assert got_enc[key][0] == c
+        assert got_enc[key][1] == pytest.approx(d, abs=1e-9)
+
+    packed = {r["vec_id"]: list(r["codes"]) for r in SIM.pq_pack(enc).collect()}
+    assert packed == {
+        i: [want_enc[(i, s)][0] for s in range(m)] for i in range(n)
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.integers(6, 14),
+    st.sampled_from([2, 4]),
+    st.integers(2, 4),
+    st.integers(1, 5),
+    st.integers(0, 10_000),
+)
+def test_pq_topk_adc_model(spark, n, m, n_codes, k, seed):
+    from dask_array_spark.functions import similarity as SIM
+
+    dim = 8
+    rng = np.random.default_rng(seed)
+    X = rng.integers(-8, 9, size=(n, dim)).astype("float64") / 4.0
+    emb = _emb_df(spark, X)
+    qids = [0, 2]
+
+    cents = SIM.pq_train(emb, dim=dim, m=m, n_codes=n_codes, iters=2)
+    enc = SIM.pq_encode(emb, cents, dim=dim, m=m)
+    rows = SIM.pq_topk(emb, qids, cents, dim=dim, m=m, k=k, codes=enc).collect()
+
+    want_cents = _model_train(X, m, n_codes, 2)
+    dsub = dim // m
+    subs = {
+        (i, s): X[i, s * dsub : (s + 1) * dsub] for i in range(n) for s in range(m)
+    }
+    asg = _model_assign(subs, want_cents, n, m)
+    for q in qids:
+        dt = {
+            (s, c): _r6(np.sum((subs[(q, s)] - cent) ** 2))
+            for (s, c), cent in want_cents.items()
+        }
+        adc = {
+            i: _r6(sum(dt[(s, asg[(i, s)][0])] for s in range(m)))
+            for i in range(n)
+        }
+        order = sorted(adc, key=lambda i: (adc[i], i))[:k]
+        got = sorted(
+            ((r["rank"], r["vec_id"], r["dist"]) for r in rows if r["qid"] == q)
+        )
+        assert [v for _, v, _ in got] == order
+        for rk, v, d in got:
+            assert d == pytest.approx(adc[v], abs=1e-9)
+            assert rk == order.index(v) + 1
+
+
+def test_pq_validates_dim(spark):
+    from dask_array_spark.functions import similarity as SIM
+
+    emb = _emb_df(spark, np.ones((4, 6)))
+    with pytest.raises(ValueError, match="divide"):
+        SIM.pq_train(emb, dim=6, m=4)

@@ -258,3 +258,27 @@ def test_kmeans_inrow_distance_bounded_broadcast(spark, sf_dir):
     # assignment plus the fit round's internal assignment -- both
     # k-row sides, never the corpus
     assert 1 <= analyzed.count("ResolvedHint") <= 2
+
+
+def test_pq_adc_scan_shape(spark, sf_dir):
+    """pq_topk's ADC scan: the encoded corpus flows through ONE
+    BroadcastHashJoin against the (|queries| x m x n_codes)-row
+    lookup table and a partial-aggregated (qid, vec_id) sum -- no
+    SortMergeJoin anywhere (the corpus must never shuffle by pair)
+    and no broadcast of the encoded corpus itself (every forced hint
+    sits on the codebook or the query-derived lookup table, both
+    parameter-bounded)."""
+    from dask_array_spark.functions import similarity as SIM
+    from dask_array_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = SIM.pq_train(emb, dim=64, m=4, n_codes=4, iters=1)
+    codes = SIM.pq_encode(emb, cents, dim=64, m=4)
+    df = SIM.pq_topk(emb, [0, 1, 2], cents, dim=64, m=4, k=5, codes=codes)
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # dtab probe + cents joins
+    # the ADC sum partial-aggregates map-side before the exchange
+    assert "partial_sum" in plan
+    # in-row distance folds (array lambda), never an exploded join
+    assert "lambdafunction" in _optimized(df).lower()
