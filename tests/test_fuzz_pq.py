@@ -174,3 +174,49 @@ def test_pq_validates_dim(spark):
     emb = _emb_df(spark, np.ones((4, 6)))
     with pytest.raises(ValueError, match="divide"):
         SIM.pq_train(emb, dim=6, m=4)
+
+
+def test_ivf_pq_composition(spark):
+    """The FAISS-style IVF-PQ index: IVF probes pick WHICH cells a
+    query scans, PQ codes make the scan cheap -- composed here by
+    feeding pq_topk the codes of the probed cells only.  The ranking
+    must equal ADC over exactly that candidate set."""
+    from pyspark.sql import functions as F
+
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    X = rng.integers(-8, 9, size=(24, 8)).astype("float64") / 4.0
+    emb = _emb_df(spark, X)
+    qids = [0, 3]
+
+    ivf_cents = SIM.kmeans_fit(emb, k=3, iters=1)
+    assign = SIM.ivf_assign(emb, n_cells=3, cents=ivf_cents)
+    pq_cents = SIM.pq_train(emb, dim=8, m=2, n_codes=3, iters=1)
+    codes = SIM.pq_encode(emb, pq_cents, dim=8, m=2)
+
+    # probe = the query's own cell (n_probe=1 over the trained IVF)
+    probed = assign.join(
+        assign.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("qid"), "cell"
+        ),
+        on="cell",
+    ).select("qid", "vec_id")
+    got_all = []
+    for q in qids:
+        cand_ids = [r["vec_id"] for r in probed.filter(F.col("qid") == q).collect()]
+        sub = codes.filter(F.col("vec_id").isin(cand_ids))
+        rows = SIM.pq_topk(emb, [q], pq_cents, dim=8, m=2, k=4, codes=sub).collect()
+        got = [(r["rank"], r["vec_id"]) for r in sorted(rows, key=lambda r: r["rank"])]
+        # oracle: full ADC restricted to the candidate set
+        full = SIM.pq_topk(
+            emb, [q], pq_cents, dim=8, m=2, k=len(X), codes=codes
+        ).collect()
+        want_order = [
+            r["vec_id"]
+            for r in sorted(full, key=lambda r: r["rank"])
+            if r["vec_id"] in set(cand_ids)
+        ][:4]
+        assert [v for _, v in got] == want_order
+        got_all.extend(got)
+    assert got_all
