@@ -320,9 +320,39 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
             n_cells=n_cells, n_probe=n_probe, cents=trained, assign=index,
         )
 
+    # PQ leg: ADC over a PREBUILT codes index (train + encode outside
+    # the timed window, the same amortization as the IVF assign).
+    # m=8 subspaces x 16 codes turns each 64-float vector into 8 small
+    # ints -- a 32x smaller scan relation; ADC ranks by L2, so its
+    # recall is measured against the exact L2 top-k, not the cosine one
+    pq_m, pq_codes_n = 8, 256
+    pq_cents = SIM.pq_train(emb, dim=64, m=pq_m, n_codes=pq_codes_n, iters=2).persist()
+    pq_cents.count()
+    codes = SIM.pq_encode(emb, pq_cents, dim=64, m=pq_m).persist()
+    codes.count()
+
+    def pq(spark, sf_dir):
+        return SIM.pq_topk(
+            Q._embs(spark, sf_dir), qids, pq_cents, dim=64, m=pq_m, k=k, codes=codes
+        )
+
+    def pq_rr(spark, sf_dir):
+        # the production IVFADC+R shape: ADC shortlist (k*8) + exact
+        # re-rank of only those rows (coarse-code ties cap pure-ADC
+        # recall at small k; see pq_topk's rerank docstring)
+        return SIM.pq_topk(
+            Q._embs(spark, sf_dir), qids, pq_cents, dim=64, m=pq_m, k=k,
+            codes=codes, rerank=32,
+        )
+
     res, _, reps = _run_slots(
         spark, sf1_dir,
-        [("brute_cosine_topk", brute), ("ivf_topk_trained", ivf)],
+        [
+            ("brute_cosine_topk", brute),
+            ("ivf_topk_trained", ivf),
+            ("pq_adc_topk", pq),
+            ("pq_rerank_topk", pq_rr),
+        ],
         runs, {}, settle,
     )
     recall = (
@@ -333,14 +363,61 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
         .agg(F.round(F.avg("recall"), 4).alias("r"))
         .collect()[0]["r"]
     )
+    # exact L2 top-k (one untimed brute pass) as the PQ recall oracle
+    q = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "qemb",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    l2_exact = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(q))
+        .select("qid", "vec_id", (F.round(l2, 6) + F.lit(0.0)).alias("d"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    pq_recall = (
+        SIM.ann_recall(emb, qids, k=k, exact=l2_exact, approx=pq(spark, sf1_dir))
+        .agg(F.round(F.avg("recall"), 4).alias("r"))
+        .collect()[0]["r"]
+    )
+    pq_rr_recall = (
+        SIM.ann_recall(emb, qids, k=k, exact=l2_exact, approx=pq_rr(spark, sf1_dir))
+        .agg(F.round(F.avg("recall"), 4).alias("r"))
+        .collect()[0]["r"]
+    )
     trained.unpersist()
     index.unpersist()
+    pq_cents.unpersist()
+    codes.unpersist()
     return {
         "brute_sec": res["brute_cosine_topk"],
         "ivf_sec": res["ivf_topk_trained"],
         "speedup": round(res["brute_cosine_topk"] / max(res["ivf_topk_trained"], 1e-9), 2),
         "scan_fraction": round(n_probe / n_cells, 3),
         "recall_at_k": recall,
+        "pq_sec": res["pq_adc_topk"],
+        "pq_speedup": round(res["brute_cosine_topk"] / max(res["pq_adc_topk"], 1e-9), 2),
+        "pq_recall_at_k": pq_recall,
+        "pq_rerank_sec": res["pq_rerank_topk"],
+        "pq_rerank_speedup": round(
+            res["brute_cosine_topk"] / max(res["pq_rerank_topk"], 1e-9), 2
+        ),
+        "pq_rerank_recall_at_k": pq_rr_recall,
+        "pq_rerank_factor": 32,
+        "pq_m": pq_m,
+        "pq_n_codes": pq_codes_n,
         "k": k,
         "n_queries": len(qids),
         "n_cells": n_cells,
@@ -390,7 +467,10 @@ def sf1_main() -> None:
     row = (
         f"| r{round_no} | "
         + " | ".join(f"{ratios[n]} ({base[n]}→{scaled[n]}s)" for n in SF1_SLOTS)
-        + f" | {ann['speedup']}× (recall {ann['recall_at_k']}) | "
+        + f" | ivf {ann['speedup']}× (recall {ann['recall_at_k']}); "
+        + f"pq-adc {ann['pq_speedup']}× (recall {ann['pq_recall_at_k']}), "
+        + f"pq+rerank {ann['pq_rerank_speedup']}× "
+        + f"(recall {ann['pq_rerank_recall_at_k']}) vs exact-L2 | "
         + ("**" + "; ".join(flags) + "**" if flags else "—")
         + " |"
     )

@@ -778,6 +778,7 @@ def pq_topk(
     m: int = 4,
     k: int = 5,
     codes: DataFrame | None = None,
+    rerank: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus:
     queries stay raw, corpus vectors are their m codes, and each
@@ -793,7 +794,16 @@ def pq_topk(
     SCALE.md records for ivf_topk) flows through ONE broadcast-hash
     join and a partial-aggregated (qid, vec_id) sum; the raw
     embedding column is never read for the scan.  Composes with IVF:
-    feed ``codes`` pre-filtered to the probed cells."""
+    feed ``codes`` pre-filtered to the probed cells.
+
+    ``rerank=r`` adds the standard ADC refinement step (the "IVFADC+R"
+    shape): the ADC pass keeps a k*r shortlist per query, then ONLY
+    those |queries| * k * r vectors are re-scored with the exact
+    squared L2 on their raw embeddings and re-ranked to k.  Coarse
+    quantization collapses nearby vectors onto few distinct ADC
+    values (ties), which caps recall at small k; re-ranking restores
+    it while still never scanning raw embeddings corpus-wide -- the
+    tiny shortlist broadcasts and hash-probes the corpus scan."""
     if codes is None:
         codes = pq_encode(emb, cents, dim, m)
     qsub = _pq_subspaces(
@@ -818,8 +828,38 @@ def pq_topk(
         .agg((F.round(F.sum("d"), 6) + F.lit(0.0)).alias("dist"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
-    return (
+    adc = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= (k if rerank is None else k * rerank))
+        .select("qid", "rank", "vec_id", "dist")
+    )
+    if rerank is None:
+        return adc
+    # exact re-rank of the shortlist: broadcast the (|q| * k * rerank)-
+    # row shortlist, hash-probe the corpus for those vectors only,
+    # fold the exact squared L2 in-row against the raw query vectors
+    short = adc.select("qid", "vec_id")
+    qraw = F.broadcast(
+        emb.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+        )
+    )
+    cand = emb.select("vec_id", "embedding").join(F.broadcast(short), on="vec_id")
+    exact = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "qemb",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    rescored = cand.join(qraw, on="qid").select(
+        "qid", "vec_id", (F.round(exact, 6) + F.lit(0.0)).alias("dist")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "dist")
     )

@@ -220,3 +220,51 @@ def test_ivf_pq_composition(spark):
         assert [v for _, v in got] == want_order
         got_all.extend(got)
     assert got_all
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.integers(8, 16),
+    st.integers(2, 3),
+    st.integers(1, 4),
+    st.integers(2, 3),
+    st.integers(0, 10_000),
+)
+def test_pq_topk_rerank_model(spark, n, n_codes, k, rr, seed):
+    """rerank=r: ADC keeps a k*r shortlist, then exact squared-L2
+    re-ranks it -- modeled by re-scoring the model's own shortlist."""
+    from dask_array_spark.functions import similarity as SIM
+
+    dim, m = 8, 2
+    rng = np.random.default_rng(seed)
+    X = rng.integers(-8, 9, size=(n, dim)).astype("float64") / 4.0
+    emb = _emb_df(spark, X)
+    qids = [1, 4]
+
+    cents = SIM.pq_train(emb, dim=dim, m=m, n_codes=n_codes, iters=1)
+    enc = SIM.pq_encode(emb, cents, dim=dim, m=m)
+    rows = SIM.pq_topk(
+        emb, qids, cents, dim=dim, m=m, k=k, codes=enc, rerank=rr
+    ).collect()
+
+    want_cents = _model_train(X, m, n_codes, 1)
+    dsub = dim // m
+    subs = {
+        (i, s): X[i, s * dsub : (s + 1) * dsub] for i in range(n) for s in range(m)
+    }
+    asg = _model_assign(subs, want_cents, n, m)
+    for q in qids:
+        dt = {
+            (s, c): _r6(np.sum((subs[(q, s)] - cent) ** 2))
+            for (s, c), cent in want_cents.items()
+        }
+        adc = {
+            i: _r6(sum(dt[(s, asg[(i, s)][0])] for s in range(m))) for i in range(n)
+        }
+        short = sorted(adc, key=lambda i: (adc[i], i))[: k * rr]
+        ex = {i: _r6(np.sum((X[q] - X[i]) ** 2)) for i in short}
+        order = sorted(ex, key=lambda i: (ex[i], i))[:k]
+        got = sorted((r["rank"], r["vec_id"], r["dist"]) for r in rows if r["qid"] == q)
+        assert [v for _, v, _ in got] == order
+        for rk, v, d in got:
+            assert d == pytest.approx(ex[v], abs=1e-9)
