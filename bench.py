@@ -320,15 +320,17 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
             n_cells=n_cells, n_probe=n_probe, cents=trained, assign=index,
         )
 
-    # PQ leg: ADC over a PREBUILT codes index (train + encode outside
-    # the timed window, the same amortization as the IVF assign).
-    # m=8 subspaces x 16 codes turns each 64-float vector into 8 small
-    # ints -- a 32x smaller scan relation; ADC ranks by L2, so its
-    # recall is measured against the exact L2 top-k, not the cosine one
+    # PQ leg: ADC over a PREBUILT codes index (train + encode + pack
+    # outside the timed window, the same amortization as the IVF
+    # assign).  m=8 subspaces x 256 codes turns each 64-float vector
+    # into 8 byte-sized codes; the timed scan reads the PACKED
+    # (vec_id, codes) relation -- the ~32x smaller layout -- and
+    # unpacks it in-row.  ADC ranks by L2, so recall is measured
+    # against the exact L2 top-k, not the cosine one
     pq_m, pq_codes_n = 8, 256
     pq_cents = SIM.pq_train(emb, dim=64, m=pq_m, n_codes=pq_codes_n, iters=2).persist()
     pq_cents.count()
-    codes = SIM.pq_encode(emb, pq_cents, dim=64, m=pq_m).persist()
+    codes = SIM.pq_pack(SIM.pq_encode(emb, pq_cents, dim=64, m=pq_m)).persist()
     codes.count()
 
     def pq(spark, sf_dir):
@@ -337,7 +339,7 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
         )
 
     def pq_rr(spark, sf_dir):
-        # the production IVFADC+R shape: ADC shortlist (k*8) + exact
+        # the production IVFADC+R shape: ADC shortlist (k*32) + exact
         # re-rank of only those rows (coarse-code ties cap pure-ADC
         # recall at small k; see pq_topk's rerank docstring)
         return SIM.pq_topk(
@@ -363,20 +365,12 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
         .agg(F.round(F.avg("recall"), 4).alias("r"))
         .collect()[0]["r"]
     )
-    # exact L2 top-k (one untimed brute pass) as the PQ recall oracle
+    # exact L2 top-k (one untimed brute pass, persisted -- BOTH recall
+    # actions below read it) as the PQ recall oracle
     q = emb.filter(F.col("vec_id").isin(qids)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
     )
-    l2 = F.aggregate(
-        F.zip_with(
-            "embedding",
-            "qemb",
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    l2 = SIM._sqdist("embedding", "qemb")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
@@ -386,7 +380,8 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
         .select("qid", "vec_id", (F.round(l2, 6) + F.lit(0.0)).alias("d"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-    )
+    ).persist()
+    l2_exact.count()
     pq_recall = (
         SIM.ann_recall(emb, qids, k=k, exact=l2_exact, approx=pq(spark, sf1_dir))
         .agg(F.round(F.avg("recall"), 4).alias("r"))
@@ -401,6 +396,7 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
     index.unpersist()
     pq_cents.unpersist()
     codes.unpersist()
+    l2_exact.unpersist()
     return {
         "brute_sec": res["brute_cosine_topk"],
         "ivf_sec": res["ivf_topk_trained"],

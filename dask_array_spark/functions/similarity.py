@@ -566,15 +566,7 @@ def kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     codegen into interpreted evaluation per corpus row, while this
     crossJoin + min_by form stays fully codegen'd and its k-per-vector
     fan-out and argmin shuffle are cheap.  Keep the join form."""
-    sq = F.aggregate(
-        F.zip_with(
-            "embedding",
-            "cemb",
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    sq = _sqdist("embedding", "cemb")
     scored = (
         emb.select("vec_id", "embedding")
         .crossJoin(F.broadcast(cents))
@@ -677,6 +669,24 @@ def _pq_subspaces(
     )
 
 
+def _sqdist(a_col: str, b_col: str):
+    """In-row squared L2 between two array columns: zip_with the
+    coordinate differences, fold the squares -- the single shared
+    definition behind every k-means/PQ distance (kmeans_assign,
+    _pq_assign, the ADC lookup table, the re-rank), so the cast/fold
+    contract cannot drift between them."""
+    return F.aggregate(
+        F.zip_with(
+            a_col,
+            b_col,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str = "vec_id") -> DataFrame:
     """Nearest code per (vector, subspace) by squared L2: (id, s,
     code, dist).  Same discipline as kmeans_assign: the (s, code)
@@ -684,15 +694,7 @@ def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str = "vec_id") -> Data
     distance folds in-row, distances round to 6 decimals BEFORE the
     argmin (cross-engine tie stability), ties break to the smaller
     code, and the argmin is a partial-aggregated min_by."""
-    sq = F.aggregate(
-        F.zip_with(
-            "semb",
-            "cemb",
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    sq = _sqdist("semb", "cemb")
     scored = sub.join(F.broadcast(cents), on="s").select(
         id_col, "s", "code", (F.round(sq, 6) + F.lit(0.0)).alias("dist")
     )
@@ -803,21 +805,29 @@ def pq_topk(
     quantization collapses nearby vectors onto few distinct ADC
     values (ties), which caps recall at small k; re-ranking restores
     it while still never scanning raw embeddings corpus-wide -- the
-    tiny shortlist broadcasts and hash-probes the corpus scan."""
+    tiny shortlist broadcasts and hash-probes the corpus scan.
+
+    ``codes`` accepts either the long form from ``pq_encode`` or the
+    PACKED (vec_id, codes) layout from ``pq_pack`` -- pass the packed
+    relation in production: it is the ~dim*4/m-times-smaller table
+    (8 small ints per 64-float vector at m=8) and unpacks in-row with
+    one bounded posexplode, so the ADC scan reads only it."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rerank is not None and rerank < 1:
+        raise ValueError(
+            f"rerank must be >= 1 (or None for pure ADC), got {rerank}"
+        )
     if codes is None:
         codes = pq_encode(emb, cents, dim, m)
+    if "codes" in codes.columns:  # packed layout: unpack in-row
+        codes = codes.select(
+            "vec_id", F.posexplode("codes").alias("s", "code")
+        ).select("vec_id", F.col("s").cast("long").alias("s"), "code")
     qsub = _pq_subspaces(
         emb.filter(F.col("vec_id").isin(query_ids)), dim, m
     ).withColumnRenamed("vec_id", "qid")
-    sq = F.aggregate(
-        F.zip_with(
-            "semb",
-            "cemb",
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    sq = _sqdist("semb", "cemb")
     dtab = qsub.join(F.broadcast(cents), on="s").select(
         "qid", "s", "code", (F.round(sq, 6) + F.lit(0.0)).alias("d")
     )
@@ -845,16 +855,7 @@ def pq_topk(
         )
     )
     cand = emb.select("vec_id", "embedding").join(F.broadcast(short), on="vec_id")
-    exact = F.aggregate(
-        F.zip_with(
-            "embedding",
-            "qemb",
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    exact = _sqdist("embedding", "qemb")
     rescored = cand.join(qraw, on="qid").select(
         "qid", "vec_id", (F.round(exact, 6) + F.lit(0.0)).alias("dist")
     )

@@ -411,15 +411,26 @@ def bincount(a: Array, weights: Array | None = None, minlength: int = 0) -> Arra
     """Count occurrences of nonnegative ints (reference per-chunk
     bincount + tree-sum,
     /root/reference/dask_array/routines/_bincount.py:39) == groupBy on
-    the VALUE with count/sum -- a single shuffle on the value."""
+    the VALUE with count/sum -- a single shuffle on the value.
+    ``minlength`` guarantees the NumPy output-length contract
+    (len >= minlength) by anti-joining in a single zero marker row at
+    index minlength-1 when the data leaves that index absent -- a
+    one-row side, no extra shuffle of the counts."""
     d = a.df
     if weights is not None:
         wd = weights.df.withColumnRenamed(VALUE_COL, "__w")
         d = d.join(wd, on=a.index_cols, how="inner")
         agg = F.sum(F.col("__w"))
+        ztype = "double"
     else:
         agg = F.count(F.lit(1)).cast("long")
+        ztype = "bigint"
     out = d.groupBy(F.col(VALUE_COL).cast("long").alias("i0")).agg(agg.alias(VALUE_COL))
+    if minlength > 0:
+        marker = a.spark.range(minlength - 1, minlength).select(
+            F.col("id").alias("i0"), F.lit(0).cast(ztype).alias(VALUE_COL)
+        )
+        out = out.unionByName(marker.join(out, on="i0", how="left_anti"))
     return Array(out, (None,))
 
 

@@ -35,15 +35,10 @@ def test_bincount_random(spark, vals, minlength):
     x = np.asarray(vals, dtype="float64")
     got = R.bincount(_arr(spark, x), minlength=minlength)
     want = np.bincount(vals, minlength=minlength)
-    # engine bins are sparse and its shape is data-driven; compare the
-    # dense prefix both sides agree on, zero-padding the shorter
+    # exact NumPy contract including the length: minlength extends the
+    # result (the marker-row mechanism), data past it sets the length
     g = got.compute_shape().compute().astype("int64")
-    n = max(len(g), len(want))
-    gg = np.zeros(n, dtype="int64")
-    ww = np.zeros(n, dtype="int64")
-    gg[: len(g)] = g
-    ww[: len(want)] = want
-    np.testing.assert_array_equal(gg, ww)
+    np.testing.assert_array_equal(g, want)
 
 
 @settings(max_examples=10, deadline=None)
@@ -54,15 +49,11 @@ def test_bincount_weighted(spark, vals, seed):
     x = np.asarray(vals, dtype="float64")
     rng = np.random.default_rng(seed)
     w = rng.integers(-3, 4, size=len(vals)).astype("float64")
-    got = R.bincount(_arr(spark, x), weights=_arr(spark, w))
-    want = np.bincount(vals, weights=w)
+    got = R.bincount(_arr(spark, x), weights=_arr(spark, w), minlength=len(vals) // 2)
+    want = np.bincount(vals, weights=w, minlength=len(vals) // 2)
     g = got.compute_shape().compute()
-    n = max(len(g), len(want))
-    gg = np.zeros(n)
-    ww = np.zeros(n)
-    gg[: len(g)] = np.nan_to_num(g)
-    ww[: len(want)] = want
-    np.testing.assert_allclose(gg, ww)
+    assert len(g) == len(want)
+    np.testing.assert_allclose(np.nan_to_num(g), want)
 
 
 @settings(max_examples=12, deadline=None)

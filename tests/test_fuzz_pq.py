@@ -27,21 +27,15 @@ def _emb_df(spark, X):
 
 
 def _r6(x):
-    """Spark's round(col, 6): HALF_UP over the double's shortest
-    decimal representation (BigDecimal.valueOf semantics) -- NOT
-    NumPy's banker's rounding.  repr(float) is the same shortest
-    representation, so Decimal(repr(.)) replays it exactly."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    q = Decimal("0.000001")
-
-    def one(v):
-        return float(Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP)) + 0.0
+    """Vectorized wrapper over the shared Spark-round(6) model
+    (tests/conftest.spark_round6: HALF_UP over the double's shortest
+    decimal representation -- NOT NumPy's banker's rounding)."""
+    from tests.conftest import spark_round6
 
     arr = np.asarray(x, dtype="float64")
     if arr.ndim == 0:
-        return one(arr)
-    return np.asarray([one(v) for v in arr.ravel()]).reshape(arr.shape)
+        return spark_round6(float(arr))
+    return np.asarray([spark_round6(v) for v in arr.ravel()]).reshape(arr.shape)
 
 
 def _model_train(X, m, n_codes, iters):
@@ -268,3 +262,38 @@ def test_pq_topk_rerank_model(spark, n, n_codes, k, rr, seed):
         assert [v for _, v, _ in got] == order
         for rk, v, d in got:
             assert d == pytest.approx(ex[v], abs=1e-9)
+
+
+def test_pq_topk_packed_equals_long(spark):
+    """pq_topk must rank identically from the packed (vec_id, codes)
+    layout (the production 32x-smaller scan relation) and the long
+    encode form."""
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(11)
+    X = rng.integers(-8, 9, size=(20, 8)).astype("float64") / 4.0
+    emb = _emb_df(spark, X)
+    cents = SIM.pq_train(emb, dim=8, m=4, n_codes=4, iters=1)
+    enc = SIM.pq_encode(emb, cents, dim=8, m=4)
+    packed = SIM.pq_pack(enc)
+    for rr in (None, 3):
+        long_rows = sorted(
+            map(tuple, SIM.pq_topk(emb, [0, 5], cents, dim=8, m=4, k=4,
+                                   codes=enc, rerank=rr).collect())
+        )
+        packed_rows = sorted(
+            map(tuple, SIM.pq_topk(emb, [0, 5], cents, dim=8, m=4, k=4,
+                                   codes=packed, rerank=rr).collect())
+        )
+        assert long_rows == packed_rows and long_rows
+
+
+def test_pq_topk_validates_params(spark):
+    from dask_array_spark.functions import similarity as SIM
+
+    emb = _emb_df(spark, np.ones((6, 8)))
+    cents = SIM.pq_train(emb, dim=8, m=4, n_codes=2, iters=1)
+    with pytest.raises(ValueError, match="rerank"):
+        SIM.pq_topk(emb, [0], cents, dim=8, m=4, k=2, rerank=0)
+    with pytest.raises(ValueError, match="k must"):
+        SIM.pq_topk(emb, [0], cents, dim=8, m=4, k=0)

@@ -20,9 +20,14 @@ from hypothesis import given, settings, strategies as st
 
 
 def _r6(v: float) -> float:
-    """Spark F.round(x, 6) -- HALF_UP on the scaled value."""
-    s = v * 1e6
-    return (math.floor(s + 0.5) if s >= 0 else -math.floor(-s + 0.5)) / 1e6
+    """The shared Spark-round(6) model (conftest.spark_round6:
+    HALF_UP over the double's shortest decimal representation -- the
+    floor(v*1e6+0.5) approximation this suite used previously can
+    cross a half-boundary via FP error where the decimal
+    representation does not)."""
+    from tests.conftest import spark_round6
+
+    return spark_round6(v)
 
 
 VEC = st.lists(
