@@ -151,3 +151,52 @@ def test_indices_nd_random(spark, n, m, p):
     want = np.indices((n, m, p))
     for g, w in zip(got, want):
         assert_eq(g, w.astype("float64"))
+
+
+# ---------------------------------------------------- parity triangles/diag
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(1, 6), st.integers(1, 6), st.integers(-7, 7), st.integers(0, 10_000))
+def test_tril_triu_diag_parity_ops(spark, n, m, k, seed):
+    from dask_array_spark.operators import parity as P
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(1, 50, size=(n, m)).astype("float64")
+    a = _arr(spark, x)
+    assert_eq(P.tril(a, k), np.tril(x, k))
+    assert_eq(P.triu(a, k), np.triu(x, k))
+    assert_eq(P.diag(a, k), np.diag(x, k))  # 2-D: extract
+    v = rng.integers(1, 50, size=n).astype("float64")
+    # 1-D: build -- sparse off-diagonal zeros, so compare present cells
+    got = _present_cells(P.diag(_arr(spark, v), k))
+    want = np.diag(v, k)
+    want_cells = {
+        (int(i), int(j)): want[i, j] for i, j in zip(*np.nonzero(want))
+    }
+    assert got == want_cells
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 3), st.integers(1, 3), st.integers(0, 10_000))
+def test_block_nested_assembly(spark, n, m, p, seed):
+    from dask_array_spark.operators import parity as P
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 40, size=(n, m)).astype("float64")
+    b = rng.integers(1, 40, size=(n, p)).astype("float64")
+    c = rng.integers(1, 40, size=(2, m)).astype("float64")
+    d = rng.integers(1, 40, size=(2, p)).astype("float64")
+    got = P.block([[_arr(spark, a), _arr(spark, b)], [_arr(spark, c), _arr(spark, d)]])
+    want = np.block([[a, b], [c, d]])
+    assert_eq(got, want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.integers(1, 4), st.integers(1, 4), st.integers(0, 5), st.integers(0, 10_000))
+def test_rot90_random(spark, n, m, k, seed):
+    from dask_array_spark.operators import parity as P
+
+    rng = np.random.default_rng(seed)
+    x = rng.integers(1, 50, size=(n, m)).astype("float64")
+    assert_eq(P.rot90(_arr(spark, x), k), np.rot90(x, k))
