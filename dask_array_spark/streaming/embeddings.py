@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["stream_codebook_assign", "codebook_row"]
+__all__ = [
+    "stream_codebook_assign",
+    "codebook_row",
+    "stream_pq_encode",
+    "pq_codebook_row",
+]
 
 
 def _read_embeddings_stream(spark: SparkSession, emb_path: str) -> DataFrame:
@@ -95,4 +100,80 @@ def stream_codebook_assign(
             F.col("__best.cell").alias("cell"),
             F.col("__best.dist").alias("dist"),
         )
+    )
+
+
+def pq_codebook_row(cents: DataFrame) -> DataFrame:
+    """Collapse a PQ (s, code, cemb) codebook (functions/similarity.py
+    ``pq_train``) to ONE row carrying the (s, code)-sorted struct
+    array -- the broadcastable stream-static side for
+    ``stream_pq_encode``."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("s"), F.col("code"), F.col("cemb")))
+        ).alias("__pqcb")
+    )
+
+
+def stream_pq_encode(
+    spark: SparkSession,
+    emb_path: str,
+    cents: DataFrame,
+    dim: int,
+    m: int = 4,
+) -> DataFrame:
+    """(vec_id, codes) for every vector arriving on the stream: the
+    packed PQ index row (codes[s] = nearest code of subspace s by
+    squared L2, ties to the smaller code) -- batch
+    ``pq_pack(pq_encode(...))`` semantics, computed as one stateless
+    projection per micro-batch so an ingestion pipeline can land the
+    32x-smaller ANN index next to the raw vectors as they arrive.
+
+    Stream shape: the m x n_codes codebook collapses to one
+    broadcast row; each subspace's argmin folds IN-ROW over the
+    F.filter'd slice of that array against the vector's own subvector
+    (same nested zip_with fold as ``stream_codebook_assign``).  No
+    explode, no shuffle, no state store; 6-decimal pre-argmin
+    rounding keeps bit parity with the batch path (pinned by
+    test_streaming_embeddings)."""
+    if m <= 0 or dim % m:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
+    dsub = dim // m
+    stream = _read_embeddings_stream(spark, emb_path)
+    cb = pq_codebook_row(cents)
+
+    def best_code(s: int):
+        sub = F.slice(F.col("embedding"), s * dsub + 1, dsub)
+        dist_to = lambda cemb: F.round(
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    cemb,
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ) + F.lit(0.0)
+        init = F.struct(
+            F.lit(-1).cast("long").alias("code"),
+            F.lit(float("inf")).alias("dist"),
+        )
+
+        def step(acc, c):
+            cand = F.struct(
+                c["code"].cast("long").alias("code"),
+                dist_to(c["cemb"]).alias("dist"),
+            )
+            return F.when(cand["dist"] < acc["dist"], cand).otherwise(acc)
+
+        mine = F.filter(F.col("__pqcb"), lambda c: c["s"] == s)
+        return F.aggregate(mine, init, step)["code"]
+
+    codes = F.array(*[best_code(s) for s in range(m)])
+    return (
+        stream.crossJoin(F.broadcast(cb))
+        .select("vec_id", codes.alias("codes"))
     )

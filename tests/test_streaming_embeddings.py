@@ -57,3 +57,38 @@ def test_stream_assign_plan_is_stateless(spark, emb_path):
     # codebook side below the join may (collect_list of k cells)
     stream_side = plan.split("Join")[0]
     assert "Aggregate" not in stream_side
+
+
+def test_stream_pq_encode_matches_batch(spark, emb_path):
+    from dask_array_spark.functions.similarity import pq_encode, pq_pack, pq_train
+    from dask_array_spark.streaming.embeddings import stream_pq_encode
+
+    emb = spark.read.parquet(emb_path)
+    cents = pq_train(emb, dim=64, m=4, n_codes=4, iters=2)
+    batch = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_pack(pq_encode(emb, cents, dim=64, m=4)).collect()
+    }
+    streamed = {
+        r["vec_id"]: list(r["codes"])
+        for r in _drain(
+            stream_pq_encode(spark, emb_path, cents, dim=64, m=4), "pq_encode_s"
+        )
+    }
+    assert streamed == batch
+
+
+def test_stream_pq_encode_plan_is_stateless(spark, emb_path):
+    from dask_array_spark.functions.similarity import pq_train
+    from dask_array_spark.streaming.embeddings import stream_pq_encode
+
+    emb = spark.read.parquet(emb_path)
+    sdf = stream_pq_encode(
+        spark, emb_path, pq_train(emb, dim=64, m=4, n_codes=4, iters=1),
+        dim=64, m=4,
+    )
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    for stateful in ("Deduplicate", "FlatMapGroupsWithState", "EventTimeWatermark"):
+        assert stateful not in plan, f"unexpected stateful op {stateful}"
+    stream_side = plan.split("Join")[0]
+    assert "Aggregate" not in stream_side
