@@ -42,6 +42,8 @@ __all__ = [
     "pq_encode",
     "pq_pack",
     "pq_topk",
+    "sq8_encode",
+    "sq8_topk",
 ]
 
 
@@ -863,4 +865,93 @@ def pq_topk(
         rescored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("qid", "rank", "vec_id", "dist")
+    )
+
+
+# -- int8 scalar quantization ------------------------------------------------
+#
+# The other ubiquitous embedding-compression scheme next to PQ: keep
+# the geometry, shrink each float32 coordinate to one signed byte with
+# a per-vector scale (4x memory; no codebook to train).  Search stays
+# asymmetric -- raw query against dequantized corpus -- which is how
+# vector stores serve int8 indexes.
+
+
+def sq8_encode(emb: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization: scale = max|e| / 127
+    (1.0 for an all-zero vector so nothing divides by zero), code =
+    round(e / scale) in [-127, 127].  Returns (vec_id, scale, q) --
+    one int8-ranged code per coordinate, all computed IN-ROW (two
+    array folds + one transform, zero shuffle, zero explode)."""
+    mx = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("int"),
+        ).alias("q"),
+    ).select("vec_id", "scale", "q")
+
+
+def sq8_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric cosine top-k over an int8-quantized corpus: raw
+    query vectors against dequantized (q * scale) corpus vectors --
+    cosine_topk's exact shape (broadcast query side, in-row zip_with
+    dot/norm folds, per-query rank window, self excluded, ties to the
+    smaller vec_id) with the corpus side reading only the 4x-smaller
+    (vec_id, scale, q) relation from ``sq8_encode`` (typically
+    persisted at ingest).  Output (qid, rank, vec_id, cos) with rank
+    0-based like cosine_topk."""
+    if codes is None:
+        codes = sq8_encode(emb)
+    deq = F.transform("q", lambda c: c.cast("double") * F.col("scale"))
+    corpus = codes.select("vec_id", deq.alias("demb")).select(
+        "vec_id",
+        "demb",
+        F.sqrt(
+            F.aggregate(
+                "demb", F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("nrm"),
+    )
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        _norm_col().alias("qnrm"),
+    )
+    dot = F.aggregate(
+        F.zip_with("demb", "qemb", lambda x, y: x * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (F.round(dot / (F.col("nrm") * F.col("qnrm")), 6) + F.lit(0.0)).alias(
+                "cos"
+            ),
+        )
+        # a zero-norm side has no defined cosine; exclude it instead of
+        # letting Spark's NaN-sorts-largest rank it first
+        .filter(~F.isnan("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cos.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", (F.col("rank") - 1).cast("long").alias("rank"), "vec_id", "cos")
     )

@@ -4540,6 +4540,46 @@ _PQ_SQL = f"""
 """
 
 
+# int8 scalar quantization: per-vector scale = max|e|/127 (1.0 for a
+# zero vector), code = round(e/scale), search = asymmetric cosine of
+# the raw query against the dequantized corpus.  round() to an
+# integer agrees bit-for-bit between Spark (BigDecimal HALF_UP on the
+# shortest decimal repr) and DuckDB (half away from zero): a double
+# whose repr ends in .5 IS exactly .5, and anything else is strictly
+# inside one of the two halves.
+_SQ8_SQL = f"""
+    WITH ex AS ({_EX_SQL}),
+    sc AS (SELECT vec_id,
+                  CASE WHEN MAX(abs(e)) = 0 THEN 1.0
+                       ELSE MAX(abs(e)) / 127 END AS scale
+           FROM ex GROUP BY 1),
+    dq AS (SELECT ex.vec_id, ex.pos, round(ex.e / sc.scale) * sc.scale AS d,
+                  ex.e
+           FROM ex JOIN sc USING (vec_id)),
+    vn AS (SELECT vec_id, sqrt(SUM(d * d)) AS nrm FROM dq GROUP BY 1),
+    qex AS (SELECT vec_id AS qid, pos, e FROM ex WHERE vec_id IN (0, 1, 2)),
+    qn AS (SELECT qid, sqrt(SUM(e * e)) AS qnrm FROM qex GROUP BY 1),
+    dots AS (SELECT q.qid, dq.vec_id, SUM(dq.d * q.e) AS dot
+             FROM dq JOIN qex q USING (pos)
+             WHERE dq.vec_id <> q.qid
+             GROUP BY 1, 2),
+    cosr AS (SELECT dots.qid, dots.vec_id,
+                    round(dots.dot / (vn.nrm * qn.qnrm), 6) + 0.0 AS cos
+             FROM dots JOIN vn USING (vec_id) JOIN qn USING (qid)),
+    sqtop AS (SELECT qid, vec_id, cos, rnk - 1 AS rank FROM (
+                SELECT qid, vec_id, cos, row_number() OVER (
+                  PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+                FROM cosr) t WHERE rnk <= 5),
+    err AS (SELECT vec_id, round(SUM((e - d) * (e - d)), 6) + 0.0 AS qerr
+            FROM dq GROUP BY 1)
+    SELECT CAST(10 AS BIGINT) AS kind, qid AS a, vec_id AS b,
+           CAST(rank AS BIGINT) AS rank, cos
+    FROM sqtop
+    UNION ALL
+    SELECT 11, vec_id, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), qerr FROM err
+"""
+
+
 @query(
     "similarity_suite",
     f"""
@@ -4571,6 +4611,8 @@ _PQ_SQL = f"""
     ) per USING (qid)
     UNION ALL
     SELECT kind, a, b, rank, cos FROM ({_PQ_SQL}) pq
+    UNION ALL
+    SELECT kind, a, b, rank, cos FROM ({_SQ8_SQL}) sq8
     """,
 )
 def q_similarity_suite(spark, sf):
@@ -4591,7 +4633,11 @@ def q_similarity_suite(spark, sf):
     (7), the encoded corpus with per-subspace quantization error (8),
     and the ADC top-k over the encoded corpus (9), the oracle
     replaying every Lloyd round, the encode pass, and the per-query
-    lookup-table sum as explicit CTEs -- all with inline F.aggregate
+    lookup-table sum as explicit CTEs, plus int8 scalar quantization
+    (the codebook-free compression tier every vector store serves):
+    asymmetric cosine top-k of raw queries against the dequantized
+    int8 corpus (10) and the per-vector quantization error (11) --
+    all with inline F.aggregate
     norms, no corpus-sized broadcast (the round-2 scale fix;
     plan-asserted in tests/test_plans.py)."""
     from .functions import similarity as SIM
@@ -4647,10 +4693,30 @@ def q_similarity_suite(spark, sf):
         k(9), F.col("qid").alias("a"), F.col("vec_id").alias("b"),
         "rank", F.col("dist").alias("cos"),
     )
+    sq = SIM.sq8_encode(embs)
+    sq10 = SIM.sq8_topk(embs, [0, 1, 2], k=5, codes=sq).select(
+        k(10), F.col("qid").alias("a"), F.col("vec_id").alias("b"),
+        "rank", "cos",
+    )
+    qerr = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.transform("q", lambda c: c.cast("double") * F.col("scale")),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    neg1l = F.lit(-1).cast("long")
+    sq11 = _embs(spark, sf).join(sq, on="vec_id").select(
+        k(11), F.col("vec_id").alias("a"), neg1l.alias("b"),
+        neg1l.alias("rank"), (F.round(qerr, 6) + F.lit(0.0)).alias("cos"),
+    )
     return (
         bf.unionByName(iv).unionByName(pr).unionByName(sd)
         .unionByName(km).unionByName(sdt).unionByName(rc)
         .unionByName(pq7).unionByName(pq8).unionByName(pq9)
+        .unionByName(sq10).unionByName(sq11)
     )
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 
@@ -141,3 +143,71 @@ def test_similarity_tier_matches_python(spark, vecs):
     assert {q: sorted(v) for q, v in full.items()} == {
         q: sorted(v) for q, v in model.items()
     }
+
+
+# ----------------------------------------------------------- int8 SQ
+
+
+def _round_int_half_up(v: float) -> int:
+    """Spark round(col, 0): HALF_UP over the shortest decimal repr."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(float(v))).quantize(Decimal(1), ROUND_HALF_UP))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.integers(-8, 8), min_size=4, max_size=4),
+        min_size=3,
+        max_size=10,
+    ),
+    st.integers(1, 4),
+)
+def test_sq8_encode_topk_model(spark, rows, k):
+    """sq8_encode / sq8_topk vs a plain-Python replay of the exact
+    contract: scale = max|e|/127 (1.0 for the zero vector), code =
+    HALF_UP integer rounding, asymmetric cosine with 6-decimal
+    pre-rank rounding, self excluded, ties to the smaller vec_id."""
+    import pandas as pd
+
+    from dask_array_spark.functions import similarity as SIM
+
+    X = [np.asarray(r, dtype="float64") / 4.0 for r in rows]
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": range(len(X)), "embedding": [r.astype("float32") for r in X]}
+        )
+    )
+    enc = {r["vec_id"]: (r["scale"], list(r["q"])) for r in SIM.sq8_encode(emb).collect()}
+    deq = {}
+    for i, x in enumerate(X):
+        mx = float(np.max(np.abs(x)))
+        scale = 1.0 if mx == 0.0 else mx / 127.0
+        codes = [_round_int_half_up(v / scale) for v in x]
+        assert enc[i][0] == pytest.approx(scale, abs=1e-12)
+        assert enc[i][1] == codes
+        deq[i] = np.asarray(codes, dtype="float64") * scale
+
+    qids = [0, 1]
+    rows_out = SIM.sq8_topk(emb, qids, k=k).collect()
+    for q in qids:
+        if np.all(X[q] == 0):  # zero query: NaN cosines drop in ranking
+            continue
+        cos = {}
+        for i in range(len(X)):
+            if i == q:
+                continue
+            nrm = float(np.sqrt(np.sum(deq[i] ** 2)))
+            qn = float(np.sqrt(np.sum(X[q] ** 2)))
+            if nrm == 0.0:
+                continue  # zero corpus vector: NaN cosine, dropped
+            cos[i] = _r6(float(deq[i] @ X[q]) / (nrm * qn))
+        order = sorted(cos, key=lambda i: (-cos[i], i))[:k]
+        got = sorted(
+            ((r["rank"], r["vec_id"], r["cos"]) for r in rows_out if r["qid"] == q)
+        )
+        assert [v for _, v, _ in got] == order
+        for rk, v, c in got:
+            assert c == pytest.approx(cos[v], abs=1e-9)
+            assert rk == order.index(v)
