@@ -145,6 +145,7 @@ def test_similarity_no_corpus_sized_broadcast(spark, sf_dir):
         SIM.cosine_pairs_bucketed(emb, n_planes=8, min_cos=0.2),
         SIM.ivf_topk(emb, [0, 1, 2], k=5, n_cells=4, n_probe=2),
         SIM.semantic_dedup(emb, n_cells=4, eps=0.5),
+        SIM.sq8_topk(emb, [0, 1, 2], k=5),
     ):
         opt = _optimized(df)
         # the norm must be an in-row lambda aggregate over the array
