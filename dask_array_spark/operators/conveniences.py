@@ -189,13 +189,16 @@ def allclose(a: Array, b, rtol: float = 1e-05, atol: float = 1e-08) -> Array:
 
 def flatnonzero(a: Array) -> Array:
     """Flat indices of nonzero cells (reference
-    routines/_nonzero.py:55): ravel (zero movement) + nonzero."""
+    routines/_nonzero.py:55): ravel (zero movement) + nonzero.
+    DENSE 0..k-1 output positions (compact nonzero) -- the NumPy
+    contract this spelling exists for; the gapped shuffle-free form
+    stays available via ``nonzero(..., compact=False)``."""
     total = 1
     for s in a.shape:
         if s is None:
             raise ValueError("flatnonzero needs a fully known shape")
         total *= s
-    return nonzero(M.reshape(a, (total,)))[0]
+    return nonzero(M.reshape(a, (total,)), compact=True)[0]
 
 
 def broadcast_arrays(*arrays: Array) -> list[Array]:

@@ -279,12 +279,16 @@ def extract(cond: Array, a: Array) -> Array:
     return boolean_mask(a, cond)
 
 
-def nonzero(a: Array):
+def nonzero(a: Array, compact: bool = False):
     """Coordinate arrays of nonzero cells (reference
     routines/_nonzero.py:23): one filter + index projections.  Each
     output is a 1-D array keyed by the C-order flat position of the
     cell (monotone, gapped -- the shuffle-free convention shared with
-    boolean_mask); values are that cell's coordinate on axis k."""
+    boolean_mask); values are that cell's coordinate on axis k.
+    ``compact=True`` re-ranks to dense 0..k-1 NumPy positions via the
+    scalable two-pass rank (sources/ingest.with_dense_index -- a range
+    exchange + local sorts, no single-partition window); use it when
+    the result feeds positional consumers or ``compute()``."""
     d = a.df.filter((F.col(VALUE_COL) != 0) & F.col(VALUE_COL).isNotNull())
     flat = F.lit(0).cast("long")
     mul = 1
@@ -294,6 +298,21 @@ def nonzero(a: Array):
         mul *= s if s else 1
     for k, st in enumerate(reversed(strides)):
         flat = flat + F.col(f"i{k}") * F.lit(st)
+    if compact:
+        from ..sources.ingest import with_dense_index
+
+        base = with_dense_index(
+            d.select(flat.alias("__f"), *[F.col(f"i{k}") for k in range(a.ndim)]),
+            ["__f"],
+            "__r",
+        )
+        return tuple(
+            Array(
+                base.select(F.col("__r").alias("i0"), F.col(f"i{k}").alias(VALUE_COL)),
+                (None,),
+            )
+            for k in range(a.ndim)
+        )
     outs = []
     for k in range(a.ndim):
         outs.append(
