@@ -896,7 +896,7 @@ def sq8_encode(emb: DataFrame) -> DataFrame:
             "embedding",
             lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("int"),
         ).alias("q"),
-    ).select("vec_id", "scale", "q")
+    )
 
 
 def sq8_topk(

@@ -142,21 +142,11 @@ def stream_pq_encode(
     stream = _read_embeddings_stream(spark, emb_path)
     cb = pq_codebook_row(cents)
 
+    from ..functions.similarity import _sqdist
+
     def best_code(s: int):
         sub = F.slice(F.col("embedding"), s * dsub + 1, dsub)
-        dist_to = lambda cemb: F.round(
-            F.aggregate(
-                F.zip_with(
-                    sub,
-                    cemb,
-                    lambda x, y: (x.cast("double") - y.cast("double"))
-                    * (x.cast("double") - y.cast("double")),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ) + F.lit(0.0)
+        dist_to = lambda cemb: F.round(_sqdist(sub, cemb), 6) + F.lit(0.0)
         init = F.struct(
             F.lit(-1).cast("long").alias("code"),
             F.lit(float("inf")).alias("dist"),
