@@ -27,7 +27,12 @@ Round 8 adds (round-7 verdict asks 1-3):
 - ``load_contaminated``: true when the 1-minute loadavg at bench
   start exceeds ncpus/4 -- a loud flag that the numbers carry
   machine-contention error bars (rounds 5 and 7 were both recorded
-  at loadavg 6-9 on 32 CPUs and over-reported 10-55% per slot);
+  at loadavg 6-9 on 32 CPUs and over-reported 10-55% per slot).
+  PROTOCOL (round-9 forensics, SCALE.md): quiet numbers are only
+  comparable when the machine has been idle for several minutes
+  (loadavg < ~1) -- a run 1-3 minutes after a full pytest sweep
+  over-reports latency-floor slots 10-40% even though loadavg looks
+  low, which round 8 briefly misread as fixed-cost creep;
 - ``--sf1``: the per-round SCALING ritual -- re-times the 4 heavy
   slots at sf0.1 vs the density-preserving sf1 derivation
   (make_scale_data.py) in one session, times the IVF-vs-brute-force
