@@ -33,12 +33,46 @@ __all__ = [
     "duplicated_spans",
     "duplicate_clusters",
     "clip_duplicated_spans",
+    "release_caches",
 ]
 
 # affine hash family h_i(x) = (a_i * x + b_i) mod P with fixed odd
 # multipliers; products stay < 2^63 (a_i < 2^31, x < 2^30)
 A_MUL = 1_664_525
 B_ADD = 1_013_904_223
+
+# fan-out caches created by lsh_candidate_pairs / duplicated_spans,
+# tracked so a long-lived service has an explicit cleanup path
+# (round-8 ADVICE: a doc-comment lifecycle is not an API)
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    cached = df.persist()
+    _TRACKED_CACHES.append(cached)
+    return cached
+
+
+def release_caches(blocking: bool = False) -> int:
+    """Unpersist every fan-out cache this module created (the
+    persisted band / k-gram position tables backing
+    ``lsh_candidate_pairs`` and ``duplicated_spans`` results).
+
+    A long-lived service processing distinct corpus batches calls this
+    between batches; one-shot pipelines never need to (the caches die
+    with the app).  Only call AFTER fully consuming the returned
+    frames -- the caches back those lazy plans, so an un-consumed
+    frame recomputes its lineage (correct, just slower).  Returns the
+    number of cache entries released."""
+    n = 0
+    while _TRACKED_CACHES:
+        df = _TRACKED_CACHES.pop()
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:
+            pass  # session already stopped -- nothing to release
+    return n
 
 
 def exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -130,6 +164,7 @@ def lsh_candidate_pairs(
     sigs: DataFrame,
     rows_per_band: int = 1,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    persist: bool = True,
 ) -> DataFrame:
     """Candidate pairs = documents sharing at least one LSH band
     bucket; returns (doc_a, doc_b, n_bands) with doc_a < doc_b.
@@ -204,10 +239,11 @@ def lsh_candidate_pairs(
     # exchange across the differently-aliased branches -- without this
     # the whole shingle->minhash lineage (the expensive part) runs
     # once per consumer.  The band table is tiny relative to the
-    # corpus (n_docs x bands rows).  LIFECYCLE: see duplicated_spans
-    # -- a long-lived service should clearCache() between distinct
-    # corpus batches; plan-identical re-calls share one cache entry.
-    bh = bh.persist()
+    # corpus (n_docs x bands rows).  LIFECYCLE: caches are tracked;
+    # a long-lived service calls release_caches() between distinct
+    # corpus batches (plan-identical re-calls share one cache entry),
+    # or passes persist=False to opt out entirely.
+    bh = _track_persist(bh) if persist else bh
     if max_bucket is not None:
         hot = (
             bh.groupBy("band", "bh")
@@ -228,7 +264,8 @@ def lsh_candidate_pairs(
         # a subset of the raw one) -- negligible against the corpus at
         # any scale; the raw cache above stays only to feed the hot
         # count and the anti probe a single shingle->minhash pass.
-        bh = bh.join(F.broadcast(hot), on=["band", "bh"], how="left_anti").persist()
+        bh = bh.join(F.broadcast(hot), on=["band", "bh"], how="left_anti")
+        bh = _track_persist(bh) if persist else bh
     a = bh.select(F.col("doc_id").alias("doc_a"), "band", "bh")
     b = bh.select(F.col("doc_id").alias("doc_b"), "band", "bh")
     return (
@@ -335,6 +372,7 @@ def duplicated_spans(
     min_tokens: int | None = None,
     max_positions: int = 1_000,
     verify: bool = False,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact duplicated substrings across documents (the ExactSubstr
     dedup of Lee et al. 2021, "Deduplicating Training Data Makes
@@ -389,10 +427,11 @@ def duplicated_spans(
     # LIFECYCLE: the caches back the returned lazy frame, so nothing
     # here can unpersist them; one-shot pipelines drop them with the
     # app, while a long-lived service calling this per corpus batch
-    # should spark.catalog.clearCache() (or re-create the session)
-    # between batches -- plan-identical re-calls reuse the same cache
-    # entries, so growth only occurs across DIFFERENT inputs.
-    pos = kgram_positions(df, text_col, k).persist()
+    # calls release_caches() between batches (plan-identical re-calls
+    # reuse the same cache entries, so growth only occurs across
+    # DIFFERENT inputs) or passes persist=False to opt out.
+    pos = kgram_positions(df, text_col, k)
+    pos = _track_persist(pos) if persist else pos
     if max_positions is not None:
         hot = (
             pos.groupBy("h")
@@ -400,7 +439,8 @@ def duplicated_spans(
             .filter(F.col("__n") > max_positions)
             .select("h")
         )
-        pos = pos.join(F.broadcast(hot), on="h", how="left_anti").persist()
+        pos = pos.join(F.broadcast(hot), on="h", how="left_anti")
+        pos = _track_persist(pos) if persist else pos
     a = pos.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "h")
     b = pos.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "h")
     seeds = a.join(b, on="h").filter(F.col("doc_a") < F.col("doc_b"))

@@ -42,6 +42,7 @@ __all__ = [
     "pq_encode",
     "pq_pack",
     "pq_topk",
+    "ivf_pq_topk",
     "sq8_encode",
     "sq8_topk",
 ]
@@ -284,6 +285,30 @@ def ivf_assign(
     )
 
 
+def _probe_cells(q: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+    """Probe cells per query: rank the (broadcast) centroids by cosine
+    to each query and keep the top ``n_probe`` -- (qid, cell).  Shared
+    by ivf_topk and ivf_pq_topk so the probe contract (6-decimal
+    pre-rank rounding, ties to the smaller cell) cannot drift."""
+    cdot = F.aggregate(
+        F.zip_with("qemb", "cemb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    csim = q.crossJoin(F.broadcast(cents)).select(
+        "qid",
+        "cell",
+        # rounded before probe ranking (cross-engine near-tie guard)
+        F.round(cdot / (F.col("cnrm") * F.col("qnrm")), 6).alias("c"),
+    )
+    wp = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cell").asc())
+    return (
+        csim.withColumn("__r", F.row_number().over(wp))
+        .filter(F.col("__r") <= n_probe)
+        .select("qid", "cell")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -320,26 +345,10 @@ def ivf_topk(
         F.col("embedding").alias("qemb"),
         _norm_col().alias("qnrm"),
     )
-    # probe cells per query: rank centroids by cosine to the query
-    cdot = F.aggregate(
-        F.zip_with("qemb", "cemb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    csim = q.crossJoin(F.broadcast(cents)).select(
-        "qid",
-        "cell",
-        # rounded before probe ranking (cross-engine near-tie guard)
-        F.round(cdot / (F.col("cnrm") * F.col("qnrm")), 6).alias("c"),
-    )
-    wp = Window.partitionBy("qid").orderBy(F.col("c").desc(), F.col("cell").asc())
-    probes = (
-        csim.withColumn("__r", F.row_number().over(wp))
-        .filter(F.col("__r") <= n_probe)
-        .select("qid", "cell")
-    )
     # candidates: corpus vectors living in a probed cell
-    cand = assign.join(F.broadcast(probes), on="cell").select("qid", "vec_id")
+    cand = assign.join(
+        F.broadcast(_probe_cells(q, cents, n_probe)), on="cell"
+    ).select("qid", "vec_id")
     qdot = F.aggregate(
         F.zip_with(
             "embedding", "qemb", lambda x, y: x.cast("double") * y.cast("double")
@@ -792,14 +801,18 @@ def pq_topk(
     m: int = 4,
     k: int = 5,
     codes: DataFrame | None = None,
-    rerank: int | None = None,
+    rerank: int | str | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus:
     queries stay raw, corpus vectors are their m codes, and each
     query x vector distance is the sum of m per-subspace lookups in a
     (qid, s, code) -> distance table built once per query.  Output
     (qid, rank, vec_id, dist) ranked by ADC distance ascending, ties
-    to the smaller vec_id.
+    to the smaller vec_id -- rank is 0-BASED and the query vector is
+    EXCLUDED from its own result, the same convention as cosine_topk
+    and sq8_topk (round-8 ADVICE: the tiers must be swappable without
+    silently losing a neighbor).
 
     Scale shape: the lookup table is |queries| * m * n_codes rows --
     tiny -- and broadcast; the encoded corpus (``codes``, from
@@ -819,6 +832,22 @@ def pq_topk(
     it while still never scanning raw embeddings corpus-wide -- the
     tiny shortlist broadcasts and hash-probes the corpus scan.
 
+    ``rerank="auto"`` picks r from the corpus size: coarse
+    quantization collapses ~n / (n_codes^m distinct ADC values)
+    vectors onto each tied distance, so the shortlist that covers the
+    true top-k must GROW with n -- the SCALE.md measurement (recall
+    0.89 at 20k vectors with r=32, falling to 0.79 at 60k with r
+    held fixed) calibrates the rule r = clamp(ceil(n / 600), 8, 256),
+    which reproduces the r=32 operating point at 20k and triples the
+    shortlist by 60k.  The corpus size comes from one count() of the
+    id column (a metadata-cheap scan; pass an int ``rerank`` to skip
+    it when the size is already known).
+
+    ``candidates`` restricts the ADC scan per query: a (qid, vec_id)
+    relation -- e.g. IVF probe membership from ``ivf_pq_topk`` -- and
+    only those pairs are scored (the lookup join keys on qid too, so
+    query A's shortlist never pays for query B's cells).
+
     ``codes`` accepts either the long form from ``pq_encode`` or the
     PACKED (vec_id, codes) layout from ``pq_pack`` -- pass the packed
     relation in production: it is the ~dim*4/m-times-smaller table
@@ -826,9 +855,12 @@ def pq_topk(
     one bounded posexplode, so the ADC scan reads only it."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if rerank is not None and rerank < 1:
+    if rerank == "auto":
+        n = emb.select("vec_id").count()
+        rerank = max(8, min(256, -(-n // 600)))
+    if rerank is not None and (not isinstance(rerank, int) or rerank < 1):
         raise ValueError(
-            f"rerank must be >= 1 (or None for pure ADC), got {rerank}"
+            f"rerank must be >= 1, 'auto', or None for pure ADC, got {rerank!r}"
         )
     if codes is None:
         codes = pq_encode(emb, cents, dim, m)
@@ -843,9 +875,19 @@ def pq_topk(
     dtab = qsub.join(F.broadcast(cents), on="s").select(
         "qid", "s", "code", (F.round(sq, 6) + F.lit(0.0)).alias("d")
     )
+    base = codes.select("vec_id", "s", "code")
+    keys = ["s", "code"]
+    if candidates is not None:
+        # per-query restriction (the IVF x PQ composition): attach each
+        # candidate's qid to its code rows, then key the lookup join on
+        # qid too so a vector probed only by query A never scores for
+        # query B.  The candidate relation is (probe fraction x corpus)
+        # per query -- joined, never broadcast.
+        base = base.join(candidates.select("qid", "vec_id"), on="vec_id")
+        keys = ["qid", "s", "code"]
     scored = (
-        codes.select("vec_id", "s", "code")
-        .join(F.broadcast(dtab), on=["s", "code"])
+        base.join(F.broadcast(dtab), on=keys)
+        .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
         .agg((F.round(F.sum("d"), 6) + F.lit(0.0)).alias("dist"))
     )
@@ -853,7 +895,7 @@ def pq_topk(
     adc = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= (k if rerank is None else k * rerank))
-        .select("qid", "rank", "vec_id", "dist")
+        .select("qid", (F.col("rank") - 1).cast("long").alias("rank"), "vec_id", "dist")
     )
     if rerank is None:
         return adc
@@ -874,7 +916,58 @@ def pq_topk(
     return (
         rescored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
-        .select("qid", "rank", "vec_id", "dist")
+        .select("qid", (F.col("rank") - 1).cast("long").alias("rank"), "vec_id", "dist")
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    pq_cents: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 5,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    ivf_cents: DataFrame | None = None,
+    assign: DataFrame | None = None,
+    codes: DataFrame | None = None,
+    rerank: int | str | None = None,
+) -> DataFrame:
+    """The composed IVFADC(+R) serving path (Jegou et al. 2011, the
+    architecture the reference's ANN tier serves): IVF probe selection
+    -> ADC scan over ONLY the probed cells' PQ codes -> optional exact
+    re-rank of the shortlist.  Output (qid, rank, vec_id, dist), rank
+    0-based, self excluded, ties to the smaller vec_id -- ``pq_topk``'s
+    contract with candidate generation bolted on.
+
+    ``assign`` / ``codes`` are the two persisted index relations a
+    production deployment builds once at ingest (``ivf_assign`` +
+    ``pq_pack(pq_encode(...))``); recomputing either per query re-pays
+    the full corpus pass (the amortization trap SCALE.md measures for
+    ivf_topk).  ``ivf_cents`` swaps the stub coarse codebook for a
+    trained one, independently of the PQ codebook.
+
+    Scale shape: probe ranking touches |q| x n_cells broadcast rows;
+    the candidate join keys the (tiny, broadcast) probe list against
+    the assignment index; the ADC scan then reads the probed fraction
+    of the packed codes relation (qid-keyed lookup join, partial-agg
+    sum); the re-rank touches |q| x k x r raw vectors.  Nothing
+    corpus-sized is ever broadcast or collected."""
+    cents = _codebook(emb, n_cells, ivf_cents)
+    if assign is None:
+        assign = ivf_assign(emb, n_cells, cents)
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        _norm_col().alias("qnrm"),
+    )
+    cand = assign.join(
+        F.broadcast(_probe_cells(q, cents, n_probe)), on="cell"
+    ).select("qid", "vec_id")
+    return pq_topk(
+        emb, query_ids, pq_cents, dim, m=m, k=k,
+        codes=codes, rerank=rerank, candidates=cand,
     )
 
 

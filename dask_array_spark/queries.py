@@ -4482,8 +4482,10 @@ _SEMDEDUP_TRAINED_SQL = f"""
 # the ADC top-k (per-query lookup table dtab, summed over the encoded
 # corpus).  Every distance rounds to 6 decimals before its argmin and
 # the ADC sum re-rounds, exactly like the engine.
-_PQ_SQL = f"""
-    WITH ex AS ({_EX_SQL}),
+# the shared PQ CTE chain (train -> encode -> per-query lookup table),
+# reused verbatim by the pure-ADC suite kinds (7-9) and the composed
+# IVF x PQ serving kind (12) so the two oracles cannot drift
+_PQ_CTES = f"""ex AS ({_EX_SQL}),
     sub AS (SELECT vec_id, CAST((pos - 1) // 16 AS BIGINT) AS s,
                    (pos - 1) % 16 AS spos, e
             FROM ex),
@@ -4522,11 +4524,16 @@ _PQ_SQL = f"""
     dtab AS (SELECT q.qid, p2.s, p2.code,
                     round(SUM((q.e - p2.c) * (q.e - p2.c)), 6) + 0.0 AS d
              FROM qsub q JOIN p2 ON p2.s = q.s AND p2.spos = q.spos
-             GROUP BY 1, 2, 3),
+             GROUP BY 1, 2, 3)"""
+
+
+_PQ_SQL = f"""
+    WITH {_PQ_CTES},
     adc AS (SELECT dtab.qid, a3.vec_id, round(SUM(dtab.d), 6) + 0.0 AS dist
             FROM a3 JOIN dtab ON dtab.s = a3.s AND dtab.code = a3.code
+            WHERE a3.vec_id <> dtab.qid
             GROUP BY 1, 2),
-    adctop AS (SELECT qid, vec_id, dist, rnk FROM (
+    adctop AS (SELECT qid, vec_id, dist, rnk - 1 AS rank FROM (
                  SELECT qid, vec_id, dist, row_number() OVER (
                    PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
                  FROM adc) t WHERE rnk <= 5)
@@ -4536,7 +4543,52 @@ _PQ_SQL = f"""
     UNION ALL
     SELECT 8, vec_id, s, code, dist FROM a3
     UNION ALL
-    SELECT 9, qid, vec_id, rnk, dist FROM adctop
+    SELECT 9, qid, vec_id, CAST(rank AS BIGINT), dist FROM adctop
+"""
+
+
+# the composed IVFADC+R serving path, end-to-end (suite kind 12):
+# IVF probe selection (stub codebook = first 4 vectors, n_probe=2) ->
+# ADC restricted to the probed cells' members -> exact re-rank of the
+# k*r=6 shortlist down to k=3.  Replays ivf_pq_topk(k=3, n_cells=4,
+# n_probe=2, rerank=2) bit-for-bit.
+_IVF_PQ_SQL = f"""
+    WITH {_PQ_CTES},
+    asg AS ({_IVF_ASSIGN_SQL}),
+    c AS (SELECT vec_id AS cell, pos, e AS ce FROM ex WHERE vec_id < 4),
+    cn AS (SELECT cell, sqrt(SUM(ce * ce)) AS cnrm FROM c GROUP BY 1),
+    q AS (SELECT vec_id AS qid, pos, e FROM ex WHERE vec_id IN (0, 1, 2)),
+    qn AS (SELECT qid, sqrt(SUM(e * e)) AS qnrm FROM q GROUP BY 1),
+    cd AS (SELECT q.qid, c.cell, SUM(q.e * c.ce) AS dot
+           FROM q JOIN c USING (pos) GROUP BY 1, 2),
+    probes AS (SELECT qid, cell FROM (
+        SELECT cd.qid, cd.cell,
+               row_number() OVER (PARTITION BY cd.qid
+                 ORDER BY round(cd.dot / (cn.cnrm * qn.qnrm), 6) DESC,
+                          cd.cell ASC) AS r
+        FROM cd JOIN cn USING (cell) JOIN qn USING (qid)) t WHERE r <= 2),
+    cand AS (SELECT p.qid, a.vec_id FROM asg a JOIN probes p ON a.cell = p.cell),
+    adc AS (SELECT dtab.qid, a3.vec_id, round(SUM(dtab.d), 6) + 0.0 AS dist
+            FROM a3
+            JOIN dtab ON dtab.s = a3.s AND dtab.code = a3.code
+            JOIN cand ON cand.qid = dtab.qid AND cand.vec_id = a3.vec_id
+            WHERE a3.vec_id <> dtab.qid
+            GROUP BY 1, 2),
+    short AS (SELECT qid, vec_id FROM (
+                SELECT qid, vec_id, row_number() OVER (
+                  PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+                FROM adc) t WHERE rnk <= 6),
+    re AS (SELECT s.qid, s.vec_id,
+                  round(SUM((ex.e - q.e) * (ex.e - q.e)), 6) + 0.0 AS dist
+           FROM short s
+           JOIN ex ON ex.vec_id = s.vec_id
+           JOIN q ON q.qid = s.qid AND q.pos = ex.pos
+           GROUP BY 1, 2)
+    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, dist
+    FROM (SELECT qid, vec_id, dist, row_number() OVER (
+            PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+          FROM re) t
+    WHERE rnk <= 3
 """
 
 
@@ -4565,7 +4617,12 @@ _SQ8_SQL = f"""
              GROUP BY 1, 2),
     cosr AS (SELECT dots.qid, dots.vec_id,
                     round(dots.dot / (vn.nrm * qn.qnrm), 6) + 0.0 AS cos
-             FROM dots JOIN vn USING (vec_id) JOIN qn USING (qid)),
+             FROM dots JOIN vn USING (vec_id) JOIN qn USING (qid)
+             -- mirror the engine's zero-norm exclusion (sq8_topk
+             -- filters ~isnan(cos)); without this a zero-norm vector
+             -- would rank FIRST here (NaN sorts largest) while the
+             -- engine drops it -- round-8 ADVICE latent parity break
+             WHERE vn.nrm * qn.qnrm <> 0),
     sqtop AS (SELECT qid, vec_id, cos, rnk - 1 AS rank FROM (
                 SELECT qid, vec_id, cos, row_number() OVER (
                   PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
@@ -4613,6 +4670,9 @@ _SQ8_SQL = f"""
     SELECT kind, a, b, rank, cos FROM ({_PQ_SQL}) pq
     UNION ALL
     SELECT kind, a, b, rank, cos FROM ({_SQ8_SQL}) sq8
+    UNION ALL
+    SELECT CAST(12 AS BIGINT), qid, vec_id, rank, dist
+    FROM ({_IVF_PQ_SQL}) ivfpq
     """,
 )
 def q_similarity_suite(spark, sf):
@@ -4712,11 +4772,22 @@ def q_similarity_suite(spark, sf):
         k(11), F.col("vec_id").alias("a"), neg1l.alias("b"),
         neg1l.alias("rank"), (F.round(qerr, 6) + F.lit(0.0)).alias("cos"),
     )
+    # kind 12: the composed IVFADC+R serving path end-to-end -- probe
+    # the stub IVF codebook, ADC-scan only the probed cells' codes,
+    # exact-rerank the k*r=6 shortlist to k=3 (round-9: the composition
+    # was unit-tested but never oracle-verified as one query)
+    pq12 = SIM.ivf_pq_topk(
+        embs, [0, 1, 2], pqc, dim=64, m=4, k=3, n_cells=4, n_probe=2,
+        codes=enc, rerank=2,
+    ).select(
+        k(12), F.col("qid").alias("a"), F.col("vec_id").alias("b"),
+        "rank", F.col("dist").alias("cos"),
+    )
     return (
         bf.unionByName(iv).unionByName(pr).unionByName(sd)
         .unionByName(km).unionByName(sdt).unionByName(rc)
         .unionByName(pq7).unionByName(pq8).unionByName(pq9)
-        .unionByName(sq10).unionByName(sq11)
+        .unionByName(sq10).unionByName(sq11).unionByName(pq12)
     )
 
 

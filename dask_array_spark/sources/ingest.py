@@ -47,6 +47,17 @@ def _value_kind(dtype) -> str:
         )
     if dt.kind == "u":
         return "i"
+    if dt.kind not in ("f", "i", "b"):
+        # whitelist, matching the loud uint64 refusal: without this a
+        # complex/datetime/str source would fall through to the 'long'
+        # default and be silently int64-coerced (imaginary part or
+        # sub-second precision dropped) -- round-8 ADVICE
+        raise NotImplementedError(
+            f"dtype kind {dt.kind!r} ({dt}) is not supported by the "
+            "cells model; supported kinds: float, signed int, "
+            "uint8/16/32, bool (complex arrays go through the "
+            "STRUCT<re,im> path in operators/complexes.py)"
+        )
     return dt.kind
 
 
@@ -370,16 +381,36 @@ def from_npy_stack(spark: SparkSession, dirname: str) -> Array:
     return Array(d.mapInPandas(decode, schema=schema), (acc, ncols))
 
 
-def widen_partitions(df: DataFrame, key: str | None = None) -> DataFrame:
+def widen_partitions(
+    df: DataFrame, key: str | None = None, width: int | None = None
+) -> DataFrame:
     """Ensure a computationally heavy map stage can use the whole
     cluster: small files scan as ONE partition (files.maxPartitionBytes
     is far above tiny-file sizes), which serializes expensive per-row
     projections/kernels onto one core.  Repartition up to the default
     parallelism when the source is under-partitioned; at real scale
-    the input already has enough partitions and this is a no-op."""
+    the input already has enough partitions and this is a no-op.
+
+    Width estimation deliberately avoids ``df.rdd.getNumPartitions()``:
+    converting to an RDD forces a full physical-plan materialization on
+    the driver per call (a real planning stall for complex plans at
+    scale) and reads the PRE-AQE partition count, which can overstate
+    the post-coalesce width and silently no-op the guard.  Instead the
+    width is the leaf scan's file count (``df.inputFiles()`` -- plan
+    metadata, no physical planning): at 100 TB every table has far more
+    files than cores so the guard is a no-op, while a tiny local scan
+    (or a non-file source, which reports 0 files) errs toward widening
+    -- the safe direction for a fold-heavy stage.  Callers that already
+    know their width (e.g. they repartitioned upstream) pass ``width=``
+    and skip the probe entirely."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, target // 2):
+    if width is None:
+        try:
+            width = len(df.inputFiles()) or 1
+        except Exception:  # non-file leaf (rare): assume narrow
+            width = 1
+    if width >= max(2, target // 2):
         return df
     return df.repartition(target, key) if key else df.repartition(target)
 

@@ -148,9 +148,11 @@ def test_pq_topk_adc_model(spark, n, m, n_codes, k, seed):
             (s, c): _r6(np.sum((subs[(q, s)] - cent) ** 2))
             for (s, c), cent in want_cents.items()
         }
+        # self is excluded (cosine_topk/sq8_topk convention)
         adc = {
             i: _r6(sum(dt[(s, asg[(i, s)][0])] for s in range(m)))
             for i in range(n)
+            if i != q
         }
         order = sorted(adc, key=lambda i: (adc[i], i))[:k]
         got = sorted(
@@ -159,7 +161,7 @@ def test_pq_topk_adc_model(spark, n, m, n_codes, k, seed):
         assert [v for _, v, _ in got] == order
         for rk, v, d in got:
             assert d == pytest.approx(adc[v], abs=1e-9)
-            assert rk == order.index(v) + 1
+            assert rk == order.index(v)  # 0-based
 
 
 def test_pq_validates_dim(spark):
@@ -253,7 +255,9 @@ def test_pq_topk_rerank_model(spark, n, n_codes, k, rr, seed):
             for (s, c), cent in want_cents.items()
         }
         adc = {
-            i: _r6(sum(dt[(s, asg[(i, s)][0])] for s in range(m))) for i in range(n)
+            i: _r6(sum(dt[(s, asg[(i, s)][0])] for s in range(m)))
+            for i in range(n)
+            if i != q
         }
         short = sorted(adc, key=lambda i: (adc[i], i))[: k * rr]
         ex = {i: _r6(np.sum((X[q] - X[i]) ** 2)) for i in short}
@@ -262,6 +266,77 @@ def test_pq_topk_rerank_model(spark, n, n_codes, k, rr, seed):
         assert [v for _, v, _ in got] == order
         for rk, v, d in got:
             assert d == pytest.approx(ex[v], abs=1e-9)
+
+
+def test_ivf_pq_topk_matches_manual_composition(spark):
+    """ivf_pq_topk (the packaged IVFADC+R serving path, round 9) must
+    equal the manual composition already verified above: per query,
+    ADC over only the probed cells' codes, then exact rerank.  Probes
+    here use the trained IVF codebook with n_probe=1."""
+    from pyspark.sql import functions as F
+
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(23)
+    X = rng.integers(-8, 9, size=(30, 8)).astype("float64") / 4.0
+    emb = _emb_df(spark, X)
+    qids = [0, 3, 7]
+
+    ivf_cents = SIM.kmeans_fit(emb, k=3, iters=1)
+    assign = SIM.ivf_assign(emb, n_cells=3, cents=ivf_cents)
+    pq_cents = SIM.pq_train(emb, dim=8, m=2, n_codes=3, iters=1)
+    codes = SIM.pq_encode(emb, pq_cents, dim=8, m=2)
+
+    got = sorted(
+        map(
+            tuple,
+            SIM.ivf_pq_topk(
+                emb, qids, pq_cents, dim=8, m=2, k=3, n_cells=3, n_probe=1,
+                ivf_cents=ivf_cents, assign=assign, codes=codes, rerank=2,
+            ).collect(),
+        )
+    )
+    # manual: n_probe=1 over a trained codebook = each query's own cell
+    # (the query is itself assigned to its nearest centroid)
+    want = []
+    for q in qids:
+        cell = assign.filter(F.col("vec_id") == q).collect()[0]["cell"]
+        cand_ids = [
+            r["vec_id"]
+            for r in assign.filter(F.col("cell") == cell).collect()
+        ]
+        sub = codes.filter(F.col("vec_id").isin(cand_ids))
+        want.extend(
+            map(
+                tuple,
+                SIM.pq_topk(
+                    emb, [q], pq_cents, dim=8, m=2, k=3, codes=sub, rerank=2
+                ).collect(),
+            )
+        )
+    assert got == sorted(want) and got
+
+
+def test_pq_topk_rerank_auto(spark):
+    """rerank='auto' resolves to clamp(ceil(n/600), 8, 256) -- at this
+    corpus size that is the floor 8, so the ranking must be identical
+    to an explicit rerank=8; bad values still raise."""
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(31)
+    X = rng.integers(-8, 9, size=(20, 8)).astype("float64") / 4.0
+    emb = _emb_df(spark, X)
+    cents = SIM.pq_train(emb, dim=8, m=2, n_codes=3, iters=1)
+    enc = SIM.pq_encode(emb, cents, dim=8, m=2)
+    auto = sorted(map(tuple, SIM.pq_topk(
+        emb, [0, 4], cents, dim=8, m=2, k=3, codes=enc, rerank="auto"
+    ).collect()))
+    explicit = sorted(map(tuple, SIM.pq_topk(
+        emb, [0, 4], cents, dim=8, m=2, k=3, codes=enc, rerank=8
+    ).collect()))
+    assert auto == explicit and auto
+    with pytest.raises(ValueError, match="rerank"):
+        SIM.pq_topk(emb, [0], cents, dim=8, m=2, k=3, codes=enc, rerank="big")
 
 
 def test_pq_topk_packed_equals_long(spark):
