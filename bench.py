@@ -352,6 +352,16 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
             codes=codes, rerank=32,
         )
 
+    # SQ8 leg (round 9): asymmetric cosine over the persisted
+    # (vec_id, scale, q) int8 relation -- the 4x-smaller index with
+    # near-exact recall; encode outside the timed window like the
+    # other indexes
+    sq_codes = SIM.sq8_encode(emb).persist()
+    sq_codes.count()
+
+    def sq8(spark, sf_dir):
+        return SIM.sq8_topk(Q._embs(spark, sf_dir), qids, k=k, codes=sq_codes)
+
     res, _, reps = _run_slots(
         spark, sf1_dir,
         [
@@ -359,6 +369,7 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
             ("ivf_topk_trained", ivf),
             ("pq_adc_topk", pq),
             ("pq_rerank_topk", pq_rr),
+            ("sq8_topk", sq8),
         ],
         runs, {}, settle,
     )
@@ -382,6 +393,11 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
     l2_exact = (
         emb.select("vec_id", "embedding")
         .crossJoin(F.broadcast(q))
+        # self-exclusion, matching every approx side's convention --
+        # without it the exact set carries a guaranteed self-hit the
+        # approx sets (which exclude self) can never match, deflating
+        # pq/sq8 recall by up to 1/k (round-8 ADVICE)
+        .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "vec_id", (F.round(l2, 6) + F.lit(0.0)).alias("d"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -397,10 +413,20 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
         .agg(F.round(F.avg("recall"), 4).alias("r"))
         .collect()[0]["r"]
     )
+    # sq8 ranks by cosine, so its recall oracle is the cosine top-k
+    # (both sides exclude self and 0-base ranks)
+    sq8_recall = (
+        SIM.ann_recall(
+            emb, qids, k=k, exact=brute(spark, sf1_dir), approx=sq8(spark, sf1_dir)
+        )
+        .agg(F.round(F.avg("recall"), 4).alias("r"))
+        .collect()[0]["r"]
+    )
     trained.unpersist()
     index.unpersist()
     pq_cents.unpersist()
     codes.unpersist()
+    sq_codes.unpersist()
     l2_exact.unpersist()
     return {
         "brute_sec": res["brute_cosine_topk"],
@@ -416,6 +442,11 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
             res["brute_cosine_topk"] / max(res["pq_rerank_topk"], 1e-9), 2
         ),
         "pq_rerank_recall_at_k": pq_rr_recall,
+        "sq8_sec": res["sq8_topk"],
+        "sq8_speedup": round(
+            res["brute_cosine_topk"] / max(res["sq8_topk"], 1e-9), 2
+        ),
+        "sq8_recall_at_k": sq8_recall,
         "pq_rerank_factor": 32,
         "pq_m": pq_m,
         "pq_n_codes": pq_codes_n,
@@ -471,7 +502,8 @@ def sf1_main() -> None:
         + f" | ivf {ann['speedup']}× (recall {ann['recall_at_k']}); "
         + f"pq-adc {ann['pq_speedup']}× (recall {ann['pq_recall_at_k']}), "
         + f"pq+rerank {ann['pq_rerank_speedup']}× "
-        + f"(recall {ann['pq_rerank_recall_at_k']}) vs exact-L2 | "
+        + f"(recall {ann['pq_rerank_recall_at_k']}) vs exact-L2; "
+        + f"sq8 {ann['sq8_speedup']}× (recall {ann['sq8_recall_at_k']}) | "
         + ("**" + "; ".join(flags) + "**" if flags else "—")
         + " |"
     )

@@ -164,6 +164,75 @@ def test_pq_topk_adc_model(spark, n, m, n_codes, k, seed):
             assert rk == order.index(v)  # 0-based
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    st.integers(6, 14),
+    st.sampled_from([2, 4]),
+    st.integers(2, 4),
+    st.integers(1, 2),
+    st.integers(0, 10_000),
+)
+def test_pq_train_arrow_equals_sql(spark, n, m, n_codes, iters, seed):
+    """The round-9 Arrow train path (batched NumPy argmin,
+    _train_assign_arrow) must produce BIT-IDENTICAL codebooks to the
+    relational form on hostile continuous data -- not just the FP-exact
+    grid the model tests use -- exercising the Spark-round-6 guard-band
+    fallback on real double noise."""
+    from dask_array_spark.functions import similarity as SIM
+
+    dim = 8
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, dim)) * rng.choice([1e-3, 1.0, 50.0])
+    emb = _emb_df(spark, X)
+    a = SIM.pq_train(emb, dim=dim, m=m, n_codes=n_codes, iters=iters,
+                     assign_impl="arrow")
+    s = SIM.pq_train(emb, dim=dim, m=m, n_codes=n_codes, iters=iters,
+                     assign_impl="sql")
+    got = {(r["s"], r["code"]): tuple(r["cemb"]) for r in a.collect()}
+    want = {(r["s"], r["code"]): tuple(r["cemb"]) for r in s.collect()}
+    assert got == want and got
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.integers(6, 20), st.integers(2, 4), st.integers(1, 3),
+       st.integers(0, 10_000))
+def test_kmeans_fit_arrow_equals_sql(spark, n, k, iters, seed):
+    """kmeans_fit through the shared m=1 Arrow kernel must be
+    bit-identical to the relational Lloyd rounds on hostile
+    continuous data."""
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 8)) * rng.choice([1e-3, 1.0, 50.0])
+    emb = _emb_df(spark, X)
+    a = SIM.kmeans_fit(emb, k=k, iters=iters, assign_impl="arrow")
+    s = SIM.kmeans_fit(emb, k=k, iters=iters, assign_impl="sql")
+    got = {r["cell"]: tuple(r["cemb"]) for r in a.collect()}
+    want = {r["cell"]: tuple(r["cemb"]) for r in s.collect()}
+    assert got == want and got
+
+
+def test_spark_round6_np_matches_decimal_model():
+    """The vectorized Spark-round replica must agree with the exact
+    Decimal HALF_UP-on-repr model everywhere, including manufactured
+    .5-boundary values that force the guard-band fallback."""
+    from dask_array_spark.functions.similarity import _spark_round6_np
+    from tests.conftest import spark_round6
+
+    rng = np.random.default_rng(3)
+    hostile = np.concatenate([
+        rng.random(500) * rng.choice([1e-6, 1.0, 1e3, 1e8], size=500),
+        # exact and near .5-at-the-6th-decimal boundaries
+        (np.arange(200) * 2 + 1) / 2e6,
+        (np.arange(100) * 2 + 1) / 2e6 + 1e-13,
+        (np.arange(100) * 2 + 1) / 2e6 - 1e-13,
+        np.array([0.0, 0.0000005, 0.0000015, 1.0000005, 123.4567895]),
+    ])
+    got = _spark_round6_np(hostile)
+    for x, g in zip(hostile, got):
+        assert g == spark_round6(float(x)), (x, g, spark_round6(float(x)))
+
+
 def test_pq_validates_dim(spark):
     from dask_array_spark.functions import similarity as SIM
 
