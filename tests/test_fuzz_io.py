@@ -345,3 +345,330 @@ def test_zarr_narrow_dtypes_upcast(spark):
     b = from_zarr(spark, urli)
     assert dict(b.df.dtypes)["v"] == "bigint"
     assert_eq(b, xi.astype("int64"))
+
+
+# ---------------------------------------------------------------------------
+# zarr v3 (round-9 verdict ask 2): spec-native reads of zarr.json
+# stores -- both chunk-key grammars, codec chains, sharding_indexed --
+# differentially fuzzed against an INDEPENDENT plain-Python v3 store
+# writer below (its crc32c is a bit-by-bit implementation, so the
+# engine's table-driven one is cross-checked too).
+# ---------------------------------------------------------------------------
+
+
+def _crc32c_ref(data: bytes) -> int:
+    """Independent bit-by-bit CRC-32C (Castagnoli) for the test-side
+    writer -- deliberately NOT the engine's table implementation."""
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = (crc >> 1) ^ 0x82F63B78 if crc & 1 else crc >> 1
+    return crc ^ 0xFFFFFFFF
+
+
+def _v3_encode(block: np.ndarray, endian: str, gzip_level, crc: bool) -> bytes:
+    import gzip as _gzip
+
+    dt = block.dtype.newbyteorder("<" if endian == "little" else ">")
+    raw = np.ascontiguousarray(block, dtype=dt).tobytes()
+    if gzip_level is not None:
+        raw = _gzip.compress(raw, gzip_level)
+    if crc:
+        raw += _crc32c_ref(raw).to_bytes(4, "little")
+    return raw
+
+
+def _hand_zarr3(
+    x: np.ndarray,
+    url,
+    chunks,
+    *,
+    inner=None,
+    gzip_level=None,
+    crc_chunks=False,
+    endian="little",
+    key="default",
+    sep=None,
+    fill="NaN",
+    index_location="end",
+    index_crc=True,
+    omit=frozenset(),
+    omit_inner=frozenset(),
+):
+    """Write a spec-conformant zarr v3 store by hand.  ``inner`` turns
+    on sharding_indexed (chunks = SHARD shape).  ``omit`` skips whole
+    chunk/shard files; ``omit_inner`` marks (shard_coords,
+    inner_coords) entries missing inside a written shard."""
+    os.makedirs(url, exist_ok=True)
+    ndim = x.ndim
+    shape = x.shape
+    sep = sep or ("/" if key == "default" else ".")
+    pad = np.nan if x.dtype.kind == "f" else 0
+    bb = []
+    if gzip_level is not None:
+        bb.append({"name": "gzip", "configuration": {"level": gzip_level}})
+    if crc_chunks:
+        bb.append({"name": "crc32c"})
+    chain = [{"name": "bytes", "configuration": {"endian": endian}}] + bb
+    if inner is None:
+        codecs = chain
+    else:
+        codecs = [{
+            "name": "sharding_indexed",
+            "configuration": {
+                "chunk_shape": list(inner),
+                "codecs": chain,
+                "index_codecs": (
+                    [{"name": "bytes", "configuration": {"endian": "little"}}]
+                    + ([{"name": "crc32c"}] if index_crc else [])
+                ),
+                "index_location": index_location,
+            },
+        }]
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": list(shape),
+        "data_type": str(x.dtype),
+        "chunk_grid": {"name": "regular",
+                       "configuration": {"chunk_shape": list(chunks)}},
+        "chunk_key_encoding": {"name": key,
+                               "configuration": {"separator": sep}},
+        "fill_value": fill,
+        "codecs": codecs,
+    }
+    with open(os.path.join(url, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+
+    def key_path(coords):
+        parts = [str(c) for c in coords]
+        if key == "default":
+            parts = ["c"] + parts
+        if sep == "/":
+            fp = os.path.join(url, *parts)
+            os.makedirs(os.path.dirname(fp), exist_ok=True)
+            return fp
+        return os.path.join(url, sep.join(parts))
+
+    import math
+    grid = list(np.ndindex(*(math.ceil(shape[k] / chunks[k]) for k in range(ndim))))
+    for cc in grid:
+        if tuple(cc) in omit:
+            continue
+        block = np.full(chunks, pad, dtype=x.dtype)
+        sl_src = tuple(
+            slice(cc[k] * chunks[k], min((cc[k] + 1) * chunks[k], shape[k]))
+            for k in range(ndim)
+        )
+        dims = tuple(s.stop - s.start for s in sl_src)
+        block[tuple(slice(0, d) for d in dims)] = x[sl_src]
+        if inner is None:
+            payload = _v3_encode(block, endian, gzip_level, crc_chunks)
+        else:
+            cps = tuple(chunks[k] // inner[k] for k in range(ndim))
+            n_inner = int(np.prod(cps))
+            idx_size = 16 * n_inner + (4 if index_crc else 0)
+            entries = [None] * n_inner
+            body_parts = []
+            pos = idx_size if index_location == "start" else 0
+            # write inner chunks in REVERSE grid order to stress the
+            # reader's offset handling
+            order = list(enumerate(np.ndindex(*cps)))[::-1]
+            for i, ic in order:
+                if (tuple(cc), tuple(ic)) in omit_inner:
+                    continue
+                isl = tuple(
+                    slice(ic[k] * inner[k], (ic[k] + 1) * inner[k])
+                    for k in range(ndim)
+                )
+                enc = _v3_encode(
+                    np.ascontiguousarray(block[isl]), endian, gzip_level,
+                    crc_chunks,
+                )
+                entries[i] = (pos, len(enc))
+                body_parts.append(enc)
+                pos += len(enc)
+            tab = np.full((n_inner, 2), 0xFFFFFFFFFFFFFFFF, dtype="<u8")
+            for i, e in enumerate(entries):
+                if e is not None:
+                    tab[i] = e
+            idx = tab.tobytes()
+            if index_crc:
+                idx += _crc32c_ref(idx).to_bytes(4, "little")
+            body = b"".join(body_parts)
+            payload = idx + body if index_location == "start" else body + idx
+        with open(key_path(cc), "wb") as f:
+            f.write(payload)
+
+
+def _v3_expected(x, chunks, fill, omit):
+    """Dense expectation with omitted chunks replaced by the fill."""
+    import math
+    exp = np.array(x, dtype="float64" if x.dtype.kind == "f" else x.dtype)
+    for cc in omit:
+        sl = tuple(
+            slice(cc[k] * chunks[k], min((cc[k] + 1) * chunks[k], x.shape[k]))
+            for k in range(x.ndim)
+        )
+        exp[sl] = fill
+    return exp
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    shape=SHAPE_12,
+    seed=st.integers(0, 2**31),
+    chunk_seed=st.integers(0, 2**31),
+    gz=st.sampled_from([None, 5]),
+    crc=st.booleans(),
+    endian=st.sampled_from(["little", "big"]),
+    key=st.sampled_from(["default", "v2"]),
+    sepc=st.sampled_from(["/", "."]),
+    nan=st.booleans(),
+    drop=st.booleans(),
+)
+def test_fuzz_zarr_v3_roundtrip(
+    spark, shape, seed, chunk_seed, gz, crc, endian, key, sepc, nan, drop
+):
+    shape = tuple(shape)
+    rng = np.random.default_rng(chunk_seed)
+    chunks = tuple(int(rng.integers(1, s + 2)) for s in shape)
+    x = _data(seed, shape, nan)
+    import math
+    grid = list(np.ndindex(*(math.ceil(shape[k] / chunks[k]) for k in range(x.ndim))))
+    omit = set()
+    if drop and len(grid) > 1:
+        omit = {tuple(grid[int(rng.integers(0, len(grid)))])}
+    url = _mkdir()
+    _hand_zarr3(x, chunks=chunks, url=url, gzip_level=gz, crc_chunks=crc,
+                endian=endian, key=key, sep=sepc, omit=omit)
+    back = from_zarr(spark, url)
+    assert back.shape == shape
+    exp = _v3_expected(x, chunks, np.nan, omit)
+    assert_eq(back, exp)
+    _check_reductions(spark, back, exp)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    shape=st.lists(st.integers(2, 9), min_size=1, max_size=2),
+    seed=st.integers(0, 2**31),
+    pick=st.integers(0, 2**31),
+    gz=st.sampled_from([None, 5]),
+    loc=st.sampled_from(["end", "start"]),
+    icrc=st.booleans(),
+    nan=st.booleans(),
+)
+def test_fuzz_zarr_v3_sharded_roundtrip(spark, shape, seed, pick, gz, loc, icrc, nan):
+    """Sharded stores: random inner/shard factorization, index at
+    either end, with and without the index checksum, missing whole
+    shards AND missing inner chunks -> fill."""
+    shape = tuple(shape)
+    rng = np.random.default_rng(pick)
+    inner = tuple(int(rng.integers(1, 4)) for _ in shape)
+    cps = tuple(int(rng.integers(1, 4)) for _ in shape)
+    chunks = tuple(i * c for i, c in zip(inner, cps))
+    x = _data(seed, shape, nan)
+    import math
+    grid = list(np.ndindex(*(math.ceil(shape[k] / chunks[k]) for k in range(x.ndim))))
+    omit, omit_inner = set(), set()
+    if len(grid) > 1:
+        omit = {tuple(grid[int(rng.integers(0, len(grid)))])}
+    kept = [g for g in grid if tuple(g) not in omit]
+    if kept and int(np.prod(cps)) > 1:
+        sc = tuple(kept[int(rng.integers(0, len(kept)))])
+        ic = tuple(int(rng.integers(0, c)) for c in cps)
+        omit_inner = {(sc, ic)}
+    url = _mkdir()
+    _hand_zarr3(x, chunks=chunks, url=url, inner=inner, gzip_level=gz,
+                index_location=loc, index_crc=icrc,
+                omit=omit, omit_inner=omit_inner)
+    back = from_zarr(spark, url)
+    assert back.shape == shape
+    exp = _v3_expected(x, chunks, np.nan, omit)
+    for sc, ic in omit_inner:
+        sl = tuple(
+            slice(
+                sc[k] * chunks[k] + ic[k] * inner[k],
+                min(sc[k] * chunks[k] + (ic[k] + 1) * inner[k], shape[k]),
+            )
+            for k in range(x.ndim)
+        )
+        exp[sl] = np.nan
+    assert_eq(back, exp)
+    _check_reductions(spark, back, exp)
+
+
+def test_zarr_v3_int_store_and_fill(spark):
+    """int v3 store: dtype preserved (bigint column), integer fill for
+    an omitted chunk."""
+    xi = (np.arange(12).reshape(3, 4) * 7 - 30).astype("int32")
+    url = _mkdir()
+    _hand_zarr3(xi, chunks=(2, 2), url=url, fill=-1, omit={(1, 1)})
+    a = from_zarr(spark, url)
+    assert dict(a.df.dtypes)["v"] == "bigint"
+    exp = xi.astype("int64").copy()
+    exp[2:3, 2:4] = -1
+    assert_eq(a, exp)
+
+
+def test_zarr_v3_engine_write_roundtrip(spark):
+    """to_zarr(zarr_format=3) -> from_zarr, raw and gzip; the store on
+    disk uses the c/-prefixed default key encoding."""
+    x = _data(5, (5, 7), nan=True)
+    for comp in (None, "zlib"):
+        url = _mkdir()
+        to_zarr(from_numpy(spark, x), url, chunks=(2, 3), compressor=comp,
+                zarr_format=3)
+        assert os.path.exists(os.path.join(url, "zarr.json"))
+        assert os.path.exists(os.path.join(url, "c", "0", "0"))
+        back = from_zarr(spark, url)
+        assert_eq(back, x)
+        _check_reductions(spark, back, x)
+
+
+def test_zarr_v3_garbled_inputs(spark):
+    """Unsupported codecs refuse loudly; corrupt checksums and
+    truncated shards name the failing chunk."""
+    x = np.arange(8, dtype="float64")
+    # transpose (array->array) codec -> loud refusal
+    url = _mkdir()
+    _hand_zarr3(x, chunks=(4,), url=url)
+    with open(os.path.join(url, "zarr.json")) as f:
+        meta = json.load(f)
+    meta["codecs"] = [{"name": "transpose",
+                       "configuration": {"order": [0]}}] + meta["codecs"]
+    with open(os.path.join(url, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(NotImplementedError, match="transpose"):
+        from_zarr(spark, url)
+
+    # corrupt chunk crc32c -> ValueError naming the chunk
+    url2 = _mkdir()
+    _hand_zarr3(x, chunks=(4,), url=url2, crc_chunks=True)
+    p = os.path.join(url2, "c", "0")
+    raw = open(p, "rb").read()
+    open(p, "wb").write(raw[:-4] + b"\x00\x00\x00\x01")
+    with pytest.raises(Exception, match="crc32c mismatch"):
+        from_zarr(spark, url2).compute()
+
+    # truncated shard (index sliced off) -> loud error
+    url3 = _mkdir()
+    _hand_zarr3(x, chunks=(8,), url=url3, inner=(2,))
+    p3 = os.path.join(url3, "c", "0")
+    raw3 = open(p3, "rb").read()
+    open(p3, "wb").write(raw3[: len(raw3) // 2])
+    with pytest.raises(Exception):
+        from_zarr(spark, url3).compute()
+
+    # uint64 data_type -> the loud unsigned-64 refusal
+    url4 = _mkdir()
+    _hand_zarr3(x, chunks=(4,), url=url4)
+    with open(os.path.join(url4, "zarr.json")) as f:
+        meta4 = json.load(f)
+    meta4["data_type"] = "uint64"
+    with open(os.path.join(url4, "zarr.json"), "w") as f:
+        json.dump(meta4, f)
+    with pytest.raises(NotImplementedError, match="uint64|unsigned"):
+        from_zarr(spark, url4)
