@@ -789,11 +789,17 @@ def _spark_round6_np(a: "np.ndarray") -> "np.ndarray":
 def _train_round_arrow(emb: DataFrame, cents: DataFrame, m: int) -> DataFrame:
     """One FULL Lloyd round (assign + centroid update) as one
     Arrow-batched NumPy pass: returns the new (s, code, cemb)
-    codebook, bit-identical to the relational round's contract
-    (squared L2 rounded to 6 decimals with Spark's
-    HALF_UP-on-shortest-repr scheme BEFORE the argmin, ties to the
-    smaller code, mean coordinates rounded to 6 decimals, memberless
-    codes dropping out).
+    codebook under the relational round's exact contract (squared L2
+    rounded to 6 decimals with Spark's HALF_UP-on-shortest-repr scheme
+    BEFORE the argmin, ties to the smaller code, mean coordinates
+    rounded to 6 decimals, memberless codes dropping out).
+    Equality with the ``"sql"`` form is fuzz-pinned; the one residual
+    divergence class is a distance within ~1 ulp of a 1e-6 rounding
+    boundary AND within 1e-6 of a competing candidate (summation
+    order differs between NumPy and Catalyst folds) -- the same
+    accepted class the round-6-before-argmin contract exists to
+    absorb for the DuckDB oracles, with per-argmin probability
+    ~1e-11 on continuous data.
 
     Why this exists (round-8 verdict): the relational assign's
     m x n_codes distance folds are Catalyst ``aggregate`` lambdas --
@@ -1135,7 +1141,10 @@ def ivf_pq_topk(
     ``pq_pack(pq_encode(...))``); recomputing either per query re-pays
     the full corpus pass (the amortization trap SCALE.md measures for
     ivf_topk).  ``ivf_cents`` swaps the stub coarse codebook for a
-    trained one, independently of the PQ codebook.
+    trained one, independently of the PQ codebook.  ``rerank="auto"``
+    here calibrates on the PROBED pool (n * n_probe / n_cells), not
+    the full corpus -- ADC tie collapse scales with what each query
+    actually scans.
 
     Scale shape: probe ranking touches |q| x n_cells broadcast rows;
     the candidate join keys the (tiny, broadcast) probe list against
@@ -1154,6 +1163,14 @@ def ivf_pq_topk(
     cand = assign.join(
         F.broadcast(_probe_cells(q, cents, n_probe)), on="cell"
     ).select("qid", "vec_id")
+    if rerank == "auto":
+        # calibrate on the pool each query actually scans -- the
+        # probed fraction, not the whole corpus: the auto rule sizes
+        # the shortlist against ADC tie collapse in the scanned pool,
+        # and full-n here would over-rerank by ~n_cells/n_probe
+        # (round-9 review)
+        n = emb.select("vec_id").count() * n_probe // max(1, n_cells)
+        rerank = max(8, min(256, -(-n // 600)))
     return pq_topk(
         emb, query_ids, pq_cents, dim, m=m, k=k,
         codes=codes, rerank=rerank, candidates=cand,

@@ -399,17 +399,23 @@ def widen_partitions(
     width is the leaf scan's file count (``df.inputFiles()`` -- plan
     metadata, no physical planning): at 100 TB every table has far more
     files than cores so the guard is a no-op, while a tiny local scan
-    (or a non-file source, which reports 0 files) errs toward widening
-    -- the safe direction for a fold-heavy stage.  Callers that already
-    know their width (e.g. they repartitioned upstream) pass ``width=``
-    and skip the probe entirely."""
+    errs toward widening -- the safe direction for a fold-heavy stage.
+    A plan with NO file leaves (in-memory relations, shuffles) is left
+    UNTOUCHED: its width was chosen by whatever produced it, and
+    repartitioning on a guess could NARROW an already-wide input and
+    add a corpus shuffle (the round-9 review catch).  A scan that was
+    re-widened upstream still reports its file count here, so callers
+    that repartitioned explicitly pass ``width=`` to skip the probe."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if width is None:
         try:
-            width = len(df.inputFiles()) or 1
-        except Exception:  # non-file leaf (rare): assume narrow
-            width = 1
+            files = df.inputFiles()
+        except Exception:
+            return df
+        if not files:  # non-file source: trust the producer's width
+            return df
+        width = len(files)
     if width >= max(2, target // 2):
         return df
     return df.repartition(target, key) if key else df.repartition(target)
@@ -873,16 +879,35 @@ _ZARR3_DTYPES = {
 }
 
 _CRC32C_TABLE: list[int] | None = None
-# chunk payloads above this skip checksum VERIFICATION (the pure-
-# Python table CRC is ~5 MB/s -- fine for shard indexes and typical
-# test/metadata sizes, a throttle on multi-MB production chunks);
-# the 4-byte trailer is always stripped either way
+# chunk payloads above this skip checksum VERIFICATION under the
+# pure-Python fallback CRC (~5 MB/s -- fine for shard indexes and
+# typical test/metadata sizes, a throttle on multi-MB production
+# chunks); the skip is WARNED, never silent, and does not apply when
+# a C crc32c library is importable (which verifies everything).  The
+# 4-byte trailer is always stripped either way.
 _CRC32C_VERIFY_CAP = 1 << 20
+
+
+def _crc32c_lib():
+    """A C-speed crc32c(data)->int if one of the common packages is
+    importable (verifies every payload size), else None."""
+    try:
+        import crc32c as _c  # pypi 'crc32c'
+
+        return _c.crc32c
+    except ImportError:
+        pass
+    try:
+        import google_crc32c as _g
+
+        return lambda b: int.from_bytes(_g.Checksum(b).digest(), "big")
+    except ImportError:
+        return None
 
 
 def _crc32c(data: bytes) -> int:
     """CRC-32C (Castagnoli, the zarr v3 ``crc32c`` codec / RFC 3720) --
-    table-driven, dependency-free."""
+    table-driven, dependency-free fallback (see _crc32c_lib)."""
     global _CRC32C_TABLE
     if _CRC32C_TABLE is None:
         tbl = []
@@ -896,6 +921,32 @@ def _crc32c(data: bytes) -> int:
     for b in data:
         crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
+
+
+def _crc32c_check(body: bytes, stored: int, what: str) -> None:
+    """Verify a crc32c trailer: with a C library, always; with the
+    pure-Python fallback, up to _CRC32C_VERIFY_CAP -- above it the
+    skip is surfaced as a RuntimeWarning (a user who enabled checksums
+    must never get a SILENT no-op; round-9 review)."""
+    lib = _crc32c_lib()
+    if lib is None and len(body) > _CRC32C_VERIFY_CAP:
+        import warnings
+
+        warnings.warn(
+            f"crc32c on {what}: payload {len(body)} B exceeds the "
+            f"pure-Python verify cap ({_CRC32C_VERIFY_CAP} B); trailer "
+            "stripped UNVERIFIED -- install the 'crc32c' (or "
+            "'google-crc32c') package for full-speed verification",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return
+    got = (lib or _crc32c)(body)
+    if got != stored:
+        raise ValueError(
+            f"crc32c mismatch on {what}: stored {stored:#010x}, "
+            f"computed {got:#010x}"
+        )
 
 
 def _zarr3_split_chain(codecs):
@@ -937,14 +988,7 @@ def _zarr3_decode_bb(raw: bytes, bb, what: str) -> bytes:
     for nm, _cfg in reversed(bb):
         if nm == "crc32c":
             body, tail = raw[:-4], raw[-4:]
-            if len(body) <= _CRC32C_VERIFY_CAP:
-                want = int.from_bytes(tail, "little")
-                got = _crc32c(body)
-                if got != want:
-                    raise ValueError(
-                        f"crc32c mismatch on {what}: stored {want:#010x}, "
-                        f"computed {got:#010x}"
-                    )
+            _crc32c_check(body, int.from_bytes(tail, "little"), what)
             raw = body
         elif nm in ("gzip", "zlib"):
             raw = zlib.decompress(raw, 47)  # auto gzip/zlib header detect
@@ -1131,13 +1175,11 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
                         raw[-idx_size:] if idx_loc == "end" else raw[:idx_size]
                     )
                     if idx_crc:
-                        want = int.from_bytes(enc_idx[-4:], "little")
-                        got = _crc32c(enc_idx[:-4])
-                        if got != want:
-                            raise ValueError(
-                                f"crc32c mismatch on shard index: stored "
-                                f"{want:#010x}, computed {got:#010x}"
-                            )
+                        _crc32c_check(
+                            enc_idx[:-4],
+                            int.from_bytes(enc_idx[-4:], "little"),
+                            "shard index",
+                        )
                         enc_idx = enc_idx[:-4]
                     u8 = "<u8" if idx_endian == "little" else ">u8"
                     tab = np.frombuffer(enc_idx, dtype=u8).reshape(n_inner, 2)
@@ -1165,9 +1207,12 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
                         block = np.frombuffer(body, dtype=np_dtype).reshape(inner)
                         sl = tuple(slice(0, d) for d in dims)
                         yield _cells(np.asarray(block[sl], dtype=dtype), offs)
-                except (ValueError, NotImplementedError):
-                    raise
+                except NotImplementedError:
+                    raise  # capability gates already name themselves
                 except Exception as e:
+                    # name the failing chunk: a 100 TB store has
+                    # millions of chunks and a bare reshape/crc error
+                    # is undebuggable (same policy as the v2 decode)
                     raise type(e)(f"zarr v3 chunk {fpath!r}: {e}") from e
 
     vtype = _value_sql_type(kind)

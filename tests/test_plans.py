@@ -304,13 +304,32 @@ def test_ivf_pq_serving_shape(spark, sf_dir):
     )
     plan = _plan(df)
     assert "partial_sum" in plan
-    # every explicit broadcast hint in the analyzed lineage sits on a
-    # parameter-bounded side (probes / lookup table / query rows /
-    # shortlist / codebook) -- count them and require none wraps the
-    # corpus-scale codes relation: the codes scan must appear OUTSIDE
-    # any BroadcastExchange subtree, i.e. at least one non-broadcast
-    # join input reads the embeddings table
+    # every explicit broadcast hint in the analyzed lineage must sit
+    # on a parameter-bounded side (probes / lookup table / query rows
+    # / rank-filtered shortlist / checkpointed codebook): inspect each
+    # hint's subtree like test_simsearch's pin -- its head must not be
+    # a corpus-grain aggregate (grouping by vec_id, i.e. pq_pack /
+    # pq_encode output broadcast raw, the 100 TB anti-pattern), and a
+    # bounding construct must appear near the top of the subtree
     analyzed = df._jdf.queryExecution().analyzed().toString()
-    assert analyzed.count("ResolvedHint") >= 3
+    lines = analyzed.splitlines()
+    hints = [i for i, l in enumerate(lines) if "ResolvedHint" in l]
+    assert len(hints) >= 3
+    for i in hints:
+        head = "\n".join(lines[i + 1 : i + 3])
+        assert "Aggregate [vec_id" not in head, (
+            "broadcast hint directly on a corpus-grain aggregate:\n" + head
+        )
+        # the bounding construct can sit a few projections down (the
+        # subspace fan-out + widen sit between the hint and the
+        # query-id IN filter), so scan a deeper window
+        window = "\n".join(lines[i + 1 : i + 16])
+        assert (
+            " IN (" in window
+            or "Filter (__r" in window
+            or "Filter (rank" in window
+            or "Filter (vec_id" in window
+            or "LogicalRDD" in window
+        ), "broadcast hint on an unbounded side:\n" + window
     # the ADC distance folds stay in-row
     assert "lambdafunction" in _optimized(df).lower()
