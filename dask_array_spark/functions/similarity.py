@@ -1189,15 +1189,32 @@ def ivf_pq_topk(
 def sq8_encode(emb: DataFrame) -> DataFrame:
     """Per-vector symmetric int8 quantization: scale = max|e| / 127
     (1.0 for an all-zero vector so nothing divides by zero), code =
-    round(e / scale) in [-127, 127].  Returns (vec_id, scale, q) --
-    one int8-ranged code per coordinate, all computed IN-ROW (two
-    array folds + one transform, zero shuffle, zero explode)."""
+    round(e / scale) in [-127, 127].  Returns (vec_id, scale, q, nrm)
+    -- one int8-ranged code per coordinate plus the DEQUANTIZED norm
+    sqrt(sum((q*scale)^2)), all computed IN-ROW (three array folds +
+    one transform, zero shuffle, zero explode).
+
+    The norm is stored IN THE INDEX (round 9): computing it at query
+    time forces a dequantize + norm fold per (vector, query) pair
+    (Catalyst collapses the projection into the join), which made the
+    first bench cut of sq8_topk SLOWER than the brute scan it
+    compresses.  Storing it is also how production int8 indexes ship
+    (norm alongside codes) and costs 8 bytes against the 4x win."""
     mx = F.aggregate(
         "embedding",
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
     scale = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
+    nrm = F.sqrt(
+        F.aggregate(
+            "q",
+            F.lit(0.0),
+            lambda acc, c: acc
+            + (c.cast("double") * F.col("scale"))
+            * (c.cast("double") * F.col("scale")),
+        )
+    )
     return emb.select(
         "vec_id",
         scale.alias("scale"),
@@ -1205,7 +1222,7 @@ def sq8_encode(emb: DataFrame) -> DataFrame:
             "embedding",
             lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("int"),
         ).alias("q"),
-    )
+    ).withColumn("nrm", nrm)
 
 
 def sq8_topk(
@@ -1215,32 +1232,42 @@ def sq8_topk(
     codes: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric cosine top-k over an int8-quantized corpus: raw
-    query vectors against dequantized (q * scale) corpus vectors --
-    cosine_topk's exact shape (broadcast query side, in-row zip_with
-    dot/norm folds, per-query rank window, self excluded, ties to the
-    smaller vec_id) with the corpus side reading only the 4x-smaller
-    (vec_id, scale, q) relation from ``sq8_encode`` (typically
-    persisted at ingest).  Output (qid, rank, vec_id, cos) with rank
-    0-based like cosine_topk."""
+    query vectors against the dequantized (q * scale) corpus --
+    cosine_topk's exact shape (broadcast query side, in-row folds,
+    per-query rank window, self excluded, ties to the smaller vec_id)
+    with the corpus side reading only the 4x-smaller (vec_id, scale,
+    q, nrm) relation from ``sq8_encode`` (typically persisted at
+    ingest).  Output (qid, rank, vec_id, cos) with rank 0-based like
+    cosine_topk.
+
+    Per-pair work is ONE integer-code dot fold (round 9): the cosine
+    is computed as scale * sum(q_i * query_i) / (nrm * qnrm) with the
+    dequantized norm read from the index, so neither the dequantize
+    transform nor the norm fold runs per (vector, query) pair -- the
+    shape that made the first bench cut slower than brute.  A ``codes``
+    relation without the ``nrm`` column (pre-round-9 layout) gets it
+    derived in a projection."""
     if codes is None:
         codes = sq8_encode(emb)
-    deq = F.transform("q", lambda c: c.cast("double") * F.col("scale"))
-    corpus = codes.select("vec_id", deq.alias("demb")).select(
-        "vec_id",
-        "demb",
-        F.sqrt(
+    if "nrm" not in codes.columns:
+        nrm = F.sqrt(
             F.aggregate(
-                "demb", F.lit(0.0), lambda acc, x: acc + x * x
+                "q",
+                F.lit(0.0),
+                lambda acc, c: acc
+                + (c.cast("double") * F.col("scale"))
+                * (c.cast("double") * F.col("scale")),
             )
-        ).alias("nrm"),
-    )
+        )
+        codes = codes.withColumn("nrm", nrm)
+    corpus = codes.select("vec_id", "scale", "q", "nrm")
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
         _norm_col().alias("qnrm"),
     )
-    dot = F.aggregate(
-        F.zip_with("demb", "qemb", lambda x, y: x * y.cast("double")),
+    dot_int = F.aggregate(
+        F.zip_with("q", "qemb", lambda c, y: c.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -1250,9 +1277,12 @@ def sq8_topk(
         .select(
             "qid",
             "vec_id",
-            (F.round(dot / (F.col("nrm") * F.col("qnrm")), 6) + F.lit(0.0)).alias(
-                "cos"
-            ),
+            (
+                F.round(
+                    (F.col("scale") * dot_int) / (F.col("nrm") * F.col("qnrm")), 6
+                )
+                + F.lit(0.0)
+            ).alias("cos"),
         )
         # a zero-norm side has no defined cosine; exclude it instead of
         # letting Spark's NaN-sorts-largest rank it first

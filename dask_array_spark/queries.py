@@ -4605,19 +4605,23 @@ _SQ8_SQL = f"""
                   CASE WHEN MAX(abs(e)) = 0 THEN 1.0
                        ELSE MAX(abs(e)) / 127 END AS scale
            FROM ex GROUP BY 1),
-    dq AS (SELECT ex.vec_id, ex.pos, round(ex.e / sc.scale) * sc.scale AS d,
-                  ex.e
+    dq AS (SELECT ex.vec_id, ex.pos, round(ex.e / sc.scale) AS c,
+                  round(ex.e / sc.scale) * sc.scale AS d, ex.e
            FROM ex JOIN sc USING (vec_id)),
     vn AS (SELECT vec_id, sqrt(SUM(d * d)) AS nrm FROM dq GROUP BY 1),
     qex AS (SELECT vec_id AS qid, pos, e FROM ex WHERE vec_id IN (0, 1, 2)),
     qn AS (SELECT qid, sqrt(SUM(e * e)) AS qnrm FROM qex GROUP BY 1),
-    dots AS (SELECT q.qid, dq.vec_id, SUM(dq.d * q.e) AS dot
+    -- integer-code dot x one scale multiply, the round-9 engine form
+    -- (the norm rides the index; the dequantized product never forms)
+    dots AS (SELECT q.qid, dq.vec_id, SUM(dq.c * q.e) AS dot
              FROM dq JOIN qex q USING (pos)
              WHERE dq.vec_id <> q.qid
              GROUP BY 1, 2),
     cosr AS (SELECT dots.qid, dots.vec_id,
-                    round(dots.dot / (vn.nrm * qn.qnrm), 6) + 0.0 AS cos
+                    round((sc.scale * dots.dot) / (vn.nrm * qn.qnrm), 6)
+                      + 0.0 AS cos
              FROM dots JOIN vn USING (vec_id) JOIN qn USING (qid)
+             JOIN sc ON sc.vec_id = dots.vec_id
              -- mirror the engine's zero-norm exclusion (sq8_topk
              -- filters ~isnan(cos)); without this a zero-norm vector
              -- would rank FIRST here (NaN sorts largest) while the

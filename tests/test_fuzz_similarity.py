@@ -179,15 +179,22 @@ def test_sq8_encode_topk_model(spark, rows, k):
             {"vec_id": range(len(X)), "embedding": [r.astype("float32") for r in X]}
         )
     )
-    enc = {r["vec_id"]: (r["scale"], list(r["q"])) for r in SIM.sq8_encode(emb).collect()}
-    deq = {}
+    enc = {
+        r["vec_id"]: (r["scale"], list(r["q"]), r["nrm"])
+        for r in SIM.sq8_encode(emb).collect()
+    }
+    codes_by_i, scale_by_i = {}, {}
     for i, x in enumerate(X):
         mx = float(np.max(np.abs(x)))
         scale = 1.0 if mx == 0.0 else mx / 127.0
         codes = [_round_int_half_up(v / scale) for v in x]
         assert enc[i][0] == pytest.approx(scale, abs=1e-12)
         assert enc[i][1] == codes
-        deq[i] = np.asarray(codes, dtype="float64") * scale
+        deq = np.asarray(codes, dtype="float64") * scale
+        # the norm rides the index (round 9): dequantized norm
+        assert enc[i][2] == pytest.approx(float(np.sqrt(np.sum(deq**2))), abs=1e-9)
+        codes_by_i[i] = np.asarray(codes, dtype="float64")
+        scale_by_i[i] = scale
 
     qids = [0, 1]
     rows_out = SIM.sq8_topk(emb, qids, k=k).collect()
@@ -198,11 +205,13 @@ def test_sq8_encode_topk_model(spark, rows, k):
         for i in range(len(X)):
             if i == q:
                 continue
-            nrm = float(np.sqrt(np.sum(deq[i] ** 2)))
+            deq_i = codes_by_i[i] * scale_by_i[i]
+            nrm = float(np.sqrt(np.sum(deq_i**2)))
             qn = float(np.sqrt(np.sum(X[q] ** 2)))
             if nrm == 0.0:
                 continue  # zero corpus vector: NaN cosine, dropped
-            cos[i] = _r6(float(deq[i] @ X[q]) / (nrm * qn))
+            # round-9 engine form: scale * (integer-code dot)
+            cos[i] = _r6(scale_by_i[i] * float(codes_by_i[i] @ X[q]) / (nrm * qn))
         order = sorted(cos, key=lambda i: (-cos[i], i))[:k]
         got = sorted(
             ((r["rank"], r["vec_id"], r["cos"]) for r in rows_out if r["qid"] == q)
