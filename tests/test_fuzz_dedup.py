@@ -171,3 +171,29 @@ def test_exact_groups_matches_python(spark, texts):
     for i, t in enumerate(texts):
         model[t].append(i)
     assert got == {min(ids): len(ids) for ids in model.values()}
+
+
+def test_cache_lifecycle_and_persist_flag(spark):
+    """release_caches() (round 9): the tracked fan-out caches
+    unpersist on demand, results are identical with persist=False,
+    and repeated release is a no-op returning 0."""
+    from dask_array_spark.functions import dedup as D
+
+    texts = [f"alpha beta gamma delta epsilon zeta doc{i % 3}" for i in range(12)]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sigs = D.minhash_signatures(D.shingle_hashes(df), 8)
+
+    cached = sorted(map(tuple, D.lsh_candidate_pairs(sigs).collect()))
+    n = D.release_caches()
+    assert n >= 1  # band table (+ capped table)
+    assert D.release_caches() == 0  # idempotent once drained
+
+    uncached = sorted(map(tuple, D.lsh_candidate_pairs(sigs, persist=False).collect()))
+    assert uncached == cached
+    assert D.release_caches() == 0  # persist=False tracked nothing
+
+    spans_c = sorted(map(tuple, D.duplicated_spans(df, k=4).collect()))
+    assert D.release_caches() >= 1
+    spans_u = sorted(map(tuple, D.duplicated_spans(df, k=4, persist=False).collect()))
+    assert spans_u == spans_c
+    assert D.release_caches() == 0

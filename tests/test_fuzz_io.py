@@ -672,3 +672,29 @@ def test_zarr_v3_garbled_inputs(spark):
         json.dump(meta4, f)
     with pytest.raises(NotImplementedError, match="uint64|unsigned"):
         from_zarr(spark, url4)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    shape=SHAPE_12,
+    seed=st.integers(0, 2**31),
+    chunk_seed=st.integers(0, 2**31),
+    comp=st.sampled_from([None, "zlib"]),
+    nan=st.booleans(),
+)
+def test_zarr_v2_v3_cross_format_equivalence(spark, shape, seed, chunk_seed, comp, nan):
+    """The same array written as a v2 store and a v3 store must read
+    back identically through the ONE from_zarr entry point -- the
+    user-facing guarantee that the format dispatch is invisible."""
+    shape = tuple(shape)
+    rng = np.random.default_rng(chunk_seed)
+    chunks = tuple(int(rng.integers(1, s + 2)) for s in shape)
+    x = _data(seed, shape, nan)
+    u2, u3 = _mkdir(), _mkdir()
+    arr = from_numpy(spark, x)
+    to_zarr(arr, u2, chunks=chunks, compressor=comp, zarr_format=2)
+    to_zarr(arr, u3, chunks=chunks, compressor=comp, zarr_format=3)
+    b2, b3 = from_zarr(spark, u2), from_zarr(spark, u3)
+    assert b2.shape == b3.shape == shape
+    assert_eq(b2, x)
+    assert_eq(b3, x)
