@@ -1259,18 +1259,32 @@ def to_zarr(
     chunks=None,
     compressor: str | None = None,
     zarr_format: int = 2,
+    shards=None,
 ) -> None:
     """Chunk-aligned zarr write (reference io/_zarr.py:275; the
     reference writes whichever format its zarr library defaults to --
-    v3 since zarr-python 3, io/_zarr.py:396-429): cells group by chunk
-    coordinate and each chunk file writes executor-side (raw or
-    compressed); the driver writes only the tiny metadata JSON.
-    ``zarr_format=2`` writes a ``.zarray`` store (flat '.'-keys, zlib
-    compressor); ``zarr_format=3`` writes a ``zarr.json`` store
-    (default ``c/``-prefixed key encoding, ``bytes`` + optional
-    ``gzip`` codec chain).  Sharded v3 WRITES are not supported (the
-    read path handles sharded stores; writing unsharded v3 is always
-    valid).  Requires a filesystem all executors share (local / NFS /
+    v3 since zarr-python 3, io/_zarr.py:396-429, including shard
+    shapes via _get_zarr_write_chunks, io/_zarr.py:133): cells group
+    by chunk (or shard) coordinate and each file writes executor-side;
+    the driver writes only the tiny metadata JSON.
+
+    - ``zarr_format=2``: a ``.zarray`` store (flat '.'-keys, zlib
+      compressor).
+    - ``zarr_format=3``: a ``zarr.json`` store (default
+      ``c/``-prefixed key encoding, ``bytes`` + optional ``gzip``
+      chain).
+    - ``shards=`` (v3 only): SHARDED write -- ``shards`` is the
+      per-file shape, ``chunks`` the inner chunk shape (must divide
+      it); each shard file carries its inner chunks plus the
+      ``sharding_indexed`` binary index ((offset, nbytes) uint64
+      pairs, crc32c-checksummed, index_location=end), inner chunks
+      wholly outside the array marked missing.  One shard = one write
+      task, so the write parallelizes by shard exactly like the read.
+    - the store dtype FOLLOWS the array's value column (round 9):
+      double -> float64, bigint -> int64, boolean -> bool (fill NaN /
+      0 / false) -- an int array no longer silently widens to f8.
+
+    Requires a filesystem all executors share (local / NFS /
     fuse-mounted object store), like any parallel zarr writer."""
     import json
     import os
@@ -1287,69 +1301,142 @@ def to_zarr(
         raise NotImplementedError("compressor must be None or 'zlib'")
     if zarr_format not in (2, 3):
         raise NotImplementedError(f"zarr_format must be 2 or 3, got {zarr_format}")
+    if shards is not None:
+        if zarr_format != 3:
+            raise NotImplementedError("shards= requires zarr_format=3")
+        shards = tuple(int(s) for s in shards)
+        if len(shards) != ndim or any(
+            shards[k] % chunks[k] for k in range(ndim)
+        ):
+            raise ValueError(
+                f"shards {shards} must be chunk-multiples of chunks {chunks}"
+            )
+
+    vtype = dict(a.df.dtypes).get(VALUE_COL, "double")
+    np_dtype, v2_dtype, v3_dtype, fill2, fill3 = {
+        "double": ("float64", "<f8", "float64", "NaN", "NaN"),
+        "bigint": ("int64", "<i8", "int64", 0, 0),
+        "boolean": ("bool", "|b1", "bool", False, False),
+    }[vtype]
+
     os.makedirs(url, exist_ok=True)
     if zarr_format == 2:
         meta = {
             "zarr_format": 2,
             "shape": list(shape),
             "chunks": list(chunks),
-            "dtype": "<f8",
+            "dtype": v2_dtype,
             "compressor": {"id": "zlib", "level": 5} if compressor else None,
-            "fill_value": "NaN",
+            "fill_value": fill2,
             "filters": None,
             "order": "C",
         }
         mname = ".zarray"
     else:
-        codecs = [{"name": "bytes", "configuration": {"endian": "little"}}]
+        chain = [{"name": "bytes", "configuration": {"endian": "little"}}]
         if compressor:
-            codecs.append({"name": "gzip", "configuration": {"level": 5}})
+            chain.append({"name": "gzip", "configuration": {"level": 5}})
+        codecs = chain
+        if shards is not None:
+            codecs = [{
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": list(chunks),
+                    "codecs": chain,
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}},
+                        {"name": "crc32c"},
+                    ],
+                    "index_location": "end",
+                },
+            }]
         meta = {
             "zarr_format": 3,
             "node_type": "array",
             "shape": list(shape),
-            "data_type": "float64",
+            "data_type": v3_dtype,
             "chunk_grid": {
                 "name": "regular",
-                "configuration": {"chunk_shape": list(chunks)},
+                "configuration": {
+                    "chunk_shape": list(shards if shards is not None else chunks)
+                },
             },
             "chunk_key_encoding": {
                 "name": "default",
                 "configuration": {"separator": "/"},
             },
-            "fill_value": "NaN",
+            "fill_value": fill3,
             "codecs": codecs,
         }
         mname = "zarr.json"
     with open(os.path.join(url, mname), "w") as f:
         json.dump(meta, f)
 
+    unit = shards if shards is not None else chunks  # one file per unit
     d = a.df
     bcols = []
     for k in range(ndim):
         bc = f"__b{k}"
-        d = d.withColumn(bc, (F.col(f"i{k}") / F.lit(chunks[k])).cast("long"))
+        d = d.withColumn(bc, (F.col(f"i{k}") / F.lit(unit[k])).cast("long"))
         bcols.append(bc)
 
-    def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _encode(block: np.ndarray) -> bytes:
         import gzip
         import zlib
 
+        raw = np.ascontiguousarray(block).tobytes()
+        if compressor == "zlib":
+            # v2 stores a zlib frame; the v3 'gzip' codec a gzip one
+            raw = zlib.compress(raw, 5) if zarr_format == 2 else gzip.compress(raw, 5)
+        return raw
+
+    def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         coords = tuple(int(pdf[c].iloc[0]) for c in bcols)
-        block = np.full(chunks, np.nan)
+        if np_dtype == "float64":
+            block = np.full(unit, np.nan)
+            vals = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
+        elif np_dtype == "int64":
+            block = np.zeros(unit, dtype="int64")
+            vals = pdf[VALUE_COL].to_numpy(dtype="int64")
+        else:
+            block = np.zeros(unit, dtype="bool")
+            vals = pdf[VALUE_COL].to_numpy(dtype="bool")
         loc = tuple(
-            pdf[f"i{k}"].to_numpy(dtype="int64") - coords[k] * chunks[k]
+            pdf[f"i{k}"].to_numpy(dtype="int64") - coords[k] * unit[k]
             for k in range(ndim)
         )
-        block[loc] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
-        raw = np.ascontiguousarray(block).tobytes()
+        block[loc] = vals
         if zarr_format == 2:
-            if compressor == "zlib":
-                raw = zlib.compress(raw, 5)
+            raw = _encode(block)
             fpath = os.path.join(url, ".".join(str(c) for c in coords))
+        elif shards is None:
+            raw = _encode(block)
+            fpath = os.path.join(url, "c", *(str(c) for c in coords))
+            os.makedirs(os.path.dirname(fpath), exist_ok=True)
         else:
-            if compressor == "zlib":
-                raw = gzip.compress(raw, 5)  # the v3 'gzip' codec container
+            # sharded: encode each inner chunk, then the binary index
+            cps = tuple(unit[k] // chunks[k] for k in range(ndim))
+            n_inner = int(np.prod(cps))
+            tab = np.full((n_inner, 2), 0xFFFFFFFFFFFFFFFF, dtype="<u8")
+            parts = []
+            pos = 0
+            for i, ic in enumerate(np.ndindex(*cps)):
+                offs = [
+                    coords[k] * unit[k] + ic[k] * chunks[k] for k in range(ndim)
+                ]
+                if any(offs[k] >= shape[k] for k in range(ndim)):
+                    continue  # inner chunk wholly out of bounds: missing
+                isl = tuple(
+                    slice(ic[k] * chunks[k], (ic[k] + 1) * chunks[k])
+                    for k in range(ndim)
+                )
+                enc = _encode(block[isl])
+                tab[i] = (pos, len(enc))
+                parts.append(enc)
+                pos += len(enc)
+            idx = tab.tobytes()
+            idx += _crc32c(idx).to_bytes(4, "little")
+            raw = b"".join(parts) + idx
             fpath = os.path.join(url, "c", *(str(c) for c in coords))
             os.makedirs(os.path.dirname(fpath), exist_ok=True)
         with open(fpath, "wb") as f:

@@ -698,3 +698,84 @@ def test_zarr_v2_v3_cross_format_equivalence(spark, shape, seed, chunk_seed, com
     assert b2.shape == b3.shape == shape
     assert_eq(b2, x)
     assert_eq(b3, x)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    shape=st.lists(st.integers(2, 9), min_size=1, max_size=2),
+    seed=st.integers(0, 2**31),
+    pick=st.integers(0, 2**31),
+    comp=st.sampled_from([None, "zlib"]),
+    nan=st.booleans(),
+)
+def test_fuzz_zarr_v3_sharded_write_roundtrip(spark, shape, seed, pick, comp, nan):
+    """Engine SHARDED v3 writes (round 9): random inner/shard
+    factorizations through to_zarr(shards=) -> from_zarr, cell-exact
+    vs NumPy with the NaN reduction contract intact."""
+    shape = tuple(shape)
+    rng = np.random.default_rng(pick)
+    inner = tuple(int(rng.integers(1, 4)) for _ in shape)
+    cps = tuple(int(rng.integers(1, 4)) for _ in shape)
+    shards = tuple(i * c for i, c in zip(inner, cps))
+    x = _data(seed, shape, nan)
+    url = _mkdir()
+    to_zarr(from_numpy(spark, x), url, chunks=inner, compressor=comp,
+            zarr_format=3, shards=shards)
+    back = from_zarr(spark, url)
+    assert back.shape == shape
+    assert_eq(back, x)
+    _check_reductions(spark, back, x)
+
+
+def test_zarr_v3_sharded_write_binary_layout(spark):
+    """Parse one engine-written shard with an INDEPENDENT plain-Python
+    reader (the test-side crc32c, not the engine's): index at the end,
+    crc-valid, missing sentinel for out-of-bounds inner chunks, and
+    the decoded inner chunks reproduce the array."""
+    x = np.arange(30, dtype="float64").reshape(5, 6)
+    url = _mkdir()
+    # shards (4, 4), inner (2, 2): shard (1, 1) spans rows 4..7 (only
+    # row 4 exists) -> its bottom inner chunks are missing sentinels
+    to_zarr(from_numpy(spark, x), url, chunks=(2, 2), zarr_format=3,
+            shards=(4, 4))
+    p = os.path.join(url, "c", "1", "1")
+    raw = open(p, "rb").read()
+    n_inner = 4
+    idx = raw[-(16 * n_inner + 4):]
+    assert _crc32c_ref(idx[:-4]) == int.from_bytes(idx[-4:], "little")
+    tab = np.frombuffer(idx[:-4], dtype="<u8").reshape(n_inner, 2)
+    missing = np.uint64(0xFFFFFFFFFFFFFFFF)
+    # inner grid order: (0,0), (0,1), (1,0), (1,1); the 5x6 array ends
+    # at row 4 / col 5, so only inner (0,0) (rows 4-5, cols 4-5) holds
+    # any in-bounds cells -- the other three are missing sentinels
+    assert all(tab[i][0] == missing for i in (1, 2, 3))
+    off, nb = int(tab[0][0]), int(tab[0][1])
+    blk = np.frombuffer(raw[off:off + nb], dtype="<f8").reshape(2, 2)
+    want = np.full((2, 2), np.nan)
+    want[:1, :2] = x[4:5, 4:6]  # row 5 of the chunk is fill (NaN)
+    np.testing.assert_array_equal(np.isnan(blk), np.isnan(want))
+    np.testing.assert_array_equal(blk[~np.isnan(want)], want[~np.isnan(want)])
+
+
+def test_zarr_dtype_follows_value_column(spark):
+    """int and bool arrays write int64/bool stores in BOTH formats and
+    read back with their dtype preserved (round 9 -- previously every
+    write widened to f8)."""
+    xi = (np.arange(12).reshape(3, 4) * 5 - 20).astype("int64")
+    xb = np.array([[True, False, True], [False, True, False]])
+    for fmt in (2, 3):
+        ui = _mkdir()
+        to_zarr(from_numpy(spark, xi), ui, chunks=(2, 2), zarr_format=fmt)
+        bi = from_zarr(spark, ui)
+        assert dict(bi.df.dtypes)["v"] == "bigint"
+        assert_eq(bi, xi)
+        ub = _mkdir()
+        to_zarr(from_numpy(spark, xb), ub, chunks=(2, 2), zarr_format=fmt)
+        bb = from_zarr(spark, ub)
+        assert dict(bb.df.dtypes)["v"] == "boolean"
+        np.testing.assert_array_equal(bb.compute().astype(bool), xb)
+    with pytest.raises(NotImplementedError, match="shards"):
+        to_zarr(from_numpy(spark, xi), _mkdir(), chunks=(2, 2), shards=(4, 4))
+    with pytest.raises(ValueError, match="chunk-multiples"):
+        to_zarr(from_numpy(spark, xi), _mkdir(), chunks=(2, 2), zarr_format=3,
+                shards=(3, 4))
