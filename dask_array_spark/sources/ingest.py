@@ -581,8 +581,9 @@ def _require(modname: str, purpose: str):
 
 
 _ZARR_DTYPES = {
-    "<f8": "float64", "<f4": "float32",
-    "<i8": "int64", "<i4": "int32",
+    "<f8": "float64", "<f4": "float32", "<f2": "float16",
+    "<i8": "int64", "<i4": "int32", "<i2": "int16", "|i1": "int8",
+    "|u1": "uint8", "<u2": "uint16", "<u4": "uint32",
     "|b1": "bool",
 }
 
@@ -871,7 +872,7 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
 # kinds the cells model supports; uint64/complex/float16 route through
 # _value_kind's loud refusal)
 _ZARR3_DTYPES = {
-    "float64": "float64", "float32": "float32",
+    "float64": "float64", "float32": "float32", "float16": "float16",
     "int64": "int64", "int32": "int32", "int16": "int16", "int8": "int8",
     "uint8": "uint8", "uint16": "uint16", "uint32": "uint32",
     "uint64": "uint64",
@@ -950,11 +951,13 @@ def _crc32c_check(body: bytes, stored: int, what: str) -> None:
 
 
 def _zarr3_split_chain(codecs):
-    """Split a zarr v3 codec list into (endian, bytes->bytes list).
-    The chain grammar is [array->array...] + one ``bytes`` +
-    [bytes->bytes...]; no array->array codec (``transpose``) is
-    supported -- C-order only, matching the v2 gate."""
-    endian, bb, seen_bytes = "little", [], False
+    """Split a zarr v3 codec list into (order, endian, bytes->bytes
+    list).  The chain grammar is [array->array...] + one ``bytes`` +
+    [bytes->bytes...]; the one standard array->array codec,
+    ``transpose`` (the stored chunk is the ``order``-permutation of
+    the logical one), is supported -- any other name there refuses
+    loudly."""
+    endian, bb, seen_bytes, order = "little", [], False, None
     for c in codecs or []:
         nm, cfg = c.get("name"), c.get("configuration") or {}
         if nm == "bytes":
@@ -963,9 +966,12 @@ def _zarr3_split_chain(codecs):
             seen_bytes = True
             endian = cfg.get("endian", "little")
         elif not seen_bytes:
+            if nm == "transpose" and order is None:
+                order = tuple(int(o) for o in cfg.get("order", ()))
+                continue
             raise NotImplementedError(
                 f"zarr v3 array->array codec {nm!r} is not supported "
-                "(C-order 'bytes' chains only)"
+                "('transpose' and C-order 'bytes' chains only)"
             )
         else:
             if nm not in ("gzip", "zlib", "zstd", "blosc", "crc32c"):
@@ -978,7 +984,22 @@ def _zarr3_split_chain(codecs):
             bb.append((nm, cfg))
     if not seen_bytes:
         raise NotImplementedError("zarr v3 codec chain lacks the 'bytes' codec")
-    return endian, bb
+    return order, endian, bb
+
+
+def _zarr3_unpermute(flat: "np.ndarray", chunk_shape, order) -> "np.ndarray":
+    """Undo the v3 ``transpose`` codec: the stored buffer is the
+    ``order``-permutation of the logical chunk in C order, so reshape
+    to the permuted shape and transpose back with the inverse
+    permutation.  ``order`` None (no transpose codec) is a plain
+    reshape."""
+    if order is None:
+        return flat.reshape(chunk_shape)
+    stored = flat.reshape(tuple(chunk_shape[o] for o in order))
+    inv = [0] * len(order)
+    for i, o in enumerate(order):
+        inv[o] = i
+    return stored.transpose(inv)
 
 
 def _zarr3_decode_bb(raw: bytes, bb, what: str) -> bytes:
@@ -1070,7 +1091,9 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
             raise ValueError(
                 f"shard shape {chunks} not divisible by inner chunk {inner}"
             )
-        endian, bb = _zarr3_split_chain(shard_cfg.get("codecs") or [{"name": "bytes"}])
+        order, endian, bb = _zarr3_split_chain(
+            shard_cfg.get("codecs") or [{"name": "bytes"}]
+        )
         idx_codecs = shard_cfg.get("index_codecs") or [
             {"name": "bytes"}, {"name": "crc32c"},
         ]
@@ -1093,7 +1116,7 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
         n_inner = int(np.prod(cps))
         idx_size = 16 * n_inner + (4 if idx_crc else 0)
     else:
-        endian, bb = _zarr3_split_chain(codecs)
+        order, endian, bb = _zarr3_split_chain(codecs)
         inner = chunks
 
     np_dtype = np.dtype(dtype)
@@ -1162,7 +1185,9 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
                 try:
                     if shard_cfg is None:
                         body = _zarr3_decode_bb(raw, bb, fpath)
-                        block = np.frombuffer(body, dtype=np_dtype).reshape(chunks)
+                        block = _zarr3_unpermute(
+                            np.frombuffer(body, dtype=np_dtype), chunks, order
+                        )
                         sl = tuple(
                             slice(0, min(chunks[k], shape[k] - base[k]))
                             for k in range(ndim)
@@ -1204,7 +1229,9 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
                             raw[int(off): int(off) + int(nb)], bb,
                             f"{fpath} inner chunk {tuple(map(int, ic))}",
                         )
-                        block = np.frombuffer(body, dtype=np_dtype).reshape(inner)
+                        block = _zarr3_unpermute(
+                            np.frombuffer(body, dtype=np_dtype), inner, order
+                        )
                         sl = tuple(slice(0, d) for d in dims)
                         yield _cells(np.asarray(block[sl], dtype=dtype), offs)
                 except NotImplementedError:

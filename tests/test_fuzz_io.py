@@ -395,11 +395,14 @@ def _hand_zarr3(
     index_crc=True,
     omit=frozenset(),
     omit_inner=frozenset(),
+    transpose_order=None,
 ):
     """Write a spec-conformant zarr v3 store by hand.  ``inner`` turns
     on sharding_indexed (chunks = SHARD shape).  ``omit`` skips whole
     chunk/shard files; ``omit_inner`` marks (shard_coords,
-    inner_coords) entries missing inside a written shard."""
+    inner_coords) entries missing inside a written shard.
+    ``transpose_order`` prepends the 'transpose' array->array codec
+    (stored chunk = that permutation of the logical one)."""
     os.makedirs(url, exist_ok=True)
     ndim = x.ndim
     shape = x.shape
@@ -411,6 +414,11 @@ def _hand_zarr3(
     if crc_chunks:
         bb.append({"name": "crc32c"})
     chain = [{"name": "bytes", "configuration": {"endian": endian}}] + bb
+    if transpose_order is not None:
+        chain = [
+            {"name": "transpose",
+             "configuration": {"order": list(transpose_order)}}
+        ] + chain
     if inner is None:
         codecs = chain
     else:
@@ -464,7 +472,12 @@ def _hand_zarr3(
         dims = tuple(s.stop - s.start for s in sl_src)
         block[tuple(slice(0, d) for d in dims)] = x[sl_src]
         if inner is None:
-            payload = _v3_encode(block, endian, gzip_level, crc_chunks)
+            stored = (
+                np.transpose(block, transpose_order)
+                if transpose_order is not None else block
+            )
+            payload = _v3_encode(np.ascontiguousarray(stored), endian,
+                                 gzip_level, crc_chunks)
         else:
             cps = tuple(chunks[k] // inner[k] for k in range(ndim))
             n_inner = int(np.prod(cps))
@@ -482,8 +495,11 @@ def _hand_zarr3(
                     slice(ic[k] * inner[k], (ic[k] + 1) * inner[k])
                     for k in range(ndim)
                 )
+                iblk = block[isl]
+                if transpose_order is not None:
+                    iblk = np.transpose(iblk, transpose_order)
                 enc = _v3_encode(
-                    np.ascontiguousarray(block[isl]), endian, gzip_level,
+                    np.ascontiguousarray(iblk), endian, gzip_level,
                     crc_chunks,
                 )
                 entries[i] = (pos, len(enc))
@@ -632,16 +648,17 @@ def test_zarr_v3_garbled_inputs(spark):
     """Unsupported codecs refuse loudly; corrupt checksums and
     truncated shards name the failing chunk."""
     x = np.arange(8, dtype="float64")
-    # transpose (array->array) codec -> loud refusal
+    # an unknown array->array codec -> loud refusal (transpose itself
+    # is SUPPORTED since round 9, see test_zarr_v3_transpose_codec)
     url = _mkdir()
     _hand_zarr3(x, chunks=(4,), url=url)
     with open(os.path.join(url, "zarr.json")) as f:
         meta = json.load(f)
-    meta["codecs"] = [{"name": "transpose",
+    meta["codecs"] = [{"name": "fancy_reorder",
                        "configuration": {"order": [0]}}] + meta["codecs"]
     with open(os.path.join(url, "zarr.json"), "w") as f:
         json.dump(meta, f)
-    with pytest.raises(NotImplementedError, match="transpose"):
+    with pytest.raises(NotImplementedError, match="fancy_reorder"):
         from_zarr(spark, url)
 
     # corrupt chunk crc32c -> ValueError naming the chunk
@@ -779,3 +796,55 @@ def test_zarr_dtype_follows_value_column(spark):
     with pytest.raises(ValueError, match="chunk-multiples"):
         to_zarr(from_numpy(spark, xi), _mkdir(), chunks=(2, 2), zarr_format=3,
                 shards=(3, 4))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    pick=st.integers(0, 2**31),
+    gz=st.sampled_from([None, 5]),
+    shard=st.booleans(),
+)
+def test_zarr_v3_transpose_codec(spark, seed, pick, gz, shard):
+    """The v3 'transpose' array->array codec: the stored chunk is the
+    order-permutation of the logical one.  Hand-write stores (2-D,
+    random permutation, optional sharding where transpose sits in the
+    INNER chain) and read them back cell-exact."""
+    rng = np.random.default_rng(pick)
+    shape = (int(rng.integers(2, 8)), int(rng.integers(2, 8)))
+    x = _data(seed, shape, nan=False)
+    order = [0, 1] if rng.integers(0, 2) == 0 else [1, 0]
+    url = _mkdir()
+    if shard:
+        inner = (1 + int(rng.integers(0, 2)), 1 + int(rng.integers(0, 2)))
+        chunks = (inner[0] * 2, inner[1] * 2)
+        _hand_zarr3(x, url, chunks, inner=inner, gzip_level=gz,
+                    transpose_order=order)
+    else:
+        chunks = (int(rng.integers(1, 5)), int(rng.integers(1, 5)))
+        _hand_zarr3(x, url, chunks, gzip_level=gz, transpose_order=order)
+    back = from_zarr(spark, url)
+    assert back.shape == shape
+    assert_eq(back, x)
+
+
+def test_zarr_float16_stores(spark):
+    """float16 external stores (both formats) read as double,
+    value-exact, NaN -> NULL."""
+    xh = np.array([1.5, np.nan, -2.25, 0.125], dtype="<f2")
+    u2 = _mkdir()
+    _hand_zarr(
+        u2,
+        {"zarr_format": 2, "shape": [4], "chunks": [2], "dtype": "<f2",
+         "compressor": None, "fill_value": None, "filters": None,
+         "order": "C"},
+        {"0": xh[:2].tobytes(), "1": xh[2:].tobytes()},
+    )
+    a = from_zarr(spark, u2)
+    assert dict(a.df.dtypes)["v"] == "double"
+    assert_eq(a, xh.astype("float64"))
+    u3 = _mkdir()
+    _hand_zarr3(xh.astype("float16"), u3, (3,))
+    b = from_zarr(spark, u3)
+    assert_eq(b, xh.astype("float64"))
+    assert np.isnan(R.sum(b, axis=None).compute())
