@@ -1186,6 +1186,23 @@ def ivf_pq_topk(
 # vector stores serve int8 indexes.
 
 
+def _sq8_nrm():
+    """Dequantized norm sqrt(sum((q*scale)^2)) over the int8 codes --
+    the ONE definition shared by sq8_encode (index-stored) and
+    sq8_topk's pre-round-9-layout fallback, so the two can never
+    drift (and both stay expression-identical to the oracle's
+    sqrt(SUM(d*d)) with d = c*scale)."""
+    return F.sqrt(
+        F.aggregate(
+            "q",
+            F.lit(0.0),
+            lambda acc, c: acc
+            + (c.cast("double") * F.col("scale"))
+            * (c.cast("double") * F.col("scale")),
+        )
+    )
+
+
 def sq8_encode(emb: DataFrame) -> DataFrame:
     """Per-vector symmetric int8 quantization: scale = max|e| / 127
     (1.0 for an all-zero vector so nothing divides by zero), code =
@@ -1206,15 +1223,6 @@ def sq8_encode(emb: DataFrame) -> DataFrame:
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
     scale = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
-    nrm = F.sqrt(
-        F.aggregate(
-            "q",
-            F.lit(0.0),
-            lambda acc, c: acc
-            + (c.cast("double") * F.col("scale"))
-            * (c.cast("double") * F.col("scale")),
-        )
-    )
     return emb.select(
         "vec_id",
         scale.alias("scale"),
@@ -1222,7 +1230,7 @@ def sq8_encode(emb: DataFrame) -> DataFrame:
             "embedding",
             lambda x: F.round(x.cast("double") / F.col("scale"), 0).cast("int"),
         ).alias("q"),
-    ).withColumn("nrm", nrm)
+    ).withColumn("nrm", _sq8_nrm())
 
 
 def sq8_topk(
@@ -1250,16 +1258,7 @@ def sq8_topk(
     if codes is None:
         codes = sq8_encode(emb)
     if "nrm" not in codes.columns:
-        nrm = F.sqrt(
-            F.aggregate(
-                "q",
-                F.lit(0.0),
-                lambda acc, c: acc
-                + (c.cast("double") * F.col("scale"))
-                * (c.cast("double") * F.col("scale")),
-            )
-        )
-        codes = codes.withColumn("nrm", nrm)
+        codes = codes.withColumn("nrm", _sq8_nrm())
     corpus = codes.select("vec_id", "scale", "q", "nrm")
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),

@@ -869,8 +869,8 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
 
 
 # zarr v3 core data types (spec names ARE the numpy names for the
-# kinds the cells model supports; uint64/complex/float16 route through
-# _value_kind's loud refusal)
+# kinds the cells model supports -- float16 widens to double like f4;
+# uint64/complex route through _value_kind's loud refusal)
 _ZARR3_DTYPES = {
     "float64": "float64", "float32": "float32", "float16": "float16",
     "int64": "int64", "int32": "int32", "int16": "int16", "int8": "int8",
@@ -950,13 +950,15 @@ def _crc32c_check(body: bytes, stored: int, what: str) -> None:
         )
 
 
-def _zarr3_split_chain(codecs):
+def _zarr3_split_chain(codecs, ndim: int):
     """Split a zarr v3 codec list into (order, endian, bytes->bytes
     list).  The chain grammar is [array->array...] + one ``bytes`` +
     [bytes->bytes...]; the one standard array->array codec,
     ``transpose`` (the stored chunk is the ``order``-permutation of
     the logical one), is supported -- any other name there refuses
-    loudly."""
+    loudly, and a malformed ``order`` (not a permutation of the chunk
+    axes) refuses at METADATA time rather than decoding silently
+    wrong on square chunks (round-9 review catch)."""
     endian, bb, seen_bytes, order = "little", [], False, None
     for c in codecs or []:
         nm, cfg = c.get("name"), c.get("configuration") or {}
@@ -968,6 +970,11 @@ def _zarr3_split_chain(codecs):
         elif not seen_bytes:
             if nm == "transpose" and order is None:
                 order = tuple(int(o) for o in cfg.get("order", ()))
+                if sorted(order) != list(range(ndim)):
+                    raise ValueError(
+                        f"zarr v3 transpose order {list(order)} is not a "
+                        f"permutation of the {ndim} chunk axes"
+                    )
                 continue
             raise NotImplementedError(
                 f"zarr v3 array->array codec {nm!r} is not supported "
@@ -1092,7 +1099,7 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
                 f"shard shape {chunks} not divisible by inner chunk {inner}"
             )
         order, endian, bb = _zarr3_split_chain(
-            shard_cfg.get("codecs") or [{"name": "bytes"}]
+            shard_cfg.get("codecs") or [{"name": "bytes"}], ndim
         )
         idx_codecs = shard_cfg.get("index_codecs") or [
             {"name": "bytes"}, {"name": "crc32c"},
@@ -1116,7 +1123,7 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
         n_inner = int(np.prod(cps))
         idx_size = 16 * n_inner + (4 if idx_crc else 0)
     else:
-        order, endian, bb = _zarr3_split_chain(codecs)
+        order, endian, bb = _zarr3_split_chain(codecs, ndim)
         inner = chunks
 
     np_dtype = np.dtype(dtype)
@@ -1340,11 +1347,22 @@ def to_zarr(
             )
 
     vtype = dict(a.df.dtypes).get(VALUE_COL, "double")
-    np_dtype, v2_dtype, v3_dtype, fill2, fill3 = {
+    dtype_map = {
         "double": ("float64", "<f8", "float64", "NaN", "NaN"),
+        "float": ("float32", "<f4", "float32", "NaN", "NaN"),
         "bigint": ("int64", "<i8", "int64", 0, 0),
+        # narrower ints widen losslessly to an int64 store
+        "int": ("int64", "<i8", "int64", 0, 0),
+        "smallint": ("int64", "<i8", "int64", 0, 0),
+        "tinyint": ("int64", "<i8", "int64", 0, 0),
         "boolean": ("bool", "|b1", "bool", False, False),
-    }[vtype]
+    }
+    if vtype not in dtype_map:
+        raise NotImplementedError(
+            f"to_zarr cannot map value column type {vtype!r} to a zarr "
+            "dtype; cast the array (e.g. .astype('float64')) first"
+        )
+    np_dtype, v2_dtype, v3_dtype, fill2, fill3 = dtype_map[vtype]
 
     os.makedirs(url, exist_ok=True)
     if zarr_format == 2:
@@ -1419,15 +1437,25 @@ def to_zarr(
 
     def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         coords = tuple(int(pdf[c].iloc[0]) for c in bcols)
-        if np_dtype == "float64":
-            block = np.full(unit, np.nan)
+        if np_dtype in ("float64", "float32"):
+            block = np.full(unit, np.nan, dtype=np_dtype)
             vals = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
-        elif np_dtype == "int64":
-            block = np.zeros(unit, dtype="int64")
-            vals = pdf[VALUE_COL].to_numpy(dtype="int64")
         else:
-            block = np.zeros(unit, dtype="bool")
-            vals = pdf[VALUE_COL].to_numpy(dtype="bool")
+            # an int/bool store has NO NULL representation: silently
+            # writing INT64_MIN / False would corrupt data (round-9
+            # review catch) -- refuse loudly and name the chunk
+            if pdf[VALUE_COL].isna().any():
+                raise ValueError(
+                    f"zarr chunk {coords}: NULL cells in a {vtype!r} "
+                    "array cannot round-trip through an int/bool zarr "
+                    "store; cast to float64 first (NULL -> NaN)"
+                )
+            if np_dtype == "int64":
+                block = np.zeros(unit, dtype="int64")
+                vals = pdf[VALUE_COL].to_numpy(dtype="int64")
+            else:
+                block = np.zeros(unit, dtype="bool")
+                vals = pdf[VALUE_COL].to_numpy(dtype="bool")
         loc = tuple(
             pdf[f"i{k}"].to_numpy(dtype="int64") - coords[k] * unit[k]
             for k in range(ndim)

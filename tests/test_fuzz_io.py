@@ -848,3 +848,47 @@ def test_zarr_float16_stores(spark):
     b = from_zarr(spark, u3)
     assert_eq(b, xh.astype("float64"))
     assert np.isnan(R.sum(b, axis=None).compute())
+
+
+def test_zarr_write_null_and_dtype_edges(spark):
+    """Round-9 review catches: NULL cells in int/bool arrays refuse
+    loudly (an int store would corrupt them to INT64_MIN / False);
+    float32 and narrow-int value columns write valid stores instead of
+    KeyError; unknown types refuse with a named error."""
+    x = np.array([1.0, np.nan, -2.0, 3.0])
+    xi = from_numpy(spark, x).astype("long")  # NaN -> NULL bigint
+    with pytest.raises(Exception, match="NULL cells"):
+        to_zarr(xi, _mkdir(), chunks=(4,))
+    # (a comparison like `> 0` yields False for NaN per NumPy
+    # semantics -- a NULL boolean needs an explicit cast)
+    xb = from_numpy(spark, x).astype("boolean")
+    with pytest.raises(Exception, match="NULL cells"):
+        to_zarr(xb, _mkdir(), chunks=(4,))
+
+    # float32 value column -> <f4 store, round-trips (values are
+    # f4-exact by construction)
+    xf = np.array([1.5, -2.25, 8.0, 0.125])
+    af = from_numpy(spark, xf).astype("float")
+    for fmt in (2, 3):
+        uf = _mkdir()
+        to_zarr(af, uf, chunks=(3,), zarr_format=fmt)
+        assert_eq(from_zarr(spark, uf), xf)
+    # narrow int -> int64 store (lossless widening)
+    ai = from_numpy(spark, np.array([1, -2, 3, 4])).astype("int")
+    ui = _mkdir()
+    to_zarr(ai, ui, chunks=(2,))
+    bi = from_zarr(spark, ui)
+    assert dict(bi.df.dtypes)["v"] == "bigint"
+    assert_eq(bi, np.array([1, -2, 3, 4], dtype="int64"))
+
+    # malformed transpose order refuses at metadata time
+    u = _mkdir()
+    _hand_zarr3(np.arange(9.0).reshape(3, 3), u, (3, 3))
+    with open(os.path.join(u, "zarr.json")) as f:
+        meta = json.load(f)
+    meta["codecs"] = [{"name": "transpose",
+                       "configuration": {"order": [1, 1]}}] + meta["codecs"]
+    with open(os.path.join(u, "zarr.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="permutation"):
+        from_zarr(spark, u)
