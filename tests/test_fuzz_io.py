@@ -892,3 +892,68 @@ def test_zarr_write_null_and_dtype_edges(spark):
         json.dump(meta, f)
     with pytest.raises(ValueError, match="permutation"):
         from_zarr(spark, u)
+
+
+def test_zarr_v2_filters_delta_shuffle(spark):
+    """v2 numcodecs filters (round 9): delta (with astype) and shuffle
+    decode; combined delta->shuffle chains apply in reverse; unknown
+    filter ids refuse at metadata time.  Stores are hand-encoded with
+    independent NumPy code."""
+    # delta over int64, stored as int32
+    xi = np.array([100, 103, 101, 140, 141, 90], dtype="<i8")
+    enc = np.empty(6, dtype="<i4")
+    enc[0] = xi[0]
+    enc[1:] = np.diff(xi)
+    u = _mkdir()
+    _hand_zarr(
+        u,
+        {"zarr_format": 2, "shape": [6], "chunks": [6], "dtype": "<i8",
+         "compressor": None, "fill_value": 0, "order": "C",
+         "filters": [{"id": "delta", "dtype": "<i8", "astype": "<i4"}]},
+        {"0": enc.tobytes()},
+    )
+    a = from_zarr(spark, u)
+    assert dict(a.df.dtypes)["v"] == "bigint"
+    assert_eq(a, xi.astype("int64"))
+
+    # shuffle over float64 under zlib
+    xf = np.array([1.5, -2.25, 8.0, 0.125], dtype="<f8")
+    sh = xf.view("u1").reshape(4, 8).T.tobytes()  # byte-shuffled
+    u2 = _mkdir()
+    _hand_zarr(
+        u2,
+        {"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+         "compressor": {"id": "zlib", "level": 5}, "fill_value": None,
+         "order": "C",
+         "filters": [{"id": "shuffle", "elementsize": 8}]},
+        {"0": zlib.compress(sh, 5)},
+    )
+    assert_eq(from_zarr(spark, u2), xf)
+
+    # combined: delta THEN shuffle (decode order: unshuffle, undelta)
+    enc2 = np.empty(6, dtype="<i8")
+    enc2[0] = xi[0]
+    enc2[1:] = np.diff(xi)
+    sh2 = enc2.view("u1").reshape(6, 8).T.tobytes()
+    u3 = _mkdir()
+    _hand_zarr(
+        u3,
+        {"zarr_format": 2, "shape": [6], "chunks": [6], "dtype": "<i8",
+         "compressor": None, "fill_value": 0, "order": "C",
+         "filters": [{"id": "delta", "dtype": "<i8"},
+                     {"id": "shuffle", "elementsize": 8}]},
+        {"0": sh2},
+    )
+    assert_eq(from_zarr(spark, u3), xi.astype("int64"))
+
+    # unknown filter -> loud metadata-time refusal
+    u4 = _mkdir()
+    _hand_zarr(
+        u4,
+        {"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+         "compressor": None, "fill_value": None, "order": "C",
+         "filters": [{"id": "quantize", "digits": 3}]},
+        {"0": xf.tobytes()},
+    )
+    with pytest.raises(NotImplementedError, match="quantize"):
+        from_zarr(spark, u4)
