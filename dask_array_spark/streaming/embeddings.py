@@ -28,6 +28,7 @@ __all__ = [
     "codebook_row",
     "stream_pq_encode",
     "pq_codebook_row",
+    "stream_sq8_encode",
 ]
 
 
@@ -167,3 +168,17 @@ def stream_pq_encode(
         stream.crossJoin(F.broadcast(cb))
         .select("vec_id", codes.alias("codes"))
     )
+
+
+def stream_sq8_encode(spark: SparkSession, emb_path: str) -> DataFrame:
+    """(vec_id, scale, q, nrm) for every vector arriving on the
+    stream: the int8 index row (round 9 layout, norm stored), batch
+    ``sq8_encode`` semantics to the bit -- sq8 has NO model side at
+    all (per-vector scale), so the streaming form IS the batch
+    projection applied per micro-batch: stateless, join-free, no
+    watermark, no state store.  The cheapest index an ingestion
+    pipeline can land next to raw vectors (4x smaller, recall ~0.99
+    at the measured scales -- SCALE.md)."""
+    from ..functions.similarity import sq8_encode
+
+    return sq8_encode(_read_embeddings_stream(spark, emb_path))

@@ -92,3 +92,35 @@ def test_stream_pq_encode_plan_is_stateless(spark, emb_path):
         assert stateful not in plan, f"unexpected stateful op {stateful}"
     stream_side = plan.split("Join")[0]
     assert "Aggregate" not in stream_side
+
+
+def test_stream_sq8_encode_matches_batch(spark, emb_path):
+    """stream_sq8_encode (round 9): the int8 index rows (scale, codes,
+    stored norm) per micro-batch are bit-identical to batch
+    sq8_encode."""
+    from dask_array_spark.functions.similarity import sq8_encode
+    from dask_array_spark.streaming.embeddings import stream_sq8_encode
+
+    emb = spark.read.parquet(emb_path)
+    batch = {
+        r["vec_id"]: (r["scale"], list(r["q"]), r["nrm"])
+        for r in sq8_encode(emb).collect()
+    }
+    streamed = {
+        r["vec_id"]: (r["scale"], list(r["q"]), r["nrm"])
+        for r in _drain(stream_sq8_encode(spark, emb_path), "sq8_encode_s")
+    }
+    assert streamed == batch
+
+
+def test_stream_sq8_encode_plan_is_stateless(spark, emb_path):
+    """sq8 has no model side at all, so the streaming plan must be a
+    join-free stateless projection -- no join, no aggregate, no state
+    store anywhere."""
+    from dask_array_spark.streaming.embeddings import stream_sq8_encode
+
+    sdf = stream_sq8_encode(spark, emb_path)
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    for op in ("Deduplicate", "FlatMapGroupsWithState", "EventTimeWatermark",
+               "Join", "Aggregate"):
+        assert op not in plan, f"unexpected op {op}"
