@@ -45,6 +45,7 @@ __all__ = [
     "ivf_pq_topk",
     "sq8_encode",
     "sq8_topk",
+    "ivf_sq8_topk",
 ]
 
 
@@ -1238,6 +1239,7 @@ def sq8_topk(
     query_ids: list[int],
     k: int = 5,
     codes: DataFrame | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric cosine top-k over an int8-quantized corpus: raw
     query vectors against the dequantized (q * scale) corpus --
@@ -1254,7 +1256,13 @@ def sq8_topk(
     transform nor the norm fold runs per (vector, query) pair -- the
     shape that made the first bench cut slower than brute.  A ``codes``
     relation without the ``nrm`` column (pre-round-9 layout) gets it
-    derived in a projection."""
+    derived in a projection.
+
+    ``candidates`` restricts the scan per query: a (qid, vec_id)
+    relation -- e.g. IVF probe membership from ``ivf_sq8_topk`` --
+    and only those pairs are scored (the corpus joins the candidate
+    list on vec_id, then the broadcast query side on qid, so query
+    A's cells never pay for query B's)."""
     if codes is None:
         codes = sq8_encode(emb)
     if "nrm" not in codes.columns:
@@ -1270,8 +1278,14 @@ def sq8_topk(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    if candidates is None:
+        paired = corpus.crossJoin(F.broadcast(q))
+    else:
+        paired = corpus.join(
+            candidates.select("qid", "vec_id"), on="vec_id"
+        ).join(F.broadcast(q), on="qid")
     cos = (
-        corpus.crossJoin(F.broadcast(q))
+        paired
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
@@ -1293,3 +1307,41 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("qid", (F.col("rank") - 1).cast("long").alias("rank"), "vec_id", "cos")
     )
+
+
+def ivf_sq8_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 4,
+    n_probe: int = 2,
+    ivf_cents: DataFrame | None = None,
+    assign: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """The composed IVF x SQ8 serving path (the other standard FAISS
+    index family next to IVFADC, e.g. "IVF...,SQ8"): IVF probe
+    selection -> asymmetric int8 cosine over ONLY the probed cells'
+    codes.  Output (qid, rank, vec_id, cos), rank 0-based, self
+    excluded, ties to the smaller vec_id -- ``sq8_topk``'s contract
+    with candidate generation bolted on, sharing ``_probe_cells`` with
+    ivf_topk/ivf_pq_topk so the probe contract cannot drift.
+
+    ``assign`` / ``codes`` are the persisted index relations
+    (``ivf_assign`` + ``sq8_encode``, built once at ingest).  Scale
+    shape: probes broadcast; the candidate join keys the broadcast
+    probe list against the assignment index; the cosine scan reads the
+    probed fraction of the 4x-smaller (vec_id, scale, q, nrm)
+    relation.  Nothing corpus-sized is broadcast or collected."""
+    cents = _codebook(emb, n_cells, ivf_cents)
+    if assign is None:
+        assign = ivf_assign(emb, n_cells, cents)
+    q = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        _norm_col().alias("qnrm"),
+    )
+    cand = assign.join(
+        F.broadcast(_probe_cells(q, cents, n_probe)), on="cell"
+    ).select("qid", "vec_id")
+    return sq8_topk(emb, query_ids, k=k, codes=codes, candidates=cand)

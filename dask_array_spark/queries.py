@@ -4547,6 +4547,54 @@ _PQ_SQL = f"""
 """
 
 
+# the composed IVF x SQ8 serving path (suite kind 13, round 9): IVF
+# probe selection (stub codebook, n_probe=2) -> asymmetric int8
+# cosine over ONLY the probed cells' codes.  Replays
+# ivf_sq8_topk(k=5, n_cells=4, n_probe=2) bit-for-bit.
+_IVF_SQ8_SQL = f"""
+    WITH ex AS ({_EX_SQL}),
+    asg AS ({_IVF_ASSIGN_SQL}),
+    c AS (SELECT vec_id AS cell, pos, e AS ce FROM ex WHERE vec_id < 4),
+    cn AS (SELECT cell, sqrt(SUM(ce * ce)) AS cnrm FROM c GROUP BY 1),
+    q AS (SELECT vec_id AS qid, pos, e FROM ex WHERE vec_id IN (0, 1, 2)),
+    qn AS (SELECT qid, sqrt(SUM(e * e)) AS qnrm FROM q GROUP BY 1),
+    cd AS (SELECT q.qid, c.cell, SUM(q.e * c.ce) AS dot
+           FROM q JOIN c USING (pos) GROUP BY 1, 2),
+    probes AS (SELECT qid, cell FROM (
+        SELECT cd.qid, cd.cell,
+               row_number() OVER (PARTITION BY cd.qid
+                 ORDER BY round(cd.dot / (cn.cnrm * qn.qnrm), 6) DESC,
+                          cd.cell ASC) AS r
+        FROM cd JOIN cn USING (cell) JOIN qn USING (qid)) t WHERE r <= 2),
+    cand AS (SELECT p.qid, a.vec_id FROM asg a JOIN probes p ON a.cell = p.cell),
+    sc AS (SELECT vec_id,
+                  CASE WHEN MAX(abs(e)) = 0 THEN 1.0
+                       ELSE MAX(abs(e)) / 127 END AS scale
+           FROM ex GROUP BY 1),
+    dq AS (SELECT ex.vec_id, ex.pos, round(ex.e / sc.scale) AS cc,
+                  round(ex.e / sc.scale) * sc.scale AS d
+           FROM ex JOIN sc USING (vec_id)),
+    vn AS (SELECT vec_id, sqrt(SUM(d * d)) AS nrm FROM dq GROUP BY 1),
+    dots AS (SELECT q.qid, dq.vec_id, SUM(dq.cc * q.e) AS dot
+             FROM dq
+             JOIN q USING (pos)
+             JOIN cand ON cand.qid = q.qid AND cand.vec_id = dq.vec_id
+             WHERE dq.vec_id <> q.qid
+             GROUP BY 1, 2),
+    cosr AS (SELECT dots.qid, dots.vec_id,
+                    round((sc.scale * dots.dot) / (vn.nrm * qn.qnrm), 6)
+                      + 0.0 AS cos
+             FROM dots JOIN vn USING (vec_id) JOIN qn USING (qid)
+             JOIN sc ON sc.vec_id = dots.vec_id
+             WHERE vn.nrm * qn.qnrm <> 0)
+    SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, cos
+    FROM (SELECT qid, vec_id, cos, row_number() OVER (
+            PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+          FROM cosr) t
+    WHERE rnk <= 5
+"""
+
+
 # the composed IVFADC+R serving path, end-to-end (suite kind 12):
 # IVF probe selection (stub codebook = first 4 vectors, n_probe=2) ->
 # ADC restricted to the probed cells' members -> exact re-rank of the
@@ -4677,6 +4725,9 @@ _SQ8_SQL = f"""
     UNION ALL
     SELECT CAST(12 AS BIGINT), qid, vec_id, rank, dist
     FROM ({_IVF_PQ_SQL}) ivfpq
+    UNION ALL
+    SELECT CAST(13 AS BIGINT), qid, vec_id, rank, cos
+    FROM ({_IVF_SQ8_SQL}) ivfsq8
     """,
 )
 def q_similarity_suite(spark, sf):
@@ -4700,7 +4751,10 @@ def q_similarity_suite(spark, sf):
     lookup-table sum as explicit CTEs, plus int8 scalar quantization
     (the codebook-free compression tier every vector store serves):
     asymmetric cosine top-k of raw queries against the dequantized
-    int8 corpus (10) and the per-vector quantization error (11) --
+    int8 corpus (10) and the per-vector quantization error (11),
+    and (round 9) the two composed SERVING paths end-to-end: IVFADC+R
+    (12: probe -> ADC over the probed cells -> exact rerank) and
+    IVF x SQ8 (13: probe -> int8 cosine over the probed cells) --
     all with inline F.aggregate
     norms, no corpus-sized broadcast (the round-2 scale fix;
     plan-asserted in tests/test_plans.py)."""
@@ -4787,11 +4841,21 @@ def q_similarity_suite(spark, sf):
         k(12), F.col("qid").alias("a"), F.col("vec_id").alias("b"),
         "rank", F.col("dist").alias("cos"),
     )
+    # kind 13: the composed IVF x SQ8 serving path (the other standard
+    # FAISS index family) -- probe the stub IVF codebook, asymmetric
+    # int8 cosine over only the probed cells' codes
+    sq13 = SIM.ivf_sq8_topk(
+        embs, [0, 1, 2], k=5, n_cells=4, n_probe=2, codes=sq,
+    ).select(
+        k(13), F.col("qid").alias("a"), F.col("vec_id").alias("b"),
+        "rank", "cos",
+    )
     return (
         bf.unionByName(iv).unionByName(pr).unionByName(sd)
         .unionByName(km).unionByName(sdt).unionByName(rc)
         .unionByName(pq7).unionByName(pq8).unionByName(pq9)
         .unionByName(sq10).unionByName(sq11).unionByName(pq12)
+        .unionByName(sq13)
     )
 
 

@@ -441,3 +441,41 @@ def test_pq_topk_validates_params(spark):
         SIM.pq_topk(emb, [0], cents, dim=8, m=4, k=2, rerank=0)
     with pytest.raises(ValueError, match="k must"):
         SIM.pq_topk(emb, [0], cents, dim=8, m=4, k=0)
+
+
+def test_ivf_sq8_topk_matches_manual_composition(spark):
+    """ivf_sq8_topk (round 9, the IVF x SQ8 serving composition) must
+    equal per-query sq8_topk over the probed cells' candidates."""
+    from pyspark.sql import functions as F
+
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(41)
+    X = rng.integers(-8, 9, size=(30, 8)).astype("float64") / 4.0
+    emb = _emb_df(spark, X)
+    qids = [0, 5, 9]
+
+    ivf_cents = SIM.kmeans_fit(emb, k=3, iters=1)
+    assign = SIM.ivf_assign(emb, n_cells=3, cents=ivf_cents)
+    codes = SIM.sq8_encode(emb)
+
+    got = sorted(
+        map(
+            tuple,
+            SIM.ivf_sq8_topk(
+                emb, qids, k=3, n_cells=3, n_probe=1,
+                ivf_cents=ivf_cents, assign=assign, codes=codes,
+            ).collect(),
+        )
+    )
+    want = []
+    for q in qids:
+        cell = assign.filter(F.col("vec_id") == q).collect()[0]["cell"]
+        cand_ids = [
+            r["vec_id"] for r in assign.filter(F.col("cell") == cell).collect()
+        ]
+        sub = codes.filter(F.col("vec_id").isin(cand_ids))
+        want.extend(
+            map(tuple, SIM.sq8_topk(emb, [q], k=3, codes=sub).collect())
+        )
+    assert got == sorted(want) and got
