@@ -116,6 +116,13 @@ def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
                 "cos"
             ),
         )
+        # a zero-norm side has no defined cosine.  Spark (ANSI off)
+        # evaluates x / 0.0 as NULL -- NOT NaN -- and isnan(NULL) is
+        # false, so the NULL guard is the one that excludes zero-norm
+        # rows; the isnan guard covers NaN payloads in the embeddings
+        # themselves (NaN sorts LARGEST under desc, so an unguarded NaN
+        # would rank first).  test_zero_norm.py pins both semantics.
+        .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -369,6 +376,10 @@ def ivf_topk(
                 "cos"
             ),
         )
+        # zero-norm exclusion: x / 0.0 is NULL under ANSI-off Spark (see
+        # cosine_topk) -- probed candidate pools are SMALL, so without
+        # this guard a zero-norm vector lands inside top-k with cos NULL
+        .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
@@ -1054,7 +1065,9 @@ def pq_topk(
     if rerank == "auto":
         n = emb.select("vec_id").count()
         rerank = max(8, min(256, -(-n // 600)))
-    if rerank is not None and (not isinstance(rerank, int) or rerank < 1):
+    if rerank is not None and (
+        not isinstance(rerank, int) or isinstance(rerank, bool) or rerank < 1
+    ):
         raise ValueError(
             f"rerank must be >= 1, 'auto', or None for pure ADC, got {rerank!r}"
         )
@@ -1297,9 +1310,14 @@ def sq8_topk(
                 + F.lit(0.0)
             ).alias("cos"),
         )
-        # a zero-norm side has no defined cosine; exclude it instead of
-        # letting Spark's NaN-sorts-largest rank it first
-        .filter(~F.isnan("cos"))
+        # a zero-norm side has no defined cosine.  Spark (ANSI off)
+        # evaluates x / 0.0 as NULL -- NOT NaN -- and isnan(NULL) is
+        # false, so the isNotNull guard is the one that excludes
+        # zero-norm rows (the round-9 bug: the bare isnan filter was a
+        # no-op and a zero-norm vector ranked into ivf_sq8_topk's top-k
+        # with cos NULL); isnan still covers NaN embedding payloads,
+        # which DO sort largest under desc.  Pinned in test_zero_norm.py.
+        .filter(F.col("cos").isNotNull() & ~F.isnan("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (

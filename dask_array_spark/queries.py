@@ -2249,7 +2249,8 @@ _EX_SQL = """
             FROM dots d
             JOIN norms n1 ON n1.vec_id = d.vec_id
             JOIN norms n2 ON n2.vec_id = d.qid
-            WHERE d.vec_id != d.qid)
+            WHERE d.vec_id != d.qid
+              AND n1.nrm * n2.nrm <> 0)
     SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, c AS cos
     FROM (SELECT qid, vec_id, c,
                  row_number() OVER (PARTITION BY qid
@@ -2555,7 +2556,8 @@ def q_ivf_assign(spark, sf):
                    round(d.dot / (vn.nrm * qn.qnrm), 6) + 0.0 AS cs
             FROM dots d JOIN vn ON vn.vec_id = d.vec_id
             JOIN qn ON qn.qid = d.qid
-            WHERE d.vec_id != d.qid)
+            WHERE d.vec_id != d.qid
+              AND vn.nrm * qn.qnrm <> 0)
     SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, cs AS cos
     FROM (SELECT qid, vec_id, cs,
                  row_number() OVER (PARTITION BY qid
@@ -4346,7 +4348,8 @@ _IVF_TOPK_SQL = f"""
                    round(d.dot / (vn.nrm * qn.qnrm), 6) + 0.0 AS cs
             FROM dots d JOIN vn ON vn.vec_id = d.vec_id
             JOIN qn ON qn.qid = d.qid
-            WHERE d.vec_id != d.qid)
+            WHERE d.vec_id != d.qid
+              AND vn.nrm * qn.qnrm <> 0)
     SELECT qid, CAST(rnk - 1 AS BIGINT) AS rank, vec_id, cs AS cos
     FROM (SELECT qid, vec_id, cs,
                  row_number() OVER (PARTITION BY qid
