@@ -498,12 +498,19 @@ class Array:
             out = np.full(shape, np.nan, dtype="float64" if kind == "double" else "float32")
         elif kind == "boolean":
             out = np.zeros(shape, dtype=bool)
+        elif kind.startswith("struct"):
+            # complex cells (STRUCT<re,im>): absent cells -> NaN+NaNj
+            out = np.full(shape, complex(np.nan, np.nan), dtype="complex128")
         else:
             out = np.zeros(shape, dtype="int64")
         if len(pdf):
             idx = tuple(pdf[c].to_numpy(dtype="int64") for c in icols)
             vals = pdf[VALUE_COL].to_numpy()
-            if out.dtype.kind == "f":
+            if out.dtype.kind == "c":
+                from ..sources.ingest import _struct_col_to_complex
+
+                vals = _struct_col_to_complex(pdf[VALUE_COL])
+            elif out.dtype.kind == "f":
                 vals = np.asarray(vals, dtype=out.dtype)
             else:
                 mask = np.array([x is not None for x in vals])

