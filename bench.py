@@ -32,7 +32,13 @@ Round 8 adds (round-7 verdict asks 1-3):
   comparable when the machine has been idle for several minutes
   (loadavg < ~1) -- a run 1-3 minutes after a full pytest sweep
   over-reports latency-floor slots 10-40% even though loadavg looks
-  low, which round 8 briefly misread as fixed-cost creep;
+  low, which round 8 briefly misread as fixed-cost creep.  Round 10
+  ENFORCES this: ``_wait_for_quiet`` polls until the 1-min loadavg
+  drops below SPARK_GRAFT_BENCH_QUIET_LOAD (default 2.0, bounded by
+  _QUIET_MAX=600 s, plus a _QUIET_HOLD=60 s decay period when a wait
+  was needed) before the session even starts, and records
+  ``quiet_wait_sec``/``quiet_wait_timeout`` in the JSON -- driver
+  rows are quiet by construction, not by operator discipline;
 - ``--sf1``: the per-round SCALING ritual -- re-times the 4 heavy
   slots at sf0.1 vs the density-preserving sf1 derivation
   (make_scale_data.py) in one session, times the IVF-vs-brute-force
@@ -190,9 +196,49 @@ def _run_slots(spark, sf_dir, slots, runs, extra, settle):
     return results, spreads, reps
 
 
+def _wait_for_quiet() -> dict:
+    """Enforce the settle protocol BY CONSTRUCTION (round-9 verdict
+    "What's wrong #3": the driver benched at loadavg 8.67/32 in the
+    very round whose forensics proved that contamination manufactures
+    phantom drift).  Poll the 1-minute loadavg until it falls below a
+    threshold, bounded; record how long the wait took so the artifact
+    itself shows whether the numbers are quiet or were recorded after
+    a timeout.  Knobs: SPARK_GRAFT_BENCH_QUIET_LOAD (threshold,
+    default 2.0 -- the round-9 judge's quiet runs started near 1),
+    SPARK_GRAFT_BENCH_QUIET_MAX (max wait seconds, default 600),
+    SPARK_GRAFT_BENCH_QUIET_HOLD (extra idle seconds AFTER the load
+    drops, default 60 when a wait was needed -- the round-9 forensics
+    found runs 1-3 min post-pytest over-report 10-40% even at LOW
+    loadavg, so crossing the threshold alone is not settled).  Set
+    SPARK_GRAFT_BENCH_QUIET_MAX=0 to skip (iteration runs)."""
+    thresh = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_LOAD", "2.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_MAX", "600"))
+    hold = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_HOLD", "60"))
+    t0 = time.monotonic()
+    waited_for_load = False
+    timeout = False
+    while os.getloadavg()[0] > thresh:
+        waited_for_load = True
+        if time.monotonic() - t0 >= max_wait:
+            timeout = True
+            break
+        time.sleep(10)
+    if waited_for_load and not timeout:
+        # the machine JUST went quiet: hold so caches/cgroup pressure
+        # decay too (bounded by the same overall budget)
+        remaining = max_wait - (time.monotonic() - t0)
+        time.sleep(max(0.0, min(hold, remaining)))
+    return {
+        "quiet_wait_sec": round(time.monotonic() - t0, 1),
+        "quiet_wait_timeout": timeout,
+        "quiet_threshold": thresh,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    quiet = _wait_for_quiet()
     spark = _bench_session()
 
     # steady-state methodology: three timed executions per query, keep
@@ -242,6 +288,11 @@ def main() -> None:
                 # and 7 drivers recorded at loadavg 6-9/32 and
                 # over-reported every slot 10-55% in lockstep)
                 "load_contaminated": load_start[0] > ncpus / 4,
+                # settle-protocol enforcement record (round 10): how
+                # long the pre-bench wait-for-idle took, and whether
+                # it gave up -- a quiet row is now quiet by
+                # construction, not by operator discipline
+                **quiet,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -470,6 +521,7 @@ def sf1_main() -> None:
         make_scale_data.main(copies=10, out="sf1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     settle = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE", "0.5"))
+    quiet = _wait_for_quiet()
     load_start = os.getloadavg()
     spark = _bench_session()
     slots = [(n, f) for n, f in _headline() if n in SF1_SLOTS]
@@ -524,6 +576,7 @@ def sf1_main() -> None:
                 "loadavg_end": [round(x, 2) for x in load_end],
                 "ncpus": ncpus,
                 "load_contaminated": load_start[0] > ncpus / 4,
+                **quiet,
             }
         )
     )
