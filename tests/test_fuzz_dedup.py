@@ -197,3 +197,76 @@ def test_cache_lifecycle_and_persist_flag(spark):
     spans_u = sorted(map(tuple, D.duplicated_spans(df, k=4, persist=False).collect()))
     assert spans_u == spans_c
     assert D.release_caches() == 0
+
+def test_cache_tracking_per_session_and_locked(spark):
+    """Round-9 ADVICE: caches are keyed per SparkSession -- releasing
+    with an unrelated session handle touches nothing, releasing with
+    the owning session drains exactly its entries -- and concurrent
+    track/release from threads must not corrupt the registry."""
+    import threading
+
+    from dask_array_spark.functions import dedup as D
+
+    texts = [f"one two three four five six doc{i % 2}" for i in range(8)]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    sigs = D.minhash_signatures(D.shingle_hashes(df), 8)
+    D.lsh_candidate_pairs(sigs).collect()
+
+    class _NotASession:  # unrelated handle: different id()
+        pass
+
+    assert D.release_caches(spark=_NotASession()) == 0  # wrong session: no-op
+    assert D.release_caches(spark=spark) >= 1  # owning session drains
+    assert D.release_caches() == 0
+
+    # concurrent tracking: N threads persist through the tracker, the
+    # registry must hold every entry afterwards (the unsynchronized
+    # list was the ADVICE concern)
+    base = spark.range(10)
+    errs = []
+
+    def _work():
+        try:
+            for _ in range(10):
+                D._track_persist(base.selectExpr("id * 2 AS x"))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=_work) for _ in range(8)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert D.release_caches(spark=spark) == 80
+
+
+def test_crc32c_strict_modes(monkeypatch):
+    """Round-9 ADVICE: above the pure-Python verify cap the policy is
+    explicit -- default warns, 'verify' checks anyway (and still
+    catches corruption), 'raise' refuses unverified reads."""
+    import warnings
+
+    import pytest
+
+    from dask_array_spark.sources import ingest as I
+
+    if I._crc32c_lib() is not None:  # pragma: no cover
+        pytest.skip("C crc32c installed: every size verifies, no fallback path")
+
+    body = b"\xab" * 64
+    good = I._crc32c(body)
+    monkeypatch.setattr(I, "_CRC32C_VERIFY_CAP", 16)  # force the over-cap path
+
+    monkeypatch.delenv("SPARK_GRAFT_CRC32C_STRICT", raising=False)
+    with pytest.warns(RuntimeWarning, match="UNVERIFIED"):
+        I._crc32c_check(body, good + 1, "test chunk")  # skipped: bad crc passes
+
+    monkeypatch.setenv("SPARK_GRAFT_CRC32C_STRICT", "verify")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no warning in verify mode
+        I._crc32c_check(body, good, "test chunk")
+    with pytest.raises(ValueError, match="crc32c mismatch"):
+        I._crc32c_check(body, good + 1, "test chunk")
+
+    monkeypatch.setenv("SPARK_GRAFT_CRC32C_STRICT", "raise")
+    with pytest.raises(RuntimeError, match="forbids unverified"):
+        I._crc32c_check(body, good, "test chunk")
