@@ -289,7 +289,16 @@ def pad_constant(a: Array, pad_width: Sequence[tuple[int, int]], value=0.0) -> A
         b = pad_width[k][0]
         c = (F.col(f"i{k}") >= b) & (F.col(f"i{k}") < b + a.shape[k])
         inside = c if inside is None else (inside & c)
-    border = full.filter(~inside).withColumn(VALUE_COL, F.lit(value).cast("double"))
+    # the padded array keeps the INPUT dtype (np.pad semantics): an
+    # int/bool array casts the constant into its dtype (7.5 -> 7,
+    # truncation toward zero -- Spark's double->long cast matches
+    # numpy's astype) instead of silently widening the whole array to
+    # double through the union (round-10 cross-family fuzz catch)
+    vtype = dict(a.df.dtypes).get(VALUE_COL, "double")
+    cast_to = vtype if vtype in ("bigint", "boolean", "double", "float") else "double"
+    border = full.filter(~inside).withColumn(
+        VALUE_COL, F.lit(value).cast(cast_to)
+    )
     return Array(interior.unionByName(border), tuple(shape))
 
 
@@ -348,7 +357,16 @@ def _pad_axis(a: Array, axis: int, before: int, after: int, mode: str) -> Array:
     if mode in ("mean", "minimum", "maximum"):
         aggf = {"mean": F.avg, "minimum": F.min, "maximum": F.max}[mode]
         others = [f"i{k}" for k in range(a.ndim) if k != axis]
-        stat = a.df.groupBy(*others).agg(aggf(F.col(VALUE_COL)).alias(VALUE_COL))
+        stat_col = aggf(F.col(VALUE_COL))
+        if mode == "mean" and dict(a.df.dtypes).get(VALUE_COL) in (
+            "bigint", "int", "smallint", "tinyint"
+        ):
+            # np.pad rounds the mean HALF-EVEN back into an integer
+            # array's dtype (numpy pad _round_if_needed); without this
+            # the double avg would also silently widen the whole array
+            # through the union (round-10 cross-family fuzz catch)
+            stat_col = F.bround(stat_col, 0).cast("long")
+        stat = a.df.groupBy(*others).agg(stat_col.alias(VALUE_COL))
         for lo, cnt in ((0, before), (before + n, after)):
             if cnt == 0:
                 continue

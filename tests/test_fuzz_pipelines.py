@@ -1,0 +1,289 @@
+"""Cross-family composition fuzz (round-10 verdict ask 6): seeded
+random operator CHAINS spanning creation -> pad -> slicing ->
+manipulation -> elemwise -> windows -> linalg -> reduction, asserted
+against NumPy running the same chain.
+
+The 19 per-family differential suites verify each operator in
+isolation; the round-9 bug class (kind 13: ``sq8_topk`` composed with
+``ivf_assign`` -- two individually-green components, wrong
+composition) is exactly what they cannot catch.  Here every chain
+crosses at least four families before the compare, over both value
+encodings (float-with-NULL-NaN and int64) and both 1-D and 2-D
+layouts, with chains ending either in a full-array compare or a
+reduction scalar.
+
+Chains are generated from a per-index seeded RNG (no hypothesis
+shrinking overhead -- a failure names its chain seed directly, and
+`SPARK_GRAFT_CHAIN=<seed>` in the env replays exactly one chain).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from dask_array_spark.core.array import Array
+from dask_array_spark.operators import (
+    linalg,
+    manipulation as M,
+    reductions as R,
+    slicing as S,
+    windows as W,
+)
+from dask_array_spark.sources import from_numpy
+
+RTOL = 1e-9
+
+# ------------------------------------------------------------ op pool
+# Each op: (family, guard(shape, has_nan) -> bool,
+#           build(rng, shape) -> (spark_fn, np_fn, out_shape_fn))
+
+
+def _rand_slices(rng, shape):
+    out = []
+    for n in shape:
+        if n <= 1:
+            out.append(slice(None))
+            continue
+        lo = int(rng.integers(0, n - 1))
+        hi = int(rng.integers(lo + 1, n + 1))
+        step = int(rng.choice([1, 1, 2]))
+        out.append(slice(lo, hi, step))
+    return tuple(out)
+
+
+def _sliced_len(sl: slice, n: int) -> int:
+    return len(range(*sl.indices(n)))
+
+
+def _op_pad(rng, shape, has_nan):
+    # stats modes aggregate over cells: with NaN present the engine's
+    # NULL encoding (agg skips) and NumPy (NaN poisons) legitimately
+    # differ, so stats modes only run on clean chains
+    modes = ["constant", "edge", "wrap", "symmetric"]
+    if not has_nan:
+        modes += ["mean", "minimum", "maximum"]
+    if all(n >= 2 for n in shape):
+        modes.append("reflect")
+    mode = str(rng.choice(modes))
+    pw = [(int(rng.integers(0, 3)), int(rng.integers(0, 3))) for _ in shape]
+    if mode in ("reflect", "symmetric", "wrap", "edge"):
+        pw = [((b, a) if n >= 2 else (0, 0)) for (b, a), n in zip(pw, shape)]
+    if mode == "reflect":
+        # the engine gates reflect at single-reflection width (<= n-1)
+        pw = [(min(b, n - 1), min(a, n - 1)) for (b, a), n in zip(pw, shape)]
+    kw = {"constant_values": 7.5} if mode == "constant" else {}
+    npkw = dict(kw) if mode == "constant" else {}
+
+    def sp(a):
+        return M.pad(a, pw, mode=mode, **kw)
+
+    def npf(x):
+        return np.pad(x, pw, mode=mode, **npkw)
+
+    return sp, npf
+
+
+def _op_slice(rng, shape, has_nan):
+    sls = _rand_slices(rng, shape)
+    return (lambda a: a[sls]), (lambda x: x[sls])
+
+
+def _op_take(rng, shape, has_nan):
+    ax = int(rng.integers(0, len(shape)))
+    k = int(rng.integers(1, shape[ax] + 2))
+    idx = [int(rng.integers(0, shape[ax])) for _ in range(k)]
+    return (lambda a: S.take(a, idx, axis=ax)), (
+        lambda x: np.take(x, idx, axis=ax)
+    )
+
+
+def _op_transpose(rng, shape, has_nan):
+    return (lambda a: M.transpose(a)), (lambda x: x.T)
+
+
+def _op_flip(rng, shape, has_nan):
+    ax = int(rng.integers(0, len(shape)))
+    return (lambda a: M.flip(a, axis=ax)), (lambda x: np.flip(x, axis=ax))
+
+
+def _op_roll(rng, shape, has_nan):
+    ax = int(rng.integers(0, len(shape)))
+    sh = int(rng.integers(-3, 4))
+    return (lambda a: M.roll(a, sh, axis=ax)), (
+        lambda x: np.roll(x, sh, axis=ax)
+    )
+
+
+def _op_reshape(rng, shape, has_nan):
+    n = int(np.prod(shape))
+    divs = [d for d in range(1, n + 1) if n % d == 0]
+    r = int(rng.choice(divs))
+    new = (r, n // r) if rng.integers(0, 2) else (n,)
+    return (lambda a: M.reshape(a, new)), (lambda x: x.reshape(new))
+
+
+def _op_tile(rng, shape, has_nan):
+    reps = int(rng.integers(2, 4))
+    ax = int(rng.integers(0, len(shape)))
+    return (lambda a: M.tile(a, reps, axis=ax)), (
+        lambda x: np.concatenate([x] * reps, axis=ax)
+    )
+
+
+def _op_elemwise(rng, shape, has_nan):
+    which = int(rng.integers(0, 5))
+    fns = [
+        (lambda a: a * 2.0 + 1.0, lambda x: x * 2.0 + 1.0),
+        (lambda a: abs(a), lambda x: np.abs(x)),
+        (lambda a: -a + 0.25, lambda x: -x + 0.25),
+        (lambda a: a * a, lambda x: x * x),
+        (lambda a: a - a * 0.5, lambda x: x - x * 0.5),
+    ]
+    return fns[which]
+
+
+def _op_cumsum(rng, shape, has_nan):
+    ax = int(rng.integers(0, len(shape)))
+    return (lambda a: W.cumsum(a, axis=ax)), (
+        lambda x: np.cumsum(x, axis=ax)
+    )
+
+
+def _op_diff(rng, shape, has_nan):
+    axes = [k for k, n in enumerate(shape) if n >= 2]
+    ax = int(rng.choice(axes))
+    return (lambda a: W.diff(a, axis=ax)), (lambda x: np.diff(x, axis=ax))
+
+
+OPS = [
+    ("pad", lambda s, nan: True, _op_pad),
+    ("slice", lambda s, nan: any(n >= 2 for n in s), _op_slice),
+    ("take", lambda s, nan: True, _op_take),
+    ("transpose", lambda s, nan: len(s) == 2, _op_transpose),
+    ("flip", lambda s, nan: True, _op_flip),
+    ("roll", lambda s, nan: True, _op_roll),
+    ("reshape", lambda s, nan: np.prod(s) <= 64, _op_reshape),
+    ("tile", lambda s, nan: np.prod(s) <= 40, _op_tile),
+    ("elemwise", lambda s, nan: True, _op_elemwise),
+    ("cumsum", lambda s, nan: True, _op_cumsum),
+    ("diff", lambda s, nan: any(n >= 2 for n in s), _op_diff),
+]
+
+FAMILY = {
+    "pad": "pad", "slice": "slicing", "take": "slicing",
+    "transpose": "manip", "flip": "manip", "roll": "manip",
+    "reshape": "manip", "tile": "manip", "elemwise": "elemwise",
+    "cumsum": "windows", "diff": "windows",
+}
+
+
+def _terminal(rng, x, arr, has_nan):
+    """Chain terminal: reduction scalar, matmul gram, or identity
+    (full-array compare handled by the caller)."""
+    pick = int(rng.integers(0, 6))
+    if pick == 0:
+        return R.sum(arr, axis=None).compute(), np.asarray(x, dtype="float64").sum()
+    if pick == 1:
+        return (
+            R.nansum(arr, axis=None).compute(),
+            np.nansum(np.asarray(x, dtype="float64")),
+        )
+    if pick == 2 and not has_nan:
+        return R.mean(arr, axis=None).compute(), np.asarray(x, "float64").mean()
+    if pick == 3 and not has_nan and len(x.shape) == 2 and x.size <= 64:
+        g = linalg.matmul(arr, M.transpose(arr)).compute()
+        return g, np.asarray(x, "float64") @ np.asarray(x, "float64").T
+    if pick == 4:
+        return R.nanmax(arr, axis=None).compute(), (
+            np.nan if np.isnan(x).all() else np.nanmax(np.asarray(x, "float64"))
+        )
+    return None
+
+
+def _run_chain(spark, seed: int) -> list[str]:
+    rng = np.random.default_rng(seed)
+    ndim = int(rng.integers(1, 3))
+    shape = tuple(int(rng.integers(2, 7)) for _ in range(ndim))
+    as_int = bool(rng.integers(0, 4) == 0)
+    if as_int:
+        x = rng.integers(-9, 10, size=shape).astype("int64")
+        has_nan = False
+    else:
+        x = np.round(rng.normal(size=shape) * 4, 3)
+        has_nan = bool(rng.integers(0, 2))
+        if has_nan:
+            m = rng.random(shape) < 0.25
+            x = np.where(m, np.nan, x)
+    arr = from_numpy(spark, x)
+    applied = [f"input{shape}{'i' if as_int else ('fN' if has_nan else 'f')}"]
+
+    n_ops = int(rng.integers(4, 7))
+    families = set()
+    for _ in range(n_ops):
+        cand = [
+            (name, build) for name, guard, build in OPS if guard(x.shape, has_nan)
+        ]
+        # prefer an unvisited family while under four
+        fresh = [c for c in cand if FAMILY[c[0]] not in families]
+        pool = fresh if (len(families) < 4 and fresh) else cand
+        name, build = pool[int(rng.integers(0, len(pool)))]
+        sp, npf = build(rng, x.shape, has_nan)
+        x2 = npf(np.asarray(x, dtype="float64") if not as_int else x)
+        if x2.size == 0 or x2.size > 900:
+            continue  # skip degenerate/explosive steps, keep the chain
+        x = x2
+        arr = sp(arr)
+        if as_int and x.dtype.kind == "f":
+            as_int = False
+        applied.append(name)
+        families.add(FAMILY[name])
+
+    term = _terminal(rng, x, arr, has_nan or bool(np.isnan(x).any()))
+    if term is not None:
+        got, want = term
+        applied.append("reduce")
+        np.testing.assert_allclose(
+            np.asarray(got, dtype="float64"),
+            np.asarray(want, dtype="float64"),
+            rtol=RTOL, atol=1e-9, equal_nan=True,
+            err_msg=f"chain seed={seed}: {'->'.join(applied)}",
+        )
+    else:
+        got = arr.compute()
+        want = np.asarray(x, dtype="float64")
+        assert got.shape == want.shape, (
+            f"chain seed={seed}: {'->'.join(applied)}: "
+            f"shape {got.shape} != {want.shape}"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, dtype="float64"), want,
+            rtol=RTOL, atol=1e-9, equal_nan=True,
+            err_msg=f"chain seed={seed}: {'->'.join(applied)}",
+        )
+    return applied
+
+
+CHAINS_PER_BATCH = 20
+N_BATCHES = 10  # 200 chains total
+
+
+@pytest.mark.parametrize("batch", range(N_BATCHES))
+def test_fuzz_cross_family_chains(spark, batch):
+    replay = os.environ.get("SPARK_GRAFT_CHAIN")
+    if replay:
+        if batch:
+            pytest.skip("single-chain replay")
+        _run_chain(spark, int(replay))
+        return
+    four_plus = 0
+    for i in range(CHAINS_PER_BATCH):
+        seed = batch * CHAINS_PER_BATCH + i + 1
+        applied = _run_chain(spark, seed)
+        if len({FAMILY.get(n) for n in applied if n in FAMILY}) >= 4:
+            four_plus += 1
+    # the generator must actually produce cross-family chains, not
+    # degenerate single-family ones
+    assert four_plus >= CHAINS_PER_BATCH // 2
