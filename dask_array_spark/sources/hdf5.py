@@ -315,7 +315,11 @@ class _Reader:
         cls, ver = cls_ver & 0x0F, cls_ver >> 4
         bits = body[1:4]
         (size,) = struct.unpack_from("<I", body, 4)
-        if bits[0] & 0x01:
+        # the byte-order flag is an ATOMIC-class bit; in a compound
+        # message bits 0-15 hold the member count, so the check only
+        # applies to int/float (compound members get their own check
+        # inside _parse_compound_complex)
+        if cls in (0, 1) and bits[0] & 0x01:
             raise NotImplementedError("big-endian datatypes not supported")
         if cls == 0:  # fixed point
             signed = bool(bits[0] & 0x08)
@@ -324,7 +328,70 @@ class _Reader:
             if size not in (4, 8):
                 raise NotImplementedError(f"float size {size}")
             return np.dtype(f"<f{size}")
-        raise NotImplementedError(f"datatype class {cls} (only int/float)")
+        if cls == 6:  # compound: ONLY the h5py complex convention
+            return self._parse_compound_complex(body, ver, bits, size)
+        raise NotImplementedError(
+            f"datatype class {cls} (only int/float/compound-complex)"
+        )
+
+    def _parse_compound_complex(self, body: bytes, ver: int, bits, size: int):
+        """Compound datatype (class 6) versions 1-3, accepted ONLY in
+        the two-float complex shape h5py writes for complex64/128
+        (members named r/i -- also re/im and real/imag -- at offsets
+        0 and size/2).  Any other compound refuses loudly: generic
+        record types have no cells-model encoding."""
+        nm = bits[0] | (bits[1] << 8)
+        pos = 8
+        members = []
+        for _ in range(nm):
+            end = body.index(b"\x00", pos)
+            name = body[pos:end].decode("ascii", "replace")
+            if ver in (1, 2):
+                pos += ((end - pos) // 8 + 1) * 8  # name padded to 8
+            else:
+                pos = end + 1  # v3: bare null-terminated name
+            if ver in (1, 2):
+                (moff,) = struct.unpack_from("<I", body, pos)
+                pos += 4
+            else:
+                nb = max(1, (max(size - 1, 1).bit_length() + 7) // 8)
+                moff = int.from_bytes(body[pos:pos + nb], "little")
+                pos += nb
+            if ver == 1:
+                pos += 28  # dimensionality+reserved+perm+reserved+4 dims
+            mcls = body[pos] & 0x0F
+            if body[pos + 1] & 0x01:
+                raise NotImplementedError(
+                    "big-endian compound members not supported"
+                )
+            (msize,) = struct.unpack_from("<I", body, pos + 4)
+            members.append((name, moff, mcls, msize))
+            # advance past the nested datatype message (header 8 +
+            # class-specific property block)
+            if mcls == 1:
+                pos += 8 + 12
+            elif mcls == 0:
+                pos += 8 + 4
+            else:
+                raise NotImplementedError(
+                    f"compound member class {mcls} (only int/float members)"
+                )
+        names = tuple(sorted(n.lower() for n, _, _, _ in members))
+        half = size // 2
+        ok = (
+            len(members) == 2
+            and names in (("i", "r"), ("im", "re"), ("imag", "real"))
+            and all(mc == 1 and ms == half for _, _, mc, ms in members)
+            and sorted(mo for _, mo, _, _ in members) == [0, half]
+            and half in (4, 8)
+        )
+        if not ok:
+            raise NotImplementedError(
+                "compound datatype is not the two-float complex "
+                f"convention (members {[m[0] for m in members]!r}); "
+                "generic compounds have no cells-model encoding"
+            )
+        return np.dtype(f"<c{size}")
 
     def _parse_fill(self, body: bytes):
         ver = body[0]
@@ -721,6 +788,23 @@ def _read_chunked(spark, path, table, shape, chunks, dtype, filters) -> Array:
 # ---------------------------------------------------------------------------
 
 
+def _dt_c16_message() -> bytes:
+    """Compound datatype (class 6 v1) in the two-member complex shape
+    h5py writes for complex128: members "r" (offset 0) and "i"
+    (offset 8), each the IEEE f8 message below.  v1 member layout:
+    8-padded name, 4-byte offset, dimensionality byte + 3 reserved +
+    4-byte permutation + 4 reserved + 4x4 dim sizes (all zero for
+    scalar members), then the member datatype message."""
+
+    def member(name: str, off: int) -> bytes:
+        nm = name.encode() + b"\x00"
+        nm += b"\x00" * ((-len(nm)) % 8)
+        return nm + struct.pack("<I", off) + b"\x00" * 28 + _dt_f8_message()
+
+    head = struct.pack("<BBBBI", 0x16, 0x02, 0x00, 0x00, 16)
+    return head + member("r", 0) + member("i", 8)
+
+
 def _dt_f8_message() -> bytes:
     # class 1 (float) v1; LE, IEEE f8: mantissa-norm=msb-implied,
     # sign bit 63; props: offset 0, precision 64, exp loc 52 size 11,
@@ -800,18 +884,26 @@ def to_hdf5(a, filename: str, datapath: str | None = None) -> None:
 
     def write_dataset(arr: Array) -> int:
         shape = tuple(int(s) for s in arr.shape)
-        nbytes = int(np.prod(shape, dtype=np.int64)) * 8
+        # complex arrays (STRUCT<re,im> value column) write the h5py
+        # compound {r,i} convention at 16 bytes/cell; everything else
+        # stays the contiguous float64 contract
+        is_cx = dict(arr.df.dtypes).get(VALUE_COL, "").startswith("struct")
+        isz = 16 if is_cx else 8
+        nbytes = int(np.prod(shape, dtype=np.int64)) * isz
+        fill = (
+            struct.pack("<dd", float("nan"), float("nan"))
+            if is_cx else struct.pack("<d", float("nan"))
+        )
         msgs = [
             _msg_v1(
                 0x0001,
                 struct.pack("<BBBBI", 1, len(shape), 0, 0, 0)
                 + b"".join(struct.pack("<Q", s) for s in shape),
             ),
-            _msg_v1(0x0003, _dt_f8_message()),
+            _msg_v1(0x0003, _dt_c16_message() if is_cx else _dt_f8_message()),
             _msg_v1(
                 0x0005,
-                struct.pack("<BBBBI", 2, 2, 0, 1, 8)
-                + struct.pack("<d", float("nan")),
+                struct.pack("<BBBBI", 2, 2, 0, 1, isz) + fill,
             ),
             # layout v3 contiguous; address patched once data extents land
             _msg_v1(0x0008, struct.pack("<BBQQ", 3, 1, _UNDEF, nbytes)),
@@ -903,8 +995,11 @@ def _write_slabs(arr: Array, filename: str, data_addr: int) -> None:
 
     shape = tuple(int(s) for s in arr.shape)
     ndim = len(shape)
+    vtype = dict(arr.df.dtypes).get(VALUE_COL, "double")
+    is_cx = vtype.startswith("struct")
+    isz = 16 if is_cx else 8
     row_elems = int(np.prod(shape[1:], dtype=np.int64)) if ndim > 1 else 1
-    rows_per_slab = max(1, _SLAB_BYTES // max(row_elems * 8, 1))
+    rows_per_slab = max(1, _SLAB_BYTES // max(row_elems * isz, 1))
     nslabs = math.ceil(shape[0] / rows_per_slab)
     d = arr.df.withColumn("__slab", (F.col("i0") / F.lit(rows_per_slab)).cast("long"))
     # every slab must write (absent cells are NaN, and the preallocated
@@ -913,7 +1008,7 @@ def _write_slabs(arr: Array, filename: str, data_addr: int) -> None:
     marker = arr.spark.range(nslabs).select(
         *[(F.col("id") * rows_per_slab if k == 0 else F.lit(0)).alias(f"i{k}")
           for k in range(ndim)],
-        F.lit(None).cast("double").alias(VALUE_COL),
+        F.lit(None).cast(vtype).alias(VALUE_COL),
         F.col("id").alias("__slab"),
     )
     d = d.unionByName(marker)
@@ -923,16 +1018,26 @@ def _write_slabs(arr: Array, filename: str, data_addr: int) -> None:
         slab = int(pdf["__slab"].iloc[0])
         r0 = slab * rows_per_slab
         nrows = min(rows_per_slab, shape[0] - r0)
-        block = np.full((nrows,) + tail, np.nan)
         pdf = pdf[pdf[VALUE_COL].notna()]
         loc = tuple(
             pdf[f"i{k}"].to_numpy(dtype="int64") - (r0 if k == 0 else 0)
             for k in range(ndim)
         )
-        block[loc] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
+        if is_cx:
+            from .ingest import _struct_col_to_complex
+
+            block = np.full(
+                (nrows,) + tail, complex(np.nan, np.nan), dtype="<c16"
+            )
+            block[loc] = _struct_col_to_complex(pdf[VALUE_COL])
+            payload = np.ascontiguousarray(block, dtype="<c16").tobytes()
+        else:
+            block = np.full((nrows,) + tail, np.nan)
+            block[loc] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")
+            payload = np.ascontiguousarray(block, dtype="<f8").tobytes()
         with open(filename, "r+b") as f:
-            f.seek(data_addr + r0 * row_elems * 8)
-            f.write(np.ascontiguousarray(block, dtype="<f8").tobytes())
+            f.seek(data_addr + r0 * row_elems * isz)
+            f.write(payload)
         return pd.DataFrame({"n": [int(block.size)]})
 
     d.groupBy("__slab").applyInPandas(write_slab, schema="n long").count()

@@ -1119,3 +1119,50 @@ def test_complex_uint64_still_refused(spark):
     )
     with pytest.raises(NotImplementedError, match="uint64|dtype"):
         from_zarr(spark, url)
+
+
+@settings(max_examples=5, deadline=None)
+@given(shape=SHAPE_13, seed=st.integers(0, 2**31), nan=st.booleans())
+def test_fuzz_complex_hdf5_roundtrip(spark, shape, seed, nan):
+    """Complex HDF5 (round 10): the writer emits the h5py compound
+    {r,i} convention at 16 bytes/cell, the spec-native reader maps it
+    back to STRUCT<re,im> cells."""
+    shape = tuple(shape)
+    x = _cdata(seed, shape, nan)
+    path = _mkdir() + ".h5"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    to_hdf5(from_numpy(spark, x), path, "/g/cx")
+    _assert_complex_eq(from_hdf5(spark, path, "/g/cx"), x)
+
+
+def test_hdf5_generic_compound_refused():
+    """Only the two-float complex compound maps to the cells model;
+    any other compound (wrong names, 3 members, int members at odd
+    offsets) refuses loudly instead of mis-decoding."""
+    import struct
+
+    from dask_array_spark.sources.hdf5 import _Reader, _dt_c16_message, _dt_f8_message
+
+    r = _Reader.__new__(_Reader)  # _parse_datatype touches no state
+
+    # the writer's own message parses to complex128
+    assert r._parse_datatype(_dt_c16_message()) == np.dtype("<c16")
+
+    def member(name, off):
+        nm = name.encode() + b"\x00"
+        nm += b"\x00" * ((-len(nm)) % 8)
+        return nm + struct.pack("<I", off) + b"\x00" * 28 + _dt_f8_message()
+
+    # wrong member names -> refusal naming the members
+    bad = struct.pack("<BBBBI", 0x16, 0x02, 0x00, 0x00, 16) + member(
+        "x", 0
+    ) + member("y", 8)
+    with pytest.raises(NotImplementedError, match="complex"):
+        r._parse_datatype(bad)
+
+    # three members -> refusal
+    bad3 = struct.pack("<BBBBI", 0x16, 0x03, 0x00, 0x00, 24) + member(
+        "r", 0
+    ) + member("i", 8) + member("j", 16)
+    with pytest.raises(NotImplementedError, match="complex"):
+        r._parse_datatype(bad3)
