@@ -84,6 +84,12 @@ EXTRA_RUNS = {
     # slot converges monotonically 0.317 -> 0.206 over ~5 warm reps
     # (JIT state), so a min-of-3 in a cold-ish JVM over-reports ~2x
     "events_tumbling": 5,
+    # round-10: both the r9 driver row ([1.278, 1.173, 1.105]) and
+    # the r9 judge's quiet reps (1.91 -> 1.51) were still falling
+    # monotonically at the last rep -- the 2-Lloyd-round + assign
+    # chain JITs five codegen'd stages, so min-of-3 reads the slot
+    # ~15-25% above steady state
+    "kmeans_codebook": 7,
 }
 
 # the 4 slots with real data work at sf0.1 (everything else sits on
