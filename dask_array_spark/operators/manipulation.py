@@ -253,8 +253,9 @@ def repeat(a: Array, repeats: int, axis: int = 0) -> Array:
     return Array(d.select(*sel), tuple(shape))
 
 
-def tile(a: Array, reps: int, axis: int = 0) -> Array:
-    """Whole-array tiling along axis: index = r*n + i."""
+def _tile_axis(a: Array, reps: int, axis: int) -> Array:
+    """Whole-array tiling along one axis: index = r*n + i (one
+    broadcast cross join with range(reps), no shuffle)."""
     axis = axis % a.ndim
     n = a.shape[axis]
     rng = a.spark.range(reps).select(F.col("id").alias("__r"))
@@ -266,6 +267,37 @@ def tile(a: Array, reps: int, axis: int = 0) -> Array:
     shape = list(a.shape)
     shape[axis] = n * reps
     return Array(d.select(*sel), tuple(shape))
+
+
+def tile(a: Array, reps, axis: int | None = None) -> Array:
+    """np.tile (reference creation/_tile.py:10): ``reps`` is an int or
+    tuple.  NumPy's promotion rules apply -- an int means the LAST
+    axis, a tuple shorter than ndim left-pads with 1s, a tuple longer
+    than ndim first lifts the array with leading length-1 axes, and
+    any zero rep yields an empty result of the product shape.  The
+    per-axis form ``tile(a, n, axis=k)`` is kept for callers that want
+    one explicit axis.  Multi-axis tiling chains the per-axis
+    primitive: each step is a broadcast cross join, so the whole tile
+    is shuffle-free regardless of how many axes repeat."""
+    if axis is not None:
+        return _tile_axis(a, int(reps), axis)
+    try:
+        tup = tuple(int(r) for r in reps)
+    except TypeError:
+        tup = (int(reps),)
+    if any(r < 0 for r in tup):
+        raise ValueError("Negative `reps` are not allowed.")
+    while a.ndim < len(tup):
+        a = expand_dims(a, 0)
+    if len(tup) < a.ndim:
+        tup = (1,) * (a.ndim - len(tup)) + tup
+    if not all(tup):
+        shape_out = tuple(s * t for s, t in zip(a.shape, tup))
+        return Array(a.df.limit(0), shape_out)
+    for k in range(a.ndim - 1, -1, -1):
+        if tup[k] > 1:
+            a = _tile_axis(a, tup[k], k)
+    return a
 
 
 def pad_constant(a: Array, pad_width: Sequence[tuple[int, int]], value=0.0) -> Array:

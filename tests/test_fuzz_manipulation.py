@@ -204,6 +204,41 @@ def test_repeat_tile_stack_broadcast(spark, n, reps, nstk, data):
     assert_eq(M.broadcast_to(b, (k, n)), np.broadcast_to(v, (k, n)))
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_tile_numpy_form(spark, data):
+    """np.tile parity (reference creation/_tile.py:10): int reps hits
+    the LAST axis, short tuples left-pad with 1, long tuples add
+    leading axes, zero reps produce the empty product shape."""
+    from dask_array_spark.operators import manipulation as M
+
+    ndim = data.draw(st.integers(1, 2))
+    shape = tuple(data.draw(st.integers(2, 4)) for _ in range(ndim))
+    x = _vec(int(np.prod(shape))).reshape(shape)
+    a = _arr(spark, x)
+    reps = data.draw(
+        st.one_of(
+            st.integers(1, 3),
+            st.lists(st.integers(0, 3), min_size=1, max_size=ndim + 1).map(tuple),
+        )
+    )
+    want = np.tile(x, reps)
+    if want.size > 600:
+        return
+    got = M.tile(a, reps).compute()
+    assert got.shape == want.shape
+    if want.size:
+        np.testing.assert_allclose(got, want)
+
+
+def test_tile_negative_reps_raise(spark):
+    from dask_array_spark.operators import manipulation as M
+
+    a = _arr(spark, _vec(4))
+    with pytest.raises(ValueError):
+        M.tile(a, (-1, 2))
+
+
 # ------------------------------------------------------- sliding windows
 
 @settings(max_examples=6, deadline=None)
