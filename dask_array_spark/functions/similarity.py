@@ -798,6 +798,29 @@ def _spark_round6_np(a: "np.ndarray") -> "np.ndarray":
     return out
 
 
+def _codebook_mats(rows) -> tuple[dict, int]:
+    """Collected (s, code, cemb) codebook rows -> per-subspace
+    (codes, centroid-matrix) NumPy pairs, code-ASCENDING so that
+    ``np.argmin``'s first-hit IS the smaller-code tie-break the
+    relational ``min_by(struct(dist, code))`` applies.  Shared by the
+    training-round and encode Arrow kernels so the layout contract
+    cannot drift between them."""
+    import numpy as np
+
+    dsub = len(rows[0]["cemb"])
+    by_s: dict[int, list] = {}
+    for r in rows:
+        by_s.setdefault(int(r["s"]), []).append((int(r["code"]), list(r["cemb"])))
+    mats = {
+        s: (
+            np.asarray([c for c, _ in sorted(pairs)], dtype="int64"),
+            np.asarray([v for _, v in sorted(pairs)], dtype="float64"),
+        )
+        for s, pairs in by_s.items()
+    }
+    return mats, dsub
+
+
 def _train_round_arrow(emb: DataFrame, cents: DataFrame, m: int) -> DataFrame:
     """One FULL Lloyd round (assign + centroid update) as one
     Arrow-batched NumPy pass: returns the new (s, code, cemb)
@@ -839,20 +862,8 @@ def _train_round_arrow(emb: DataFrame, cents: DataFrame, m: int) -> DataFrame:
     from ..sources.ingest import widen_partitions
 
     rows = cents.collect()  # bounded-model-collect: m x n_codes codebook rows
-    dsub = len(rows[0]["cemb"])
+    mats, dsub = _codebook_mats(rows)
     dim = dsub * m
-    by_s: dict[int, list] = {}
-    for r in rows:
-        by_s.setdefault(int(r["s"]), []).append((int(r["code"]), list(r["cemb"])))
-    # code-ascending matrices so np.argmin's first-hit IS the
-    # smaller-code tie-break
-    mats = {
-        s: (
-            np.asarray([c for c, _ in sorted(pairs)], dtype="int64"),
-            np.asarray([v for _, v in sorted(pairs)], dtype="float64"),
-        )
-        for s, pairs in by_s.items()
-    }
     spos = np.arange(dsub, dtype="int64")
 
     def kernel(batches):
@@ -979,14 +990,115 @@ def pq_train(
     return cents
 
 
-def pq_encode(emb: DataFrame, cents: DataFrame, dim: int, m: int = 4) -> DataFrame:
+def _pq_assign_arrow(
+    emb: DataFrame, cents: DataFrame, dim: int, m: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """The encode counterpart of ``_train_round_arrow``: nearest code
+    per (vector, subspace) computed in ONE mapInArrow pass -- batched
+    NumPy argmin under the exact relational contract (squared L2
+    rounded to 6 decimals with Spark's HALF_UP-on-shortest-repr
+    scheme BEFORE the argmin, ties to the smaller code).  Output
+    (id, s, code, dist), identical to ``_pq_assign``; equality is
+    fuzz-pinned, with the same accepted ~1e-11 divergence class as
+    training (a distance within ~1 ulp of a 1e-6 rounding boundary
+    AND within 1e-6 of a competing candidate).
+
+    Why this exists (round-10 scale finding): the relational assign
+    explodes to corpus x m x n_codes rows of interpreted ``aggregate``
+    folds -- at 256 codes that is a 256x row blowup per subspace
+    (1.2e9 fold rows for a 600k corpus, ~700 s measured), and encode
+    is HALF the index build the training fix left behind.  The kernel
+    emits exactly corpus x m rows, nothing corpus-sized is collected
+    or broadcast, and the codebook it reads is model parameters (the
+    same bounded collect the training round makes)."""
+    import numpy as np
+
+    from ..sources.ingest import widen_partitions
+
+    rows = cents.collect()  # bounded-model-collect: m x n_codes codebook rows
+    mats, dsub = _codebook_mats(rows)
+    if dsub * m != dim:
+        raise ValueError(
+            f"codebook subvector length {dsub} x m={m} != dim {dim}"
+        )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            nvec = batch.num_rows
+            ids = np.asarray(batch.column(0), dtype="int64")
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            X = np.asarray(col.flatten(), dtype="float64").reshape(nvec, dim)
+            out_s, out_code, out_dist = [], [], []
+            for s, (codes, C) in mats.items():
+                Xs = X[:, s * dsub : (s + 1) * dsub]
+                best = np.empty(nvec, dtype="int64")
+                dmin = np.empty(nvec, dtype="float64")
+                # chunk the (rows x codes x dsub) diff tensor so the
+                # working set stays a few MB per task
+                step = max(1, 4_000_000 // max(1, C.shape[0] * dsub))
+                for lo in range(0, nvec, step):
+                    d = Xs[lo : lo + step, None, :] - C[None, :, :]
+                    dist = _spark_round6_np(np.einsum("ijk,ijk->ij", d, d))
+                    am = np.argmin(dist, axis=1)
+                    best[lo : lo + step] = am
+                    dmin[lo : lo + step] = dist[np.arange(dist.shape[0]), am]
+                out_s.append(np.full(nvec, s, dtype="int64"))
+                out_code.append(codes[best])
+                out_dist.append(dmin)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.tile(ids, len(mats))),
+                    pa.array(np.concatenate(out_s)),
+                    pa.array(np.concatenate(out_code)),
+                    pa.array(np.concatenate(out_dist)),
+                ],
+                names=[id_col, "s", "code", "dist"],
+            )
+
+    src = widen_partitions(emb, id_col).select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    return src.mapInArrow(
+        kernel, schema=f"{id_col} long, s long, code long, dist double"
+    )
+
+
+def pq_encode(
+    emb: DataFrame, cents: DataFrame, dim: int, m: int = 4,
+    impl: str = "auto",
+) -> DataFrame:
     """Quantize every vector against a trained PQ codebook: (vec_id,
     s, code, dist) -- the long-form index ``pq_topk`` scans (persist
     it once at ingest, like ``ivf_topk``'s ``assign``), with ``dist``
     the per-subspace quantization error (the reconstruction-quality
-    diagnostic).  One bounded m-fold fan-out + one broadcast join +
-    one partial-aggregated argmin; the corpus is never broadcast."""
-    return _pq_assign(_pq_subspaces(emb, dim, m), cents)
+    diagnostic).
+
+    ``impl``: ``"sql"`` is the relational form (bounded m-fold
+    fan-out + broadcast join + partial-aggregated argmin -- the
+    oracled, plan-pinned surface); ``"arrow"`` runs the argmin as a
+    batched NumPy mapInArrow kernel (``_pq_assign_arrow``) -- at 256
+    codes the relational form's corpus x m x n_codes interpreted fold
+    rows dominate the whole index build, the same economics that
+    moved training to Arrow in round 9; ``"auto"`` (default) picks by
+    codebook size with the training threshold (arrow at >= 32
+    codes)."""
+    if impl not in ("auto", "arrow", "sql"):
+        raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
+    if impl == "sql":
+        return _pq_assign(_pq_subspaces(emb, dim, m), cents)
+    if impl == "auto":
+        # the codebook is model-sized; counting it is O(model).
+        # m rows per code -> n_codes = rows / m
+        n_codes = cents.count() // max(1, m)
+        impl = _resolve_train_impl("auto", n_codes)
+    if impl == "sql":
+        return _pq_assign(_pq_subspaces(emb, dim, m), cents)
+    return _pq_assign_arrow(emb, cents, dim, m)
 
 
 def pq_pack(codes: DataFrame) -> DataFrame:

@@ -193,6 +193,46 @@ def test_pq_train_arrow_equals_sql(spark, n, m, n_codes, iters, seed):
     assert got == want and got
 
 
+@settings(max_examples=6, deadline=None)
+@given(
+    st.integers(6, 16),
+    st.sampled_from([2, 4]),
+    st.integers(2, 5),
+    st.integers(0, 10_000),
+)
+def test_pq_encode_arrow_equals_sql(spark, n, m, n_codes, seed):
+    """The round-10 Arrow encode path (_pq_assign_arrow) must produce
+    IDENTICAL (vec_id, s, code, dist) rows to the relational
+    _pq_assign on hostile continuous data AND on an integer grid that
+    forces exact distance ties (the smaller-code tie-break)."""
+    from dask_array_spark.functions import similarity as SIM
+
+    dim = 8
+    rng = np.random.default_rng(seed)
+    X = (
+        rng.integers(0, 3, size=(n, dim)).astype("float64")
+        if seed % 3 == 0
+        else rng.normal(size=(n, dim)) * rng.choice([1e-3, 1.0, 50.0])
+    )
+    emb = _emb_df(spark, X)
+    cents = SIM.pq_train(emb, dim=dim, m=m, n_codes=n_codes, iters=1)
+    a = SIM.pq_encode(emb, cents, dim=dim, m=m, impl="arrow")
+    s = SIM.pq_encode(emb, cents, dim=dim, m=m, impl="sql")
+    got = {(r["vec_id"], r["s"]): (r["code"], r["dist"]) for r in a.collect()}
+    want = {(r["vec_id"], r["s"]): (r["code"], r["dist"]) for r in s.collect()}
+    assert got == want and got
+
+
+def test_pq_encode_impl_validation(spark):
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(0)
+    emb = _emb_df(spark, rng.normal(size=(6, 8)))
+    cents = SIM.pq_train(emb, dim=8, m=2, n_codes=2, iters=1)
+    with pytest.raises(ValueError):
+        SIM.pq_encode(emb, cents, dim=8, m=2, impl="vectorized")
+
+
 @settings(max_examples=5, deadline=None)
 @given(st.integers(6, 20), st.integers(2, 4), st.integers(1, 3),
        st.integers(0, 10_000))
