@@ -1156,11 +1156,17 @@ def pq_topk(
     vectors onto each tied distance, so the shortlist that covers the
     true top-k must GROW with n -- the SCALE.md measurement (recall
     0.89 at 20k vectors with r=32, falling to 0.79 at 60k with r
-    held fixed) calibrates the rule r = clamp(ceil(n / 600), 8, 256),
+    held fixed) calibrates the rule r = clamp(ceil(n / 600), 8, 1024),
     which reproduces the r=32 operating point at 20k and triples the
     shortlist by 60k.  The corpus size comes from one count() of the
     id column (a metadata-cheap scan; pass an int ``rerank`` to skip
-    it when the size is already known).
+    it when the size is already known).  The ceiling was 256 through
+    round 9; the 600k-vector decade (forensics/r10_sf30_ann.json)
+    measured the saturated clamp LOSING recall for the first time
+    (0.95 clamped vs 1.00 at the rule's unclamped r=1000, +1.0 s on a
+    17 s brute baseline), so the bound moved up a scale decade --
+    rerank cost stays query-bounded (r exact distances per query),
+    never corpus-shaped.
 
     ``candidates`` restricts the ADC scan per query: a (qid, vec_id)
     relation -- e.g. IVF probe membership from ``ivf_pq_topk`` -- and
@@ -1176,7 +1182,7 @@ def pq_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     if rerank == "auto":
         n = emb.select("vec_id").count()
-        rerank = max(8, min(256, -(-n // 600)))
+        rerank = max(8, min(1024, -(-n // 600)))
     if rerank is not None and (
         not isinstance(rerank, int) or isinstance(rerank, bool) or rerank < 1
     ):
@@ -1296,7 +1302,7 @@ def ivf_pq_topk(
         # and full-n here would over-rerank by ~n_cells/n_probe
         # (round-9 review)
         n = emb.select("vec_id").count() * n_probe // max(1, n_cells)
-        rerank = max(8, min(256, -(-n // 600)))
+        rerank = max(8, min(1024, -(-n // 600)))
     return pq_topk(
         emb, query_ids, pq_cents, dim, m=m, k=k,
         codes=codes, rerank=rerank, candidates=cand,

@@ -427,7 +427,7 @@ def test_ivf_pq_topk_matches_manual_composition(spark):
 
 
 def test_pq_topk_rerank_auto(spark):
-    """rerank='auto' resolves to clamp(ceil(n/600), 8, 256) -- at this
+    """rerank='auto' resolves to clamp(ceil(n/600), 8, 1024) -- at this
     corpus size that is the floor 8, so the ranking must be identical
     to an explicit rerank=8; bad values still raise."""
     from dask_array_spark.functions import similarity as SIM
