@@ -566,10 +566,24 @@ def semantic_dedup(
     )
 
 
-def kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def kmeans_assign(
+    emb: DataFrame, cents: DataFrame, impl: str = "auto"
+) -> DataFrame:
     """Assign each vector to its nearest centroid by squared L2
     distance: (vec_id, cell, dist).  ``cents`` is (cell, cemb) with
     cemb an array<double>.  Ties break to the smaller cell id.
+
+    ``impl``: ``"sql"`` is the relational crossJoin + min_by form
+    below (the oracled surface); ``"arrow"`` reuses the PQ encode
+    kernel with one subspace (k-means IS product quantization with
+    m=1) -- the relational fan-out is corpus x k rows, so at SemDeDup
+    cluster counts (k in the thousands) the same economics that moved
+    pq_encode to Arrow apply; ``"auto"`` (default) switches at the
+    shared >= 32-candidate threshold.  The cosine-ranked
+    ``ivf_assign`` deliberately has NO arrow form: its zero-norm rows
+    produce NULL cosines whose max_by semantics a NumPy kernel would
+    have to re-implement exactly -- the round-9 NULL-vs-NaN bug class
+    -- and nothing at the current scale needs it.
 
     Scale shape: the codebook is tiny and broadcast with WHOLE
     centroid arrays; each distance folds IN-ROW (zip_with +
@@ -588,7 +602,21 @@ def kmeans_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     a zip_with distance fold per element falls out of whole-stage
     codegen into interpreted evaluation per corpus row, while this
     crossJoin + min_by form stays fully codegen'd and its k-per-vector
-    fan-out and argmin shuffle are cheap.  Keep the join form."""
+    fan-out and argmin shuffle are cheap.  Keep the join form (as the
+    SQL tier; the Arrow kernel above beats both once k is large)."""
+    if impl not in ("auto", "arrow", "sql"):
+        raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
+    if impl == "auto":
+        impl = _resolve_train_impl("auto", cents.count())
+    if impl == "arrow":
+        as_pq = cents.select(
+            F.lit(0).cast("long").alias("s"),
+            F.col("cell").cast("long").alias("code"),
+            "cemb",
+        )
+        return _pq_assign_arrow(emb, as_pq, dim=None, m=1).select(
+            "vec_id", F.col("code").alias("cell"), "dist"
+        )
     sq = _sqdist("embedding", "cemb")
     scored = (
         emb.select("vec_id", "embedding")
@@ -991,7 +1019,8 @@ def pq_train(
 
 
 def _pq_assign_arrow(
-    emb: DataFrame, cents: DataFrame, dim: int, m: int, id_col: str = "vec_id"
+    emb: DataFrame, cents: DataFrame, dim: int | None, m: int,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """The encode counterpart of ``_train_round_arrow``: nearest code
     per (vector, subspace) computed in ONE mapInArrow pass -- batched
@@ -1017,6 +1046,8 @@ def _pq_assign_arrow(
 
     rows = cents.collect()  # bounded-model-collect: m x n_codes codebook rows
     mats, dsub = _codebook_mats(rows)
+    if dim is None:
+        dim = dsub * m
     if dsub * m != dim:
         raise ValueError(
             f"codebook subvector length {dsub} x m={m} != dim {dim}"

@@ -223,6 +223,29 @@ def test_pq_encode_arrow_equals_sql(spark, n, m, n_codes, seed):
     assert got == want and got
 
 
+@settings(max_examples=5, deadline=None)
+@given(st.integers(6, 16), st.integers(2, 5), st.integers(0, 10_000))
+def test_kmeans_assign_arrow_equals_sql(spark, n, k, seed):
+    """kmeans_assign through the m=1 encode kernel must produce
+    IDENTICAL (vec_id, cell, dist) rows to the relational crossJoin +
+    min_by form, including forced exact-distance ties."""
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(seed)
+    X = (
+        rng.integers(0, 3, size=(n, 8)).astype("float64")
+        if seed % 3 == 0
+        else rng.normal(size=(n, 8)) * rng.choice([1e-3, 1.0, 50.0])
+    )
+    emb = _emb_df(spark, X)
+    cents = SIM.kmeans_fit(emb, k=k, iters=1)
+    a = SIM.kmeans_assign(emb, cents, impl="arrow")
+    s = SIM.kmeans_assign(emb, cents, impl="sql")
+    got = {r["vec_id"]: (r["cell"], r["dist"]) for r in a.collect()}
+    want = {r["vec_id"]: (r["cell"], r["dist"]) for r in s.collect()}
+    assert got == want and got
+
+
 def test_pq_encode_impl_validation(spark):
     from dask_array_spark.functions import similarity as SIM
 
