@@ -1018,6 +1018,17 @@ def pq_train(
     return cents
 
 
+def _auto_rerank(n: int) -> int:
+    """The rerank="auto" shortlist rule: r = clamp(ceil(n / 600), 8,
+    1024), calibrated in SCALE.md's decade series -- n is the pool
+    the ADC scan actually ranks (the corpus for pq_topk, the probed
+    fraction for ivf_pq_topk).  Floor 8 covers tiny pools; the 1024
+    ceiling is the round-10 bound (the 256 ceiling measurably lost
+    recall at 600k; 1024 passed its saturation test at 1.8M --
+    forensics/r10_sf{30,90}_ann.json)."""
+    return max(8, min(1024, -(-n // 600)))
+
+
 def _pq_assign_arrow(
     emb: DataFrame, cents: DataFrame, dim: int | None, m: int,
     id_col: str = "vec_id",
@@ -1213,7 +1224,7 @@ def pq_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     if rerank == "auto":
         n = emb.select("vec_id").count()
-        rerank = max(8, min(1024, -(-n // 600)))
+        rerank = _auto_rerank(n)
     if rerank is not None and (
         not isinstance(rerank, int) or isinstance(rerank, bool) or rerank < 1
     ):
@@ -1333,7 +1344,7 @@ def ivf_pq_topk(
         # and full-n here would over-rerank by ~n_cells/n_probe
         # (round-9 review)
         n = emb.select("vec_id").count() * n_probe // max(1, n_cells)
-        rerank = max(8, min(1024, -(-n // 600)))
+        rerank = _auto_rerank(n)
     return pq_topk(
         emb, query_ids, pq_cents, dim, m=m, k=k,
         codes=codes, rerank=rerank, candidates=cand,

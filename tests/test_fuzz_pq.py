@@ -246,6 +246,23 @@ def test_kmeans_assign_arrow_equals_sql(spark, n, k, seed):
     assert got == want and got
 
 
+def test_auto_rerank_rule():
+    """Pin the auto-rerank formula across its three regimes: floor 8,
+    the linear ceil(n/600) middle, and the 1024 ceiling (raised from
+    256 in round 10 on the sf30 decade's measured recall loss)."""
+    from dask_array_spark.functions.similarity import _auto_rerank
+
+    assert _auto_rerank(1) == 8
+    assert _auto_rerank(4_800) == 8
+    assert _auto_rerank(4_801) == 9
+    assert _auto_rerank(20_000) == 34      # the calibrated sf1 point
+    assert _auto_rerank(200_000) == 334    # sf10: above the OLD clamp
+    assert _auto_rerank(600_000) == 1000   # sf30: the decade that moved it
+    assert _auto_rerank(614_400) == 1024   # saturation boundary
+    assert _auto_rerank(1_800_000) == 1024 # sf90: clamped, recall held 1.0
+    assert _auto_rerank(10**9) == 1024
+
+
 def test_pq_encode_impl_validation(spark):
     from dask_array_spark.functions import similarity as SIM
 
