@@ -19,9 +19,9 @@ test_fuzz_pipelines; `SPARK_GRAFT_CPLX_CHAIN=<seed>` replays one.
 (Writing the NumPy mirrors surfaced only mirror bugs, not engine
 bugs: `re + 1j*im` construction and `x * k` scalar scaling both
 poison the partner component through complex-multiply cross terms
-when one component is NaN -- see _mk/_op_scale.  The same session's
-offline sweep of the CROSS-FAMILY chain fuzz, seeds 201-1000 beyond
-the CI window's 1-200, ran 800 chains with zero failures.)
+when one component is NaN -- see _mk/_op_scale.  Offline sweeps ran
+clean beyond the CI windows: cross-family chains to seed 2000 and
+these complex chains to seed 1500, zero failures.)
 """
 
 from __future__ import annotations
