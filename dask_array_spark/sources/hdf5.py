@@ -354,7 +354,11 @@ class _Reader:
                 (moff,) = struct.unpack_from("<I", body, pos)
                 pos += 4
             else:
-                nb = max(1, (max(size - 1, 1).bit_length() + 7) // 8)
+                # v3 member offsets use the minimum bytes needed to
+                # encode the datatype SIZE ITSELF (spec IV.A.2.d), not
+                # size-1: the two diverge at exact powers of 256
+                # (size=256 -> 2 bytes, not 1) -- round-10 ADVICE
+                nb = max(1, (size.bit_length() + 7) // 8)
                 moff = int.from_bytes(body[pos:pos + nb], "little")
                 pos += nb
             if ver == 1:

@@ -119,6 +119,10 @@ def _missing_chunks_df(
     stall.  Both relations are metadata-sized (one row per CHUNK, not
     per cell), so the anti-join is a rounding error next to the byte
     decode -- and AQE broadcasts the smaller side."""
+    if ndim < 1:
+        # both zarr readers refuse 0-d stores before reaching here; a
+        # 0-d grid would otherwise leave grid=None and die on .join
+        raise ValueError("_missing_chunks_df requires ndim >= 1")
     ccols = [f"c{k}" for k in range(ndim)]
     grid = None
     for k in range(ndim):
@@ -907,6 +911,12 @@ def from_zarr(spark: SparkSession, url: str, component: str | None = None) -> Ar
     shape = tuple(int(s) for s in meta["shape"])
     chunks = tuple(int(c) for c in meta["chunks"])
     ndim = len(shape)
+    if ndim == 0:
+        # matches the v3 reader's refusal: the cells model indexes by
+        # i0..i{n-1}, a 0-d store has no coordinate columns (and the
+        # distributed missing-chunk grid is undefined at ndim=0 --
+        # round-10 ADVICE found the fill path would die confusingly)
+        raise NotImplementedError("0-dimensional zarr v2 arrays are not supported")
     sep = meta.get("dimension_separator", ".")
     # "NaN"/"Infinity" string encodings; complex fills are [re, im]
     fill = _parse_fill(meta.get("fill_value"), kind)
@@ -1066,7 +1076,20 @@ def _crc32c(data: bytes) -> int:
     return crc ^ 0xFFFFFFFF
 
 
-def _crc32c_check(body: bytes, stored: int, what: str) -> None:
+def _crc32c_strict_policy() -> str:
+    """Resolve SPARK_GRAFT_CRC32C_STRICT ONCE, driver-side.  The check
+    itself runs inside executor decode kernels, and in any non-local
+    deployment the driver's environment does not reach the Python
+    workers -- reading the env var inside the kernel would silently
+    revert strict=raise/verify to the warn-and-skip path the knob
+    exists to prevent (round-10 ADVICE).  Reader builders call this at
+    plan-build time and close over the resolved value."""
+    return os.environ.get("SPARK_GRAFT_CRC32C_STRICT", "").lower()
+
+
+def _crc32c_check(
+    body: bytes, stored: int, what: str, strict: str | None = None
+) -> None:
     """Verify a crc32c trailer: with a C library, always; with the
     pure-Python fallback, up to _CRC32C_VERIFY_CAP -- above it the
     skip is surfaced as a RuntimeWarning (a user who enabled checksums
@@ -1075,10 +1098,13 @@ def _crc32c_check(body: bytes, stored: int, what: str) -> None:
     offers an explicit policy (round-9 ADVICE): ``verify`` always
     verifies (pure-Python speed, ~5 MB/s, but never unverified);
     ``raise`` turns the would-be skip into a hard error so a
-    checksum-enabled read can never silently degrade."""
+    checksum-enabled read can never silently degrade.  ``strict`` is
+    the DRIVER-resolved policy (see _crc32c_strict_policy); None falls
+    back to the local environment for non-Spark callers."""
     lib = _crc32c_lib()
     if lib is None and len(body) > _CRC32C_VERIFY_CAP:
-        strict = os.environ.get("SPARK_GRAFT_CRC32C_STRICT", "").lower()
+        if strict is None:
+            strict = _crc32c_strict_policy()
         if strict == "raise":
             raise RuntimeError(
                 f"crc32c on {what}: payload {len(body)} B exceeds the "
@@ -1170,14 +1196,15 @@ def _zarr3_unpermute(flat: "np.ndarray", chunk_shape, order) -> "np.ndarray":
     return stored.transpose(inv)
 
 
-def _zarr3_decode_bb(raw: bytes, bb, what: str) -> bytes:
-    """Undo a bytes->bytes codec list (applied in reverse)."""
+def _zarr3_decode_bb(raw: bytes, bb, what: str, strict: str | None = None) -> bytes:
+    """Undo a bytes->bytes codec list (applied in reverse).  ``strict``
+    is the driver-resolved crc32c policy (see _crc32c_strict_policy)."""
     import zlib
 
     for nm, _cfg in reversed(bb):
         if nm == "crc32c":
             body, tail = raw[:-4], raw[-4:]
-            _crc32c_check(body, int.from_bytes(tail, "little"), what)
+            _crc32c_check(body, int.from_bytes(tail, "little"), what, strict)
             raw = body
         elif nm in ("gzip", "zlib"):
             raw = zlib.decompress(raw, 47)  # auto gzip/zlib header detect
@@ -1301,6 +1328,10 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
 
     # "NaN" / "Infinity" / "-Infinity" strings; complex fills [re, im]
     fill = _parse_fill(meta.get("fill_value"), kind)
+    # crc32c strictness resolved HERE (driver) and closed over: the
+    # decode kernel runs on executors whose env the driver's does not
+    # reach in a real deployment (round-10 ADVICE)
+    crc_strict = _crc32c_strict_policy()
 
     reader = spark.read.format("binaryFile")
     if sep == "/":
@@ -1351,7 +1382,7 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
                 base = [coords[k] * chunks[k] for k in range(ndim)]
                 try:
                     if shard_cfg is None:
-                        body = _zarr3_decode_bb(raw, bb, fpath)
+                        body = _zarr3_decode_bb(raw, bb, fpath, crc_strict)
                         block = _zarr3_unpermute(
                             np.frombuffer(body, dtype=np_dtype), chunks, order
                         )
@@ -1371,6 +1402,7 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
                             enc_idx[:-4],
                             int.from_bytes(enc_idx[-4:], "little"),
                             "shard index",
+                            crc_strict,
                         )
                         enc_idx = enc_idx[:-4]
                     u8 = "<u8" if idx_endian == "little" else ">u8"
@@ -1395,6 +1427,7 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
                         body = _zarr3_decode_bb(
                             raw[int(off): int(off) + int(nb)], bb,
                             f"{fpath} inner chunk {tuple(map(int, ic))}",
+                            crc_strict,
                         )
                         block = _zarr3_unpermute(
                             np.frombuffer(body, dtype=np_dtype), inner, order
