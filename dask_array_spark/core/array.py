@@ -492,7 +492,20 @@ class Array:
             if len(pdf) == 0:
                 return np.array(np.nan)
             val = pdf[VALUE_COL].iloc[0]
-            return np.array(np.nan if val is None else val)
+            if val is None:
+                return np.array(np.nan)
+            import decimal
+
+            if isinstance(val, decimal.Decimal):
+                # uint64-tier scalars (and their widened reduction
+                # results, e.g. sum -> decimal(30,0)): uint64 when
+                # representable, else a Python-int object scalar --
+                # never a lossy float
+                iv = int(val)
+                if 0 <= iv < 2**64:
+                    return np.array(np.uint64(iv))
+                return np.array(iv, dtype=object)
+            return np.array(val)
         kind = self.dtype.simpleString()
         if kind in ("double", "float"):
             out = np.full(shape, np.nan, dtype="float64" if kind == "double" else "float32")
@@ -501,6 +514,9 @@ class Array:
         elif kind.startswith("struct"):
             # complex cells (STRUCT<re,im>): absent cells -> NaN+NaNj
             out = np.full(shape, complex(np.nan, np.nan), dtype="complex128")
+        elif kind.startswith("decimal"):
+            # uint64 cells (decimal(20,0), round 11): exact dense fill
+            out = np.zeros(shape, dtype="uint64")
         else:
             out = np.zeros(shape, dtype="int64")
         if len(pdf):
@@ -512,6 +528,12 @@ class Array:
                 vals = _struct_col_to_complex(pdf[VALUE_COL])
             elif out.dtype.kind == "f":
                 vals = np.asarray(vals, dtype=out.dtype)
+            elif out.dtype.kind == "u":
+                from ..sources.ingest import _decimal_col_to_uint64
+
+                mask = np.array([x is not None for x in vals])
+                idx = tuple(ix[mask] for ix in idx)
+                vals = _decimal_col_to_uint64(pdf[VALUE_COL][mask])
             else:
                 mask = np.array([x is not None for x in vals])
                 idx = tuple(ix[mask] for ix in idx)

@@ -818,6 +818,15 @@ def _dt_f8_message() -> bytes:
     return head + props
 
 
+def _dt_u8_message() -> bytes:
+    # class 0 (fixed point) v1; LE, UNSIGNED (bit 3 clear), size 8;
+    # props: bit offset 0, bit precision 64 -- the uint64 tier's
+    # store dtype (decimal(20,0) cells, round 11)
+    head = struct.pack("<BBBBI", 0x10, 0x00, 0x00, 0x00, 8)
+    props = struct.pack("<HH", 0, 64)
+    return head + props
+
+
 def _msg_v1(mtype: int, body: bytes) -> bytes:
     pad = (-len(body)) % 8
     body = body + b"\x00" * pad
