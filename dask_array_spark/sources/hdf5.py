@@ -687,6 +687,14 @@ def _from_driver_dense(spark, vals: np.ndarray) -> Array:
         # double NaN through createDataFrame, bypassing the encoding)
         if kind == "f":
             return None if math.isnan(float(x)) else float(x)
+        if kind == "u":
+            # decimal(20,0) cells: createDataFrame's type verifier
+            # needs true Decimal objects (a raw int is rejected);
+            # driver-local compact datasets only, so per-value
+            # construction is fine here
+            import decimal
+
+            return decimal.Decimal(int(x))
         return bool(x) if kind == "b" else int(x)
 
     rows = [
@@ -898,22 +906,31 @@ def to_hdf5(a, filename: str, datapath: str | None = None) -> None:
     def write_dataset(arr: Array) -> int:
         shape = tuple(int(s) for s in arr.shape)
         # complex arrays (STRUCT<re,im> value column) write the h5py
-        # compound {r,i} convention at 16 bytes/cell; everything else
-        # stays the contiguous float64 contract
-        is_cx = dict(arr.df.dtypes).get(VALUE_COL, "").startswith("struct")
+        # compound {r,i} convention at 16 bytes/cell; uint64 cells
+        # (decimal(20,0)) write a native unsigned 64-bit dataset
+        # (fill 0 like every int store); everything else stays the
+        # contiguous float64 contract
+        vtype = dict(arr.df.dtypes).get(VALUE_COL, "")
+        is_cx = vtype.startswith("struct")
+        is_u64 = vtype.replace(" ", "") == "decimal(20,0)"
         isz = 16 if is_cx else 8
         nbytes = int(np.prod(shape, dtype=np.int64)) * isz
-        fill = (
-            struct.pack("<dd", float("nan"), float("nan"))
-            if is_cx else struct.pack("<d", float("nan"))
-        )
+        if is_cx:
+            fill = struct.pack("<dd", float("nan"), float("nan"))
+            dt_msg = _dt_c16_message()
+        elif is_u64:
+            fill = struct.pack("<Q", 0)
+            dt_msg = _dt_u8_message()
+        else:
+            fill = struct.pack("<d", float("nan"))
+            dt_msg = _dt_f8_message()
         msgs = [
             _msg_v1(
                 0x0001,
                 struct.pack("<BBBBI", 1, len(shape), 0, 0, 0)
                 + b"".join(struct.pack("<Q", s) for s in shape),
             ),
-            _msg_v1(0x0003, _dt_c16_message() if is_cx else _dt_f8_message()),
+            _msg_v1(0x0003, dt_msg),
             _msg_v1(
                 0x0005,
                 struct.pack("<BBBBI", 2, 2, 0, 1, isz) + fill,
@@ -979,7 +996,11 @@ def to_hdf5(a, filename: str, datapath: str | None = None) -> None:
     extents = []
     for patch_at, arr in data_extents:
         shape = tuple(int(s) for s in arr.shape)
-        nbytes = int(np.prod(shape, dtype=np.int64)) * 8
+        # per-dataset itemsize: complex datasets are 16 bytes/cell --
+        # a flat 8 here would overlap the NEXT dataset's extent in a
+        # multi-dataset file (round-11 audit catch)
+        isz = 16 if dict(arr.df.dtypes).get(VALUE_COL, "").startswith("struct") else 8
+        nbytes = int(np.prod(shape, dtype=np.int64)) * isz
         struct.pack_into("<Q", w.buf, patch_at, pos)
         extents.append((pos, arr))
         pos += nbytes
@@ -1010,6 +1031,7 @@ def _write_slabs(arr: Array, filename: str, data_addr: int) -> None:
     ndim = len(shape)
     vtype = dict(arr.df.dtypes).get(VALUE_COL, "double")
     is_cx = vtype.startswith("struct")
+    is_u64 = vtype.replace(" ", "") == "decimal(20,0)"
     isz = 16 if is_cx else 8
     row_elems = int(np.prod(shape[1:], dtype=np.int64)) if ndim > 1 else 1
     rows_per_slab = max(1, _SLAB_BYTES // max(row_elems * isz, 1))
@@ -1044,6 +1066,15 @@ def _write_slabs(arr: Array, filename: str, data_addr: int) -> None:
             )
             block[loc] = _struct_col_to_complex(pdf[VALUE_COL])
             payload = np.ascontiguousarray(block, dtype="<c16").tobytes()
+        elif is_u64:
+            # uint64 cells write <u8 EXACTLY (a float64 block would
+            # shred low bits above 2**53); absent cells are 0, the
+            # declared fill of every int store
+            from .ingest import _decimal_col_to_uint64
+
+            block = np.zeros((nrows,) + tail, dtype="uint64")
+            block[loc] = _decimal_col_to_uint64(pdf[VALUE_COL])
+            payload = np.ascontiguousarray(block, dtype="<u8").tobytes()
         else:
             block = np.full((nrows,) + tail, np.nan)
             block[loc] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")

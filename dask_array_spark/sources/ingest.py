@@ -259,7 +259,17 @@ def _parse_fill(fill, kind: str):
         return complex(float(fill), 0.0)
     if kind == "u":
         # uint64 fills must stay integral: float(2**64-1) shreds the
-        # low bits before the cells even materialize
+        # low bits before the cells even materialize; a non-integral
+        # fill (e.g. "NaN") on an unsigned-int store is malformed
+        # metadata -- refuse with the reason, not an int() traceback
+        if isinstance(fill, str) or (isinstance(fill, float) and fill != int(fill)):
+            try:
+                return int(fill)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"fill_value {fill!r} is not an integer; a uint64 "
+                    "store's fill must be integral in [0, 2**64)"
+                ) from None
         return int(fill)
     if isinstance(fill, str):
         return float(fill)
@@ -1372,7 +1382,7 @@ def _from_zarr_v3(spark: SparkSession, path: str, meta: dict) -> Array:
         raise NotImplementedError(
             f"zarr v3 data_type {meta.get('data_type')!r} not mapped"
         )
-    kind = _value_kind(dtype)  # loud uint64 refusal
+    kind = _value_kind(dtype)
     shape = tuple(int(s) for s in meta["shape"])
     ndim = len(shape)
     if ndim == 0:

@@ -679,7 +679,11 @@ def test_zarr_v3_garbled_inputs(spark):
     with pytest.raises(Exception):
         from_zarr(spark, url3).compute()
 
-    # uint64 data_type -> the loud unsigned-64 refusal
+    # uint64 data_type READS since round 11 (decimal(20,0) cells;
+    # full contract in test_uint64.py) -- relabeling the float64
+    # bytes is a pure reinterpret, so the read must see x.view(u8)
+    # exactly; but the store's "NaN" fill is malformed for an
+    # unsigned dtype and must refuse with the reason
     url4 = _mkdir()
     _hand_zarr3(x, chunks=(4,), url=url4)
     with open(os.path.join(url4, "zarr.json")) as f:
@@ -687,8 +691,14 @@ def test_zarr_v3_garbled_inputs(spark):
     meta4["data_type"] = "uint64"
     with open(os.path.join(url4, "zarr.json"), "w") as f:
         json.dump(meta4, f)
-    with pytest.raises(NotImplementedError, match="uint64|unsigned"):
+    with pytest.raises(ValueError, match="integral"):
         from_zarr(spark, url4)
+    meta4["fill_value"] = 0
+    with open(os.path.join(url4, "zarr.json"), "w") as f:
+        json.dump(meta4, f)
+    np.testing.assert_array_equal(
+        from_zarr(spark, url4).compute(), x.view("<u8")
+    )
 
 
 @settings(max_examples=5, deadline=None)
@@ -1107,18 +1117,23 @@ def test_complex_io_feeds_complex_ops(spark):
     np.testing.assert_allclose(C.imag(a).compute(), x.imag, rtol=1e-9)
 
 
-def test_complex_uint64_still_refused(spark):
-    """The complex bridge must not weaken the uint64 refusal."""
+def test_v2_uint64_store_reads_exact(spark):
+    """uint64 v2 stores read since round 11 (decimal(20,0) cells;
+    the full tier contract lives in test_uint64.py).  An external
+    <u8 store carrying values int64 would wrap and float64 would
+    shred must arrive bit-exact."""
+    vals = np.array([1, 2**53 + 1, 2**63 + 17, 2**64 - 1], dtype="<u8")
     url = _mkdir()
     _hand_zarr(
         url,
-        {"zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<u8",
-         "compressor": None, "fill_value": None, "filters": None,
+        {"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<u8",
+         "compressor": None, "fill_value": 0, "filters": None,
          "order": "C"},
-        {},
+        {"0": vals.tobytes()},
     )
-    with pytest.raises(NotImplementedError, match="uint64|dtype"):
-        from_zarr(spark, url)
+    a = from_zarr(spark, url)
+    assert dict(a.df.dtypes)["v"].replace(" ", "") == "decimal(20,0)"
+    np.testing.assert_array_equal(a.compute(), vals)
 
 
 @settings(max_examples=5, deadline=None)

@@ -348,11 +348,12 @@ def test_zero_length_dim_returns_empty(spark, tmp_path):
     assert a.df.count() == 0
 
 
-def test_uint64_refused_u32_exact(spark, tmp_path):
-    """uint64 attributes are refused loudly at plan time (Spark has no
-    unsigned 64-bit type; an int64 cast would silently WRAP values >=
-    2**63 negative -- round-8 review finding), while u1/u2/u4 read
-    value-exact as long."""
+def test_uint64_u32_read_exact(spark, tmp_path):
+    """u1/u2/u4 attributes read value-exact as long; uint64 reads as
+    decimal(20,0) cells since round 11 (previously a loud refusal --
+    Spark has no unsigned 64-bit type, so an int64 cast would WRAP
+    values >= 2**63 negative; the full tier contract is pinned in
+    test_uint64.py)."""
     x32 = np.array([0, 1, 2**31, 2**32 - 1], dtype="uint32")
     uri = _mkarray(str(tmp_path), x32, tile=(2,))
     a = from_tiledb(spark, uri, _tiledb=FAKE)
@@ -360,7 +361,10 @@ def test_uint64_refused_u32_exact(spark, tmp_path):
     got = a.compute()
     np.testing.assert_array_equal(got.astype("int64"), x32.astype("int64"))
 
-    x64 = np.array([1, 2], dtype="uint64")
+    x64 = np.array([1, 2**53 + 1, 2**63 + 17, 2**64 - 1], dtype="uint64")
     uri64 = _mkarray(str(tmp_path), x64, tile=(2,))
-    with pytest.raises(NotImplementedError, match="uint64"):
-        from_tiledb(spark, uri64, _tiledb=FAKE)
+    b = from_tiledb(spark, uri64, _tiledb=FAKE)
+    assert dict(b.df.dtypes)["v"].replace(" ", "") == "decimal(20,0)"
+    got64 = b.compute()
+    assert got64.dtype == np.uint64
+    np.testing.assert_array_equal(got64, x64)
