@@ -28,7 +28,10 @@ shuffle, fletcher32 (checksum stripped, not verified).
 
 Writer emits superblock v0 + v1 object headers + v1 symbol-table
 groups (the most widely readable profile -- no checksums in any
-structure), contiguous little-endian float64 datasets, NaN fill.
+structure); datasets are little-endian float64 / unsigned-64 /
+compound-complex, laid out contiguous (default) or chunked with a v1
+chunk B-tree + optional deflate/shuffle filter pipeline (round 11 --
+the same layout h5py's chunked/gzip default produces).
 """
 
 from __future__ import annotations
@@ -862,16 +865,238 @@ class _W:
         return addr
 
 
-def to_hdf5(a, filename: str, datapath: str | None = None) -> None:
-    """Write Array(s) as contiguous float64 HDF5 datasets (reference
-    io/_store.py:331 ``to_hdf5(filename, '/x', x)`` and its dict
-    form).  The driver writes the metadata image and preallocates the
-    file; every dataset's cells then pwrite row slabs at computed
-    offsets from executors in parallel.  Requires a filesystem shared
-    by all executors (same contract as to_zarr / to_npy_stack).
+def _filter_pipeline_v1(filters: list[tuple[int, tuple]]) -> bytes:
+    """Filter-pipeline message v1 for the (shuffle, deflate) subset the
+    reader decodes: 8-byte header, then per filter id / namelen 0 /
+    flags 0 (mandatory) / client-data values padded to even count."""
+    body = struct.pack("<BB2x4x", 1, len(filters))
+    for fid, cd in filters:
+        body += struct.pack("<HHHH", fid, 0, 0, len(cd))
+        body += b"".join(struct.pack("<I", v) for v in cd)
+        if len(cd) % 2 == 1:
+            body += b"\x00" * 4
+    return body
+
+
+_BT_CAP = 32  # entries per chunk B-tree node (well-formed at any count)
+
+
+def _bt_node_size(ndim: int) -> int:
+    key_size = 8 + 8 * (ndim + 1)
+    return 24 + _BT_CAP * (key_size + 8) + key_size
+
+
+def _bt_level_counts(n: int) -> list[int]:
+    """Nodes per level, leaves first, down to a single root."""
+    counts = []
+    while True:
+        n = max(1, -(-n // _BT_CAP))
+        counts.append(n)
+        if n == 1:
+            return counts
+        # next level indexes this one
+
+
+def _btree_total_bytes(nchunks: int, ndim: int) -> int:
+    return sum(_bt_level_counts(nchunks)) * _bt_node_size(ndim)
+
+
+def _build_chunk_btree(sizes, ndim, cdims, addr_map, base_addr):
+    """v1 raw-data chunk B-tree image: leaves hold (key, chunk addr)
+    pairs sorted by chunk offset, internal levels index their first
+    keys; node capacity ``_BT_CAP``, sibling-chained per level.
+    Returns (image bytes laid out from ``base_addr``, root offset
+    within the image)."""
+    node_size = _bt_node_size(ndim)
+
+    def key(nb: int, coords) -> bytes:
+        return (
+            struct.pack("<II", nb, 0)
+            + b"".join(struct.pack("<Q", c) for c in coords)
+            + struct.pack("<Q", 0)
+        )
+
+    # the trailing key of the LAST node of each level: one past the
+    # final chunk (libhdf5 writes the dataset's chunk-aligned bound)
+    last_coords = sizes[-1][0]
+    max_key = key(0, tuple(c + d for c, d in zip(last_coords, cdims)))
+
+    # entries per level: [(first_key, child_addr, own_node_bytes?)]
+    level = [(key(nb, coords), addr_map[coords]) for coords, nb in sizes]
+    counts = _bt_level_counts(len(level))
+    # node addresses: leaves first, root last
+    offs = []
+    off = 0
+    for c in counts:
+        offs.append([off + i * node_size for i in range(c)])
+        off += c * node_size
+    img = bytearray(off)
+    for lvl, node_offs in enumerate(offs):
+        groups = [
+            level[i * _BT_CAP : (i + 1) * _BT_CAP]
+            for i in range(len(node_offs))
+        ]
+        next_level = []
+        for i, (noff, grp) in enumerate(zip(node_offs, groups)):
+            left = base_addr + node_offs[i - 1] if i > 0 else _UNDEF
+            right = (
+                base_addr + node_offs[i + 1]
+                if i + 1 < len(node_offs) else _UNDEF
+            )
+            node = struct.pack(
+                "<4sBBHQQ", b"TREE", 1, lvl, len(grp), left, right
+            )
+            for k, child in grp:
+                node += k + struct.pack("<Q", child)
+            # trailing key: next sibling's first entry key, else max
+            node += groups[i + 1][0][0] if i + 1 < len(groups) else max_key
+            img[noff : noff + len(node)] = node
+            next_level.append((grp[0][0], base_addr + noff))
+        level = next_level
+    root_off = offs[-1][0]
+    return bytes(img), root_off
+
+
+def _encode_chunk(block: np.ndarray, filters) -> bytes:
+    """Apply the write-side filter pipeline in order (shuffle, then
+    deflate) -- the exact inverse of _decode_chunk's reversed() walk.
+    zlib.compress is deterministic for a fixed library, which is what
+    lets pass 1 (sizing) and pass 2 (writing) agree byte-for-byte."""
+    import zlib
+
+    raw = np.ascontiguousarray(block).tobytes()
+    for fid, cd in filters:
+        if fid == 2:  # byte shuffle over the whole chunk
+            ts = cd[0]
+            arr = np.frombuffer(raw, dtype="u1")
+            n_elem = len(raw) // ts
+            raw = (
+                arr[: n_elem * ts].reshape(n_elem, ts).T.tobytes()
+                + bytes(arr[n_elem * ts :])
+            )
+        elif fid == 1:
+            raw = zlib.compress(raw, cd[0])
+        else:  # pragma: no cover - writer only emits 1/2
+            raise NotImplementedError(f"write filter id {fid}")
+    return raw
+
+
+def _chunk_pass(arr: Array, cdims, filters, *, filename, addr_map):
+    """One executor sweep over the chunk grid.  ``filename=None`` is
+    pass 1: return metadata-sized [(coords, stored_nbytes)] rows for
+    every non-empty chunk.  With a filename + addr map it is pass 2:
+    re-encode each chunk (deterministic, see _encode_chunk) and pwrite
+    it at its assigned address."""
+    from pyspark.sql import functions as F
+
+    shape = tuple(int(s) for s in arr.shape)
+    ndim = len(shape)
+    vtype = dict(arr.df.dtypes).get(VALUE_COL, "double")
+    is_cx = vtype.startswith("struct")
+    is_u64 = vtype.replace(" ", "") == "decimal(20,0)"
+    d = arr.df
+    ccols = []
+    for k in range(ndim):
+        cc = f"__c{k}"
+        d = d.withColumn(
+            cc, (F.col(f"i{k}") / F.lit(cdims[k])).cast("long") * F.lit(cdims[k])
+        )
+        ccols.append(cc)
+
+    def one_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
+        coords = tuple(int(pdf[c].iloc[0]) for c in ccols)
+        pdf = pdf[pdf[VALUE_COL].notna()]
+        # HDF5 stores FULL chunk extents (edge chunks padded with fill)
+        if is_cx:
+            from .ingest import _struct_col_to_complex
+
+            block = np.full(cdims, complex(np.nan, np.nan), dtype="<c16")
+        elif is_u64:
+            block = np.zeros(cdims, dtype="<u8")
+        else:
+            block = np.full(cdims, np.nan, dtype="<f8")
+        if len(pdf):
+            loc = tuple(
+                pdf[f"i{k}"].to_numpy(dtype="int64") - coords[k]
+                for k in range(ndim)
+            )
+            if is_cx:
+                block[loc] = _struct_col_to_complex(pdf[VALUE_COL])
+            elif is_u64:
+                from .ingest import _decimal_col_to_uint64
+
+                block[loc] = _decimal_col_to_uint64(pdf[VALUE_COL])
+            else:
+                block[loc] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(
+                    dtype="float64"
+                )
+        payload = _encode_chunk(block, filters)
+        if filename is None:
+            return pd.DataFrame(
+                {**{f"c{k}": [coords[k]] for k in range(ndim)},
+                 "nbytes": [len(payload)]}
+            )
+        with open(filename, "r+b") as f:
+            f.seek(addr_map[coords])
+            f.write(payload)
+        return pd.DataFrame({"n": [len(payload)]})
+
+    if filename is None:
+        schema = ", ".join(f"c{k} long" for k in range(ndim)) + ", nbytes long"
+        rows = d.groupBy(*ccols).applyInPandas(one_chunk, schema=schema).collect()
+        return [
+            (tuple(int(r[f"c{k}"]) for k in range(ndim)), int(r["nbytes"]))
+            for r in rows
+        ]
+    d.groupBy(*ccols).applyInPandas(one_chunk, schema="n long").count()
+
+
+def to_hdf5(
+    a,
+    filename: str,
+    datapath: str | None = None,
+    *,
+    chunks=None,
+    compression: str | None = None,
+    compression_opts: int = 4,
+    shuffle: bool = False,
+) -> None:
+    """Write Array(s) as HDF5 datasets (reference io/_store.py:331
+    ``to_hdf5(filename, '/x', x)`` and its dict form).  The driver
+    writes the metadata image and preallocates the file; every
+    dataset's bytes then pwrite at computed offsets from executors in
+    parallel.  Requires a filesystem shared by all executors (same
+    contract as to_zarr / to_npy_stack).
+
+    Layouts (round 11 -- parity with h5py's chunked/gzip default
+    output, which the reference writes through h5py):
+
+    - default: contiguous, parallel executor row-slab writes.
+    - ``chunks=`` and/or ``compression='gzip'``: CHUNKED layout with a
+      v1 chunk B-tree index, optional deflate (``compression_opts`` =
+      zlib level) and byte-``shuffle`` filters -- exactly the filter
+      set the spec-native reader decodes.  Only non-empty chunks are
+      stored; absent chunks read back at the declared fill value.
+      Two executor passes per dataset: pass 1 sizes each compressed
+      chunk (deflate is deterministic for a fixed zlib, so sizes are
+      exact), the driver lays out the B-tree + extents from those
+      METADATA-SIZED (coords, nbytes) rows, pass 2 re-encodes and
+      pwrites each chunk at its assigned address.  The B-tree itself
+      is driver-written: one 16-byte key per stored chunk, so keep
+      chunks >= ~10^6 cells at scale (the same driver-memory bound
+      h5py's single-writer B-tree has).
+
+    Options apply to every dataset of a dict write.  ``chunks`` may be
+    a tuple (clipped per-dataset to its shape) and must match the
+    dataset rank; ``compression`` accepts 'gzip'/'deflate'/'zlib'.
 
     ``to_hdf5(arr, 'f.h5', '/x')`` or ``to_hdf5({'/a/x': x, '/y': y},
     'f.h5')``."""
+    if compression is not None and compression not in ("gzip", "deflate", "zlib"):
+        raise NotImplementedError(
+            f"compression {compression!r} (only deflate: 'gzip'/'deflate'/'zlib')"
+        )
+    chunked_write = chunks is not None or compression is not None or shuffle
     if isinstance(a, Array):
         if datapath is None:
             raise ValueError("to_hdf5(Array, filename, datapath) needs a path")
@@ -901,15 +1126,17 @@ def to_hdf5(a, filename: str, datapath: str | None = None) -> None:
 
     w = _W()
     w.buf += b"\x00" * 2048  # superblock region, rewritten at the end
-    data_extents: list[tuple[int, Array]] = []  # (addr patched later)
+    # ("contig", patch_at, arr) | ("chunked", patch_at, arr, cdims, filters)
+    data_extents: list[tuple] = []
 
     def write_dataset(arr: Array) -> int:
         shape = tuple(int(s) for s in arr.shape)
+        ndim = len(shape)
         # complex arrays (STRUCT<re,im> value column) write the h5py
         # compound {r,i} convention at 16 bytes/cell; uint64 cells
         # (decimal(20,0)) write a native unsigned 64-bit dataset
         # (fill 0 like every int store); everything else stays the
-        # contiguous float64 contract
+        # float64 contract
         vtype = dict(arr.df.dtypes).get(VALUE_COL, "")
         is_cx = vtype.startswith("struct")
         is_u64 = vtype.replace(" ", "") == "decimal(20,0)"
@@ -935,9 +1162,48 @@ def to_hdf5(a, filename: str, datapath: str | None = None) -> None:
                 0x0005,
                 struct.pack("<BBBBI", 2, 2, 0, 1, isz) + fill,
             ),
-            # layout v3 contiguous; address patched once data extents land
-            _msg_v1(0x0008, struct.pack("<BBQQ", 3, 1, _UNDEF, nbytes)),
         ]
+        if chunked_write:
+            if chunks is None:
+                # h5py-ish default: ~1 MiB row-slabs, full tail dims
+                row_elems = (
+                    int(np.prod(shape[1:], dtype=np.int64)) if ndim > 1 else 1
+                )
+                r = max(1, min(shape[0] or 1, (1 << 20) // max(row_elems * isz, 1)))
+                cdims = (r,) + tuple(shape[1:])
+            else:
+                ct = tuple(int(c) for c in chunks)
+                if len(ct) != ndim:
+                    raise ValueError(
+                        f"chunks {ct} do not match dataset rank {ndim}"
+                    )
+                cdims = tuple(max(1, min(c, s or 1)) for c, s in zip(ct, shape))
+            filters = []
+            if shuffle:
+                filters.append((2, (isz,)))
+            if compression is not None:
+                filters.append((1, (int(compression_opts),)))
+            if filters:
+                msgs.append(_msg_v1(0x000B, _filter_pipeline_v1(filters)))
+            # layout v3 class 2 (chunked): btree address patched after
+            # pass-1 sizes land; dims carry chunk shape + element size
+            msgs.append(
+                _msg_v1(
+                    0x0008,
+                    struct.pack("<BBB", 3, 2, ndim + 1)
+                    + struct.pack("<Q", _UNDEF)
+                    + struct.pack(f"<{ndim + 1}I", *cdims, isz),
+                )
+            )
+            tag = ("chunked", cdims, filters)
+            patch_skip = 3  # version, class, dimensionality bytes
+        else:
+            # layout v3 contiguous; address patched once extents land
+            msgs.append(
+                _msg_v1(0x0008, struct.pack("<BBQQ", 3, 1, _UNDEF, nbytes))
+            )
+            tag = ("contig",)
+            patch_skip = 2  # version, class bytes
         oh = _oh_v1(msgs)
         addr = w.add(oh)
         # locate the layout message's address field inside the image:
@@ -945,8 +1211,8 @@ def to_hdf5(a, filename: str, datapath: str | None = None) -> None:
         off = 16
         for m in msgs[:-1]:
             off += len(m)
-        off += 8 + 2  # last msg header + version/class bytes
-        data_extents.append((addr + off, arr))
+        off += 8 + patch_skip  # last msg header + pre-address bytes
+        data_extents.append((tag[0], addr + off, arr) + tag[1:])
         return addr
 
     def write_group(node: dict) -> int:
@@ -993,18 +1259,46 @@ def to_hdf5(a, filename: str, datapath: str | None = None) -> None:
     w.align()
     meta_end = len(w.buf)
     pos = meta_end
-    extents = []
-    for patch_at, arr in data_extents:
+    extents = []          # contiguous: (data_addr, arr)
+    chunk_writes = []     # chunked: (arr, cdims, filters, {coords: addr})
+    driver_blobs = []     # (addr, bytes): B-tree nodes, driver-written
+    for ent in data_extents:
+        kind_tag, patch_at, arr = ent[0], ent[1], ent[2]
         shape = tuple(int(s) for s in arr.shape)
         # per-dataset itemsize: complex datasets are 16 bytes/cell --
         # a flat 8 here would overlap the NEXT dataset's extent in a
         # multi-dataset file (round-11 audit catch)
         isz = 16 if dict(arr.df.dtypes).get(VALUE_COL, "").startswith("struct") else 8
-        nbytes = int(np.prod(shape, dtype=np.int64)) * isz
-        struct.pack_into("<Q", w.buf, patch_at, pos)
-        extents.append((pos, arr))
-        pos += nbytes
+        if kind_tag == "contig":
+            nbytes = int(np.prod(shape, dtype=np.int64)) * isz
+            struct.pack_into("<Q", w.buf, patch_at, pos)
+            extents.append((pos, arr))
+            pos += nbytes
+            pos += (-pos) % 8
+            continue
+        cdims, filters = ent[3], ent[4]
+        # pass 1: per-chunk compressed sizes -- metadata-sized rows
+        # (one (coords, nbytes) per NON-EMPTY chunk), collected like
+        # every other model-parameter class
+        sizes = _chunk_pass(arr, cdims, filters, filename=None, addr_map=None)
+        if not sizes:
+            continue  # all-fill dataset: B-tree address stays UNDEF
+        sizes.sort(key=lambda t: t[0])
+        ndim = len(shape)
+        btree_base = pos
+        pos += _btree_total_bytes(len(sizes), ndim)
         pos += (-pos) % 8
+        addr_map = {}
+        for coords, nb in sizes:
+            addr_map[coords] = pos
+            pos += nb
+        pos += (-pos) % 8
+        nodes_bytes, root_off = _build_chunk_btree(
+            sizes, ndim, cdims, addr_map, btree_base
+        )
+        struct.pack_into("<Q", w.buf, patch_at, btree_base + root_off)
+        driver_blobs.append((btree_base, nodes_bytes))
+        chunk_writes.append((arr, cdims, filters, addr_map))
     eof = pos
 
     # superblock v0 with root symbol table entry
@@ -1018,10 +1312,17 @@ def to_hdf5(a, filename: str, datapath: str | None = None) -> None:
     with open(filename, "wb") as f:
         f.write(bytes(w.buf))
         f.truncate(eof)
+    if driver_blobs:
+        with open(filename, "r+b") as f:
+            for at, blob in driver_blobs:
+                f.seek(at)
+                f.write(blob)
 
-    # parallel slab writes, one job per dataset
+    # parallel writes, one job per dataset
     for data_addr, arr in extents:
         _write_slabs(arr, filename, data_addr)
+    for arr, cdims, filters, addr_map in chunk_writes:
+        _chunk_pass(arr, cdims, filters, filename=filename, addr_map=addr_map)
 
 
 def _write_slabs(arr: Array, filename: str, data_addr: int) -> None:
