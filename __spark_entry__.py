@@ -5,7 +5,7 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The implementations live in ``dask_array_spark.queries``: 56 entries
+The implementations live in ``dask_array_spark.queries``: 57 entries
 covering SURVEY.md section 2's operator inventory plus the
 training-data-pipeline and streaming scope, each running through the
 engine's operators with an independent ANSI-SQL oracle (COVERAGE.md

@@ -5022,6 +5022,44 @@ def q_media_bytes_frames(spark, sf):
     return bh.unionByName(fr)
 
 
+_U64_CELL = (
+    "CAST(CAST(o_orderkey AS DECIMAL(20,0)) "
+    "+ CAST(9223372036854775808 AS DECIMAL(20,0)) AS DECIMAL(20,0))"
+)
+
+
+@query(
+    "uint64_exact_suite",
+    f"""
+    SELECT
+      CAST((SELECT SUM({_U64_CELL}) FROM orders) AS VARCHAR) AS total_str,
+      CAST((SELECT MAX({_U64_CELL}) FROM orders) AS VARCHAR) AS max_str,
+      CAST((SELECT SUM(2 * {_U64_CELL}) FROM orders) AS VARCHAR) AS doubled_str
+    """,
+)
+def q_uint64_exact_suite(spark, sf):
+    """uint64 tier (round 11): decimal(20,0) cells above 2**63 -- the
+    range an int64 cast wraps and float64 shreds -- summed, maxed, and
+    pushed through engine arithmetic (a + a widens per the pinned
+    decimal contract), each result compared as exact digit strings.
+    Exercises the same cell encoding every uint64 store reader/writer
+    uses (reference __init__.py re-exports uint64; io/_zarr.py reads
+    whatever dtype the store declares; tests/test_uint64.py pins the
+    connector round-trips)."""
+    o = read_table(spark, sf, "orders")
+    a = from_table_column(o, "o_orderkey", _U64_CELL)
+    total = R.sum(a, axis=None).df.select(
+        F.col("v").cast("string").alias("total_str")
+    )
+    mx = R.amax(a, axis=None).df.select(
+        F.col("v").cast("string").alias("max_str")
+    )
+    doubled = R.sum(a + a, axis=None).df.select(
+        F.col("v").cast("string").alias("doubled_str")
+    )
+    return total.crossJoin(mx).crossJoin(doubled)
+
+
 # ===========================================================================
 # FINAL REGISTRY ORDER.  The driver verifies queries in insertion order and
 # round 1 showed a 50-entry window, so the first 50 entries below cover ONE
@@ -5109,6 +5147,7 @@ _FINAL_ORDER = [
     # every run -- and its operators stay pinned by the elemwise and
     # searchsorted fuzz suites ----
     "digitize_searchsorted",
+    "uint64_exact_suite",
     "dedup_minhash_sigs",
     "svd_singular_values_rows",
     "approx_percentile_rows",

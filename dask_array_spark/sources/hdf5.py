@@ -838,6 +838,16 @@ def _dt_u8_message() -> bytes:
     return head + props
 
 
+def _dt_i8_message() -> bytes:
+    # class 0 (fixed point) v1; LE, SIGNED two's complement (bit 3
+    # set), size 8 -- long (int64) value columns write natively so
+    # integers above 2**53 stay exact (round 11; matches to_zarr's
+    # int64 store contract)
+    head = struct.pack("<BBBBI", 0x10, 0x08, 0x00, 0x00, 8)
+    props = struct.pack("<HH", 0, 64)
+    return head + props
+
+
 def _msg_v1(mtype: int, body: bytes) -> bytes:
     pad = (-len(body)) % 8
     body = body + b"\x00" * pad
@@ -921,8 +931,8 @@ def _build_chunk_btree(sizes, ndim, cdims, addr_map, base_addr):
     last_coords = sizes[-1][0]
     max_key = key(0, tuple(c + d for c, d in zip(last_coords, cdims)))
 
-    # entries per level: [(first_key, child_addr, own_node_bytes?)]
-    level = [(key(nb, coords), addr_map[coords]) for coords, nb in sizes]
+    # entries per level: [(first_key, child_addr)]
+    level = [(key(nb, coords), addr_map[coords][0]) for coords, nb in sizes]
     counts = _bt_level_counts(len(level))
     # node addresses: leaves first, root last
     offs = []
@@ -994,7 +1004,15 @@ def _chunk_pass(arr: Array, cdims, filters, *, filename, addr_map):
     vtype = dict(arr.df.dtypes).get(VALUE_COL, "double")
     is_cx = vtype.startswith("struct")
     is_u64 = vtype.replace(" ", "") == "decimal(20,0)"
+    is_i64 = vtype == "bigint"
     d = arr.df
+    if is_i64 or is_u64:
+        # NULL int cells coerce the kernel's pandas column to float64
+        # (shredding ints above 2**53) -- drop them JVM-side; the
+        # declared fill is 0, so an all-NULL chunk dropping out of the
+        # groupBy entirely reads back identically (absent chunk ->
+        # fill)
+        d = d.filter(F.col(VALUE_COL).isNotNull())
     ccols = []
     for k in range(ndim):
         cc = f"__c{k}"
@@ -1013,6 +1031,8 @@ def _chunk_pass(arr: Array, cdims, filters, *, filename, addr_map):
             block = np.full(cdims, complex(np.nan, np.nan), dtype="<c16")
         elif is_u64:
             block = np.zeros(cdims, dtype="<u8")
+        elif is_i64:
+            block = np.zeros(cdims, dtype="<i8")
         else:
             block = np.full(cdims, np.nan, dtype="<f8")
         if len(pdf):
@@ -1026,6 +1046,8 @@ def _chunk_pass(arr: Array, cdims, filters, *, filename, addr_map):
                 from .ingest import _decimal_col_to_uint64
 
                 block[loc] = _decimal_col_to_uint64(pdf[VALUE_COL])
+            elif is_i64:
+                block[loc] = pdf[VALUE_COL].to_numpy(dtype="int64")
             else:
                 block[loc] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(
                     dtype="float64"
@@ -1036,8 +1058,19 @@ def _chunk_pass(arr: Array, cdims, filters, *, filename, addr_map):
                 {**{f"c{k}": [coords[k]] for k in range(ndim)},
                  "nbytes": [len(payload)]}
             )
+        addr, alloc = addr_map[coords]
+        if len(payload) != alloc:
+            # a source that re-evaluates differently between the
+            # sizing and writing passes would silently overrun the
+            # next chunk's extent -- refuse with the cause instead
+            raise ValueError(
+                f"chunk {coords} re-encoded to {len(payload)} bytes but "
+                f"{alloc} were allocated from pass 1: the source "
+                "DataFrame is not deterministic across jobs; persist() "
+                "it (or write uncompressed) before to_hdf5"
+            )
         with open(filename, "r+b") as f:
-            f.seek(addr_map[coords])
+            f.seek(addr)
             f.write(payload)
         return pd.DataFrame({"n": [len(payload)]})
 
@@ -1140,6 +1173,7 @@ def to_hdf5(
         vtype = dict(arr.df.dtypes).get(VALUE_COL, "")
         is_cx = vtype.startswith("struct")
         is_u64 = vtype.replace(" ", "") == "decimal(20,0)"
+        is_i64 = vtype == "bigint"
         isz = 16 if is_cx else 8
         nbytes = int(np.prod(shape, dtype=np.int64)) * isz
         if is_cx:
@@ -1148,6 +1182,9 @@ def to_hdf5(
         elif is_u64:
             fill = struct.pack("<Q", 0)
             dt_msg = _dt_u8_message()
+        elif is_i64:
+            fill = struct.pack("<q", 0)
+            dt_msg = _dt_i8_message()
         else:
             fill = struct.pack("<d", float("nan"))
             dt_msg = _dt_f8_message()
@@ -1290,7 +1327,7 @@ def to_hdf5(
         pos += (-pos) % 8
         addr_map = {}
         for coords, nb in sizes:
-            addr_map[coords] = pos
+            addr_map[coords] = (pos, nb)
             pos += nb
         pos += (-pos) % 8
         nodes_bytes, root_off = _build_chunk_btree(
@@ -1333,21 +1370,35 @@ def _write_slabs(arr: Array, filename: str, data_addr: int) -> None:
     vtype = dict(arr.df.dtypes).get(VALUE_COL, "double")
     is_cx = vtype.startswith("struct")
     is_u64 = vtype.replace(" ", "") == "decimal(20,0)"
+    is_i64 = vtype == "bigint"
     isz = 16 if is_cx else 8
     row_elems = int(np.prod(shape[1:], dtype=np.int64)) if ndim > 1 else 1
     rows_per_slab = max(1, _SLAB_BYTES // max(row_elems * isz, 1))
     nslabs = math.ceil(shape[0] / rows_per_slab)
-    d = arr.df.withColumn("__slab", (F.col("i0") / F.lit(rows_per_slab)).cast("long"))
-    # every slab must write (absent cells are NaN, and the preallocated
-    # file holds zeros): union one null-valued marker row per slab so
-    # the kernel fires even for slabs with no cells
-    marker = arr.spark.range(nslabs).select(
-        *[(F.col("id") * rows_per_slab if k == 0 else F.lit(0)).alias(f"i{k}")
-          for k in range(ndim)],
-        F.lit(None).cast(vtype).alias(VALUE_COL),
-        F.col("id").alias("__slab"),
-    )
-    d = d.unionByName(marker)
+    d = arr.df
+    if is_i64 or is_u64:
+        # drop NULL cells JVM-SIDE: a null in a long column makes the
+        # Arrow->pandas bridge coerce the whole kernel column to
+        # float64, silently rounding ints above 2**53 (the round-11
+        # int-write bug); the declared fill is 0, so a dropped cell
+        # reads back exactly like a written 0 -- to_zarr's int
+        # contract
+        d = d.filter(F.col(VALUE_COL).isNotNull())
+    d = d.withColumn("__slab", (F.col("i0") / F.lit(rows_per_slab)).cast("long"))
+    if not (is_i64 or is_u64):
+        # float/complex slabs must ALL write (absent cells are NaN but
+        # the preallocated file holds zeros): union one null-valued
+        # marker row per slab so the kernel fires even for slabs with
+        # no cells.  Int slabs skip this -- their fill IS the
+        # preallocated zero bytes, and the marker's NULL would trigger
+        # the float64 coercion above
+        marker = arr.spark.range(nslabs).select(
+            *[(F.col("id") * rows_per_slab if k == 0 else F.lit(0)).alias(f"i{k}")
+              for k in range(ndim)],
+            F.lit(None).cast(vtype).alias(VALUE_COL),
+            F.col("id").alias("__slab"),
+        )
+        d = d.unionByName(marker)
     tail = tuple(shape[1:])
 
     def write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1376,6 +1427,12 @@ def _write_slabs(arr: Array, filename: str, data_addr: int) -> None:
             block = np.zeros((nrows,) + tail, dtype="uint64")
             block[loc] = _decimal_col_to_uint64(pdf[VALUE_COL])
             payload = np.ascontiguousarray(block, dtype="<u8").tobytes()
+        elif is_i64:
+            # int64 cells write <i8 exactly (absent cells 0, the
+            # declared fill -- same contract as to_zarr's int stores)
+            block = np.zeros((nrows,) + tail, dtype="int64")
+            block[loc] = pdf[VALUE_COL].to_numpy(dtype="int64")
+            payload = np.ascontiguousarray(block, dtype="<i8").tobytes()
         else:
             block = np.full((nrows,) + tail, np.nan)
             block[loc] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")

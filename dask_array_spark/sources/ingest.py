@@ -526,6 +526,8 @@ def to_npy_stack(a: Array, dirname: str, files: int = 8) -> None:
     vtype = dict(a.df.dtypes).get(VALUE_COL, "")
     is_complex = vtype.startswith("struct")
     is_u64 = vtype.replace(" ", "") == "decimal(20,0)"
+    is_i64 = vtype == "bigint"
+    is_bool = vtype == "boolean"
 
     def write_block(pdf):
         blk = int(pdf["__blk"].iloc[0])
@@ -545,6 +547,21 @@ def to_npy_stack(a: Array, dirname: str, files: int = 8) -> None:
             # every int store
             arr = np.zeros(dims, dtype="uint64")
             arr[tuple(loc)] = _decimal_col_to_uint64(pdf[VALUE_COL])
+        elif is_i64 or is_bool:
+            # native int64/bool stacks (round 11; the old float64 dump
+            # lost the dtype and shredded ints above 2**53).  An
+            # int/bool .npy has NO NULL representation -- refuse
+            # loudly like to_zarr's int stores; the NULL also flags
+            # the Arrow->pandas float64 coercion that would already
+            # have rounded the column
+            if pdf[VALUE_COL].isna().any():
+                raise ValueError(
+                    f"npy block {blk}: NULL cells in a {vtype!r} array "
+                    "cannot round-trip through an int/bool .npy stack; "
+                    "cast to float64 first (NULL -> NaN)"
+                )
+            arr = np.zeros(dims, dtype="int64" if is_i64 else "bool")
+            arr[tuple(loc)] = pdf[VALUE_COL].to_numpy(dtype=arr.dtype)
         else:
             arr = np.full(dims, np.nan, dtype="float64")
             arr[tuple(loc)] = pd.to_numeric(pdf[VALUE_COL]).to_numpy(dtype="float64")

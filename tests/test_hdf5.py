@@ -43,6 +43,28 @@ def test_roundtrip_2d_and_groups(spark, tmp_path):
     np.testing.assert_allclose(from_hdf5(spark, fn, "/vec").compute(), v)
 
 
+def test_roundtrip_int64_native(spark, tmp_path):
+    """long value columns write native <i8 datasets (round 11; the
+    old float64 widening shredded integers above 2**53) -- contiguous
+    and chunked+deflate both read back value-exact as long."""
+    from dask_array_spark.sources import from_numpy
+
+    data = np.array([0, -5, 2**53 + 1, -(2**53) - 7, 2**62, 11], dtype=np.int64)
+    fn = str(tmp_path / "i.h5")
+    to_hdf5(from_numpy(spark, data), fn, "/x")
+    back = from_hdf5(spark, fn, "/x")
+    assert dict(back.df.dtypes)["v"] == "bigint"
+    got = back.compute()
+    assert got.dtype == np.int64
+    np.testing.assert_array_equal(got, data)
+
+    fn2 = str(tmp_path / "ic.h5")
+    to_hdf5(from_numpy(spark, data), fn2, "/x", chunks=(4,), compression="gzip")
+    got2 = from_hdf5(spark, fn2, "/x").compute()
+    assert got2.dtype == np.int64
+    np.testing.assert_array_equal(got2, data)
+
+
 def test_roundtrip_nan_cells(spark, tmp_path):
     """NaN values are absent cells; they must write as NaN bytes (not
     stale zeros from preallocation) and read back as absent."""
@@ -197,11 +219,13 @@ def test_foreign_int32_unfiltered(spark, tmp_path):
 def test_external_int_dataset_reads_as_long(spark, tmp_path):
     """External tools write fixed-point datasets; the reader parses
     class-0 datatypes and (round 8) must surface them as LONG columns,
-    value-exact, instead of widening to double.  No int writer exists
-    here (to_hdf5 is f8-only), so simulate the external file by
-    patching a written file's datatype message from IEEE-f8 to
-    signed-i8 (same message length, trailing pad zeroed) and
-    rewriting the contiguous data region with the int64 bytes."""
+    value-exact, instead of widening to double.  Kept alongside the
+    round-11 native int writer (test_roundtrip_int64_native) because
+    this variant validates the READER against a hand-patched foreign
+    byte layout rather than our own writer: patch a written file's
+    datatype message from IEEE-f8 to signed-i8 (same message length,
+    trailing pad zeroed) and rewrite the contiguous data region with
+    the int64 bytes."""
     import struct
 
     import numpy as np

@@ -39,6 +39,48 @@ def test_npy_stack_roundtrip_1d(spark, rng, stack_dir):
     assert_eq(back, a)
 
 
+def test_npy_stack_int_bool_native(spark, stack_dir):
+    """long/boolean value columns write native int64/bool stacks
+    (round 11; the old float64 dump lost the dtype and shredded ints
+    above 2**53); NULL cells refuse loudly like to_zarr's int
+    stores."""
+    import os
+
+    from dask_array_spark.sources import from_npy_stack, from_numpy, to_npy_stack
+
+    xi = np.array([0, -5, 2**53 + 1, -(2**53) - 7, 2**62, 11], dtype=np.int64)
+    to_npy_stack(from_numpy(spark, xi), stack_dir, files=2)
+    first = np.load(os.path.join(stack_dir, sorted(os.listdir(stack_dir))[0]))
+    assert first.dtype == np.int64
+    back = from_npy_stack(spark, stack_dir)
+    assert dict(back.df.dtypes)["v"] == "bigint"
+    got = back.compute()
+    np.testing.assert_array_equal(got.astype("int64"), xi)
+
+    shutil.rmtree(stack_dir, ignore_errors=True)
+    xb = np.array([True, False, True, True, False])
+    to_npy_stack(from_numpy(spark, xb), stack_dir, files=1)
+    assert np.load(os.path.join(stack_dir, "0.npy")).dtype == np.bool_
+    gb = from_npy_stack(spark, stack_dir).compute()
+    np.testing.assert_array_equal(gb.astype(bool), xb)
+
+    # NULL int cells -> loud refusal (no NULL encoding in .npy)
+    shutil.rmtree(stack_dir, ignore_errors=True)
+    from pyspark.sql import functions as F
+
+    from dask_array_spark.core.array import Array
+
+    a = from_numpy(spark, xi)
+    nulled = Array(
+        a.df.withColumn(
+            "v", F.when(F.col("i0") == 2, None).otherwise(F.col("v"))
+        ),
+        a.shape,
+    )
+    with pytest.raises(Exception, match="NULL cells"):
+        to_npy_stack(nulled, stack_dir, files=1)
+
+
 def test_parquet_array_roundtrip(spark, rng):
     import shutil
 
