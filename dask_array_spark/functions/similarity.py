@@ -343,7 +343,18 @@ def ivf_topk(
     ingest and queries pay only probe selection + the candidate scan;
     recomputing the assignment per query costs a full corpus pass of
     n_cells distance folds, which can exceed the brute-force scan it
-    is supposed to avoid (n_cells > |queries|)."""
+    is supposed to avoid (n_cells > |queries|).
+
+    Choosing n_probe (measured, SCALE.md round 11, 600k corpus /
+    256-query batch): cost is linear in probes and recall is
+    near-linear in the probe FRACTION with a modest clustering lift
+    (1-of-16 recovered 29% recall, 8-of-16 88%, full probe exactly
+    1.0) -- there is no knee, so n_probe is a real speed/recall dial;
+    calibrate on your corpus with ``ann_recall``.  On weakly
+    clustered data, ``pq_topk(rerank="auto")`` dominated every
+    mid-recall ivf setting (0.994 recall at 228 ms/query vs 0.968 at
+    386), so reach for IVF when you need raw throughput or your
+    corpus actually clusters."""
     cents = _codebook(emb, n_cells, cents)
     if assign is None:
         assign = ivf_assign(emb, n_cells, cents)

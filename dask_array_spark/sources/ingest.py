@@ -260,16 +260,23 @@ def _parse_fill(fill, kind: str):
     if kind == "u":
         # uint64 fills must stay integral: float(2**64-1) shreds the
         # low bits before the cells even materialize; a non-integral
-        # fill (e.g. "NaN") on an unsigned-int store is malformed
-        # metadata -- refuse with the reason, not an int() traceback
-        if isinstance(fill, str) or (isinstance(fill, float) and fill != int(fill)):
+        # fill ("NaN", 5.5) on an unsigned-int store is malformed
+        # metadata -- refuse with the reason, never truncate or
+        # round silently
+        err = ValueError(
+            f"fill_value {fill!r} is not an integer; a uint64 "
+            "store's fill must be integral in [0, 2**64)"
+        )
+        if isinstance(fill, str):
             try:
                 return int(fill)
-            except (TypeError, ValueError):
-                raise ValueError(
-                    f"fill_value {fill!r} is not an integer; a uint64 "
-                    "store's fill must be integral in [0, 2**64)"
-                ) from None
+            except ValueError:
+                raise err from None
+        if isinstance(fill, float) and (
+            fill != fill or fill in (float("inf"), float("-inf"))
+            or fill != int(fill)
+        ):
+            raise err
         return int(fill)
     if isinstance(fill, str):
         return float(fill)

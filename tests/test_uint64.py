@@ -214,6 +214,22 @@ def test_astype_escape_hatches(spark):
     np.testing.assert_array_equal(got, x.astype("int64"))
 
 
+def test_fill_parse_refusals():
+    """_parse_fill kind 'u': integral fills (int, integral float,
+    digit string) pass exactly; non-integral fills refuse with the
+    reason instead of silently truncating (int(5.5) -> 5 was the
+    corruption class) or leaking an int() traceback."""
+    from dask_array_spark.sources.ingest import _parse_fill
+
+    assert _parse_fill(2**63 + 5, "u") == 2**63 + 5
+    assert _parse_fill(7.0, "u") == 7
+    assert _parse_fill("12", "u") == 12
+    assert _parse_fill(None, "u") is None
+    for bad in (5.5, "NaN", float("nan"), float("inf")):
+        with pytest.raises(ValueError, match="integral"):
+            _parse_fill(bad, "u")
+
+
 def test_decimal_col_refusals():
     """Store-boundary guards: NULLs and out-of-range decimals refuse
     loudly -- silent wrap/round into a store is the exact failure
