@@ -70,19 +70,217 @@ def _exploded(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     ).select(id_col, "nrm", "pos", F.col("e").cast("double").alias("e"))
 
 
-def cosine_topk(emb: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+def _cosine_topk_arrow(emb: DataFrame, query_ids: list[int], k: int):
+    """Arrow scan for ``cosine_topk``: one mapInPandas-free
+    mapInArrow pass emits the per-batch exact top-k candidate rows
+    per query; the caller's window then ranks the metadata-sized
+    union.  Returns None when the query side is unusable for the
+    kernel (no queries resolved, or ragged query vectors) -- the
+    relational form handles those.
+
+    Exactness contract (the reason this beats a plain GEMM port):
+    - dot and norm accumulate SEQUENTIALLY over elements j=0..d-1 in
+      float64, the same left-fold order as the SQL
+      zip_with/aggregate expressions -- bit-identical sums, so the
+      shared round-6 contract yields bit-identical cos and the SQL
+      and arrow forms cannot disagree at rounding boundaries;
+    - exclusions replicate the SQL guard exactly: zero denominator
+      (SQL x/0.0 -> NULL), NaN cos (NaN payloads), self-match, NULL
+      or wrong-length embeddings (SQL zip_with pads -> NULL fold);
+    - ranking packs (round6(cos) * 1e6, vec_id) into one int64 key
+      (cos is a multiple of 1e-6 after rounding), so per-batch
+      argpartition realizes EXACTLY the (cos desc, vec_id asc)
+      window order; |cos| >= 2 rows (impossible for true cosines,
+      reachable only through denormal-norm pathologies) bypass
+      pruning entirely rather than risk overflowing the packed
+      key (2e6 << 41 is the int64-safe bound)."""
+    import numpy as np
+
+    from ..sources.ingest import widen_partitions
+
+    qrows = (
+        emb.filter(F.col("vec_id").isin(list(query_ids)))
+        .select(F.col("vec_id").cast("long").alias("qid"), "embedding")
+        .collect()  # bounded-model-collect: |query_ids| query vectors
+    )
+    if not qrows:
+        return None
+    qids = np.array([r["qid"] for r in qrows], dtype="int64")
+    embs = [r["embedding"] for r in qrows]
+    if any(e is None for e in embs):
+        return None
+    d = len(embs[0])
+    if d == 0 or any(len(e) != d for e in embs):
+        return None
+    Q = np.array(embs, dtype="float64")  # (nq, d)
+    qnrm = np.zeros(len(qids))
+    for j in range(d):
+        qnrm += Q[:, j] * Q[:, j]
+    qnrm = np.sqrt(qnrm)
+    nq = len(qids)
+    kk = int(k)
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # rows the SQL form would exclude anyway: NULL embedding
+            # or length != d (zip_with pads with NULL -> NULL fold)
+            lens = pc.fill_null(pc.list_value_length(col), -1)
+            keep = pc.and_(pc.is_valid(col), pc.equal(lens, d))
+            if not pc.all(keep).as_py():
+                batch = batch.filter(keep)
+                if batch.num_rows == 0:
+                    continue
+                col = batch.column(1)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+            n = batch.num_rows
+            ids = np.asarray(batch.column(0), dtype="int64")
+            if ids.size and np.abs(ids).max() >= (1 << 40):
+                raise ValueError(
+                    "cosine_topk arrow kernel packs vec_id into 40 "
+                    "bits; ids >= 2**40 need impl='sql'"
+                )
+            X = np.asarray(col.flatten(), dtype="float64").reshape(n, d)
+            with np.errstate(all="ignore"):  # NaN/Inf rows are masked below
+                # sequential left-fold accumulation, SQL fold order
+                nrm = np.zeros(n)
+                D = np.zeros((n, nq))
+                for j in range(d):
+                    xj = X[:, j]
+                    nrm += xj * xj
+                    D += xj[:, None] * Q[None, :, j]
+                nrm = np.sqrt(nrm)
+                denom = nrm[:, None] * qnrm[None, :]
+                cos = _spark_round6_signed(D / denom) + 0.0
+                ok = (
+                    (denom != 0.0)
+                    & ~np.isnan(cos)
+                    & (ids[:, None] != qids[None, :])
+                )
+            arrays = _batch_topk_rows(ids, cos, ok, qids, kk)
+            if arrays is None:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=["qid", "vec_id", "cos"]
+            )
+
+    src = widen_partitions(emb, "vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    cand = src.mapInArrow(kernel, schema="qid long, vec_id long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            (F.col("rank") - 1).cast("long").alias("rank"),
+            "vec_id",
+            "cos",
+        )
+    )
+
+
+def _batch_topk_rows(ids, cos, ok, qids, kk):
+    """Per-batch exact top-k row selection shared by the arrow scan
+    kernels: pack (round6(cos) * 1e6, vec_id) into one int64 key so
+    argpartition realizes exactly the (cos desc, vec_id asc) window
+    order; rows with |cos| >= 2 (impossible for true cosines,
+    reachable only through denormal-norm pathologies) bypass pruning
+    rather than risk overflowing the packed key (2e6 << 41 is the
+    int64-safe bound).  Returns [qid, vec_id, cos] pyarrow arrays or
+    None when no row survives."""
+    import numpy as np
+    import pyarrow as pa
+
+    n, nq = cos.shape
+    with np.errstate(all="ignore"):
+        big = ok & (np.abs(cos) >= 2.0)
+        packable = ok & ~big
+        key = np.where(
+            packable,
+            (np.rint(np.where(packable, cos, 0.0) * 1e6)
+             .astype("int64") << 41) - ids[:, None],
+            np.int64(-(1 << 62)),
+        )
+    out_q, out_v, out_c = [], [], []
+    for c in range(nq):
+        kc = key[:, c]
+        k_eff = min(kk, n)
+        if k_eff < n:
+            sel = np.argpartition(kc, n - k_eff)[n - k_eff:]
+        else:
+            sel = np.arange(n)
+        sel = sel[kc[sel] != -(1 << 62)]
+        bigc = np.flatnonzero(big[:, c])
+        if bigc.size:
+            sel = np.concatenate([sel, bigc])
+        if not sel.size:
+            continue
+        out_q.append(np.full(sel.size, qids[c], dtype="int64"))
+        out_v.append(ids[sel])
+        out_c.append(cos[sel, c])
+    if not out_q:
+        return None
+    return [
+        pa.array(np.concatenate(out_q)),
+        pa.array(np.concatenate(out_v)),
+        pa.array(np.concatenate(out_c)),
+    ]
+
+
+def _spark_round6_signed(a: "np.ndarray") -> "np.ndarray":
+    """``_spark_round6_np`` extended to signed input: BigDecimal
+    HALF_UP rounds half AWAY FROM ZERO, which is symmetric, so route
+    |x| through the non-negative replica and restore the sign."""
+    import numpy as np
+
+    return np.copysign(_spark_round6_np(np.abs(a)), a)
+
+
+def cosine_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5, impl: str = "auto"
+) -> DataFrame:
     """Top-k cosine neighbors for each query id: (qid, rank, vec_id,
     cos).  Deterministic ties: higher cosine first, then smaller
-    vec_id.  The only broadcast is the query side (len(query_ids)
-    vectors, WHOLE arrays -- never the corpus).
+    vec_id.  The only broadcast/collect is the query side
+    (len(query_ids) vectors, WHOLE arrays -- never the corpus).
 
-    The dot product is computed IN-ROW with zip_with + aggregate
-    against the broadcast query vector: the corpus is never exploded,
-    so the shuffle into the per-query top-k window carries
-    |corpus| x |queries| scalar rows instead of dim x that (the
-    round-2 plan had a posexplode before the groupBy -- ~dim x more
-    shuffle input).  The posexplode formulation survives only in the
-    DuckDB oracle replica (queries.py), which has no array fold."""
+    ``impl``: ``"sql"`` is the relational form -- the dot computed
+    IN-ROW with zip_with + aggregate against the broadcast query
+    vector (corpus never exploded; the posexplode formulation
+    survives only in the DuckDB oracle replica).  ``"arrow"`` runs
+    the same scan as a batched NumPy mapInArrow kernel
+    (``_cosine_topk_arrow``): per-batch exact top-k candidates, then
+    the identical global window over a candidates relation of
+    ~partitions x queries x k rows.  The kernel replicates the SQL
+    expression BIT-FOR-BIT (sequential left-fold accumulation in the
+    same element order, the shared round-6 contract, int64-packed
+    (cos, vec_id) keys for exact tie order), so the two forms agree
+    exactly -- pinned by test_fuzz_similarity.  ``"auto"`` (default)
+    picks arrow: zip_with/aggregate are interpreted (higher-order
+    functions never enter whole-stage codegen) and Catalyst pushes
+    the NULL/NaN guard into the BNLJ join condition where the fold
+    re-evaluates per predicate -- measured 133 s vs 4.0 s (33x) at
+    200k x 64 queries, and still ~1.8x at the 2k-vector bench scale
+    (SCALE.md round 11).  One caveat: the kernel's
+    per-batch pruning assumes vec_id is unique per corpus row (true
+    for every real corpus); duplicate-id corpora should pass
+    impl="sql"."""
+    if impl not in ("auto", "arrow", "sql"):
+        raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
+    if impl != "sql":
+        out = _cosine_topk_arrow(emb, query_ids, k)
+        if out is not None:
+            return out
     corpus = emb.select(
         "vec_id",
         F.col("embedding"),
@@ -1418,12 +1616,116 @@ def sq8_encode(emb: DataFrame) -> DataFrame:
     ).withColumn("nrm", _sq8_nrm())
 
 
+def _sq8_topk_arrow(codes: DataFrame, emb: DataFrame, query_ids, k: int):
+    """Arrow scan for ``sq8_topk`` (no-candidates form): one
+    mapInArrow pass over the 4x-smaller (vec_id, scale, q, nrm)
+    relation, replicating the SQL expression bit-for-bit -- the
+    integer-code dot accumulates sequentially in float64 in the SQL
+    fold order, then round6((scale * dot) / (nrm * qnrm)) + 0.0 with
+    the same exclusion set (zero denominator, NaN, self, NULL/ragged
+    codes).  Returns None when the query side is unusable (resolved
+    by the relational form)."""
+    import numpy as np
+
+    from ..sources.ingest import widen_partitions
+
+    qrows = (
+        emb.filter(F.col("vec_id").isin(list(query_ids)))
+        .select(F.col("vec_id").cast("long").alias("qid"), "embedding")
+        .collect()  # bounded-model-collect: |query_ids| query vectors
+    )
+    if not qrows:
+        return None
+    qids = np.array([r["qid"] for r in qrows], dtype="int64")
+    embs = [r["embedding"] for r in qrows]
+    if any(e is None for e in embs):
+        return None
+    d = len(embs[0])
+    if d == 0 or any(len(e) != d for e in embs):
+        return None
+    Q = np.array(embs, dtype="float64")
+    qnrm = np.zeros(len(qids))
+    for j in range(d):
+        qnrm += Q[:, j] * Q[:, j]
+    qnrm = np.sqrt(qnrm)
+    nq = len(qids)
+    kk = int(k)
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            qcol = batch.column(names.index("q"))
+            if isinstance(qcol, pa.ChunkedArray):
+                qcol = qcol.combine_chunks()
+            lens = pc.fill_null(pc.list_value_length(qcol), -1)
+            keep = pc.and_(pc.is_valid(qcol), pc.equal(lens, d))
+            if not pc.all(keep).as_py():
+                batch = batch.filter(keep)
+                if batch.num_rows == 0:
+                    continue
+                qcol = batch.column(names.index("q"))
+                if isinstance(qcol, pa.ChunkedArray):
+                    qcol = qcol.combine_chunks()
+            n = batch.num_rows
+            ids = np.asarray(batch.column(names.index("vec_id")), dtype="int64")
+            if ids.size and np.abs(ids).max() >= (1 << 40):
+                raise ValueError(
+                    "sq8_topk arrow kernel packs vec_id into 40 bits; "
+                    "ids >= 2**40 need the relational form"
+                )
+            scale = np.asarray(
+                batch.column(names.index("scale")), dtype="float64"
+            )
+            nrm = np.asarray(batch.column(names.index("nrm")), dtype="float64")
+            C = np.asarray(qcol.flatten(), dtype="float64").reshape(n, d)
+            with np.errstate(all="ignore"):
+                D = np.zeros((n, nq))
+                for j in range(d):
+                    D += C[:, j][:, None] * Q[None, :, j]
+                num = scale[:, None] * D
+                denom = nrm[:, None] * qnrm[None, :]
+                cos = _spark_round6_signed(num / denom) + 0.0
+                ok = (
+                    (denom != 0.0)
+                    & ~np.isnan(cos)
+                    & (ids[:, None] != qids[None, :])
+                )
+            arrays = _batch_topk_rows(ids, cos, ok, qids, kk)
+            if arrays is None:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=["qid", "vec_id", "cos"]
+            )
+
+    src = widen_partitions(codes, "vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "scale", "q", "nrm"
+    )
+    cand = src.mapInArrow(kernel, schema="qid long, vec_id long, cos double")
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            (F.col("rank") - 1).cast("long").alias("rank"),
+            "vec_id",
+            "cos",
+        )
+    )
+
+
 def sq8_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 5,
     codes: DataFrame | None = None,
     candidates: DataFrame | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """Asymmetric cosine top-k over an int8-quantized corpus: raw
     query vectors against the dequantized (q * scale) corpus --
@@ -1446,11 +1748,24 @@ def sq8_topk(
     relation -- e.g. IVF probe membership from ``ivf_sq8_topk`` --
     and only those pairs are scored (the corpus joins the candidate
     list on vec_id, then the broadcast query side on qid, so query
-    A's cells never pay for query B's)."""
+    A's cells never pay for query B's).
+
+    ``impl``: like ``cosine_topk`` -- the full-scan form defaults to
+    the arrow kernel (``_sq8_topk_arrow``, bit-identical, pinned by
+    test_fuzz_similarity) because the zip_with/aggregate fold is
+    interpreted and re-evaluates inside the pushed-down BNLJ
+    condition; ``"sql"`` keeps the relational scan.  A ``candidates``
+    scan is probe-bounded per query and always runs relationally."""
+    if impl not in ("auto", "arrow", "sql"):
+        raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
     if codes is None:
         codes = sq8_encode(emb)
     if "nrm" not in codes.columns:
         codes = codes.withColumn("nrm", _sq8_nrm())
+    if impl != "sql" and candidates is None:
+        out = _sq8_topk_arrow(codes, emb, query_ids, k)
+        if out is not None:
+            return out
     corpus = codes.select("vec_id", "scale", "q", "nrm")
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),

@@ -220,3 +220,89 @@ def test_sq8_encode_topk_model(spark, rows, k):
         for rk, v, c in got:
             assert c == pytest.approx(cos[v], abs=1e-9)
             assert rk == order.index(v)
+
+
+# ---------------------------------------------------------------------------
+# sql <-> arrow parity (round 11): the arrow kernel must agree with
+# the relational form BIT-FOR-BIT, not just approximately -- the
+# kernel replicates the SQL left-fold accumulation order, the shared
+# round-6 contract, and the packed (cos desc, vec_id asc) tie order.
+# Hostile floats exercise the exclusion parity (zero norms, NaN
+# payloads, NULL/ragged embeddings) the fuzz corpus above cannot.
+# ---------------------------------------------------------------------------
+
+FVEC = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+    ),
+    min_size=4, max_size=4,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(FVEC, min_size=6, max_size=24), st.integers(1, 6))
+def test_cosine_topk_arrow_matches_sql(spark, vecs, k):
+    from dask_array_spark.functions import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    qids = [0, len(vecs) // 2, len(vecs) - 1]
+    a = SIM.cosine_topk(emb, qids, k=k, impl="sql").orderBy("qid", "rank")
+    b = SIM.cosine_topk(emb, qids, k=k, impl="arrow").orderBy("qid", "rank")
+    ta, tb = [tuple(r) for r in a.collect()], [tuple(r) for r in b.collect()]
+    assert ta == tb, f"sql/arrow divergence: {ta} != {tb}"
+
+
+def test_cosine_topk_arrow_matches_sql_hostile(spark):
+    from dask_array_spark.functions import similarity as SIM
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, [0.0, 0.0, 0.0]),            # zero norm -> excluded
+        (2, [float("nan"), 1.0, 2.0]),   # NaN payload -> excluded
+        (3, [4.0, -1.0, 0.5]),
+        (4, None),                       # NULL embedding -> excluded
+        (5, [1.0, 2.0]),                 # ragged -> excluded
+        (6, [-1.0, -2.0, -3.0]),
+        (7, [1e200, 1e200, 1e200]),      # huge finite
+        (8, [5e-324, 0.0, 0.0]),         # denormal norm
+        (9, [0.5, 0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for qids in ([0], [0, 1, 2, 4, 5], [6, 7, 8]):
+        a = SIM.cosine_topk(emb, qids, k=5, impl="sql").orderBy("qid", "rank")
+        b = SIM.cosine_topk(emb, qids, k=5, impl="arrow").orderBy("qid", "rank")
+        ta = [tuple(r) for r in a.collect()]
+        tb = [tuple(r) for r in b.collect()]
+        assert ta == tb, f"qids={qids}: {ta} != {tb}"
+
+
+def test_sq8_topk_arrow_matches_sql(spark):
+    """The sq8 arrow scan must agree with the relational form
+    bit-for-bit under the same contract as cosine_topk's kernel."""
+    import numpy as np
+
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 6)) * 3
+    vecs[7] = 0.0  # zero vector -> zero scale/norm
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    codes = SIM.sq8_encode(emb).persist()
+    codes.count()
+    for qids, k in ([[0, 7, 19], 5], [[3], 1], [list(range(12)), 9]):
+        a = SIM.sq8_topk(emb, qids, k=k, codes=codes, impl="sql").orderBy(
+            "qid", "rank"
+        )
+        b = SIM.sq8_topk(emb, qids, k=k, codes=codes, impl="arrow").orderBy(
+            "qid", "rank"
+        )
+        ta = [tuple(r) for r in a.collect()]
+        tb = [tuple(r) for r in b.collect()]
+        assert ta == tb, f"qids={qids}: {ta} != {tb}"
+    codes.unpersist()
