@@ -70,13 +70,86 @@ def _exploded(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     ).select(id_col, "nrm", "pos", F.col("e").cast("double").alias("e"))
 
 
+# auto-routing threshold for the arrow serving kernels: corpora whose
+# Catalyst size estimate is below this stay on the fully-lazy
+# relational form (the Python-worker launch dominates at small scale);
+# above it the batched NumPy scan wins.  Measured round 12 (SCALE.md
+# "arrow-vs-sql crossover"): sql is faster below ~10k x 64f vectors
+# (~4 MB parquet / ~11 MB in-plan estimate) and the kernel wins beyond.
+_ARROW_AUTO_MIN_BYTES = 16 << 20
+# the sq8 codes relation is ~3x smaller per row than the float
+# embedding relation (int8 codes vs float32), so the same ROW
+# crossover sits at proportionally fewer bytes
+_SQ8_ARROW_AUTO_MIN_BYTES = _ARROW_AUTO_MIN_BYTES // 3
+
+
+def _plan_stats_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate for ``df`` -- file
+    bytes for scans, exact bytes for local relations.  Driver-side
+    planning only, NO Spark job, so ``impl="auto"`` routing keeps
+    DataFrame construction lazy.  None when stats are unavailable
+    (the caller then assumes at-scale and picks the arrow kernel)."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
+def _resolve_query_groups(emb: DataFrame, query_ids):
+    """Resolve the query vectors for the arrow serving kernels and
+    group them by vector length.  The ``.collect()`` here is the ONE
+    sanctioned eager step on the arrow path (|query_ids| rows, whole
+    vectors, never the corpus) and runs at plan-build time -- the
+    documented laziness exception, pinned by test_plans.py
+    (test_similarity_auto_small_corpus_stays_lazy).
+
+    Per-query semantics mirror the SQL form exactly, so no query
+    forces a silent fallback:
+    - NULL / empty query embeddings are DROPPED: zip_with(x, NULL)
+      folds to NULL and an empty fold yields a zero-norm NULL cosine,
+      so the SQL form provably emits no rows for them;
+    - a ragged query set is served per LENGTH GROUP: the SQL per-pair
+      length predicate (zip_with pads the shorter side -> NULL fold)
+      keeps only corpus rows of the query's own length, which is the
+      kernel's per-group ``len == d`` filter.
+
+    Returns [(d, qids, Q, qnrm), ...] or None when no query resolves
+    to a usable vector (both forms then return an empty relation)."""
+    import numpy as np
+
+    qrows = (
+        emb.filter(F.col("vec_id").isin(list(query_ids)))
+        .select(F.col("vec_id").cast("long").alias("qid"), "embedding")
+        .collect()  # bounded-model-collect: |query_ids| query vectors
+    )
+    by_len: dict[int, list] = {}
+    for r in qrows:
+        e = r["embedding"]
+        if e is None or len(e) == 0:
+            continue
+        by_len.setdefault(len(e), []).append((r["qid"], e))
+    if not by_len:
+        return None
+    groups = []
+    for d, pairs in sorted(by_len.items()):
+        qids = np.array([p[0] for p in pairs], dtype="int64")
+        Q = np.array([p[1] for p in pairs], dtype="float64")  # (nq, d)
+        qnrm = np.zeros(len(pairs))
+        with np.errstate(all="ignore"):  # inf/NaN payloads mask later
+            for j in range(d):
+                qnrm += Q[:, j] * Q[:, j]
+            groups.append((d, qids, Q, np.sqrt(qnrm)))
+    return groups
+
+
 def _cosine_topk_arrow(emb: DataFrame, query_ids: list[int], k: int):
     """Arrow scan for ``cosine_topk``: one mapInPandas-free
-    mapInArrow pass emits the per-batch exact top-k candidate rows
-    per query; the caller's window then ranks the metadata-sized
-    union.  Returns None when the query side is unusable for the
-    kernel (no queries resolved, or ragged query vectors) -- the
-    relational form handles those.
+    mapInArrow pass emits, per query, every per-batch row whose
+    cosine reaches the batch's k-th largest; the caller's window then
+    ranks the metadata-sized union.  Returns None only when NO query
+    id resolves to a usable vector (both forms are then empty).
 
     Exactness contract (the reason this beats a plain GEMM port):
     - dot and norm accumulate SEQUENTIALLY over elements j=0..d-1 in
@@ -87,37 +160,19 @@ def _cosine_topk_arrow(emb: DataFrame, query_ids: list[int], k: int):
     - exclusions replicate the SQL guard exactly: zero denominator
       (SQL x/0.0 -> NULL), NaN cos (NaN payloads), self-match, NULL
       or wrong-length embeddings (SQL zip_with pads -> NULL fold);
-    - ranking packs (round6(cos) * 1e6, vec_id) into one int64 key
-      (cos is a multiple of 1e-6 after rounding), so per-batch
-      argpartition realizes EXACTLY the (cos desc, vec_id asc)
-      window order; |cos| >= 2 rows (impossible for true cosines,
-      reachable only through denormal-norm pathologies) bypass
-      pruning entirely rather than risk overflowing the packed
-      key (2e6 << 41 is the int64-safe bound)."""
+    - pruning keeps every row with cos >= the batch's k-th largest
+      (ties INCLUDED, ``_batch_topk_rows``), a provable superset of
+      the global top-k, so the window's (cos desc, vec_id asc) order
+      decides ranks exactly -- no id packing, hence no id-range
+      bound and no duplicate-vec_id caveat (both were round-11
+      limitations of the packed-key pruning)."""
     import numpy as np
 
     from ..sources.ingest import widen_partitions
 
-    qrows = (
-        emb.filter(F.col("vec_id").isin(list(query_ids)))
-        .select(F.col("vec_id").cast("long").alias("qid"), "embedding")
-        .collect()  # bounded-model-collect: |query_ids| query vectors
-    )
-    if not qrows:
+    groups = _resolve_query_groups(emb, query_ids)
+    if groups is None:
         return None
-    qids = np.array([r["qid"] for r in qrows], dtype="int64")
-    embs = [r["embedding"] for r in qrows]
-    if any(e is None for e in embs):
-        return None
-    d = len(embs[0])
-    if d == 0 or any(len(e) != d for e in embs):
-        return None
-    Q = np.array(embs, dtype="float64")  # (nq, d)
-    qnrm = np.zeros(len(qids))
-    for j in range(d):
-        qnrm += Q[:, j] * Q[:, j]
-    qnrm = np.sqrt(qnrm)
-    nq = len(qids)
     kk = int(k)
 
     def kernel(batches):
@@ -131,46 +186,46 @@ def _cosine_topk_arrow(emb: DataFrame, query_ids: list[int], k: int):
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             # rows the SQL form would exclude anyway: NULL embedding
-            # or length != d (zip_with pads with NULL -> NULL fold)
+            # or length != the group's d (zip_with pads -> NULL fold)
             lens = pc.fill_null(pc.list_value_length(col), -1)
-            keep = pc.and_(pc.is_valid(col), pc.equal(lens, d))
-            if not pc.all(keep).as_py():
-                batch = batch.filter(keep)
-                if batch.num_rows == 0:
+            valid = pc.is_valid(col)
+            for d, qids, Q, qnrm in groups:
+                keep = pc.and_(valid, pc.equal(lens, d))
+                if not pc.all(keep).as_py():
+                    sub = batch.filter(keep)
+                    if sub.num_rows == 0:
+                        continue
+                    scol = sub.column(1)
+                    if isinstance(scol, pa.ChunkedArray):
+                        scol = scol.combine_chunks()
+                else:
+                    sub, scol = batch, col
+                n = sub.num_rows
+                nq = len(qids)
+                ids = np.asarray(sub.column(0), dtype="int64")
+                X = np.asarray(scol.flatten(), dtype="float64").reshape(n, d)
+                with np.errstate(all="ignore"):  # NaN/Inf masked below
+                    # sequential left-fold accumulation, SQL fold order
+                    nrm = np.zeros(n)
+                    D = np.zeros((n, nq))
+                    for j in range(d):
+                        xj = X[:, j]
+                        nrm += xj * xj
+                        D += xj[:, None] * Q[None, :, j]
+                    nrm = np.sqrt(nrm)
+                    denom = nrm[:, None] * qnrm[None, :]
+                    cos = _spark_round6_signed(D / denom) + 0.0
+                    ok = (
+                        (denom != 0.0)
+                        & ~np.isnan(cos)
+                        & (ids[:, None] != qids[None, :])
+                    )
+                arrays = _batch_topk_rows(ids, cos, ok, qids, kk)
+                if arrays is None:
                     continue
-                col = batch.column(1)
-                if isinstance(col, pa.ChunkedArray):
-                    col = col.combine_chunks()
-            n = batch.num_rows
-            ids = np.asarray(batch.column(0), dtype="int64")
-            if ids.size and np.abs(ids).max() >= (1 << 40):
-                raise ValueError(
-                    "cosine_topk arrow kernel packs vec_id into 40 "
-                    "bits; ids >= 2**40 need impl='sql'"
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=["qid", "vec_id", "cos"]
                 )
-            X = np.asarray(col.flatten(), dtype="float64").reshape(n, d)
-            with np.errstate(all="ignore"):  # NaN/Inf rows are masked below
-                # sequential left-fold accumulation, SQL fold order
-                nrm = np.zeros(n)
-                D = np.zeros((n, nq))
-                for j in range(d):
-                    xj = X[:, j]
-                    nrm += xj * xj
-                    D += xj[:, None] * Q[None, :, j]
-                nrm = np.sqrt(nrm)
-                denom = nrm[:, None] * qnrm[None, :]
-                cos = _spark_round6_signed(D / denom) + 0.0
-                ok = (
-                    (denom != 0.0)
-                    & ~np.isnan(cos)
-                    & (ids[:, None] != qids[None, :])
-                )
-            arrays = _batch_topk_rows(ids, cos, ok, qids, kk)
-            if arrays is None:
-                continue
-            yield pa.RecordBatch.from_arrays(
-                arrays, names=["qid", "vec_id", "cos"]
-            )
 
     src = widen_partitions(emb, "vec_id").select(
         F.col("vec_id").cast("long").alias("vec_id"), "embedding"
@@ -190,44 +245,37 @@ def _cosine_topk_arrow(emb: DataFrame, query_ids: list[int], k: int):
 
 
 def _batch_topk_rows(ids, cos, ok, qids, kk):
-    """Per-batch exact top-k row selection shared by the arrow scan
-    kernels: pack (round6(cos) * 1e6, vec_id) into one int64 key so
-    argpartition realizes exactly the (cos desc, vec_id asc) window
-    order; rows with |cos| >= 2 (impossible for true cosines,
-    reachable only through denormal-norm pathologies) bypass pruning
-    rather than risk overflowing the packed key (2e6 << 41 is the
-    int64-safe bound).  Returns [qid, vec_id, cos] pyarrow arrays or
-    None when no row survives."""
+    """Per-batch candidate pruning shared by the arrow scan kernels:
+    keep, per query, every surviving row whose cosine reaches the
+    batch's k-th largest (ties INCLUDED).  Any dropped row has >= k
+    rows in its own batch ranked strictly above it on cos alone, so
+    it cannot enter the global top-k -- the kept set is a provable
+    superset and the caller's (cos desc, vec_id asc) window decides
+    the exact ranks.  This replaces the round-11 int64-packed
+    (cos, vec_id) key: no 2**40 id bound, no duplicate-vec_id
+    caveat, no |cos|-overflow special case, and tie rows at the
+    threshold cost only a handful of extra candidate rows (cos is
+    round-6 quantized, so exact ties are common but k-bounded in
+    practice).  Returns [qid, vec_id, cos] pyarrow arrays or None
+    when no row survives."""
     import numpy as np
     import pyarrow as pa
 
-    n, nq = cos.shape
-    with np.errstate(all="ignore"):
-        big = ok & (np.abs(cos) >= 2.0)
-        packable = ok & ~big
-        key = np.where(
-            packable,
-            (np.rint(np.where(packable, cos, 0.0) * 1e6)
-             .astype("int64") << 41) - ids[:, None],
-            np.int64(-(1 << 62)),
-        )
+    nq = len(qids)
     out_q, out_v, out_c = [], [], []
     for c in range(nq):
-        kc = key[:, c]
-        k_eff = min(kk, n)
-        if k_eff < n:
-            sel = np.argpartition(kc, n - k_eff)[n - k_eff:]
-        else:
-            sel = np.arange(n)
-        sel = sel[kc[sel] != -(1 << 62)]
-        bigc = np.flatnonzero(big[:, c])
-        if bigc.size:
-            sel = np.concatenate([sel, bigc])
-        if not sel.size:
+        idx = np.flatnonzero(ok[:, c])
+        if idx.size == 0:
             continue
-        out_q.append(np.full(sel.size, qids[c], dtype="int64"))
-        out_v.append(ids[sel])
-        out_c.append(cos[sel, c])
+        cc = cos[idx, c]
+        if idx.size > kk:
+            thr = np.partition(cc, idx.size - kk)[idx.size - kk]
+            keep = idx[cc >= thr]
+        else:
+            keep = idx
+        out_q.append(np.full(keep.size, qids[c], dtype="int64"))
+        out_v.append(ids[keep])
+        out_c.append(cos[keep, c])
     if not out_q:
         return None
     return [
@@ -257,30 +305,44 @@ def cosine_topk(
     ``impl``: ``"sql"`` is the relational form -- the dot computed
     IN-ROW with zip_with + aggregate against the broadcast query
     vector (corpus never exploded; the posexplode formulation
-    survives only in the DuckDB oracle replica).  ``"arrow"`` runs
-    the same scan as a batched NumPy mapInArrow kernel
-    (``_cosine_topk_arrow``): per-batch exact top-k candidates, then
-    the identical global window over a candidates relation of
-    ~partitions x queries x k rows.  The kernel replicates the SQL
-    expression BIT-FOR-BIT (sequential left-fold accumulation in the
-    same element order, the shared round-6 contract, int64-packed
-    (cos, vec_id) keys for exact tie order), so the two forms agree
-    exactly -- pinned by test_fuzz_similarity.  ``"auto"`` (default)
-    picks arrow: zip_with/aggregate are interpreted (higher-order
-    functions never enter whole-stage codegen) and Catalyst pushes
-    the NULL/NaN guard into the BNLJ join condition where the fold
-    re-evaluates per predicate -- measured 133 s vs 4.0 s (33x) at
-    200k x 64 queries, and still ~1.8x at the 2k-vector bench scale
-    (SCALE.md round 11).  One caveat: the kernel's
-    per-batch pruning assumes vec_id is unique per corpus row (true
-    for every real corpus); duplicate-id corpora should pass
-    impl="sql"."""
+    survives only in the DuckDB oracle replica), fully lazy.
+    ``"arrow"`` runs the same scan as a batched NumPy mapInArrow
+    kernel (``_cosine_topk_arrow``): per-batch threshold-pruned
+    candidates, then the identical global window over a candidates
+    relation of ~partitions x queries x ~k rows.  The kernel
+    replicates the SQL expression BIT-FOR-BIT (sequential left-fold
+    accumulation in the same element order, the shared round-6
+    contract), so the two forms agree exactly -- pinned by
+    test_fuzz_similarity.  The arrow path resolves the query vectors
+    with one |query_ids|-bounded collect AT PLAN-BUILD TIME -- the
+    engine's one documented laziness exception, pinned by
+    test_plans.py.  ``"auto"`` (default) routes on Catalyst's
+    corpus-size estimate (driver-side planning, no job): below
+    ``_ARROW_AUTO_MIN_BYTES`` the relational form wins (the Python
+    worker launch dominates at small scale) and construction stays
+    lazy; above it the arrow kernel wins -- zip_with/aggregate are
+    interpreted (higher-order functions never enter whole-stage
+    codegen) and Catalyst pushes the NULL/NaN guard into the BNLJ
+    join condition where the fold re-evaluates per predicate.
+    Measured round 12 (SCALE.md "arrow-vs-sql crossover"): sql faster
+    below ~10k vectors, arrow faster beyond, 33x at 200k x 64q."""
     if impl not in ("auto", "arrow", "sql"):
         raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
-    if impl != "sql":
+    if impl == "auto":
+        sz = _plan_stats_bytes(emb)
+        impl = (
+            "sql"
+            if sz is not None and sz < _ARROW_AUTO_MIN_BYTES
+            else "arrow"
+        )
+    if impl == "arrow":
         out = _cosine_topk_arrow(emb, query_ids, k)
         if out is not None:
             return out
+        # no query id resolved to a usable vector: both forms return
+        # an empty relation, so serve the (lazy) relational one --
+        # the only case an explicit impl="arrow" is not honored, and
+        # it is value- and cost-identical.
     corpus = emb.select(
         "vec_id",
         F.col("embedding"),
@@ -1623,32 +1685,17 @@ def _sq8_topk_arrow(codes: DataFrame, emb: DataFrame, query_ids, k: int):
     integer-code dot accumulates sequentially in float64 in the SQL
     fold order, then round6((scale * dot) / (nrm * qnrm)) + 0.0 with
     the same exclusion set (zero denominator, NaN, self, NULL/ragged
-    codes).  Returns None when the query side is unusable (resolved
-    by the relational form)."""
+    codes).  Query resolution, per-length grouping, and threshold
+    pruning follow ``_cosine_topk_arrow`` exactly (shared helpers).
+    Returns None only when no query id resolves to a usable vector
+    (both forms are then empty)."""
     import numpy as np
 
     from ..sources.ingest import widen_partitions
 
-    qrows = (
-        emb.filter(F.col("vec_id").isin(list(query_ids)))
-        .select(F.col("vec_id").cast("long").alias("qid"), "embedding")
-        .collect()  # bounded-model-collect: |query_ids| query vectors
-    )
-    if not qrows:
+    groups = _resolve_query_groups(emb, query_ids)
+    if groups is None:
         return None
-    qids = np.array([r["qid"] for r in qrows], dtype="int64")
-    embs = [r["embedding"] for r in qrows]
-    if any(e is None for e in embs):
-        return None
-    d = len(embs[0])
-    if d == 0 or any(len(e) != d for e in embs):
-        return None
-    Q = np.array(embs, dtype="float64")
-    qnrm = np.zeros(len(qids))
-    for j in range(d):
-        qnrm += Q[:, j] * Q[:, j]
-    qnrm = np.sqrt(qnrm)
-    nq = len(qids)
     kk = int(k)
 
     def kernel(batches):
@@ -1663,44 +1710,48 @@ def _sq8_topk_arrow(codes: DataFrame, emb: DataFrame, query_ids, k: int):
             if isinstance(qcol, pa.ChunkedArray):
                 qcol = qcol.combine_chunks()
             lens = pc.fill_null(pc.list_value_length(qcol), -1)
-            keep = pc.and_(pc.is_valid(qcol), pc.equal(lens, d))
-            if not pc.all(keep).as_py():
-                batch = batch.filter(keep)
-                if batch.num_rows == 0:
+            valid = pc.is_valid(qcol)
+            for d, qids, Q, qnrm in groups:
+                keep = pc.and_(valid, pc.equal(lens, d))
+                if not pc.all(keep).as_py():
+                    sub = batch.filter(keep)
+                    if sub.num_rows == 0:
+                        continue
+                    scol = sub.column(names.index("q"))
+                    if isinstance(scol, pa.ChunkedArray):
+                        scol = scol.combine_chunks()
+                else:
+                    sub, scol = batch, qcol
+                n = sub.num_rows
+                nq = len(qids)
+                ids = np.asarray(
+                    sub.column(names.index("vec_id")), dtype="int64"
+                )
+                scale = np.asarray(
+                    sub.column(names.index("scale")), dtype="float64"
+                )
+                nrm = np.asarray(
+                    sub.column(names.index("nrm")), dtype="float64"
+                )
+                C = np.asarray(scol.flatten(), dtype="float64").reshape(n, d)
+                with np.errstate(all="ignore"):
+                    D = np.zeros((n, nq))
+                    for j in range(d):
+                        D += C[:, j][:, None] * Q[None, :, j]
+                    num = scale[:, None] * D
+                    denom = nrm[:, None] * qnrm[None, :]
+                    cos = _spark_round6_signed(num / denom) + 0.0
+                    ok = (
+                        (denom != 0.0)
+                        & ~np.isnan(cos)
+                        & (ids[:, None] != qids[None, :])
+                    )
+                arrays = _batch_topk_rows(ids, cos, ok, qids, kk)
+                if arrays is None:
                     continue
-                qcol = batch.column(names.index("q"))
-                if isinstance(qcol, pa.ChunkedArray):
-                    qcol = qcol.combine_chunks()
-            n = batch.num_rows
-            ids = np.asarray(batch.column(names.index("vec_id")), dtype="int64")
-            if ids.size and np.abs(ids).max() >= (1 << 40):
-                raise ValueError(
-                    "sq8_topk arrow kernel packs vec_id into 40 bits; "
-                    "ids >= 2**40 need the relational form"
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=["qid", "vec_id", "cos"]
                 )
-            scale = np.asarray(
-                batch.column(names.index("scale")), dtype="float64"
-            )
-            nrm = np.asarray(batch.column(names.index("nrm")), dtype="float64")
-            C = np.asarray(qcol.flatten(), dtype="float64").reshape(n, d)
-            with np.errstate(all="ignore"):
-                D = np.zeros((n, nq))
-                for j in range(d):
-                    D += C[:, j][:, None] * Q[None, :, j]
-                num = scale[:, None] * D
-                denom = nrm[:, None] * qnrm[None, :]
-                cos = _spark_round6_signed(num / denom) + 0.0
-                ok = (
-                    (denom != 0.0)
-                    & ~np.isnan(cos)
-                    & (ids[:, None] != qids[None, :])
-                )
-            arrays = _batch_topk_rows(ids, cos, ok, qids, kk)
-            if arrays is None:
-                continue
-            yield pa.RecordBatch.from_arrays(
-                arrays, names=["qid", "vec_id", "cos"]
-            )
 
     src = widen_partitions(codes, "vec_id").select(
         F.col("vec_id").cast("long").alias("vec_id"), "scale", "q", "nrm"
@@ -1750,8 +1801,12 @@ def sq8_topk(
     list on vec_id, then the broadcast query side on qid, so query
     A's cells never pay for query B's).
 
-    ``impl``: like ``cosine_topk`` -- the full-scan form defaults to
-    the arrow kernel (``_sq8_topk_arrow``, bit-identical, pinned by
+    ``impl``: like ``cosine_topk`` -- ``"auto"`` (default) routes the
+    full-scan form on Catalyst's size estimate of the CODES relation
+    (no job; threshold ``_SQ8_ARROW_AUTO_MIN_BYTES``, the cosine
+    crossover scaled by the ~3x-smaller int8 rows): small corpora
+    stay on the lazy relational scan, large ones take the arrow
+    kernel (``_sq8_topk_arrow``, bit-identical, pinned by
     test_fuzz_similarity) because the zip_with/aggregate fold is
     interpreted and re-evaluates inside the pushed-down BNLJ
     condition; ``"sql"`` keeps the relational scan.  A ``candidates``
@@ -1762,10 +1817,19 @@ def sq8_topk(
         codes = sq8_encode(emb)
     if "nrm" not in codes.columns:
         codes = codes.withColumn("nrm", _sq8_nrm())
-    if impl != "sql" and candidates is None:
+    if impl == "auto" and candidates is None:
+        sz = _plan_stats_bytes(codes)
+        impl = (
+            "sql"
+            if sz is not None and sz < _SQ8_ARROW_AUTO_MIN_BYTES
+            else "arrow"
+        )
+    if impl == "arrow" and candidates is None:
         out = _sq8_topk_arrow(codes, emb, query_ids, k)
         if out is not None:
             return out
+        # no resolved query vectors: both forms are empty -- serve
+        # the lazy relational one (same note as cosine_topk)
     corpus = codes.select("vec_id", "scale", "q", "nrm")
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),

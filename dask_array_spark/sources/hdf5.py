@@ -996,7 +996,14 @@ def _chunk_pass(arr: Array, cdims, filters, *, filename, addr_map):
     pass 1: return metadata-sized [(coords, stored_nbytes)] rows for
     every non-empty chunk.  With a filename + addr map it is pass 2:
     re-encode each chunk (deterministic, see _encode_chunk) and pwrite
-    it at its assigned address."""
+    it at its assigned address.
+
+    Determinism guard limits: pass 2 refuses loudly when a chunk's
+    encoded size drifts from pass 1 or when a chunk appears that pass
+    1 never sized.  For UNFILTERED chunked writes every full chunk
+    encodes to the same byte count, so the size check cannot detect
+    pure VALUE drift from a nondeterministic source -- persist() the
+    source if its values are not stable across jobs."""
     from pyspark.sql import functions as F
 
     shape = tuple(int(s) for s in arr.shape)
@@ -1007,12 +1014,15 @@ def _chunk_pass(arr: Array, cdims, filters, *, filename, addr_map):
     is_i64 = vtype == "bigint"
     d = arr.df
     if is_i64 or is_u64:
-        # NULL int cells coerce the kernel's pandas column to float64
-        # (shredding ints above 2**53) -- drop them JVM-side; the
-        # declared fill is 0, so an all-NULL chunk dropping out of the
-        # groupBy entirely reads back identically (absent chunk ->
-        # fill)
-        d = d.filter(F.col(VALUE_COL).isNotNull())
+        # an int store has NO NULL representation -- refuse loudly
+        # like to_zarr / to_npy_stack (round-12 ADVICE: the silent
+        # drop wrote corrupting zeros).  The flag-and-coalesce keeps
+        # the kernel column non-nullable long/decimal so the
+        # Arrow->pandas bridge never coerces it to float64 (which
+        # would shred ints above 2**53)
+        d = d.withColumn("__nul", F.col(VALUE_COL).isNull()).withColumn(
+            VALUE_COL, F.coalesce(F.col(VALUE_COL), F.lit(0).cast(vtype))
+        )
     ccols = []
     for k in range(ndim):
         cc = f"__c{k}"
@@ -1023,6 +1033,12 @@ def _chunk_pass(arr: Array, cdims, filters, *, filename, addr_map):
 
     def one_chunk(pdf: pd.DataFrame) -> pd.DataFrame:
         coords = tuple(int(pdf[c].iloc[0]) for c in ccols)
+        if (is_i64 or is_u64) and pdf["__nul"].any():
+            raise ValueError(
+                f"hdf5 chunk {coords}: NULL cells in a {vtype!r} "
+                "array cannot round-trip through an int64/uint64 HDF5 "
+                "store; cast to float64 first (NULL -> NaN)"
+            )
         pdf = pdf[pdf[VALUE_COL].notna()]
         # HDF5 stores FULL chunk extents (edge chunks padded with fill)
         if is_cx:
@@ -1058,7 +1074,19 @@ def _chunk_pass(arr: Array, cdims, filters, *, filename, addr_map):
                 {**{f"c{k}": [coords[k]] for k in range(ndim)},
                  "nbytes": [len(payload)]}
             )
-        addr, alloc = addr_map[coords]
+        entry = addr_map.get(coords)
+        if entry is None:
+            # a chunk that exists only in the writing pass means the
+            # source re-evaluated differently between jobs -- same
+            # root cause as the size mismatch below, so raise the
+            # same explanatory error instead of a bare KeyError
+            raise ValueError(
+                f"chunk {coords} appeared only in the writing pass "
+                "(no address was laid out from pass 1): the source "
+                "DataFrame is not deterministic across jobs; persist() "
+                "it (or write uncompressed) before to_hdf5"
+            )
+        addr, alloc = entry
         if len(payload) != alloc:
             # a source that re-evaluates differently between the
             # sizing and writing passes would silently overrun the
@@ -1377,13 +1405,16 @@ def _write_slabs(arr: Array, filename: str, data_addr: int) -> None:
     nslabs = math.ceil(shape[0] / rows_per_slab)
     d = arr.df
     if is_i64 or is_u64:
-        # drop NULL cells JVM-SIDE: a null in a long column makes the
-        # Arrow->pandas bridge coerce the whole kernel column to
-        # float64, silently rounding ints above 2**53 (the round-11
-        # int-write bug); the declared fill is 0, so a dropped cell
-        # reads back exactly like a written 0 -- to_zarr's int
-        # contract
-        d = d.filter(F.col(VALUE_COL).isNotNull())
+        # an int store has NO NULL representation: refuse loudly like
+        # to_zarr / to_npy_stack instead of silently writing the fill
+        # (round-12 ADVICE -- the silent drop wrote corrupting zeros).
+        # NULLs ride into the kernel as a bool flag next to a
+        # coalesced value so the Arrow->pandas bridge never sees a
+        # nullable long column (which would coerce to float64 and
+        # shred ints above 2**53, the round-11 int-write bug).
+        d = d.withColumn("__nul", F.col(VALUE_COL).isNull()).withColumn(
+            VALUE_COL, F.coalesce(F.col(VALUE_COL), F.lit(0).cast(vtype))
+        )
     d = d.withColumn("__slab", (F.col("i0") / F.lit(rows_per_slab)).cast("long"))
     if not (is_i64 or is_u64):
         # float/complex slabs must ALL write (absent cells are NaN but
@@ -1405,6 +1436,12 @@ def _write_slabs(arr: Array, filename: str, data_addr: int) -> None:
         slab = int(pdf["__slab"].iloc[0])
         r0 = slab * rows_per_slab
         nrows = min(rows_per_slab, shape[0] - r0)
+        if (is_i64 or is_u64) and pdf["__nul"].any():
+            raise ValueError(
+                f"hdf5 slab at row {r0}: NULL cells in a {vtype!r} "
+                "array cannot round-trip through an int64/uint64 HDF5 "
+                "store; cast to float64 first (NULL -> NaN)"
+            )
         pdf = pdf[pdf[VALUE_COL].notna()]
         loc = tuple(
             pdf[f"i{k}"].to_numpy(dtype="int64") - (r0 if k == 0 else 0)

@@ -264,20 +264,30 @@ def _parse_fill(fill, kind: str):
         # metadata -- refuse with the reason, never truncate or
         # round silently
         err = ValueError(
-            f"fill_value {fill!r} is not an integer; a uint64 "
-            "store's fill must be integral in [0, 2**64)"
+            f"fill_value {fill!r} is not an integer in [0, 2**64); a "
+            "uint64 store's fill must be integral and unsigned"
         )
         if isinstance(fill, str):
             try:
-                return int(fill)
+                v = int(fill)
             except ValueError:
                 raise err from None
-        if isinstance(fill, float) and (
-            fill != fill or fill in (float("inf"), float("-inf"))
-            or fill != int(fill)
-        ):
+        elif isinstance(fill, float):
+            if (
+                fill != fill or fill in (float("inf"), float("-inf"))
+                or fill != int(fill)
+            ):
+                raise err
+            v = int(fill)
+        else:
+            v = int(fill)
+        # integral but outside the unsigned domain (-5, 2**64) is the
+        # same malformed-metadata class: refusing HERE names the fill;
+        # letting it through would surface later as an opaque
+        # _decimal_col_to_uint64 / Arrow cast failure at compute time
+        if v < 0 or v >= 2**64:
             raise err
-        return int(fill)
+        return v
     if isinstance(fill, str):
         return float(fill)
     return fill

@@ -140,12 +140,16 @@ def test_similarity_no_corpus_sized_broadcast(spark, sf_dir):
     from dask_array_spark.sources import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # the topk serving entries pin their RELATIONAL (impl="sql")
+    # forms here -- the in-row lambda aggregate is that form's norm;
+    # the arrow default's scan shape has its own pin below
+    # (test_similarity_arrow_path_scan_shape)
     for df in (
-        SIM.cosine_topk(emb, [0, 1, 2], k=5),
+        SIM.cosine_topk(emb, [0, 1, 2], k=5, impl="sql"),
         SIM.cosine_pairs_bucketed(emb, n_planes=8, min_cos=0.2),
         SIM.ivf_topk(emb, [0, 1, 2], k=5, n_cells=4, n_probe=2),
         SIM.semantic_dedup(emb, n_cells=4, eps=0.5),
-        SIM.sq8_topk(emb, [0, 1, 2], k=5),
+        SIM.sq8_topk(emb, [0, 1, 2], k=5, impl="sql"),
     ):
         opt = _optimized(df)
         # the norm must be an in-row lambda aggregate over the array
@@ -175,6 +179,58 @@ def test_similarity_no_corpus_sized_broadcast(spark, sf_dir):
                 or "Filter (vec_id" in window
                 or "Filter (__r" in window
             ), "broadcast hint on an unbounded side:\n" + window
+
+
+def test_similarity_arrow_path_scan_shape(spark, sf_dir):
+    """The arrow serving kernels (cosine_topk/sq8_topk impl='arrow',
+    the at-scale default) must plan as ONE mapInArrow scan over the
+    corpus feeding the metadata-sized exact-rank window: no forced
+    broadcast hint anywhere (the query side is collected, bounded by
+    |query_ids|, never broadcast-joined) and no
+    BroadcastNestedLoopJoin (the relational shape the kernel
+    replaces at scale)."""
+    from dask_array_spark.functions import similarity as SIM
+    from dask_array_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    for df in (
+        SIM.cosine_topk(emb, [0, 1, 2], k=5, impl="arrow"),
+        SIM.sq8_topk(emb, [0, 1, 2], k=5, impl="arrow"),
+    ):
+        plan = _plan(df)
+        assert "mapinarrow" in plan.lower()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+        assert "Window" in _optimized(df)  # global exact rank
+
+
+def test_similarity_auto_small_corpus_stays_lazy(spark, sf_dir, monkeypatch):
+    """impl='auto' below _ARROW_AUTO_MIN_BYTES must route to the
+    relational form WITHOUT running any job at plan-build time (the
+    round-11 default ran the query-side collect during DataFrame
+    construction, so even explain() paid a Spark job).  Building with
+    DataFrame.collect forbidden proves both the size routing and the
+    restored laziness; the arrow route's build-time query collect is
+    the one documented exception (cosine_topk docstring) and is
+    exercised by the explicit-arrow pins above."""
+    import pyspark.sql
+
+    from dask_array_spark.functions import similarity as SIM
+    from dask_array_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")  # ~2k rows << threshold
+    codes = SIM.sq8_encode(emb)
+
+    def _no_collect(self):
+        raise AssertionError("plan-build ran a collect on the auto route")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", _no_collect)
+    df = SIM.cosine_topk(emb, [0, 1, 2], k=5)
+    df2 = SIM.sq8_topk(emb, [0, 1, 2], k=5, codes=codes)
+    monkeypatch.undo()
+    # and the small-corpus auto route IS the relational form
+    assert "lambdafunction" in _optimized(df).lower()
+    assert "mapinarrow" not in _plan(df2).lower()
 
 
 def test_lsh_pair_generation_is_partition_parallel(spark, sf_dir):
