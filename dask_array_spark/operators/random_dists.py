@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..core.array import VALUE_COL, Array
 from .creation import _range1d
 
-__all__ = ["Generator", "default_rng"]
+__all__ = ["Generator", "RandomState", "default_rng"]
 
 
 def _jvm_dist(spark, n, seed, numparts, expr_fn) -> Array:
@@ -53,6 +53,40 @@ def _np_dist(spark, n, seed, numparts, method, kwargs, integer=False) -> Array:
             yield pdf
 
     return Array(d.mapInPandas(gen, schema=f"i0 long, {VALUE_COL} {out_type}"), (n,))
+
+
+def _np_vec_dist(spark, n, seed, numparts, method, kwargs, width) -> Array:
+    """Vector-valued NumPy draw -> 2-d cell form: draw i0 emits
+    ``width`` cells (i0, i1, v), the reference's extra_chunks
+    convention (random/_generator.py:222 multinomial adds a trailing
+    (len(pvals),) axis).  Same per-partition seeding as _np_dist."""
+    from pyspark import TaskContext
+
+    d = _range1d(spark, n, numparts)
+
+    def gen(it):
+        import numpy as np
+        import pandas as pd
+
+        pid = TaskContext.get().partitionId()
+        rng = np.random.default_rng(seed + pid)
+        for pdf in it:
+            m = len(pdf)
+            vals = getattr(rng, method)(size=m, **kwargs)
+            yield pd.DataFrame(
+                {
+                    "i0": np.repeat(
+                        pdf["i0"].to_numpy(dtype="int64"), width
+                    ),
+                    "i1": np.tile(np.arange(width, dtype="int64"), m),
+                    VALUE_COL: np.asarray(vals, dtype="int64").reshape(-1),
+                }
+            )
+
+    return Array(
+        d.mapInPandas(gen, schema=f"i0 long, i1 long, {VALUE_COL} long"),
+        (n, width),
+    )
 
 
 class Generator:
@@ -283,6 +317,74 @@ class Generator:
         from .creation import random_permutation
 
         return random_permutation(self.spark, n, seed=self.seed)
+
+    # -- vector-valued draws (trailing category axis) ----------------------
+    def multinomial(self, n, nt, pvals, numparts=None):
+        """``n`` draws of ``nt`` trials over ``len(pvals)`` categories
+        -> shape (n, len(pvals)) int64, rows summing to ``nt``
+        (reference random/_generator.py:222; the trailing axis is its
+        ``extra_chunks=((len(pvals),),)``)."""
+        pvals = [float(p) for p in pvals]
+        if any(p < 0 for p in pvals) or abs(sum(pvals) - 1.0) > 1e-9:
+            raise ValueError("pvals must be non-negative and sum to 1")
+        return _np_vec_dist(
+            self.spark, n, self.seed, numparts, "multinomial",
+            {"n": int(nt), "pvals": pvals}, width=len(pvals),
+        )
+
+    def multivariate_hypergeometric(
+        self, n, colors, nsample, method="marginals", numparts=None
+    ):
+        """``n`` draws of ``nsample`` balls from an urn with
+        ``colors[i]`` balls of color i, without replacement -> shape
+        (n, len(colors)) int64, rows summing to ``nsample``
+        (reference random/_generator.py:235)."""
+        colors = [int(c) for c in colors]
+        if any(c < 0 for c in colors):
+            raise ValueError("colors must be non-negative counts")
+        if not 0 <= int(nsample) <= sum(colors):
+            raise ValueError("nsample must be in [0, sum(colors)]")
+        return _np_vec_dist(
+            self.spark, n, self.seed, numparts,
+            "multivariate_hypergeometric",
+            {"colors": colors, "nsample": int(nsample), "method": method},
+            width=len(colors),
+        )
+
+
+class RandomState:
+    """Legacy ``RandomState`` surface (reference random/__init__.py:6,
+    random/_random_state.py): a thin delegate over ``Generator`` with
+    the legacy method names, kept -- as in the reference -- only so
+    legacy call sites port verbatim; new code should use
+    ``default_rng``.  Draws come from the modern bit-generator tier,
+    so legacy MT19937 bit-streams are NOT reproduced -- the module's
+    uniform policy is moment contracts, never bit-identical streams
+    (every executor reseeds per partition)."""
+
+    def __init__(self, spark: SparkSession, seed: int = 42):
+        self._gen = Generator(spark, seed)
+
+    def seed(self, seed) -> None:
+        self._gen = Generator(self._gen.spark, int(seed))
+
+    def random_sample(self, n, numparts=None):
+        return self._gen.random(n, numparts)
+
+    random = random_sample
+
+    def randint(self, n, low, high=None, numparts=None):
+        # legacy exclusive-high randint; randint(n, high) draws [0, low)
+        lo, hi = (0, low) if high is None else (low, high)
+        return self._gen.integers(n, lo, hi, numparts)
+
+    def random_integers(self, n, low, high, numparts=None):
+        # legacy INCLUSIVE upper bound
+        return self._gen.integers(n, low, int(high) + 1, numparts)
+
+    def __getattr__(self, name):
+        # every shared distribution name delegates unchanged
+        return getattr(self._gen, name)
 
 
 def default_rng(spark: SparkSession, seed: int = 42) -> Generator:

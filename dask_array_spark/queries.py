@@ -1742,6 +1742,48 @@ def q_random_hist(spark, sf):
     return R.histogram(x, 10, (0.0, 1.0)).df
 
 
+@query(
+    "random_vector_draws_check",
+    """
+    SELECT CAST(500 AS BIGINT) AS mn_rows, CAST(500 AS BIGINT) AS mn_sum20,
+           CAST(500 AS BIGINT) AS mh_rows, CAST(500 AS BIGINT) AS mh_sum12,
+           CAST(1 AS BIGINT) AS mh_in_urn
+    """,
+)
+def q_random_vector_draws(spark, sf):
+    """vector-valued draws (multinomial / multivariate_hypergeometric,
+    reference random/_generator.py:222,235; round-12 surface tail):
+    the oracle is the mathematical invariant -- every multinomial row
+    sums to the trial count, every mvhg row sums to nsample and no
+    color draw exceeds its urn count."""
+    from .operators.random_dists import default_rng
+
+    rng = default_rng(spark, seed=9)
+    mn = rng.multinomial(500, 20, [0.5, 0.3, 0.2], numparts=4)
+    mh = rng.multivariate_hypergeometric(500, [30, 20, 10], 12, numparts=4)
+    mns = mn.df.groupBy("i0").agg(F.sum("v").alias("s"))
+    mhs = mh.df.groupBy("i0").agg(F.sum("v").alias("s"))
+    urn = mh.df.withColumn(
+        "cap",
+        F.element_at(
+            F.array(F.lit(30), F.lit(20), F.lit(10)),
+            (F.col("i1") + 1).cast("int"),
+        ),
+    )
+    a = mns.agg(
+        F.count(F.lit(1)).cast("long").alias("mn_rows"),
+        F.sum((F.col("s") == 20).cast("long")).alias("mn_sum20"),
+    )
+    b = mhs.agg(
+        F.count(F.lit(1)).cast("long").alias("mh_rows"),
+        F.sum((F.col("s") == 12).cast("long")).alias("mh_sum12"),
+    )
+    c = urn.agg(
+        F.min((F.col("v") <= F.col("cap")).cast("long")).alias("mh_in_urn")
+    )
+    return a.crossJoin(b).crossJoin(c)
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: text analysis / dedup / similarity search
 # (additive scope, SURVEY.md section 7 M6)
@@ -5153,6 +5195,9 @@ _FINAL_ORDER = [
     "approx_percentile_rows",
     "random_choice_counts_rows",
     "random_seeded_hist_rows",
+    # round-12 surface tail: vector-valued draws, full mathematical-
+    # invariant oracle, hash-checked every run by test_oracle.py
+    "random_vector_draws_check",
 ]
 
 QUERIES = {n: QUERIES[n] for n in _FINAL_ORDER}

@@ -147,3 +147,110 @@ def test_dist_deterministic_per_seed(spark):
     c = default_rng(spark, seed=6).gamma(2_000, 2.0, numparts=4).compute()
     np.testing.assert_array_equal(a, b)
     assert not np.array_equal(a, c)
+
+
+def test_multinomial_invariants(spark):
+    """Rows sum to nt exactly; category means track pvals; fixed seed
+    + partitioning reproduces; shape is (n, len(pvals))."""
+    from dask_array_spark.operators.random_dists import default_rng
+
+    rng = default_rng(spark, seed=9)
+    pvals = [0.5, 0.3, 0.2]
+    a = rng.multinomial(4_000, 20, pvals, numparts=8)
+    assert a.shape == (4_000, 3)
+    x = a.compute()
+    assert x.dtype == np.int64 and (x >= 0).all()
+    np.testing.assert_array_equal(x.sum(axis=1), np.full(4_000, 20))
+    np.testing.assert_allclose(x.mean(axis=0) / 20.0, pvals, atol=0.02)
+    x2 = default_rng(spark, seed=9).multinomial(
+        4_000, 20, pvals, numparts=8
+    ).compute()
+    np.testing.assert_array_equal(x, x2)
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        rng.multinomial(10, 5, [0.5, 0.2])
+
+
+def test_multivariate_hypergeometric_invariants(spark):
+    """Rows sum to nsample; per-color draws never exceed the urn; the
+    marginal mean is nsample * colors_i / total."""
+    from dask_array_spark.operators.random_dists import default_rng
+
+    rng = default_rng(spark, seed=17)
+    colors = [30, 20, 10]
+    a = rng.multivariate_hypergeometric(4_000, colors, 12, numparts=8)
+    assert a.shape == (4_000, 3)
+    x = a.compute()
+    np.testing.assert_array_equal(x.sum(axis=1), np.full(4_000, 12))
+    assert (x >= 0).all() and (x <= np.array(colors)).all()
+    np.testing.assert_allclose(
+        x.mean(axis=0), 12 * np.array(colors) / 60.0, atol=0.15
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="nsample"):
+        rng.multivariate_hypergeometric(10, colors, 61)
+
+
+def test_randomstate_legacy_shim(spark):
+    """RandomState delegates to the Generator tier: legacy names map
+    (random_sample, randint exclusive-high, random_integers
+    inclusive-high), seed() rebases, shared names pass through."""
+    from dask_array_spark.operators.random_dists import RandomState
+
+    rs = RandomState(spark, seed=3)
+    u = rs.random_sample(20_000, numparts=4).compute()
+    assert abs(u.mean() - 0.5) < 0.02 and (0 <= u).all() and (u < 1).all()
+
+    ri = rs.randint(20_000, 5, 9, numparts=4).compute()
+    assert ri.min() == 5 and ri.max() == 8  # exclusive high
+    rii = rs.random_integers(20_000, 5, 8, numparts=4).compute()
+    assert rii.min() == 5 and rii.max() == 8  # inclusive high
+
+    # shared distribution name delegates unchanged
+    po = rs.poisson(20_000, lam=4.0, numparts=4).compute()
+    assert abs(po.mean() - 4.0) < 0.1
+
+    # seed() rebases the stream deterministically
+    rs.seed(3)
+    np.testing.assert_array_equal(
+        rs.random_sample(20_000, numparts=4).compute(), u
+    )
+    rs.seed(4)
+    assert not np.array_equal(
+        rs.random_sample(20_000, numparts=4).compute(), u
+    )
+
+
+def test_random_surface_covers_reference_exports(spark):
+    """Every distribution the reference exports at module level
+    (reference random/__init__.py __all__) resolves on the engine's
+    RandomState shim, and the Generator tier has the full
+    _generator.py distribution surface including the round-12
+    vector-valued tail (multinomial / multivariate_hypergeometric)."""
+    from dask_array_spark.operators.random_dists import (
+        Generator,
+        RandomState,
+    )
+
+    legacy = [
+        "seed", "beta", "binomial", "chisquare", "choice", "exponential",
+        "f", "gamma", "geometric", "gumbel", "hypergeometric", "laplace",
+        "logistic", "lognormal", "logseries", "multinomial",
+        "negative_binomial", "noncentral_chisquare", "noncentral_f",
+        "normal", "pareto", "permutation", "poisson", "power",
+        "random_sample", "random", "randint", "random_integers",
+        "rayleigh", "standard_cauchy", "standard_exponential",
+        "standard_gamma", "standard_normal", "standard_t", "triangular",
+        "uniform", "vonmises", "wald", "weibull", "zipf",
+    ]
+    rs = RandomState(spark, seed=1)
+    missing = [n for n in legacy if not callable(getattr(rs, n, None))]
+    assert not missing, f"RandomState lacks legacy names: {missing}"
+
+    gen_names = [
+        "random", "integers", "multinomial", "multivariate_hypergeometric",
+    ]
+    g = Generator(spark, seed=1)
+    assert all(callable(getattr(g, n, None)) for n in gen_names)
