@@ -70,17 +70,20 @@ def _exploded(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
     ).select(id_col, "nrm", "pos", F.col("e").cast("double").alias("e"))
 
 
-# auto-routing threshold for the arrow serving kernels: corpora whose
-# Catalyst size estimate is below this stay on the fully-lazy
-# relational form (the Python-worker launch dominates at small scale);
-# above it the batched NumPy scan wins.  Measured round 12 (SCALE.md
-# "arrow-vs-sql crossover"): sql is faster below ~10k x 64f vectors
-# (~4 MB parquet / ~11 MB in-plan estimate) and the kernel wins beyond.
-_ARROW_AUTO_MIN_BYTES = 16 << 20
-# the sq8 codes relation is ~3x smaller per row than the float
-# embedding relation (int8 codes vs float32), so the same ROW
-# crossover sits at proportionally fewer bytes
-_SQ8_ARROW_AUTO_MIN_BYTES = _ARROW_AUTO_MIN_BYTES // 3
+# auto-routing threshold for the arrow serving kernels, in WORK bytes
+# = Catalyst's corpus-size estimate x |query_ids| (the relational
+# form's cost is the corpus-x-queries pair fan-out; the kernel's is
+# one corpus scan + a fixed Python-worker launch).  Below the
+# threshold the fully-LAZY relational form runs (no job at plan
+# build, and the two forms are within measurement noise there);
+# above it the batched NumPy scan wins outright.  Measured round 12
+# (SCALE.md "arrow-vs-sql crossover", forensics/r12_arrow_crossover
+# + r12_smallq_crossover): arrow reads 2.4-5.9x at ~20-25 MB-query
+# of work (10k x 8q, 30k x 3q) rising to 110x at 100k x 64q, while
+# at <= ~8 MB-query (2k x 3q, 10k x 3q) the forms are within ~15%
+# of each other and the driver bench protocol favors the lazy sql
+# form at its smallest slot.
+_ARROW_AUTO_MIN_WORK_BYTES = 8 << 20
 
 
 def _plan_stats_bytes(df: DataFrame) -> int | None:
@@ -316,23 +319,25 @@ def cosine_topk(
     test_fuzz_similarity.  The arrow path resolves the query vectors
     with one |query_ids|-bounded collect AT PLAN-BUILD TIME -- the
     engine's one documented laziness exception, pinned by
-    test_plans.py.  ``"auto"`` (default) routes on Catalyst's
-    corpus-size estimate (driver-side planning, no job): below
-    ``_ARROW_AUTO_MIN_BYTES`` the relational form wins (the Python
-    worker launch dominates at small scale) and construction stays
-    lazy; above it the arrow kernel wins -- zip_with/aggregate are
-    interpreted (higher-order functions never enter whole-stage
-    codegen) and Catalyst pushes the NULL/NaN guard into the BNLJ
-    join condition where the fold re-evaluates per predicate.
-    Measured round 12 (SCALE.md "arrow-vs-sql crossover"): sql faster
-    below ~10k vectors, arrow faster beyond, 33x at 200k x 64q."""
+    test_plans.py.  ``"auto"`` (default) routes on estimated PAIR
+    work -- Catalyst's corpus-size estimate x |query_ids| (driver-
+    side planning, no job): below ``_ARROW_AUTO_MIN_WORK_BYTES`` the
+    relational form runs and construction stays lazy (the forms are
+    within measurement noise there); above it the arrow kernel wins
+    outright -- zip_with/aggregate are interpreted (higher-order
+    functions never enter whole-stage codegen) and Catalyst pushes
+    the NULL/NaN guard into the BNLJ join condition where the fold
+    re-evaluates per predicate.  Measured round 12 (SCALE.md
+    "arrow-vs-sql crossover"): arrow 2.4-5.9x from ~20 MB-query of
+    work, 28x at 30k x 64q, 110x at 100k x 64q, 34x at 200k x 64q."""
     if impl not in ("auto", "arrow", "sql"):
         raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
     if impl == "auto":
         sz = _plan_stats_bytes(emb)
         impl = (
             "sql"
-            if sz is not None and sz < _ARROW_AUTO_MIN_BYTES
+            if sz is not None
+            and sz * max(1, len(query_ids)) < _ARROW_AUTO_MIN_WORK_BYTES
             else "arrow"
         )
     if impl == "arrow":
@@ -1802,11 +1807,12 @@ def sq8_topk(
     A's cells never pay for query B's).
 
     ``impl``: like ``cosine_topk`` -- ``"auto"`` (default) routes the
-    full-scan form on Catalyst's size estimate of the CODES relation
-    (no job; threshold ``_SQ8_ARROW_AUTO_MIN_BYTES``, the cosine
-    crossover scaled by the ~3x-smaller int8 rows): small corpora
-    stay on the lazy relational scan, large ones take the arrow
-    kernel (``_sq8_topk_arrow``, bit-identical, pinned by
+    full-scan form on estimated pair work, Catalyst's size estimate
+    of the CODES relation x |query_ids| (no job; shared threshold
+    ``_ARROW_AUTO_MIN_WORK_BYTES``; measured sq8 ratios 4.3x at
+    2k x 64q rising to 32x at 30k x 64q): small work stays on the
+    lazy relational scan, large work takes the arrow kernel
+    (``_sq8_topk_arrow``, bit-identical, pinned by
     test_fuzz_similarity) because the zip_with/aggregate fold is
     interpreted and re-evaluates inside the pushed-down BNLJ
     condition; ``"sql"`` keeps the relational scan.  A ``candidates``
@@ -1821,7 +1827,8 @@ def sq8_topk(
         sz = _plan_stats_bytes(codes)
         impl = (
             "sql"
-            if sz is not None and sz < _SQ8_ARROW_AUTO_MIN_BYTES
+            if sz is not None
+            and sz * max(1, len(query_ids)) < _ARROW_AUTO_MIN_WORK_BYTES
             else "arrow"
         )
     if impl == "arrow" and candidates is None:
