@@ -1,23 +1,28 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths (SURVEY.md section 7 M6):
-- brute-force cosine top-k: correctness baseline.  The query set is
-  tiny and broadcast; the corpus side streams through one shuffle-free
-  scan + a partial-aggregated dot-product groupBy, then a per-query
-  top-k window.  At 100 TB the corpus never moves.
+Serving paths (SURVEY.md section 7 M6):
+- brute-force cosine top-k: correctness baseline, two bit-identical
+  forms behind ``impl=`` -- a fully-lazy relational scan (in-row
+  zip_with/aggregate dot against the broadcast query side, per-query
+  rank window) and a batched NumPy ``mapInArrow`` kernel that
+  threshold-prunes per batch and feeds the same window.  ``"auto"``
+  picks by measured pair work (SCALE.md round 12).  Either way the
+  corpus streams through one scan and never moves at 100 TB.
 - LSH sign-bucket partitioning: integer hyperplanes bucket vectors so
-  candidate generation joins only within buckets (the ANN scale path).
+  candidate generation joins only within buckets (the ANN scale path),
+  plus the IVF / PQ / SQ8 index tiers below.
 
 Vector norms are computed INLINE with ``F.aggregate`` over the array
 column in the same row as the vector itself -- there is no per-vector
 norms table and therefore no corpus-sized join or broadcast anywhere
 (only genuinely tiny sides -- the query set, the centroid codebook,
 the probe list -- carry broadcast hints).  tests/test_plans.py pins
-this: no plan below may contain a broadcast of a per-vector table.
+this: no plan below may contain a broadcast of a per-vector table,
+and the arrow scan shape has its own pin.
 
-Dot products use explicit posexplode + join + sum so a DuckDB oracle
-(unnest + generate_subscripts) reproduces them; 6-decimal rounding
-absorbs float-sum association differences.
+The posexplode + join + sum dot formulation survives only in the
+DuckDB oracle replicas (unnest + generate_subscripts); 6-decimal
+rounding absorbs float-sum association differences.
 """
 
 from __future__ import annotations
@@ -84,6 +89,14 @@ def _exploded(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
 # of each other and the driver bench protocol favors the lazy sql
 # form at its smallest slot.
 _ARROW_AUTO_MIN_WORK_BYTES = 8 << 20
+# per-query rows the ADC arrow kernel may keep per batch before the
+# kernel stops being a shortlist: past this the per-batch bottom-keep
+# cannot prune (keep ~ batch rows), the kernel emits ~corpus x queries
+# rows, and the Arrow->JVM transfer eats the scoring win -- measured
+# round 12 at 600k x 64q: pure ADC (keep=10) arrow 1.4 s vs sql 8.6 s,
+# but rerank="auto" (keep=10,000) arrow 24.2 s vs sql 18.0 s.  Large
+# shortlists stay relational.
+_ARROW_ADC_MAX_KEEP = 1024
 
 
 def _plan_stats_bytes(df: DataFrame) -> int | None:
@@ -102,7 +115,7 @@ def _plan_stats_bytes(df: DataFrame) -> int | None:
 
 def _resolve_query_groups(emb: DataFrame, query_ids):
     """Resolve the query vectors for the arrow serving kernels and
-    group them by vector length.  The ``.collect()`` here is the ONE
+    group them by vector length.  The collect here is the ONE
     sanctioned eager step on the arrow path (|query_ids| rows, whole
     vectors, never the corpus) and runs at plan-build time -- the
     documented laziness exception, pinned by test_plans.py
@@ -279,6 +292,39 @@ def _batch_topk_rows(ids, cos, ok, qids, kk):
         out_q.append(np.full(keep.size, qids[c], dtype="int64"))
         out_v.append(ids[keep])
         out_c.append(cos[keep, c])
+    if not out_q:
+        return None
+    return [
+        pa.array(np.concatenate(out_q)),
+        pa.array(np.concatenate(out_v)),
+        pa.array(np.concatenate(out_c)),
+    ]
+
+
+def _batch_bottomk_rows(ids, dist, ok, qids, kk):
+    """``_batch_topk_rows`` mirrored for ASCENDING rank keys (ADC
+    distances): keep, per query, every surviving row whose distance
+    is <= the batch's k-th smallest (ties included) -- the same
+    provable-superset argument with the order flipped.  Returns
+    [qid, vec_id, dist] pyarrow arrays or None."""
+    import numpy as np
+    import pyarrow as pa
+
+    nq = len(qids)
+    out_q, out_v, out_c = [], [], []
+    for c in range(nq):
+        idx = np.flatnonzero(ok[:, c])
+        if idx.size == 0:
+            continue
+        cc = dist[idx, c]
+        if idx.size > kk:
+            thr = np.partition(cc, kk - 1)[kk - 1]
+            keep = idx[cc <= thr]
+        else:
+            keep = idx
+        out_q.append(np.full(keep.size, qids[c], dtype="int64"))
+        out_v.append(ids[keep])
+        out_c.append(dist[keep, c])
     if not out_q:
         return None
     return [
@@ -582,6 +628,156 @@ def _probe_cells(q: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
     )
 
 
+def _ivf_topk_arrow(
+    emb: DataFrame, query_ids, k: int, assign: DataFrame, probes
+) -> DataFrame | None:
+    """Arrow scan for ``ivf_topk``: the probed-cell restriction
+    becomes (a) a plain ``cell IN (union of probed cells)`` FILTER on
+    the assignment index (partition-prunable at scale) + one hash
+    join attaching embeddings, and (b) cell-BLOCKED folds inside the
+    same batched kernel ``cosine_topk`` uses: each cell's rows score
+    only against the queries probing that cell, so kernel compute
+    equals the relational candidate pair count and query A's rows
+    never pay for query B's cells.  ``probes`` is the
+    collected (qid, cell) probe list (|queries| x n_probe rows, the
+    same bounded class as the query-vector collect).  Cosine values,
+    exclusions, per-length query groups, and threshold pruning are
+    bit-identical to the relational form (shared helpers + fold
+    order).  Returns None when no query or no probe resolves."""
+    import numpy as np
+
+    from ..sources.ingest import widen_partitions
+
+    groups = _resolve_query_groups(emb, query_ids)
+    if groups is None:
+        return None
+    cells_by_qid: dict[int, set] = {}
+    for r in probes:
+        cells_by_qid.setdefault(int(r["qid"]), set()).add(int(r["cell"]))
+    union_cells = sorted({c for s in cells_by_qid.values() for c in s})
+    if not union_cells:
+        return None
+    cell_pos = {c: i for i, c in enumerate(union_cells)}
+    lut_cells = np.array(union_cells, dtype="int64")
+    gq = []
+    for d, qids, Q, qnrm in groups:
+        allowed = np.zeros((len(union_cells), len(qids)), dtype=bool)
+        for j, qid in enumerate(qids):
+            for c in cells_by_qid.get(int(qid), ()):
+                allowed[cell_pos[c], j] = True
+        gq.append((d, qids, Q, qnrm, allowed))
+    kk = int(k)
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            ecol = batch.column(names.index("embedding"))
+            if isinstance(ecol, pa.ChunkedArray):
+                ecol = ecol.combine_chunks()
+            lens = pc.fill_null(pc.list_value_length(ecol), -1)
+            valid = pc.is_valid(ecol)
+            for d, qids, Q, qnrm, allowed in gq:
+                keep = pc.and_(valid, pc.equal(lens, d))
+                if not pc.all(keep).as_py():
+                    sub = batch.filter(keep)
+                    if sub.num_rows == 0:
+                        continue
+                    scol = sub.column(names.index("embedding"))
+                    if isinstance(scol, pa.ChunkedArray):
+                        scol = scol.combine_chunks()
+                else:
+                    sub, scol = batch, ecol
+                n = sub.num_rows
+                ids = np.asarray(
+                    sub.column(names.index("vec_id")), dtype="int64"
+                )
+                cells = np.asarray(
+                    sub.column(names.index("cell")), dtype="int64"
+                )
+                X = np.asarray(scol.flatten(), dtype="float64").reshape(n, d)
+                # block by cell so each cell's rows fold ONLY against
+                # the queries probing it -- compute equals the
+                # relational candidate pair count (an unmasked full
+                # rows x queries matrix was measured SLOWER than the
+                # relational join at 2/16 probes: the mask must gate
+                # compute, not results)
+                order = np.argsort(cells, kind="stable")
+                sc = cells[order]
+                starts = np.flatnonzero(
+                    np.r_[True, sc[1:] != sc[:-1]]
+                )
+                ends = np.r_[starts[1:], sc.size]
+                for s, e in zip(starts, ends):
+                    # rows are pre-filtered to union cells, so the
+                    # sorted lookup is exact
+                    qsel = allowed[np.searchsorted(lut_cells, sc[s]), :]
+                    qsel = np.flatnonzero(qsel)
+                    if qsel.size == 0:
+                        continue
+                    rows = order[s:e]
+                    Xc = X[rows]
+                    idsc = ids[rows]
+                    Qc = Q[qsel]
+                    qnrmc = qnrm[qsel]
+                    qidsc = qids[qsel]
+                    with np.errstate(all="ignore"):
+                        nrm = np.zeros(rows.size)
+                        D = np.zeros((rows.size, qsel.size))
+                        for j in range(d):
+                            xj = Xc[:, j]
+                            nrm += xj * xj
+                            D += xj[:, None] * Qc[None, :, j]
+                        nrm = np.sqrt(nrm)
+                        denom = nrm[:, None] * qnrmc[None, :]
+                        cos = _spark_round6_signed(D / denom) + 0.0
+                        ok = (
+                            (denom != 0.0)
+                            & ~np.isnan(cos)
+                            & (idsc[:, None] != qidsc[None, :])
+                        )
+                    arrays = _batch_topk_rows(idsc, cos, ok, qidsc, kk)
+                    if arrays is None:
+                        continue
+                    yield pa.RecordBatch.from_arrays(
+                        arrays, names=["qid", "vec_id", "cos"]
+                    )
+
+    src = (
+        assign.filter(F.col("cell").isin([int(c) for c in union_cells]))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+            ),
+            on="vec_id",
+        )
+    )
+    cand = widen_partitions(src, "vec_id").mapInArrow(
+        kernel, schema="qid long, vec_id long, cos double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            (F.col("rank") - 1).cast("long").alias("rank"),
+            "vec_id",
+            "cos",
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -590,6 +786,7 @@ def ivf_topk(
     n_probe: int = 2,
     cents: DataFrame | None = None,
     assign: DataFrame | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: search only the ``n_probe``
     cells whose centroids are nearest each query (the scale path --
@@ -619,10 +816,50 @@ def ivf_topk(
     clustered data, ``pq_topk(rerank="auto")`` dominated every
     mid-recall ivf setting (0.994 recall at 228 ms/query vs 0.968 at
     386), so reach for IVF when you need raw throughput or your
-    corpus actually clusters."""
+    corpus actually clusters.
+
+    ``impl``: like ``cosine_topk`` -- ``"auto"`` (default) routes on
+    estimated pair work SCALED BY THE PROBE FRACTION (corpus size
+    estimate x |query_ids| x n_probe/n_cells vs the shared
+    ``_ARROW_AUTO_MIN_WORK_BYTES``): small work stays on the lazy
+    relational candidate join; large work runs the cell-masked arrow
+    kernel (``_ivf_topk_arrow``, bit-identical, fuzz-pinned), which
+    round-12 forensics showed is REQUIRED for the index to keep its
+    advantage once brute itself went vectorized (SCALE.md)."""
+    if impl not in ("auto", "arrow", "sql"):
+        raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
     cents = _codebook(emb, n_cells, cents)
     if assign is None:
         assign = ivf_assign(emb, n_cells, cents)
+    if impl == "auto":
+        sz = _plan_stats_bytes(emb)
+        est = (
+            None
+            if sz is None
+            else sz
+            * max(1, len(query_ids))
+            * max(1, int(n_probe))
+            / max(1, int(n_cells))
+        )
+        impl = (
+            "sql"
+            if est is not None and est < _ARROW_AUTO_MIN_WORK_BYTES
+            else "arrow"
+        )
+    if impl == "arrow":
+        qp = emb.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qemb"),
+            _norm_col().alias("qnrm"),
+        )
+        probes = _probe_cells(
+            qp, cents, n_probe
+        ).collect()  # bounded-model-collect: |query_ids| x n_probe rows
+        out = _ivf_topk_arrow(emb, query_ids, k, assign, probes)
+        if out is not None:
+            return out
+        # no resolvable query/probe: both forms are empty -- serve
+        # the lazy relational one (same note as cosine_topk)
     corpus = emb.select("vec_id", "embedding", _norm_col().alias("nrm"))
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),
@@ -969,7 +1206,11 @@ def kmeans_fit(
                 .localCheckpoint()
             )
             continue
-        asg = kmeans_assign(emb, cents).select("vec_id", "cell")
+        # pass the resolved impl through: the default auto would run a
+        # cents.count() job EVERY Lloyd round just to re-derive the
+        # answer already fixed by k (the round-11 kmeans_codebook
+        # bench drift, ~3 extra jobs per fit -- SCALE.md round 12)
+        asg = kmeans_assign(emb, cents, impl=assign_impl).select("vec_id", "cell")
         ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "e"))
         newc = (
             ex.join(asg, on="vec_id")
@@ -1430,6 +1671,154 @@ def pq_pack(codes: DataFrame) -> DataFrame:
     )
 
 
+def _pq_topk_arrow(
+    packed: DataFrame,
+    emb: DataFrame,
+    query_ids,
+    cents: DataFrame,
+    dim: int,
+    m: int,
+    keep: int,
+) -> DataFrame | None:
+    """Arrow scan for ``pq_topk``'s ADC pass (packed codes, no
+    candidates): the per-query (s, code) -> distance lookup table is
+    built ON THE DRIVER from the collected query vectors and the
+    collected codebook (both model-sized -- |q| x m x n_codes floats;
+    the same bounded class as every other model collect), then one
+    mapInArrow pass folds dist[row, q] = sum_s lut[q, s, code_row_s]
+    with per-batch bottom-k threshold pruning.
+
+    Bit-parity with the relational form: per-(s, code) distances
+    replicate ``_sqdist``'s sequential element fold then round6 +
+    0.0; the subspace sum accumulates in ascending s (the relational
+    scan's arrival order); the total re-rounds like the relational
+    ``round6(sum(d))``; exclusions match (self, NaN dist, malformed
+    queries dropped at the source in BOTH forms since round 12, rows
+    with no matching codebook entry absent from both).  Returns None
+    when no query resolves."""
+    import numpy as np
+
+    from ..sources.ingest import widen_partitions
+
+    if dim % m:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
+    dsub = dim // m
+    qrows = (
+        emb.filter(F.col("vec_id").isin(list(query_ids)))
+        .select(F.col("vec_id").cast("long").alias("qid"), "embedding")
+        .collect()  # bounded-model-collect: |query_ids| query vectors
+    )
+    qs = [
+        (int(r["qid"]), r["embedding"])
+        for r in qrows
+        if r["embedding"] is not None and len(r["embedding"]) == dim
+    ]
+    if not qs:
+        return None
+    qids = np.array([q[0] for q in qs], dtype="int64")
+    Q = np.array([q[1] for q in qs], dtype="float64")  # (nq, dim)
+    nq = len(qids)
+    crows = cents.select(
+        "s", "code", "cemb"
+    ).collect()  # bounded-model-collect: m x n_codes codebook rows
+    n_codes = 1 + max((int(r["code"]) for r in crows), default=-1)
+    if n_codes <= 0:
+        return None
+    # lut[s, code, q]; entries with no codebook row stay 0.0 (the
+    # relational inner join contributes nothing for them -- tracked
+    # by the per-row matched count below)
+    lut = np.zeros((m, n_codes, nq))
+    seen = np.zeros((m, n_codes), dtype=bool)
+    with np.errstate(all="ignore"):
+        for r in crows:
+            s, code, cemb = int(r["s"]), int(r["code"]), r["cemb"]
+            if not (0 <= s < m) or not (0 <= code < n_codes):
+                continue
+            seen[s, code] = True
+            if cemb is None:
+                continue  # relational: NULL fold -> d NULL -> sum skips
+            ce = np.asarray(cemb, dtype="float64")
+            acc = np.zeros(nq)
+            # _sqdist's sequential element fold; a short/long centroid
+            # pads with NULL relationally (d NULL -> skipped), mirror
+            # by skipping the whole entry unless lengths match
+            if ce.size != dsub:
+                continue
+            for e in range(dsub):
+                diff = Q[:, s * dsub + e] - ce[e]
+                acc += diff * diff
+            lut[s, code, :] = _spark_round6_signed(acc) + 0.0
+    kk = int(keep)
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            ccol = batch.column(names.index("codes"))
+            if isinstance(ccol, pa.ChunkedArray):
+                ccol = ccol.combine_chunks()
+            lens = pc.fill_null(pc.list_value_length(ccol), -1)
+            keep_rows = pc.and_(pc.is_valid(ccol), pc.equal(lens, m))
+            if not pc.all(keep_rows).as_py():
+                batch = batch.filter(keep_rows)
+                if batch.num_rows == 0:
+                    continue
+                ccol = batch.column(names.index("codes"))
+                if isinstance(ccol, pa.ChunkedArray):
+                    ccol = ccol.combine_chunks()
+            n = batch.num_rows
+            ids = np.asarray(
+                batch.column(names.index("vec_id")), dtype="int64"
+            )
+            C = np.asarray(ccol.flatten(), dtype="int64").reshape(n, m)
+            D = np.zeros((n, nq))
+            matched = np.zeros(n, dtype="int64")
+            with np.errstate(all="ignore"):
+                for s in range(m):
+                    cs = C[:, s]
+                    inr = (cs >= 0) & (cs < n_codes)
+                    idx = np.where(inr, cs, 0)
+                    hit = inr & seen[s, idx]
+                    contrib = lut[s, idx, :]
+                    contrib = np.where(hit[:, None], contrib, 0.0)
+                    D += contrib
+                    matched += hit
+                dist = _spark_round6_signed(D) + 0.0
+                ok = (
+                    (ids[:, None] != qids[None, :])
+                    & ~np.isnan(dist)
+                    & (matched > 0)[:, None]
+                )
+            arrays = _batch_bottomk_rows(ids, dist, ok, qids, kk)
+            if arrays is None:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=["qid", "vec_id", "dist"]
+            )
+
+    src = widen_partitions(packed, "vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "codes"
+    )
+    cand = src.mapInArrow(kernel, schema="qid long, vec_id long, dist double")
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= keep)
+        .select(
+            "qid",
+            (F.col("rank") - 1).cast("long").alias("rank"),
+            "vec_id",
+            "dist",
+        )
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -1440,6 +1829,7 @@ def pq_topk(
     codes: DataFrame | None = None,
     rerank: int | str | None = None,
     candidates: DataFrame | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus:
     queries stay raw, corpus vectors are their m codes, and each
@@ -1495,7 +1885,21 @@ def pq_topk(
     PACKED (vec_id, codes) layout from ``pq_pack`` -- pass the packed
     relation in production: it is the ~dim*4/m-times-smaller table
     (8 small ints per 64-float vector at m=8) and unpacks in-row with
-    one bounded posexplode, so the ADC scan reads only it."""
+    one bounded posexplode, so the ADC scan reads only it.
+
+    ``impl``: like ``cosine_topk`` -- ``"auto"`` (default) routes the
+    packed no-candidates ADC scan on estimated pair work (packed size
+    estimate x |query_ids| vs ``_ARROW_AUTO_MIN_WORK_BYTES``): large
+    work runs the driver-LUT mapInArrow kernel (``_pq_topk_arrow``,
+    bit-identical, fuzz-pinned), small work stays on the lazy
+    relational join; auto also requires the kept shortlist
+    (k or k*rerank) <= ``_ARROW_ADC_MAX_KEEP`` -- past that the
+    per-batch pruning cannot shrink the emission and the Arrow->JVM
+    transfer eats the scoring win (measured, SCALE.md round 12).
+    Long-form codes and ``candidates`` scans always run relationally
+    (explicit ``impl="arrow"`` on long-form codes raises rather than
+    silently switching).  The exact re-rank stage is query-bounded
+    and always relational."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if rerank == "auto":
@@ -1507,41 +1911,89 @@ def pq_topk(
         raise ValueError(
             f"rerank must be >= 1, 'auto', or None for pure ADC, got {rerank!r}"
         )
+    if impl not in ("auto", "arrow", "sql"):
+        raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
     if codes is None:
         codes = pq_encode(emb, cents, dim, m)
-    if "codes" in codes.columns:  # packed layout: unpack in-row
-        codes = codes.select(
-            "vec_id", F.posexplode("codes").alias("s", "code")
-        ).select("vec_id", F.col("s").cast("long").alias("s"), "code")
-    qsub = _pq_subspaces(
-        emb.filter(F.col("vec_id").isin(query_ids)), dim, m
-    ).withColumnRenamed("vec_id", "qid")
-    sq = _sqdist("semb", "cemb")
-    dtab = qsub.join(F.broadcast(cents), on="s").select(
-        "qid", "s", "code", (F.round(sq, 6) + F.lit(0.0)).alias("d")
-    )
-    base = codes.select("vec_id", "s", "code")
-    keys = ["s", "code"]
-    if candidates is not None:
-        # per-query restriction (the IVF x PQ composition): attach each
-        # candidate's qid to its code rows, then key the lookup join on
-        # qid too so a vector probed only by query A never scores for
-        # query B.  The candidate relation is (probe fraction x corpus)
-        # per query -- joined, never broadcast.
-        base = base.join(candidates.select("qid", "vec_id"), on="vec_id")
-        keys = ["qid", "s", "code"]
-    scored = (
-        base.join(F.broadcast(dtab), on=keys)
-        .filter(F.col("vec_id") != F.col("qid"))
-        .groupBy("qid", "vec_id")
-        .agg((F.round(F.sum("d"), 6) + F.lit(0.0)).alias("dist"))
-    )
+    packed = codes if "codes" in codes.columns else None
+    keep = k if rerank is None else k * rerank
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
-    adc = (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= (k if rerank is None else k * rerank))
-        .select("qid", (F.col("rank") - 1).cast("long").alias("rank"), "vec_id", "dist")
-    )
+    adc = None
+    if candidates is None and impl != "sql":
+        if packed is None:
+            if impl == "arrow":
+                raise ValueError(
+                    "pq_topk impl='arrow' needs the PACKED codes layout "
+                    "(pq_pack output); long-form codes run relationally"
+                )
+        else:
+            use = impl == "arrow"
+            if impl == "auto":
+                sz = _plan_stats_bytes(packed)
+                use = not (
+                    sz is not None
+                    and sz * max(1, len(query_ids))
+                    < _ARROW_AUTO_MIN_WORK_BYTES
+                ) and keep <= _ARROW_ADC_MAX_KEEP
+            if use:
+                adc = _pq_topk_arrow(
+                    packed, emb, query_ids, cents, dim, m, keep
+                )
+    if adc is None:
+        if "codes" in codes.columns:  # packed layout: unpack in-row
+            codes = codes.select(
+                "vec_id", F.posexplode("codes").alias("s", "code")
+            ).select("vec_id", F.col("s").cast("long").alias("s"), "code")
+        # malformed queries (NULL embedding, length != dim) are
+        # EXCLUDED at the source since round 12 -- previously a short
+        # query ranked by a PARTIAL subspace sum (NULL d rows skipped
+        # by SUM), which no tier-swappable contract can honor; the
+        # arrow kernel applies the same rule at query resolution
+        qsub = _pq_subspaces(
+            emb.filter(
+                F.col("vec_id").isin(query_ids)
+                & F.col("embedding").isNotNull()
+                & (F.size("embedding") == F.lit(int(dim)))
+            ),
+            dim,
+            m,
+        ).withColumnRenamed("vec_id", "qid")
+        sq = _sqdist("semb", "cemb")
+        dtab = qsub.join(F.broadcast(cents), on="s").select(
+            "qid", "s", "code", (F.round(sq, 6) + F.lit(0.0)).alias("d")
+        )
+        base = codes.select("vec_id", "s", "code")
+        keys = ["s", "code"]
+        if candidates is not None:
+            # per-query restriction (the IVF x PQ composition): attach
+            # each candidate's qid to its code rows, then key the
+            # lookup join on qid too so a vector probed only by query
+            # A never scores for query B.  The candidate relation is
+            # (probe fraction x corpus) per query -- joined, never
+            # broadcast.
+            base = base.join(candidates.select("qid", "vec_id"), on="vec_id")
+            keys = ["qid", "s", "code"]
+        scored = (
+            base.join(F.broadcast(dtab), on=keys)
+            .filter(F.col("vec_id") != F.col("qid"))
+            .groupBy("qid", "vec_id")
+            .agg((F.round(F.sum("d"), 6) + F.lit(0.0)).alias("dist"))
+            # NaN payloads fold to NaN distances, which sort LAST
+            # under asc but could still fill an underfull top-k --
+            # exclude them like cosine/sq8 do (round 12; the arrow
+            # kernel applies the same mask)
+            .filter(~F.isnan("dist"))
+        )
+        adc = (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= keep)
+            .select(
+                "qid",
+                (F.col("rank") - 1).cast("long").alias("rank"),
+                "vec_id",
+                "dist",
+            )
+        )
     if rerank is None:
         return adc
     # exact re-rank of the shortlist: broadcast the (|q| * k * rerank)-
@@ -1557,6 +2009,12 @@ def pq_topk(
     exact = _sqdist("embedding", "qemb")
     rescored = cand.join(qraw, on="qid").select(
         "qid", "vec_id", (F.round(exact, 6) + F.lit(0.0)).alias("dist")
+    ).filter(
+        # a shortlist vector whose RAW embedding is NULL/ragged/NaN has
+        # no exact distance: exclude it (NULL would sort FIRST under
+        # asc and silently top the re-rank) -- round 12, matching the
+        # ADC pass's own exclusions
+        F.col("dist").isNotNull() & ~F.isnan("dist")
     )
     return (
         rescored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -559,3 +559,69 @@ def test_ivf_sq8_topk_matches_manual_composition(spark):
             map(tuple, SIM.sq8_topk(emb, [q], k=3, codes=sub).collect())
         )
     assert got == sorted(want) and got
+
+
+def test_pq_topk_arrow_matches_sql(spark):
+    """The driver-LUT ADC arrow kernel (round 12) must agree with the
+    relational lookup-join form bit-for-bit across k / rerank
+    settings, on packed codes (the production layout)."""
+    import numpy as np
+
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(60, 8)) * 2
+    vecs[11] = 0.0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = SIM.pq_train(emb, dim=8, m=2, n_codes=4, iters=2).persist()
+    cents.count()
+    packed = SIM.pq_pack(SIM.pq_encode(emb, cents, dim=8, m=2)).persist()
+    packed.count()
+    for qids, k, rr in ([[0, 11, 30], 5, None], [[7], 3, 4],
+                        [list(range(10)), 4, None]):
+        a = SIM.pq_topk(emb, qids, cents, dim=8, m=2, k=k, codes=packed,
+                        rerank=rr, impl="arrow").orderBy("qid", "rank")
+        s = SIM.pq_topk(emb, qids, cents, dim=8, m=2, k=k, codes=packed,
+                        rerank=rr, impl="sql").orderBy("qid", "rank")
+        ta = [tuple(r) for r in a.collect()]
+        ts = [tuple(r) for r in s.collect()]
+        assert ta == ts, f"qids={qids} k={k} rr={rr}: {ta} != {ts}"
+    cents.unpersist(); packed.unpersist()
+
+
+def test_pq_topk_arrow_hostile_queries(spark):
+    """NULL and ragged queries are excluded in BOTH forms (round 12:
+    previously a short query ranked by a partial subspace sum); the
+    arrow kernel on the rest stays bit-identical."""
+    from dask_array_spark.functions import similarity as SIM
+
+    rows = [(i, [float(i + j) for j in range(8)]) for i in range(20)]
+    rows += [(20, None), (21, [1.0, 2.0, 3.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = SIM.pq_train(
+        emb.filter("vec_id < 20"), dim=8, m=2, n_codes=4, iters=1
+    ).persist()
+    cents.count()
+    packed = SIM.pq_pack(
+        SIM.pq_encode(emb.filter("vec_id < 20"), cents, dim=8, m=2)
+    ).persist()
+    packed.count()
+    qids = [0, 20, 21, 5]
+    a = SIM.pq_topk(emb, qids, cents, dim=8, m=2, k=4, codes=packed,
+                    impl="arrow").orderBy("qid", "rank")
+    s = SIM.pq_topk(emb, qids, cents, dim=8, m=2, k=4, codes=packed,
+                    impl="sql").orderBy("qid", "rank")
+    ta = [tuple(r) for r in a.collect()]
+    ts = [tuple(r) for r in s.collect()]
+    assert ta == ts
+    assert not any(t[0] in (20, 21) for t in ta)  # malformed excluded
+    import pytest
+
+    with pytest.raises(ValueError, match="PACKED"):
+        SIM.pq_topk(emb, qids, cents, dim=8, m=2, k=4,
+                    codes=SIM.pq_encode(emb, cents, dim=8, m=2),
+                    impl="arrow")
+    cents.unpersist(); packed.unpersist()

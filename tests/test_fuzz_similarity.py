@@ -306,3 +306,60 @@ def test_sq8_topk_arrow_matches_sql(spark):
         tb = [tuple(r) for r in b.collect()]
         assert ta == tb, f"qids={qids}: {ta} != {tb}"
     codes.unpersist()
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(FVEC, min_size=10, max_size=24), st.integers(1, 5),
+       st.integers(2, 4))
+def test_ivf_topk_arrow_matches_sql(spark, vecs, k, n_probe):
+    """The cell-masked IVF arrow kernel (round 12) must agree with the
+    relational candidate-join form bit-for-bit: same probe contract,
+    same cosine values, same exclusions, same tie order."""
+    from dask_array_spark.functions import similarity as SIM
+
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    qids = [0, len(vecs) // 2, len(vecs) - 1]
+    a = SIM.ivf_topk(emb, qids, k=k, n_cells=4, n_probe=n_probe,
+                     impl="sql").orderBy("qid", "rank")
+    b = SIM.ivf_topk(emb, qids, k=k, n_cells=4, n_probe=n_probe,
+                     impl="arrow").orderBy("qid", "rank")
+    ta, tb = [tuple(r) for r in a.collect()], [tuple(r) for r in b.collect()]
+    assert ta == tb, f"ivf sql/arrow divergence: {ta} != {tb}"
+
+
+def test_ivf_topk_arrow_matches_sql_hostile(spark):
+    """Hostile rows (zero norm, NaN payload, NULL, ragged) plus a
+    TRAINED codebook and a persisted assignment index -- the
+    production posture -- must agree across forms."""
+    from dask_array_spark.functions import similarity as SIM
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (1, [0.0, 0.0, 0.0]),
+        (2, [float("nan"), 1.0, 2.0]),
+        (3, [4.0, -1.0, 0.5]),
+        (4, None),
+        (5, [1.0, 2.0]),
+        (6, [-1.0, -2.0, -3.0]),
+        (7, [0.5, 0.5, 0.5]),
+        (8, [3.0, 0.1, -2.0]),
+        (9, [-0.5, 2.5, 1.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    trained = SIM.kmeans_fit(emb, k=3, iters=1)
+    assign = SIM.ivf_assign(emb, 3, trained).persist()
+    assign.count()
+    for qids in ([0], [0, 4, 5], [6, 7, 8]):
+        a = SIM.ivf_topk(emb, qids, k=4, n_cells=3, n_probe=2,
+                         cents=trained, assign=assign,
+                         impl="sql").orderBy("qid", "rank")
+        b = SIM.ivf_topk(emb, qids, k=4, n_cells=3, n_probe=2,
+                         cents=trained, assign=assign,
+                         impl="arrow").orderBy("qid", "rank")
+        ta = [tuple(r) for r in a.collect()]
+        tb = [tuple(r) for r in b.collect()]
+        assert ta == tb, f"qids={qids}: {ta} != {tb}"
+    assign.unpersist()
