@@ -628,6 +628,31 @@ def _probe_cells(q: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
     )
 
 
+def _probe_layout(probes):
+    """Collected (qid, cell) probe rows -> (qid -> probed cell set,
+    sorted union of probed cells).  Shared by every cell-blocked
+    arrow serving kernel so the probe decoding cannot drift."""
+    cells_by_qid: dict[int, set] = {}
+    for r in probes:
+        cells_by_qid.setdefault(int(r["qid"]), set()).add(int(r["cell"]))
+    union_cells = sorted({c for s in cells_by_qid.values() for c in s})
+    return cells_by_qid, union_cells
+
+
+def _allowed_matrix(cells_by_qid, union_cells, qids):
+    """(len(union_cells), len(qids)) bool: does query j probe cell
+    i?  The kernel-side gate that keeps per-cell folds restricted to
+    exactly the relational candidate pairs."""
+    import numpy as np
+
+    pos = {c: i for i, c in enumerate(union_cells)}
+    allowed = np.zeros((len(union_cells), len(qids)), dtype=bool)
+    for j, qid in enumerate(qids):
+        for c in cells_by_qid.get(int(qid), ()):
+            allowed[pos[c], j] = True
+    return allowed
+
+
 def _ivf_topk_arrow(
     emb: DataFrame, query_ids, k: int, assign: DataFrame, probes
 ) -> DataFrame | None:
@@ -651,21 +676,14 @@ def _ivf_topk_arrow(
     groups = _resolve_query_groups(emb, query_ids)
     if groups is None:
         return None
-    cells_by_qid: dict[int, set] = {}
-    for r in probes:
-        cells_by_qid.setdefault(int(r["qid"]), set()).add(int(r["cell"]))
-    union_cells = sorted({c for s in cells_by_qid.values() for c in s})
+    cells_by_qid, union_cells = _probe_layout(probes)
     if not union_cells:
         return None
-    cell_pos = {c: i for i, c in enumerate(union_cells)}
     lut_cells = np.array(union_cells, dtype="int64")
-    gq = []
-    for d, qids, Q, qnrm in groups:
-        allowed = np.zeros((len(union_cells), len(qids)), dtype=bool)
-        for j, qid in enumerate(qids):
-            for c in cells_by_qid.get(int(qid), ()):
-                allowed[cell_pos[c], j] = True
-        gq.append((d, qids, Q, qnrm, allowed))
+    gq = [
+        (d, qids, Q, qnrm, _allowed_matrix(cells_by_qid, union_cells, qids))
+        for d, qids, Q, qnrm in groups
+    ]
     kk = int(k)
 
     def kernel(batches):
@@ -1671,6 +1689,68 @@ def pq_pack(codes: DataFrame) -> DataFrame:
     )
 
 
+def _adc_lut(emb: DataFrame, query_ids, cents: DataFrame, dim: int, m: int):
+    """Driver-side ADC layout shared by the PQ arrow kernels:
+    (qids, lut[s, code, q], seen[s, code], n_codes), or None when no
+    query resolves.  Per-(s, code) distances replicate ``_sqdist``'s
+    sequential element fold then round6 + 0.0; malformed queries
+    (NULL / length != dim) are dropped -- the same rule the
+    relational form applies at its source since round 12; codebook
+    rows with NULL or wrong-length centroids contribute 0.0 like the
+    relational NULL-fold-skipped d."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
+    dsub = dim // m
+    qrows = (
+        emb.filter(F.col("vec_id").isin(list(query_ids)))
+        .select(F.col("vec_id").cast("long").alias("qid"), "embedding")
+        .collect()  # bounded-model-collect: |query_ids| query vectors
+    )
+    qs = [
+        (int(r["qid"]), r["embedding"])
+        for r in qrows
+        if r["embedding"] is not None and len(r["embedding"]) == dim
+    ]
+    if not qs:
+        return None
+    qids = np.array([q[0] for q in qs], dtype="int64")
+    Q = np.array([q[1] for q in qs], dtype="float64")  # (nq, dim)
+    nq = len(qids)
+    crows = cents.select(
+        "s", "code", "cemb"
+    ).collect()  # bounded-model-collect: m x n_codes codebook rows
+    n_codes = 1 + max((int(r["code"]) for r in crows), default=-1)
+    if n_codes <= 0:
+        return None
+    # lut[s, code, q]; entries with no codebook row stay 0.0 (the
+    # relational inner join contributes nothing for them -- tracked
+    # by the kernels' per-row matched count)
+    lut = np.zeros((m, n_codes, nq))
+    seen = np.zeros((m, n_codes), dtype=bool)
+    with np.errstate(all="ignore"):
+        for r in crows:
+            s, code, cemb = int(r["s"]), int(r["code"]), r["cemb"]
+            if not (0 <= s < m) or not (0 <= code < n_codes):
+                continue
+            seen[s, code] = True
+            if cemb is None:
+                continue  # relational: NULL fold -> d NULL -> sum skips
+            ce = np.asarray(cemb, dtype="float64")
+            acc = np.zeros(nq)
+            # _sqdist's sequential element fold; a short/long centroid
+            # pads with NULL relationally (d NULL -> skipped), mirror
+            # by skipping the whole entry unless lengths match
+            if ce.size != dsub:
+                continue
+            for e in range(dsub):
+                diff = Q[:, s * dsub + e] - ce[e]
+                acc += diff * diff
+            lut[s, code, :] = _spark_round6_signed(acc) + 0.0
+    return qids, lut, seen, n_codes
+
+
 def _pq_topk_arrow(
     packed: DataFrame,
     emb: DataFrame,
@@ -1700,54 +1780,11 @@ def _pq_topk_arrow(
 
     from ..sources.ingest import widen_partitions
 
-    if dim % m:
-        raise ValueError(f"dim {dim} must divide into m={m} subspaces")
-    dsub = dim // m
-    qrows = (
-        emb.filter(F.col("vec_id").isin(list(query_ids)))
-        .select(F.col("vec_id").cast("long").alias("qid"), "embedding")
-        .collect()  # bounded-model-collect: |query_ids| query vectors
-    )
-    qs = [
-        (int(r["qid"]), r["embedding"])
-        for r in qrows
-        if r["embedding"] is not None and len(r["embedding"]) == dim
-    ]
-    if not qs:
+    layout = _adc_lut(emb, query_ids, cents, dim, m)
+    if layout is None:
         return None
-    qids = np.array([q[0] for q in qs], dtype="int64")
-    Q = np.array([q[1] for q in qs], dtype="float64")  # (nq, dim)
+    qids, lut, seen, n_codes = layout
     nq = len(qids)
-    crows = cents.select(
-        "s", "code", "cemb"
-    ).collect()  # bounded-model-collect: m x n_codes codebook rows
-    n_codes = 1 + max((int(r["code"]) for r in crows), default=-1)
-    if n_codes <= 0:
-        return None
-    # lut[s, code, q]; entries with no codebook row stay 0.0 (the
-    # relational inner join contributes nothing for them -- tracked
-    # by the per-row matched count below)
-    lut = np.zeros((m, n_codes, nq))
-    seen = np.zeros((m, n_codes), dtype=bool)
-    with np.errstate(all="ignore"):
-        for r in crows:
-            s, code, cemb = int(r["s"]), int(r["code"]), r["cemb"]
-            if not (0 <= s < m) or not (0 <= code < n_codes):
-                continue
-            seen[s, code] = True
-            if cemb is None:
-                continue  # relational: NULL fold -> d NULL -> sum skips
-            ce = np.asarray(cemb, dtype="float64")
-            acc = np.zeros(nq)
-            # _sqdist's sequential element fold; a short/long centroid
-            # pads with NULL relationally (d NULL -> skipped), mirror
-            # by skipping the whole entry unless lengths match
-            if ce.size != dsub:
-                continue
-            for e in range(dsub):
-                diff = Q[:, s * dsub + e] - ce[e]
-                acc += diff * diff
-            lut[s, code, :] = _spark_round6_signed(acc) + 0.0
     kk = int(keep)
 
     def kernel(batches):
@@ -1996,9 +2033,17 @@ def pq_topk(
         )
     if rerank is None:
         return adc
-    # exact re-rank of the shortlist: broadcast the (|q| * k * rerank)-
-    # row shortlist, hash-probe the corpus for those vectors only,
-    # fold the exact squared L2 in-row against the raw query vectors
+    return _exact_rerank(emb, query_ids, adc, k)
+
+
+def _exact_rerank(
+    emb: DataFrame, query_ids, adc: DataFrame, k: int
+) -> DataFrame:
+    """Exact re-rank of an ADC shortlist (the "+R" of IVFADC+R):
+    broadcast the (|q| * k * rerank)-row shortlist, hash-probe the
+    corpus for those vectors only, fold the exact squared L2 in-row
+    against the raw query vectors.  Shared by pq_topk and the
+    composed arrow route so the re-rank contract cannot drift."""
     short = adc.select("qid", "vec_id")
     qraw = F.broadcast(
         emb.filter(F.col("vec_id").isin(query_ids)).select(
@@ -2016,10 +2061,139 @@ def pq_topk(
         # ADC pass's own exclusions
         F.col("dist").isNotNull() & ~F.isnan("dist")
     )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
     return (
         rescored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("qid", (F.col("rank") - 1).cast("long").alias("rank"), "vec_id", "dist")
+    )
+
+
+def _ivf_pq_topk_arrow(
+    packed: DataFrame,
+    emb: DataFrame,
+    query_ids,
+    cents: DataFrame,
+    dim: int,
+    m: int,
+    keep: int,
+    assign: DataFrame,
+    probes,
+) -> DataFrame | None:
+    """Cell-blocked arrow scan for ``ivf_pq_topk``'s ADC pass:
+    ``_pq_topk_arrow``'s driver-LUT fold restricted per cell to the
+    queries probing it (``_ivf_topk_arrow``'s blocking), over the
+    probed fraction of the packed codes relation -- bit-identical to
+    the relational ``pq_topk(candidates=...)`` composition."""
+    import numpy as np
+
+    from ..sources.ingest import widen_partitions
+
+    layout = _adc_lut(emb, query_ids, cents, dim, m)
+    if layout is None:
+        return None
+    qids, lut, seen, n_codes = layout
+    cells_by_qid, union_cells = _probe_layout(probes)
+    if not union_cells:
+        return None
+    lut_cells = np.array(union_cells, dtype="int64")
+    allowed = _allowed_matrix(cells_by_qid, union_cells, qids)
+    kk = int(keep)
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            ccol = batch.column(names.index("codes"))
+            if isinstance(ccol, pa.ChunkedArray):
+                ccol = ccol.combine_chunks()
+            lens = pc.fill_null(pc.list_value_length(ccol), -1)
+            keep_rows = pc.and_(pc.is_valid(ccol), pc.equal(lens, m))
+            if not pc.all(keep_rows).as_py():
+                batch = batch.filter(keep_rows)
+                if batch.num_rows == 0:
+                    continue
+                ccol = batch.column(names.index("codes"))
+                if isinstance(ccol, pa.ChunkedArray):
+                    ccol = ccol.combine_chunks()
+            n = batch.num_rows
+            ids = np.asarray(
+                batch.column(names.index("vec_id")), dtype="int64"
+            )
+            cellv = np.asarray(
+                batch.column(names.index("cell")), dtype="int64"
+            )
+            C = np.asarray(ccol.flatten(), dtype="int64").reshape(n, m)
+            order = np.argsort(cellv, kind="stable")
+            sc = cellv[order]
+            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            ends = np.r_[starts[1:], sc.size]
+            for s0, e0 in zip(starts, ends):
+                qsel = allowed[np.searchsorted(lut_cells, sc[s0]), :]
+                qsel = np.flatnonzero(qsel)
+                if qsel.size == 0:
+                    continue
+                rows = order[s0:e0]
+                idsb = ids[rows]
+                Db = np.zeros((rows.size, qsel.size))
+                matched = np.zeros(rows.size, dtype="int64")
+                with np.errstate(all="ignore"):
+                    for s in range(m):
+                        cs = C[rows, s]
+                        inr = (cs >= 0) & (cs < n_codes)
+                        idx = np.where(inr, cs, 0)
+                        hit = inr & seen[s, idx]
+                        contrib = lut[s][idx][:, qsel]
+                        contrib = np.where(hit[:, None], contrib, 0.0)
+                        Db += contrib
+                        matched += hit
+                    dist = _spark_round6_signed(Db) + 0.0
+                    ok = (
+                        (idsb[:, None] != qids[qsel][None, :])
+                        & ~np.isnan(dist)
+                        & (matched > 0)[:, None]
+                    )
+                arrays = _batch_bottomk_rows(idsb, dist, ok, qids[qsel], kk)
+                if arrays is None:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=["qid", "vec_id", "dist"]
+                )
+
+    src = (
+        assign.filter(F.col("cell").isin([int(c) for c in union_cells]))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+        )
+        .join(
+            packed.select(
+                F.col("vec_id").cast("long").alias("vec_id"), "codes"
+            ),
+            on="vec_id",
+        )
+    )
+    cand = widen_partitions(src, "vec_id").mapInArrow(
+        kernel, schema="qid long, vec_id long, dist double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= keep)
+        .select(
+            "qid",
+            (F.col("rank") - 1).cast("long").alias("rank"),
+            "vec_id",
+            "dist",
+        )
     )
 
 
@@ -2036,6 +2210,7 @@ def ivf_pq_topk(
     assign: DataFrame | None = None,
     codes: DataFrame | None = None,
     rerank: int | str | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """The composed IVFADC(+R) serving path (Jegou et al. 2011, the
     architecture the reference's ANN tier serves): IVF probe selection
@@ -2059,18 +2234,25 @@ def ivf_pq_topk(
     the assignment index; the ADC scan then reads the probed fraction
     of the packed codes relation (qid-keyed lookup join, partial-agg
     sum); the re-rank touches |q| x k x r raw vectors.  Nothing
-    corpus-sized is ever broadcast or collected."""
+    corpus-sized is ever broadcast or collected.
+
+    ``impl``: like ``ivf_topk`` -- with a PACKED ``codes`` relation,
+    ``"auto"`` routes on pair work scaled by the probe fraction AND
+    the kept shortlist size (<= ``_ARROW_ADC_MAX_KEEP``): the arrow
+    form is ``_ivf_pq_topk_arrow`` (cell-blocked driver-LUT ADC,
+    bit-identical, fuzz-pinned) followed by the shared
+    ``_exact_rerank``.  Explicit ``impl="arrow"`` without packed
+    codes raises (same rule as ``pq_topk``)."""
     cents = _codebook(emb, n_cells, ivf_cents)
     if assign is None:
         assign = ivf_assign(emb, n_cells, cents)
+    if impl not in ("auto", "arrow", "sql"):
+        raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
         _norm_col().alias("qnrm"),
     )
-    cand = assign.join(
-        F.broadcast(_probe_cells(q, cents, n_probe)), on="cell"
-    ).select("qid", "vec_id")
     if rerank == "auto":
         # calibrate on the pool each query actually scans -- the
         # probed fraction, not the whole corpus: the auto rule sizes
@@ -2079,9 +2261,50 @@ def ivf_pq_topk(
         # (round-9 review)
         n = emb.select("vec_id").count() * n_probe // max(1, n_cells)
         rerank = _auto_rerank(n)
+    # the composed arrow route needs the PACKED index relation (the
+    # production layout); long-form/derived codes run relationally
+    packed = (
+        codes if codes is not None and "codes" in codes.columns else None
+    )
+    if impl == "arrow" and packed is None:
+        raise ValueError(
+            "ivf_pq_topk impl='arrow' needs the PACKED codes relation "
+            "(pq_pack output); long-form codes run relationally"
+        )
+    if impl != "sql" and packed is not None:
+        keep = k if rerank is None else k * int(rerank)
+        use = impl == "arrow"
+        if impl == "auto":
+            sz = _plan_stats_bytes(packed)
+            est = (
+                None
+                if sz is None
+                else sz
+                * max(1, len(query_ids))
+                * max(1, int(n_probe))
+                / max(1, int(n_cells))
+            )
+            use = (
+                est is None or est >= _ARROW_AUTO_MIN_WORK_BYTES
+            ) and keep <= _ARROW_ADC_MAX_KEEP
+        if use:
+            probes = _probe_cells(
+                q, cents, n_probe
+            ).collect()  # bounded-model-collect: |q| x n_probe rows
+            adc = _ivf_pq_topk_arrow(
+                packed, emb, query_ids, pq_cents, dim, m, keep,
+                assign, probes,
+            )
+            if adc is not None:
+                if rerank is None:
+                    return adc
+                return _exact_rerank(emb, query_ids, adc, k)
+    cand = assign.join(
+        F.broadcast(_probe_cells(q, cents, n_probe)), on="cell"
+    ).select("qid", "vec_id")
     return pq_topk(
         emb, query_ids, pq_cents, dim, m=m, k=k,
-        codes=codes, rerank=rerank, candidates=cand,
+        codes=codes, rerank=rerank, candidates=cand, impl="sql",
     )
 
 
@@ -2342,6 +2565,137 @@ def sq8_topk(
     )
 
 
+def _ivf_sq8_topk_arrow(
+    codes: DataFrame, emb: DataFrame, query_ids, k: int,
+    assign: DataFrame, probes,
+) -> DataFrame | None:
+    """Cell-blocked arrow scan for ``ivf_sq8_topk``: ``_ivf_topk_arrow``'s
+    shape (probed-cell IN filter on the assignment index + per-cell
+    folds against only the probing queries) over the 4x-smaller
+    (vec_id, scale, q, nrm) relation with ``_sq8_topk_arrow``'s
+    dequantized-cosine arithmetic -- bit-identical to the relational
+    ``sq8_topk(candidates=...)`` composition, fuzz-pinned."""
+    import numpy as np
+
+    from ..sources.ingest import widen_partitions
+
+    groups = _resolve_query_groups(emb, query_ids)
+    if groups is None:
+        return None
+    cells_by_qid, union_cells = _probe_layout(probes)
+    if not union_cells:
+        return None
+    lut_cells = np.array(union_cells, dtype="int64")
+    gq = [
+        (d, qids, Q, qnrm, _allowed_matrix(cells_by_qid, union_cells, qids))
+        for d, qids, Q, qnrm in groups
+    ]
+    kk = int(k)
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            qcol = batch.column(names.index("q"))
+            if isinstance(qcol, pa.ChunkedArray):
+                qcol = qcol.combine_chunks()
+            lens = pc.fill_null(pc.list_value_length(qcol), -1)
+            valid = pc.is_valid(qcol)
+            for d, qids, Q, qnrm, allowed in gq:
+                keep = pc.and_(valid, pc.equal(lens, d))
+                if not pc.all(keep).as_py():
+                    sub = batch.filter(keep)
+                    if sub.num_rows == 0:
+                        continue
+                    scol = sub.column(names.index("q"))
+                    if isinstance(scol, pa.ChunkedArray):
+                        scol = scol.combine_chunks()
+                else:
+                    sub, scol = batch, qcol
+                n = sub.num_rows
+                ids = np.asarray(
+                    sub.column(names.index("vec_id")), dtype="int64"
+                )
+                cellv = np.asarray(
+                    sub.column(names.index("cell")), dtype="int64"
+                )
+                scale = np.asarray(
+                    sub.column(names.index("scale")), dtype="float64"
+                )
+                nrm = np.asarray(
+                    sub.column(names.index("nrm")), dtype="float64"
+                )
+                C = np.asarray(scol.flatten(), dtype="float64").reshape(n, d)
+                order = np.argsort(cellv, kind="stable")
+                sc = cellv[order]
+                starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+                ends = np.r_[starts[1:], sc.size]
+                for s, e in zip(starts, ends):
+                    qsel = allowed[np.searchsorted(lut_cells, sc[s]), :]
+                    qsel = np.flatnonzero(qsel)
+                    if qsel.size == 0:
+                        continue
+                    rows = order[s:e]
+                    Cc = C[rows]
+                    idsc = ids[rows]
+                    Qc = Q[qsel]
+                    qnrmc = qnrm[qsel]
+                    qidsc = qids[qsel]
+                    with np.errstate(all="ignore"):
+                        D = np.zeros((rows.size, qsel.size))
+                        for j in range(d):
+                            D += Cc[:, j][:, None] * Qc[None, :, j]
+                        num = scale[rows][:, None] * D
+                        denom = nrm[rows][:, None] * qnrmc[None, :]
+                        cos = _spark_round6_signed(num / denom) + 0.0
+                        ok = (
+                            (denom != 0.0)
+                            & ~np.isnan(cos)
+                            & (idsc[:, None] != qidsc[None, :])
+                        )
+                    arrays = _batch_topk_rows(idsc, cos, ok, qidsc, kk)
+                    if arrays is None:
+                        continue
+                    yield pa.RecordBatch.from_arrays(
+                        arrays, names=["qid", "vec_id", "cos"]
+                    )
+
+    src = (
+        assign.filter(F.col("cell").isin([int(c) for c in union_cells]))
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+        )
+        .join(
+            codes.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                "scale", "q", "nrm",
+            ),
+            on="vec_id",
+        )
+    )
+    cand = widen_partitions(src, "vec_id").mapInArrow(
+        kernel, schema="qid long, vec_id long, cos double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "qid",
+            (F.col("rank") - 1).cast("long").alias("rank"),
+            "vec_id",
+            "cos",
+        )
+    )
+
+
 def ivf_sq8_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -2351,6 +2705,7 @@ def ivf_sq8_topk(
     ivf_cents: DataFrame | None = None,
     assign: DataFrame | None = None,
     codes: DataFrame | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """The composed IVF x SQ8 serving path (the other standard FAISS
     index family next to IVFADC, e.g. "IVF...,SQ8"): IVF probe
@@ -2365,16 +2720,54 @@ def ivf_sq8_topk(
     shape: probes broadcast; the candidate join keys the broadcast
     probe list against the assignment index; the cosine scan reads the
     probed fraction of the 4x-smaller (vec_id, scale, q, nrm)
-    relation.  Nothing corpus-sized is broadcast or collected."""
+    relation.  Nothing corpus-sized is broadcast or collected.
+
+    ``impl``: like ``ivf_topk`` -- ``"auto"`` routes on estimated
+    pair work scaled by the probe fraction (CODES size estimate x
+    |query_ids| x n_probe/n_cells vs the shared threshold); the arrow
+    form is ``_ivf_sq8_topk_arrow`` (cell-blocked dequantized-cosine
+    kernel, bit-identical, fuzz-pinned)."""
+    if impl not in ("auto", "arrow", "sql"):
+        raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
     cents = _codebook(emb, n_cells, ivf_cents)
     if assign is None:
         assign = ivf_assign(emb, n_cells, cents)
+    if codes is None:
+        codes = sq8_encode(emb)
+    if "nrm" not in codes.columns:
+        codes = codes.withColumn("nrm", _sq8_nrm())
+    if impl == "auto":
+        sz = _plan_stats_bytes(codes)
+        est = (
+            None
+            if sz is None
+            else sz
+            * max(1, len(query_ids))
+            * max(1, int(n_probe))
+            / max(1, int(n_cells))
+        )
+        impl = (
+            "sql"
+            if est is not None and est < _ARROW_AUTO_MIN_WORK_BYTES
+            else "arrow"
+        )
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qemb"),
         _norm_col().alias("qnrm"),
     )
+    if impl == "arrow":
+        probes = _probe_cells(
+            q, cents, n_probe
+        ).collect()  # bounded-model-collect: |query_ids| x n_probe rows
+        out = _ivf_sq8_topk_arrow(codes, emb, query_ids, k, assign, probes)
+        if out is not None:
+            return out
+        # no resolvable query/probe: both forms are empty -- serve
+        # the lazy relational one (same note as cosine_topk)
     cand = assign.join(
         F.broadcast(_probe_cells(q, cents, n_probe)), on="cell"
     ).select("qid", "vec_id")
-    return sq8_topk(emb, query_ids, k=k, codes=codes, candidates=cand)
+    return sq8_topk(
+        emb, query_ids, k=k, codes=codes, candidates=cand, impl="sql"
+    )

@@ -625,3 +625,80 @@ def test_pq_topk_arrow_hostile_queries(spark):
                     codes=SIM.pq_encode(emb, cents, dim=8, m=2),
                     impl="arrow")
     cents.unpersist(); packed.unpersist()
+
+
+def test_ivf_pq_topk_arrow_matches_sql(spark):
+    """The composed cell-blocked ADC kernel (round 12) must agree with
+    the relational pq_topk(candidates=...) composition bit-for-bit,
+    with and without re-rank, on persisted production indexes."""
+    import numpy as np
+
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(33)
+    vecs = rng.normal(size=(80, 8)) * 2
+    vecs[9] = 0.0
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    trained = SIM.kmeans_fit(emb, k=4, iters=1)
+    assign = SIM.ivf_assign(emb, 4, trained).persist(); assign.count()
+    cents = SIM.pq_train(emb, dim=8, m=2, n_codes=4, iters=2).persist()
+    cents.count()
+    packed = SIM.pq_pack(SIM.pq_encode(emb, cents, dim=8, m=2)).persist()
+    packed.count()
+    for qids, k, rr in ([[0, 9, 40], 5, None], [[3, 77], 3, 4]):
+        a = SIM.ivf_pq_topk(
+            emb, qids, cents, dim=8, m=2, k=k, n_cells=4, n_probe=2,
+            ivf_cents=trained, assign=assign, codes=packed, rerank=rr,
+            impl="arrow",
+        ).orderBy("qid", "rank")
+        s = SIM.ivf_pq_topk(
+            emb, qids, cents, dim=8, m=2, k=k, n_cells=4, n_probe=2,
+            ivf_cents=trained, assign=assign, codes=packed, rerank=rr,
+            impl="sql",
+        ).orderBy("qid", "rank")
+        ta = [tuple(r) for r in a.collect()]
+        ts = [tuple(r) for r in s.collect()]
+        assert ta == ts, f"qids={qids} k={k} rr={rr}: {ta} != {ts}"
+    import pytest
+
+    with pytest.raises(ValueError, match="PACKED"):
+        SIM.ivf_pq_topk(emb, [0], cents, dim=8, m=2, k=3, n_cells=4,
+                        n_probe=2, ivf_cents=trained, assign=assign,
+                        impl="arrow")
+    assign.unpersist(); cents.unpersist(); packed.unpersist()
+
+
+def test_ivf_sq8_topk_arrow_matches_sql(spark):
+    """The composed cell-blocked sq8 kernel (round 12) must agree with
+    the relational sq8_topk(candidates=...) composition bit-for-bit,
+    including hostile rows."""
+    import numpy as np
+
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(44)
+    vecs = rng.normal(size=(50, 6)) * 3
+    vecs[5] = 0.0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    rows += [(50, None), (51, [1.0, 2.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    clean = emb.filter("vec_id < 50")
+    trained = SIM.kmeans_fit(clean, k=3, iters=1)
+    assign = SIM.ivf_assign(clean, 3, trained).persist(); assign.count()
+    codes = SIM.sq8_encode(clean).persist(); codes.count()
+    for qids, k in ([[0, 5, 20], 4], [[50, 51, 7], 3]):
+        a = SIM.ivf_sq8_topk(
+            emb, qids, k=k, n_cells=3, n_probe=2, ivf_cents=trained,
+            assign=assign, codes=codes, impl="arrow",
+        ).orderBy("qid", "rank")
+        s = SIM.ivf_sq8_topk(
+            emb, qids, k=k, n_cells=3, n_probe=2, ivf_cents=trained,
+            assign=assign, codes=codes, impl="sql",
+        ).orderBy("qid", "rank")
+        ta = [tuple(r) for r in a.collect()]
+        ts = [tuple(r) for r in s.collect()]
+        assert ta == ts, f"qids={qids} k={k}: {ta} != {ts}"
+    assign.unpersist(); codes.unpersist()
