@@ -1691,13 +1691,21 @@ def pq_pack(codes: DataFrame) -> DataFrame:
 
 def _adc_lut(emb: DataFrame, query_ids, cents: DataFrame, dim: int, m: int):
     """Driver-side ADC layout shared by the PQ arrow kernels:
-    (qids, lut[s, code, q], seen[s, code], n_codes), or None when no
-    query resolves.  Per-(s, code) distances replicate ``_sqdist``'s
-    sequential element fold then round6 + 0.0; malformed queries
-    (NULL / length != dim) are dropped -- the same rule the
-    relational form applies at its source since round 12; codebook
-    rows with NULL or wrong-length centroids contribute 0.0 like the
-    relational NULL-fold-skipped d."""
+    (qids, lut[s, code, q], lutv[s, code, q], seen[s, code],
+    n_codes), or None when no query resolves.
+
+    Entry semantics replicate the relational pipeline ENTRY FOR
+    ENTRY: d(q, s, code) is ``_sqdist``'s sequential element fold
+    over zip_with(query subspace SLICE, centroid) then round6 + 0.0.
+    zip_with pads the shorter side with NULL, so a length mismatch
+    (including a NULL query embedding, whose slices are all NULL)
+    folds to NULL -- ``lutv`` False, contribution skipped by the sum
+    exactly like Spark's SUM skips NULL d rows.  A corpus narrower
+    than the declared ``dim`` therefore degrades consistently: its
+    codebook's upper subspaces are EMPTY slices, and empty-vs-empty
+    folds to a real 0.0 (valid), never NULL.  ``seen`` marks (s,
+    code) pairs present in the codebook at all (the relational inner
+    join emits nothing for absent pairs)."""
     import numpy as np
 
     if dim % m:
@@ -1708,15 +1716,16 @@ def _adc_lut(emb: DataFrame, query_ids, cents: DataFrame, dim: int, m: int):
         .select(F.col("vec_id").cast("long").alias("qid"), "embedding")
         .collect()  # bounded-model-collect: |query_ids| query vectors
     )
-    qs = [
-        (int(r["qid"]), r["embedding"])
-        for r in qrows
-        if r["embedding"] is not None and len(r["embedding"]) == dim
-    ]
+    qs = [(int(r["qid"]), r["embedding"]) for r in qrows]
     if not qs:
         return None
     qids = np.array([q[0] for q in qs], dtype="int64")
-    Q = np.array([q[1] for q in qs], dtype="float64")  # (nq, dim)
+    # ragged/NULL queries ride as python lists; slicing below mirrors
+    # F.slice's truncation past the end
+    qemb = [
+        [] if q[1] is None else [float(x) for x in q[1]] for q in qs
+    ]
+    qnull = np.array([q[1] is None for q in qs])
     nq = len(qids)
     crows = cents.select(
         "s", "code", "cemb"
@@ -1724,11 +1733,11 @@ def _adc_lut(emb: DataFrame, query_ids, cents: DataFrame, dim: int, m: int):
     n_codes = 1 + max((int(r["code"]) for r in crows), default=-1)
     if n_codes <= 0:
         return None
-    # lut[s, code, q]; entries with no codebook row stay 0.0 (the
-    # relational inner join contributes nothing for them -- tracked
-    # by the kernels' per-row matched count)
     lut = np.zeros((m, n_codes, nq))
+    lutv = np.zeros((m, n_codes, nq), dtype=bool)
     seen = np.zeros((m, n_codes), dtype=bool)
+    uniform = not qnull.any() and all(len(e) == dim for e in qemb)
+    Qm = np.array(qemb, dtype="float64") if uniform else None
     with np.errstate(all="ignore"):
         for r in crows:
             s, code, cemb = int(r["s"]), int(r["code"]), r["cemb"]
@@ -1736,19 +1745,33 @@ def _adc_lut(emb: DataFrame, query_ids, cents: DataFrame, dim: int, m: int):
                 continue
             seen[s, code] = True
             if cemb is None:
-                continue  # relational: NULL fold -> d NULL -> sum skips
+                continue  # zip_with(x, NULL) -> NULL: invalid entry
             ce = np.asarray(cemb, dtype="float64")
-            acc = np.zeros(nq)
-            # _sqdist's sequential element fold; a short/long centroid
-            # pads with NULL relationally (d NULL -> skipped), mirror
-            # by skipping the whole entry unless lengths match
-            if ce.size != dsub:
+            if uniform and ce.size == dsub:
+                # the production shape: one vectorized fold across
+                # queries per (s, code), same sequential element order
+                acc = np.zeros(nq)
+                for e in range(dsub):
+                    diff = Qm[:, s * dsub + e] - ce[e]
+                    acc += diff * diff
+                lut[s, code, :] = _spark_round6_signed(acc) + 0.0
+                lutv[s, code, :] = True
                 continue
-            for e in range(dsub):
-                diff = Q[:, s * dsub + e] - ce[e]
-                acc += diff * diff
-            lut[s, code, :] = _spark_round6_signed(acc) + 0.0
-    return qids, lut, seen, n_codes
+            for j in range(nq):
+                if qnull[j]:
+                    continue  # NULL query slice -> NULL fold
+                qs_j = qemb[j][s * dsub : s * dsub + dsub]
+                if len(qs_j) != ce.size:
+                    continue  # zip_with pads -> NULL fold
+                acc1 = 0.0
+                for e in range(ce.size):
+                    diff = qs_j[e] - ce[e]
+                    acc1 += diff * diff
+                lut[s, code, j] = float(
+                    _spark_round6_signed(np.array([acc1]))[0]
+                ) + 0.0
+                lutv[s, code, j] = True
+    return qids, lut, lutv, seen, n_codes
 
 
 def _pq_topk_arrow(
@@ -1770,12 +1793,14 @@ def _pq_topk_arrow(
 
     Bit-parity with the relational form: per-(s, code) distances
     replicate ``_sqdist``'s sequential element fold then round6 +
-    0.0; the subspace sum accumulates in ascending s (the relational
-    scan's arrival order); the total re-rounds like the relational
-    ``round6(sum(d))``; exclusions match (self, NaN dist, malformed
-    queries dropped at the source in BOTH forms since round 12, rows
-    with no matching codebook entry absent from both).  Returns None
-    when no query resolves."""
+    0.0 (``_adc_lut``, including the NULL-fold validity mask for
+    ragged/NULL queries and sub-``dim`` corpora); the subspace sum
+    accumulates in ascending s (the relational scan's arrival
+    order), skipping NULL entries exactly like Spark's SUM; the
+    total re-rounds like the relational ``round6(sum(d))``;
+    exclusions match (self, NaN dist, all-NULL dist, rows with no
+    matching codebook entry).  Returns None when no query
+    resolves."""
     import numpy as np
 
     from ..sources.ingest import widen_partitions
@@ -1783,7 +1808,7 @@ def _pq_topk_arrow(
     layout = _adc_lut(emb, query_ids, cents, dim, m)
     if layout is None:
         return None
-    qids, lut, seen, n_codes = layout
+    qids, lut, lutv, seen, n_codes = layout
     nq = len(qids)
     kk = int(keep)
 
@@ -1814,21 +1839,25 @@ def _pq_topk_arrow(
             C = np.asarray(ccol.flatten(), dtype="int64").reshape(n, m)
             D = np.zeros((n, nq))
             matched = np.zeros(n, dtype="int64")
+            valid_any = np.zeros((n, nq), dtype=bool)
             with np.errstate(all="ignore"):
                 for s in range(m):
                     cs = C[:, s]
                     inr = (cs >= 0) & (cs < n_codes)
                     idx = np.where(inr, cs, 0)
                     hit = inr & seen[s, idx]
-                    contrib = lut[s, idx, :]
-                    contrib = np.where(hit[:, None], contrib, 0.0)
-                    D += contrib
+                    v = lutv[s, idx, :] & hit[:, None]
+                    D += np.where(v, lut[s, idx, :], 0.0)
+                    valid_any |= v
                     matched += hit
                 dist = _spark_round6_signed(D) + 0.0
+                # matched>0: the relational group exists (>=1 join
+                # row); valid_any: dist is not the all-NULL SUM
                 ok = (
                     (ids[:, None] != qids[None, :])
                     & ~np.isnan(dist)
                     & (matched > 0)[:, None]
+                    & valid_any
                 )
             arrays = _batch_bottomk_rows(ids, dist, ok, qids, kk)
             if arrays is None:
@@ -1981,19 +2010,8 @@ def pq_topk(
             codes = codes.select(
                 "vec_id", F.posexplode("codes").alias("s", "code")
             ).select("vec_id", F.col("s").cast("long").alias("s"), "code")
-        # malformed queries (NULL embedding, length != dim) are
-        # EXCLUDED at the source since round 12 -- previously a short
-        # query ranked by a PARTIAL subspace sum (NULL d rows skipped
-        # by SUM), which no tier-swappable contract can honor; the
-        # arrow kernel applies the same rule at query resolution
         qsub = _pq_subspaces(
-            emb.filter(
-                F.col("vec_id").isin(query_ids)
-                & F.col("embedding").isNotNull()
-                & (F.size("embedding") == F.lit(int(dim)))
-            ),
-            dim,
-            m,
+            emb.filter(F.col("vec_id").isin(query_ids)), dim, m
         ).withColumnRenamed("vec_id", "qid")
         sq = _sqdist("semb", "cemb")
         dtab = qsub.join(F.broadcast(cents), on="s").select(
@@ -2015,11 +2033,19 @@ def pq_topk(
             .filter(F.col("vec_id") != F.col("qid"))
             .groupBy("qid", "vec_id")
             .agg((F.round(F.sum("d"), 6) + F.lit(0.0)).alias("dist"))
-            # NaN payloads fold to NaN distances, which sort LAST
-            # under asc but could still fill an underfull top-k --
-            # exclude them like cosine/sq8 do (round 12; the arrow
-            # kernel applies the same mask)
-            .filter(~F.isnan("dist"))
+            # round-12 exclusions, mirrored by the arrow kernels: a
+            # NULL dist (every subspace lookup folded NULL -- e.g. a
+            # NULL query embedding) previously ranked FIRST under asc;
+            # NaN payloads fold to NaN distances, which sort LAST but
+            # could still fill an underfull top-k.  Exclude both like
+            # the cosine/sq8 tiers.  Note sub-`dim` vectors are NOT
+            # malformed here: a corpus whose true width is below the
+            # declared `dim` degrades consistently (the codebook's
+            # upper subspaces are empty slices too, folding to 0.0),
+            # and a partially-NULL lookup sum skips only the NULL
+            # subspaces -- both replicated entry-for-entry by
+            # ``_adc_lut``'s validity mask.
+            .filter(F.col("dist").isNotNull() & ~F.isnan("dist"))
         )
         adc = (
             scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -2094,7 +2120,7 @@ def _ivf_pq_topk_arrow(
     layout = _adc_lut(emb, query_ids, cents, dim, m)
     if layout is None:
         return None
-    qids, lut, seen, n_codes = layout
+    qids, lut, lutv, seen, n_codes = layout
     cells_by_qid, union_cells = _probe_layout(probes)
     if not union_cells:
         return None
@@ -2143,21 +2169,23 @@ def _ivf_pq_topk_arrow(
                 idsb = ids[rows]
                 Db = np.zeros((rows.size, qsel.size))
                 matched = np.zeros(rows.size, dtype="int64")
+                valid_any = np.zeros((rows.size, qsel.size), dtype=bool)
                 with np.errstate(all="ignore"):
                     for s in range(m):
                         cs = C[rows, s]
                         inr = (cs >= 0) & (cs < n_codes)
                         idx = np.where(inr, cs, 0)
                         hit = inr & seen[s, idx]
-                        contrib = lut[s][idx][:, qsel]
-                        contrib = np.where(hit[:, None], contrib, 0.0)
-                        Db += contrib
+                        v = lutv[s][idx][:, qsel] & hit[:, None]
+                        Db += np.where(v, lut[s][idx][:, qsel], 0.0)
+                        valid_any |= v
                         matched += hit
                     dist = _spark_round6_signed(Db) + 0.0
                     ok = (
                         (idsb[:, None] != qids[qsel][None, :])
                         & ~np.isnan(dist)
                         & (matched > 0)[:, None]
+                        & valid_any
                     )
                 arrays = _batch_bottomk_rows(idsb, dist, ok, qids[qsel], kk)
                 if arrays is None:
