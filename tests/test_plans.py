@@ -193,14 +193,49 @@ def test_similarity_arrow_path_scan_shape(spark, sf_dir):
     from dask_array_spark.sources import read_table
 
     emb = read_table(spark, sf_dir, "embeddings")
+    pqc = SIM.pq_train(emb, dim=64, m=4, n_codes=4, iters=1)
+    packed = SIM.pq_pack(SIM.pq_encode(emb, pqc, dim=64, m=4))
+    # production posture for the composed tiers: the assignment index
+    # is built ONCE and persisted.  localCheckpoint (not persist)
+    # because the pin is TEXTUAL: a cached InMemoryRelation still
+    # PRINTS its construction plan -- including ivf_assign's
+    # legitimate broadcast-cross against the centroid side -- inside
+    # the serving plan string, while the checkpoint truncates lineage
+    # to an RDD scan, leaving only the true serving shape
+    asg = SIM.ivf_assign(emb, n_cells=4).localCheckpoint()
+    sq = SIM.sq8_encode(emb).localCheckpoint()
     for df in (
         SIM.cosine_topk(emb, [0, 1, 2], k=5, impl="arrow"),
-        SIM.sq8_topk(emb, [0, 1, 2], k=5, impl="arrow"),
+        SIM.sq8_topk(emb, [0, 1, 2], k=5, codes=sq, impl="arrow"),
+        SIM.pq_topk(emb, [0, 1, 2], pqc, dim=64, m=4, k=5,
+                    codes=packed, impl="arrow"),
+        # the composed cell-blocked kernels: the probed-cell
+        # restriction is a plain IN filter on the assignment index,
+        # never a broadcast of anything corpus-sized
+        SIM.ivf_topk(emb, [0, 1, 2], k=5, n_cells=4, n_probe=2,
+                     assign=asg, impl="arrow"),
+        SIM.ivf_sq8_topk(emb, [0, 1, 2], k=5, n_cells=4, n_probe=2,
+                         assign=asg, codes=sq, impl="arrow"),
+        SIM.ivf_pq_topk(emb, [0, 1, 2], pqc, dim=64, m=4, k=3,
+                        n_cells=4, n_probe=2, assign=asg,
+                        codes=packed, impl="arrow"),
     ):
         plan = _plan(df)
         assert "mapinarrow" in plan.lower()
         assert "BroadcastNestedLoopJoin" not in plan
-        assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+        # the SERVING path itself adds no broadcast hint; any hint in
+        # the analyzed lineage comes from index CONSTRUCTION inputs
+        # (pq_encode's model-sized codebook side) and must not sit on
+        # a corpus-grain aggregate (grouping by vec_id)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        lines = analyzed.splitlines()
+        for i, line in enumerate(lines):
+            if "ResolvedHint" not in line:
+                continue
+            head = "\n".join(lines[i + 1 : i + 3])
+            assert "Aggregate [vec_id" not in head, (
+                "broadcast hint on a corpus-grain aggregate:\n" + head
+            )
         assert "Window" in _optimized(df)  # global exact rank
 
 
@@ -346,7 +381,11 @@ def test_ivf_pq_serving_shape(spark, sf_dir):
     probe list and the ADC lookup table broadcast; the packed corpus
     codes are NEVER broadcast (the only big relations may meet in a
     shuffle join, which is the correct plan for candidate x codes);
-    the ADC sum still partial-aggregates map-side."""
+    the ADC sum still partial-aggregates map-side.  This pins the
+    RELATIONAL (impl='sql') composition; the round-12 cell-blocked
+    arrow route has its own shape pin
+    (test_similarity_arrow_path_scan_shape covers the kernel family's
+    no-broadcast/no-BNLJ contract)."""
     from dask_array_spark.functions import similarity as SIM
     from dask_array_spark.sources import read_table
 
@@ -356,7 +395,7 @@ def test_ivf_pq_serving_shape(spark, sf_dir):
     codes = SIM.pq_pack(SIM.pq_encode(emb, cents, dim=64, m=4))
     df = SIM.ivf_pq_topk(
         emb, [0, 1, 2], cents, dim=64, m=4, k=3, n_cells=4, n_probe=2,
-        assign=asg, codes=codes, rerank=2,
+        assign=asg, codes=codes, rerank=2, impl="sql",
     )
     plan = _plan(df)
     assert "partial_sum" in plan
