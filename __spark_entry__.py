@@ -5,7 +5,7 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
-The implementations live in ``dask_array_spark.queries``: 57 entries
+The implementations live in ``dask_array_spark.queries``: 58 entries
 covering SURVEY.md section 2's operator inventory plus the
 training-data-pipeline and streaming scope, each running through the
 engine's operators with an independent ANSI-SQL oracle (COVERAGE.md
@@ -14,7 +14,7 @@ physical plans).  Rounds 2-5 merged same-grain queries into suites so
 ONE representative of every operator family sits inside the first 50
 registry slots (the driver's round-1 correctness window); the first
 50 entries cover the complete SURVEY section-2 + LLM-pipeline scope
-with full oracles, and the 6 past-window entries are rows-only /
+with full oracles, and the 8 past-window entries are rows-only /
 locally-verified diagnostics (queries.py _FINAL_ORDER documents which;
 round 10 rotated svd_singular_values INTO the window with a
 closed-form eigenvalue oracle and digitize_searchsorted out -- the

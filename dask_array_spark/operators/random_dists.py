@@ -374,7 +374,8 @@ class RandomState:
     random = random_sample
 
     def randint(self, n, low, high=None, numparts=None):
-        # legacy exclusive-high randint; randint(n, high) draws [0, low)
+        # legacy exclusive-high randint; randint(n, low) draws [0, low)
+        # when high is None
         lo, hi = (0, low) if high is None else (low, high)
         return self._gen.integers(n, lo, hi, numparts)
 

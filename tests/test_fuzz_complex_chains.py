@@ -215,7 +215,7 @@ def _run_chain(spark, seed: int) -> list[str]:
 N_CHAINS = 60
 # per-round CI window rotation (round-10 verdict ask 6); offline
 # sweeps cleared seeds 1-1500
-ROUND = 12
+ROUND = 13
 SEED_BASE = N_CHAINS * (ROUND - 10)
 
 

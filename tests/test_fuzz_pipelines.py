@@ -272,7 +272,7 @@ N_BATCHES = 10  # 200 chains per round
 # explores seeds 200*(r-10)+1 .. 200*(r-9), so every future round
 # covers fresh chains at zero budget.  Offline sweeps have cleared
 # seeds 1-2000; bump ROUND when the driver advances it.
-ROUND = 12
+ROUND = 13
 SEED_BASE = 200 * (ROUND - 10)
 
 
