@@ -1689,10 +1689,44 @@ def pq_pack(codes: DataFrame) -> DataFrame:
     )
 
 
+def _code_index(code_vals, cs):
+    """Map an int64 array of CORPUS codes onto LUT rows by VALUE:
+    ``code_vals`` is the codebook's sorted distinct codes (the axis
+    ``_adc_lut`` laid its table out on), and the return is (inr, idx)
+    where ``inr`` marks codes present in the codebook -- exactly the
+    rows the relational inner join would match, negatives included --
+    and ``idx`` is their LUT row (0 where absent; callers gate on
+    ``inr``).  A contiguous 0..n-1 codebook (every ``pq_encode``
+    output) takes the direct-index fast path, so the remap costs
+    nothing on the production shape and the searchsorted probe runs
+    only for hostile/user-supplied sparse or negative code tables
+    (round-13 ADVICE: the direct ``0 <= code`` gate silently dropped
+    codes the relational join scores)."""
+    import numpy as np
+
+    n_codes = int(code_vals.size)
+    if n_codes == 0:
+        z = np.zeros(np.shape(cs), dtype="int64")
+        return z.astype(bool), z
+    if code_vals[0] == 0 and code_vals[-1] == n_codes - 1:
+        inr = (cs >= 0) & (cs < n_codes)
+        return inr, np.where(inr, cs, 0)
+    pos = np.searchsorted(code_vals, cs)
+    posc = np.clip(pos, 0, max(0, n_codes - 1))
+    inr = (pos < n_codes) & (code_vals[posc] == cs)
+    return inr, np.where(inr, posc, 0)
+
+
 def _adc_lut(emb: DataFrame, query_ids, cents: DataFrame, dim: int, m: int):
     """Driver-side ADC layout shared by the PQ arrow kernels:
-    (qids, lut[s, code, q], lutv[s, code, q], seen[s, code],
-    n_codes), or None when no query resolves.
+    (qids, lut[s, ci, q], lutv[s, ci, q], seen[s, ci], code_vals),
+    or None when no query resolves.  ``ci`` is the code's row in
+    ``code_vals`` (the codebook's sorted distinct code VALUES):
+    laying the table out on values rather than raw ints keeps bit
+    parity with the relational join on negative/sparse codes and
+    bounds the allocation by the codebook's true cardinality, never
+    by one hostile huge code (round-13 ADVICE).  Corpus codes remap
+    through ``_code_index``.
 
     Entry semantics replicate the relational pipeline ENTRY FOR
     ENTRY: d(q, s, code) is ``_sqdist``'s sequential element fold
@@ -1700,8 +1734,13 @@ def _adc_lut(emb: DataFrame, query_ids, cents: DataFrame, dim: int, m: int):
     zip_with pads the shorter side with NULL, so a length mismatch
     (including a NULL query embedding, whose slices are all NULL)
     folds to NULL -- ``lutv`` False, contribution skipped by the sum
-    exactly like Spark's SUM skips NULL d rows.  A corpus narrower
-    than the declared ``dim`` therefore degrades consistently: its
+    exactly like Spark's SUM skips NULL d rows.  A NULL ELEMENT
+    inside either array poisons its fold the same way (the product
+    is NULL, then acc + NULL stays NULL), so a query slice or
+    centroid carrying one is an invalid entry too, never a driver
+    crash (round-13 ADVICE: float(None) raised here while the
+    relational form served the NULL-fold semantics).  A corpus
+    narrower than the declared ``dim`` degrades consistently: its
     codebook's upper subspaces are EMPTY slices, and empty-vs-empty
     folds to a real 0.0 (valid), never NULL.  ``seen`` marks (s,
     code) pairs present in the codebook at all (the relational inner
@@ -1720,33 +1759,42 @@ def _adc_lut(emb: DataFrame, query_ids, cents: DataFrame, dim: int, m: int):
     if not qs:
         return None
     qids = np.array([q[0] for q in qs], dtype="int64")
-    # ragged/NULL queries ride as python lists; slicing below mirrors
-    # F.slice's truncation past the end
-    qemb = [
-        [] if q[1] is None else [float(x) for x in q[1]] for q in qs
-    ]
+    # ragged/NULL queries ride as python lists, None ELEMENTS kept
+    # (they mark NULL folds below); slicing mirrors F.slice's
+    # truncation past the end
+    qemb = [[] if q[1] is None else list(q[1]) for q in qs]
     qnull = np.array([q[1] is None for q in qs])
     nq = len(qids)
     crows = cents.select(
         "s", "code", "cemb"
     ).collect()  # bounded-model-collect: m x n_codes codebook rows
-    n_codes = 1 + max((int(r["code"]) for r in crows), default=-1)
-    if n_codes <= 0:
+    code_vals = np.unique(
+        np.array([int(r["code"]) for r in crows], dtype="int64")
+    )
+    n_codes = int(code_vals.size)
+    if n_codes == 0:
         return None
     lut = np.zeros((m, n_codes, nq))
     lutv = np.zeros((m, n_codes, nq), dtype=bool)
     seen = np.zeros((m, n_codes), dtype=bool)
-    uniform = not qnull.any() and all(len(e) == dim for e in qemb)
+    uniform = (
+        not qnull.any()
+        and all(len(e) == dim for e in qemb)
+        and not any(x is None for e in qemb for x in e)
+    )
     Qm = np.array(qemb, dtype="float64") if uniform else None
     with np.errstate(all="ignore"):
         for r in crows:
             s, code, cemb = int(r["s"]), int(r["code"]), r["cemb"]
-            if not (0 <= s < m) or not (0 <= code < n_codes):
-                continue
-            seen[s, code] = True
+            if not (0 <= s < m):
+                continue  # the relational join on s never matches
+            ci = int(np.searchsorted(code_vals, code))
+            seen[s, ci] = True
             if cemb is None:
                 continue  # zip_with(x, NULL) -> NULL: invalid entry
-            ce = np.asarray(cemb, dtype="float64")
+            if any(x is None for x in cemb):
+                continue  # NULL centroid element -> NULL fold, all q
+            ce = np.asarray(list(cemb), dtype="float64")
             if uniform and ce.size == dsub:
                 # the production shape: one vectorized fold across
                 # queries per (s, code), same sequential element order
@@ -1754,8 +1802,8 @@ def _adc_lut(emb: DataFrame, query_ids, cents: DataFrame, dim: int, m: int):
                 for e in range(dsub):
                     diff = Qm[:, s * dsub + e] - ce[e]
                     acc += diff * diff
-                lut[s, code, :] = _spark_round6_signed(acc) + 0.0
-                lutv[s, code, :] = True
+                lut[s, ci, :] = _spark_round6_signed(acc) + 0.0
+                lutv[s, ci, :] = True
                 continue
             for j in range(nq):
                 if qnull[j]:
@@ -1763,15 +1811,17 @@ def _adc_lut(emb: DataFrame, query_ids, cents: DataFrame, dim: int, m: int):
                 qs_j = qemb[j][s * dsub : s * dsub + dsub]
                 if len(qs_j) != ce.size:
                     continue  # zip_with pads -> NULL fold
+                if any(x is None for x in qs_j):
+                    continue  # NULL query element -> NULL fold
                 acc1 = 0.0
                 for e in range(ce.size):
-                    diff = qs_j[e] - ce[e]
+                    diff = float(qs_j[e]) - ce[e]
                     acc1 += diff * diff
-                lut[s, code, j] = float(
+                lut[s, ci, j] = float(
                     _spark_round6_signed(np.array([acc1]))[0]
                 ) + 0.0
-                lutv[s, code, j] = True
-    return qids, lut, lutv, seen, n_codes
+                lutv[s, ci, j] = True
+    return qids, lut, lutv, seen, code_vals
 
 
 def _pq_topk_arrow(
@@ -1808,7 +1858,7 @@ def _pq_topk_arrow(
     layout = _adc_lut(emb, query_ids, cents, dim, m)
     if layout is None:
         return None
-    qids, lut, lutv, seen, n_codes = layout
+    qids, lut, lutv, seen, code_vals = layout
     nq = len(qids)
     kk = int(keep)
 
@@ -1842,9 +1892,7 @@ def _pq_topk_arrow(
             valid_any = np.zeros((n, nq), dtype=bool)
             with np.errstate(all="ignore"):
                 for s in range(m):
-                    cs = C[:, s]
-                    inr = (cs >= 0) & (cs < n_codes)
-                    idx = np.where(inr, cs, 0)
+                    inr, idx = _code_index(code_vals, C[:, s])
                     hit = inr & seen[s, idx]
                     v = lutv[s, idx, :] & hit[:, None]
                     D += np.where(v, lut[s, idx, :], 0.0)
@@ -1963,9 +2011,10 @@ def pq_topk(
     per-batch pruning cannot shrink the emission and the Arrow->JVM
     transfer eats the scoring win (measured, SCALE.md round 12).
     Long-form codes and ``candidates`` scans always run relationally
-    (explicit ``impl="arrow"`` on long-form codes raises rather than
-    silently switching).  The exact re-rank stage is query-bounded
-    and always relational."""
+    (explicit ``impl="arrow"`` raises on BOTH rather than silently
+    switching -- round-13 ADVICE).  The exact re-rank stage is
+    query-bounded; its scoring fold has its own arrow kernel
+    (``_exact_rerank``, routed on shortlist size)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if rerank == "auto":
@@ -1979,6 +2028,14 @@ def pq_topk(
         )
     if impl not in ("auto", "arrow", "sql"):
         raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
+    if impl == "arrow" and candidates is not None:
+        # same rule as long-form codes: a caller forcing the kernel
+        # path gets a loud error, never a silent plan change
+        # (round-13 ADVICE) -- candidate scans run relationally
+        raise ValueError(
+            "pq_topk impl='arrow' does not support candidates; "
+            "candidate-restricted scans run relationally (impl='sql'/'auto')"
+        )
     if codes is None:
         codes = pq_encode(emb, cents, dim, m)
     packed = codes if "codes" in codes.columns else None
@@ -2120,7 +2177,7 @@ def _ivf_pq_topk_arrow(
     layout = _adc_lut(emb, query_ids, cents, dim, m)
     if layout is None:
         return None
-    qids, lut, lutv, seen, n_codes = layout
+    qids, lut, lutv, seen, code_vals = layout
     cells_by_qid, union_cells = _probe_layout(probes)
     if not union_cells:
         return None
@@ -2172,9 +2229,7 @@ def _ivf_pq_topk_arrow(
                 valid_any = np.zeros((rows.size, qsel.size), dtype=bool)
                 with np.errstate(all="ignore"):
                     for s in range(m):
-                        cs = C[rows, s]
-                        inr = (cs >= 0) & (cs < n_codes)
-                        idx = np.where(inr, cs, 0)
+                        inr, idx = _code_index(code_vals, C[rows, s])
                         hit = inr & seen[s, idx]
                         v = lutv[s][idx][:, qsel] & hit[:, None]
                         Db += np.where(v, lut[s][idx][:, qsel], 0.0)
@@ -2525,9 +2580,18 @@ def sq8_topk(
     test_fuzz_similarity) because the zip_with/aggregate fold is
     interpreted and re-evaluates inside the pushed-down BNLJ
     condition; ``"sql"`` keeps the relational scan.  A ``candidates``
-    scan is probe-bounded per query and always runs relationally."""
+    scan is probe-bounded per query and always runs relationally
+    (explicit ``impl="arrow"`` with candidates raises rather than
+    silently switching -- round-13 ADVICE)."""
     if impl not in ("auto", "arrow", "sql"):
         raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
+    if impl == "arrow" and candidates is not None:
+        # a caller forcing the kernel path gets a loud error, never a
+        # silent plan change (round-13 ADVICE; same rule as pq_topk)
+        raise ValueError(
+            "sq8_topk impl='arrow' does not support candidates; "
+            "candidate-restricted scans run relationally (impl='sql'/'auto')"
+        )
     if codes is None:
         codes = sq8_encode(emb)
     if "nrm" not in codes.columns:
