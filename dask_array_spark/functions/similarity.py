@@ -38,6 +38,8 @@ __all__ = [
     "lsh_sign_bucket",
     "cosine_pairs_bucketed",
     "ivf_assign",
+    "ivf_write_index",
+    "ivf_read_index",
     "ivf_topk",
     "ann_recall",
     "semantic_dedup",
@@ -89,13 +91,18 @@ def _exploded(df: DataFrame, id_col: str = "vec_id") -> DataFrame:
 # of each other and the driver bench protocol favors the lazy sql
 # form at its smallest slot.
 _ARROW_AUTO_MIN_WORK_BYTES = 8 << 20
-# per-query rows the ADC arrow kernel may keep per batch before the
-# kernel stops being a shortlist: past this the per-batch bottom-keep
-# cannot prune (keep ~ batch rows), the kernel emits ~corpus x queries
-# rows, and the Arrow->JVM transfer eats the scoring win -- measured
-# round 12 at 600k x 64q: pure ADC (keep=10) arrow 1.4 s vs sql 8.6 s,
-# but rerank="auto" (keep=10,000) arrow 24.2 s vs sql 18.0 s.  Large
-# shortlists stay relational.
+# per-query rows the ADC arrow kernel may keep per batch before
+# per-batch bottom-keep pruning stops working (keep ~ batch rows ->
+# the kernel emits ~corpus x queries rows and the Arrow->JVM transfer
+# eats the scoring win -- measured round 12 at 600k x 64q: pure ADC
+# (keep=10) arrow 1.4 s vs sql 8.6 s, but unthresholded rerank-grade
+# keep=10,000 arrow 24.2 s vs sql 18.0 s).  Round 13: above this the
+# kernel PRE-PRUNES with the exact per-query keep-th distance from
+# one eager scan (`_adc_thresholds`) instead of falling back to the
+# relational window, which total-sorts corpus x queries rows at
+# rerank-grade keep (keep > Spark's window group-limit pushdown
+# bound; measured the dominant cost of the whole +R pipeline at
+# 600k x 256q -- SCALE.md round 13).
 _ARROW_ADC_MAX_KEEP = 1024
 
 
@@ -602,6 +609,34 @@ def ivf_assign(
         .cast("long")
         .alias("cell")
     )
+
+
+def ivf_write_index(assign: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist an IVF assignment index CELL-PARTITIONED -- one parquet
+    directory per cell (``df.write.partitionBy("cell")``).  This is
+    the layout the 100-TB IO story rests on: the serving tiers
+    restrict the index with ``cell IN (probed cells)``, and on a
+    cell-partitioned table that predicate is a PARTITION filter --
+    Spark prunes whole directories at planning time, so a probe reads
+    ~n_probe/n_cells of the index BYTES instead of scanning
+    everything and filtering rows (plan-pinned: PartitionFilters, not
+    just PushedFilters; measured in forensics/ivf_partition_pruning).
+    Cells number n_cells (hundreds-to-thousands at 100 TB), so the
+    directory fan-out stays far below any filesystem limit and each
+    cell's files stay large enough to scan efficiently."""
+    assign.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+    ).write.partitionBy("cell").mode(mode).parquet(path)
+
+
+def ivf_read_index(spark, path: str) -> DataFrame:
+    """Read a cell-partitioned assignment index back with the
+    canonical (vec_id long, cell long) schema.  The explicit user
+    schema keeps the partition column LONG natively (directory-value
+    inference would make it int), so the serving tiers' probe filter
+    compares without a cast and partition pruning applies."""
+    return spark.read.schema("vec_id long, cell long").parquet(path)
 
 
 def _probe_cells(q: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
@@ -1824,6 +1859,186 @@ def _adc_lut(emb: DataFrame, query_ids, cents: DataFrame, dim: int, m: int):
     return qids, lut, lutv, seen, code_vals
 
 
+def _adc_score_batch(batch, m, code_vals, lut, lutv, seen, qids):
+    """THE shared ADC scoring body for one arrow batch of packed
+    (vec_id, codes) rows: returns (ids, dist, ok) -- dist the round-6
+    subspace-sum replica, ok the full relational exclusion mask
+    (self, NaN, no matching codebook entry, all-NULL fold) -- or None
+    when nothing scoreable survives.  Shared by the serving kernel
+    and the large-shortlist threshold kernel so the fold/exclusion
+    contract cannot drift between the pass that PICKS the pruning
+    threshold and the pass that APPLIES it."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0:
+        return None
+    names = batch.schema.names
+    ccol = batch.column(names.index("codes"))
+    if isinstance(ccol, pa.ChunkedArray):
+        ccol = ccol.combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(ccol), -1)
+    keep_rows = pc.and_(pc.is_valid(ccol), pc.equal(lens, m))
+    if not pc.all(keep_rows).as_py():
+        batch = batch.filter(keep_rows)
+        if batch.num_rows == 0:
+            return None
+        ccol = batch.column(names.index("codes"))
+        if isinstance(ccol, pa.ChunkedArray):
+            ccol = ccol.combine_chunks()
+    n = batch.num_rows
+    ids = np.asarray(batch.column(names.index("vec_id")), dtype="int64")
+    C = np.asarray(ccol.flatten(), dtype="int64").reshape(n, m)
+    nq = len(qids)
+    D = np.zeros((n, nq))
+    matched = np.zeros(n, dtype="int64")
+    valid_any = np.zeros((n, nq), dtype=bool)
+    with np.errstate(all="ignore"):
+        for s in range(m):
+            inr, idx = _code_index(code_vals, C[:, s])
+            hit = inr & seen[s, idx]
+            v = lutv[s, idx, :] & hit[:, None]
+            D += np.where(v, lut[s, idx, :], 0.0)
+            valid_any |= v
+            matched += hit
+        dist = _spark_round6_signed(D) + 0.0
+        # matched>0: the relational group exists (>=1 join row);
+        # valid_any: dist is not the all-NULL SUM
+        ok = (
+            (ids[:, None] != qids[None, :])
+            & ~np.isnan(dist)
+            & (matched > 0)[:, None]
+            & valid_any
+        )
+    return ids, dist, ok
+
+
+def _adc_thresholds(src, m, code_vals, lut, lutv, seen, qids, keep):
+    """EXACT per-query ``keep``-th smallest valid ADC distance over
+    the packed relation -- the pruning bound for large-shortlist
+    serving (round 13).  Returns t[len(qids)] float64 (+inf when a
+    query has fewer than ``keep`` valid rows: no pruning, still
+    exact).
+
+    Why: a keep of k x rerank ~ 10^4 is ABOVE Spark's window
+    group-limit pushdown threshold, so the relational shortlist
+    window total-sorts the full corpus x queries candidate relation
+    (measured 600k x 256q: the sort alone dominated the whole +R
+    pipeline).  With the exact keep-th distance in hand, the serving
+    scan emits only rows <= t (>= keep of them, ties included -- a
+    provable superset of the bottom-keep) and the exact window ranks
+    a ~|q| x keep relation instead.
+
+    Shape (one eager Spark job at plan-build, the arrow route's
+    documented exception): stage 1 -- the shared scorer streams each
+    partition and keeps, per query, its bottom-min(keep, rows)
+    distances (bounded buffers, compacted at 4x keep); stage 2 -- the
+    (qid, partial) rows shuffle BY QUERY and one arrow task per query
+    merges its <= partitions x keep values to the keep-th smallest.
+    Nothing corpus-sized ever reaches the driver: the collect is
+    |q| rows of one double.  Shuffle volume is bounded by |q| x keep
+    x partitions doubles -- at production partition counts a few
+    percent of the codes relation it prices, and linear in it."""
+    import numpy as np
+
+    kk = int(keep)
+    nq = len(qids)
+
+    def partial_kernel(batches):
+        import pyarrow as pa
+
+        bufs = [[] for _ in range(nq)]
+        sizes = np.zeros(nq, dtype="int64")
+        for batch in batches:
+            scored = _adc_score_batch(
+                batch, m, code_vals, lut, lutv, seen, qids
+            )
+            if scored is None:
+                continue
+            ids, dist, ok = scored
+            for j in range(nq):
+                dj = dist[ok[:, j], j]
+                if dj.size == 0:
+                    continue
+                bufs[j].append(dj)
+                sizes[j] += dj.size
+                if sizes[j] > 4 * kk:
+                    merged = np.concatenate(bufs[j])
+                    merged = np.partition(merged, kk - 1)[:kk]
+                    bufs[j] = [merged]
+                    sizes[j] = merged.size
+        out_q, out_d = [], []
+        for j in range(nq):
+            if not bufs[j]:
+                continue
+            dj = np.concatenate(bufs[j])
+            if dj.size > kk:
+                dj = np.partition(dj, kk - 1)[:kk]
+            out_q.append(int(qids[j]))
+            out_d.append(np.sort(dj))
+        if not out_q:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.asarray(out_q, dtype="int64")),
+                pa.array([d.tolist() for d in out_d],
+                         type=pa.list_(pa.float64())),
+            ],
+            names=["qid", "dvals"],
+        )
+
+    def merge_kernel(batches):
+        import pyarrow as pa
+
+        by_q: dict[int, list] = {}
+        counts: dict[int, int] = {}
+        for batch in batches:
+            names = batch.schema.names
+            qv = np.asarray(batch.column(names.index("qid")), dtype="int64")
+            dcol = batch.column(names.index("dvals"))
+            if isinstance(dcol, pa.ChunkedArray):
+                dcol = dcol.combine_chunks()
+            pl = dcol.to_pylist()
+            for i in range(batch.num_rows):
+                q = int(qv[i])
+                d = np.asarray(pl[i], dtype="float64")
+                by_q.setdefault(q, []).append(d)
+                counts[q] = counts.get(q, 0) + d.size
+        if not by_q:
+            return
+        out_q, out_t = [], []
+        for q, parts in by_q.items():
+            merged = np.concatenate(parts)
+            if merged.size < kk:
+                # fewer than keep valid rows anywhere: no pruning
+                out_q.append(q)
+                out_t.append(float("inf"))
+                continue
+            out_q.append(q)
+            out_t.append(float(np.partition(merged, kk - 1)[kk - 1]))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.asarray(out_q, dtype="int64")),
+                pa.array(np.asarray(out_t, dtype="float64")),
+            ],
+            names=["qid", "t"],
+        )
+
+    partials = src.mapInArrow(
+        partial_kernel, schema="qid long, dvals array<double>"
+    )
+    trows = (
+        partials.repartition("qid")
+        .mapInArrow(merge_kernel, schema="qid long, t double")
+        .collect()  # bounded-model-collect: |query_ids| threshold rows
+    )
+    tmap = {int(r["qid"]): float(r["t"]) for r in trows}
+    return np.array(
+        [tmap.get(int(q), np.inf) for q in qids], dtype="float64"
+    )
+
+
 def _pq_topk_arrow(
     packed: DataFrame,
     emb: DataFrame,
@@ -1839,7 +2054,10 @@ def _pq_topk_arrow(
     collected codebook (both model-sized -- |q| x m x n_codes floats;
     the same bounded class as every other model collect), then one
     mapInArrow pass folds dist[row, q] = sum_s lut[q, s, code_row_s]
-    with per-batch bottom-k threshold pruning.
+    with per-batch bottom-k threshold pruning.  A rerank-grade keep
+    (> ``_ARROW_ADC_MAX_KEEP``) first runs the ``_adc_thresholds``
+    eager scan and additionally gates on the exact per-query keep-th
+    distance, keeping the emission ~|q| x keep rows (round 13).
 
     Bit-parity with the relational form: per-(s, code) distances
     replicate ``_sqdist``'s sequential element fold then round6 +
@@ -1859,54 +2077,39 @@ def _pq_topk_arrow(
     if layout is None:
         return None
     qids, lut, lutv, seen, code_vals = layout
-    nq = len(qids)
     kk = int(keep)
+
+    src = widen_partitions(packed, "vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "codes"
+    )
+    # large shortlists (rerank-grade keep) are where the per-batch
+    # bottom-keep stops pruning (keep ~ batch rows -> the kernel
+    # emits ~corpus x queries rows) AND where the relational window
+    # total-sorts (keep above Spark's group-limit pushdown bound):
+    # prune with the EXACT per-query keep-th distance instead -- one
+    # eager scan, then the serving emission is ~|q| x keep rows
+    thr = (
+        _adc_thresholds(src, m, code_vals, lut, lutv, seen, qids, kk)
+        if kk > _ARROW_ADC_MAX_KEEP
+        else None
+    )
 
     def kernel(batches):
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            names = batch.schema.names
-            ccol = batch.column(names.index("codes"))
-            if isinstance(ccol, pa.ChunkedArray):
-                ccol = ccol.combine_chunks()
-            lens = pc.fill_null(pc.list_value_length(ccol), -1)
-            keep_rows = pc.and_(pc.is_valid(ccol), pc.equal(lens, m))
-            if not pc.all(keep_rows).as_py():
-                batch = batch.filter(keep_rows)
-                if batch.num_rows == 0:
-                    continue
-                ccol = batch.column(names.index("codes"))
-                if isinstance(ccol, pa.ChunkedArray):
-                    ccol = ccol.combine_chunks()
-            n = batch.num_rows
-            ids = np.asarray(
-                batch.column(names.index("vec_id")), dtype="int64"
+            scored = _adc_score_batch(
+                batch, m, code_vals, lut, lutv, seen, qids
             )
-            C = np.asarray(ccol.flatten(), dtype="int64").reshape(n, m)
-            D = np.zeros((n, nq))
-            matched = np.zeros(n, dtype="int64")
-            valid_any = np.zeros((n, nq), dtype=bool)
-            with np.errstate(all="ignore"):
-                for s in range(m):
-                    inr, idx = _code_index(code_vals, C[:, s])
-                    hit = inr & seen[s, idx]
-                    v = lutv[s, idx, :] & hit[:, None]
-                    D += np.where(v, lut[s, idx, :], 0.0)
-                    valid_any |= v
-                    matched += hit
-                dist = _spark_round6_signed(D) + 0.0
-                # matched>0: the relational group exists (>=1 join
-                # row); valid_any: dist is not the all-NULL SUM
-                ok = (
-                    (ids[:, None] != qids[None, :])
-                    & ~np.isnan(dist)
-                    & (matched > 0)[:, None]
-                    & valid_any
-                )
+            if scored is None:
+                continue
+            ids, dist, ok = scored
+            if thr is not None:
+                # rows above the exact global keep-th distance cannot
+                # be in the bottom-keep (>= keep rows sort strictly
+                # below them on dist alone); <= keeps boundary ties,
+                # the window's (dist, vec_id) order then cuts exactly
+                ok = ok & (dist <= thr[None, :])
             arrays = _batch_bottomk_rows(ids, dist, ok, qids, kk)
             if arrays is None:
                 continue
@@ -1914,9 +2117,6 @@ def _pq_topk_arrow(
                 arrays, names=["qid", "vec_id", "dist"]
             )
 
-    src = widen_partitions(packed, "vec_id").select(
-        F.col("vec_id").cast("long").alias("vec_id"), "codes"
-    )
     cand = src.mapInArrow(kernel, schema="qid long, vec_id long, dist double")
     w = Window.partitionBy("qid").orderBy(
         F.col("dist").asc(), F.col("vec_id").asc()
@@ -2006,10 +2206,13 @@ def pq_topk(
     estimate x |query_ids| vs ``_ARROW_AUTO_MIN_WORK_BYTES``): large
     work runs the driver-LUT mapInArrow kernel (``_pq_topk_arrow``,
     bit-identical, fuzz-pinned), small work stays on the lazy
-    relational join; auto also requires the kept shortlist
-    (k or k*rerank) <= ``_ARROW_ADC_MAX_KEEP`` -- past that the
-    per-batch pruning cannot shrink the emission and the Arrow->JVM
-    transfer eats the scoring win (measured, SCALE.md round 12).
+    relational join.  A rerank-grade shortlist (k*rerank >
+    ``_ARROW_ADC_MAX_KEEP``) adds one eager threshold scan
+    (``_adc_thresholds``: the exact per-query keep-th ADC distance)
+    so the serving emission stays ~|q| x keep rows -- per-batch
+    pruning alone cannot shrink it there, and the relational window
+    total-sorts corpus x queries rows (both measured, SCALE.md
+    rounds 12-13).
     Long-form codes and ``candidates`` scans always run relationally
     (explicit ``impl="arrow"`` raises on BOTH rather than silently
     switching -- round-13 ADVICE).  The exact re-rank stage is
@@ -2057,7 +2260,7 @@ def pq_topk(
                     sz is not None
                     and sz * max(1, len(query_ids))
                     < _ARROW_AUTO_MIN_WORK_BYTES
-                ) and keep <= _ARROW_ADC_MAX_KEEP
+                )
             if use:
                 adc = _pq_topk_arrow(
                     packed, emb, query_ids, cents, dim, m, keep
@@ -2116,17 +2319,208 @@ def pq_topk(
         )
     if rerank is None:
         return adc
-    return _exact_rerank(emb, query_ids, adc, k)
+    return _exact_rerank(
+        emb, query_ids, adc, k, keep=keep, dim=dim, impl=impl
+    )
+
+
+def _exact_rerank_arrow(
+    emb: DataFrame, query_ids, adc: DataFrame, k: int
+) -> DataFrame | None:
+    """Vectorized scoring pass for ``_exact_rerank``: the SAME
+    broadcast-shortlist candidates join (the join was never the
+    problem), but the per-pair squared-L2 fold runs as one mapInArrow
+    NumPy pass instead of the interpreted ``zip_with``/``aggregate``
+    lambda -- the last interpreted hot loop in the serving tier
+    (round-12 crossover measured that expression class 2.4-110x
+    slower than the kernel form; at rerank shortlists of |q| x 10^4
+    rows the fold dominated the whole query).
+
+    Bit-parity with the relational form (the shared round-6
+    contract): per pair, (x_j - q_j)^2 accumulates SEQUENTIALLY over
+    j=0..d-1 in float64 -- ``_sqdist``'s exact left-fold order --
+    then round6 + 0.0.  Exclusions replicate the SQL filter: a NULL
+    or wrong-length corpus embedding (zip_with pads -> NULL fold), a
+    NULL element on either side (NULL product poisons the fold; rides
+    as NaN here, excluded like the NULL it replicates), NaN payloads.
+    A NULL query embedding serves no rows (its inner-join rows all
+    fold NULL); an EMPTY query scores only empty corpus rows (zero
+    elements fold to the init 0.0 -- a real distance), which the d=0
+    group preserves.  No self-exclusion, exactly like the relational
+    form: the ADC pass already excluded self, so the shortlist never
+    carries it.  Returns None when no query resolves (the relational
+    form then serves the provably-empty plan)."""
+    import numpy as np
+
+    from ..sources.ingest import widen_partitions
+
+    qrows = (
+        emb.filter(F.col("vec_id").isin(list(query_ids)))
+        .select(F.col("vec_id").cast("long").alias("qid"), "embedding")
+        .collect()  # bounded-model-collect: |query_ids| query vectors
+    )
+    if len({int(r["qid"]) for r in qrows}) < len(qrows):
+        # duplicate query vec_ids: the relational join scores every
+        # duplicate row; serve that exact multi-row semantics there
+        return None
+    by_len: dict[int, list] = {}
+    for r in qrows:
+        e = r["embedding"]
+        if e is None:
+            continue  # zip_with(x, NULL) -> NULL fold: serves no rows
+        by_len.setdefault(len(e), []).append((int(r["qid"]), list(e)))
+    if not by_len:
+        return None
+    groups = []
+    for d, pairs in sorted(by_len.items()):
+        pairs.sort()  # qid-ascending for searchsorted membership
+        qg = np.array([p[0] for p in pairs], dtype="int64")
+        # None ELEMENTS ride as NaN: the SQL NULL product poisons the
+        # whole fold exactly like NaN does, and both forms exclude
+        Qg = np.array(
+            [[np.nan if x is None else float(x) for x in p[1]] for p in pairs],
+            dtype="float64",
+        ).reshape(len(pairs), d)
+        groups.append((d, qg, Qg))
+    kk = int(k)
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            names = batch.schema.names
+            ecol = batch.column(names.index("embedding"))
+            if isinstance(ecol, pa.ChunkedArray):
+                ecol = ecol.combine_chunks()
+            lens = np.asarray(
+                pc.fill_null(pc.list_value_length(ecol), -1), dtype="int64"
+            )
+            evalid = np.asarray(pc.is_valid(ecol), dtype=bool)
+            qv_all = np.asarray(batch.column(names.index("qid")), dtype="int64")
+            for d, qg, Qg in groups:
+                pos = np.searchsorted(qg, qv_all)
+                posc = np.clip(pos, 0, qg.size - 1)
+                inq = (pos < qg.size) & (qg[posc] == qv_all)
+                mask = evalid & (lens == d) & inq
+                if not mask.any():
+                    continue
+                sub = batch.filter(pa.array(mask))
+                scol = sub.column(names.index("embedding"))
+                if isinstance(scol, pa.ChunkedArray):
+                    scol = scol.combine_chunks()
+                n = sub.num_rows
+                ids = np.asarray(
+                    sub.column(names.index("vec_id")), dtype="int64"
+                )
+                qv = qv_all[mask]
+                Qr = Qg[np.clip(np.searchsorted(qg, qv), 0, qg.size - 1)]
+                X = np.asarray(scol.flatten(), dtype="float64").reshape(n, d)
+                with np.errstate(all="ignore"):
+                    # sequential left-fold accumulation, SQL fold order
+                    acc = np.zeros(n)
+                    for j in range(d):
+                        diff = X[:, j] - Qr[:, j]
+                        acc += diff * diff
+                    dist = _spark_round6_signed(acc) + 0.0
+                ok = ~np.isnan(dist)
+                if not ok.any():
+                    continue
+                # per-batch per-query bottom-k prune (ties included):
+                # a dropped row has >= k batch rows strictly below it
+                # on dist alone -- the kept set is a provable superset
+                # of the global top-k, same argument as the scan
+                # kernels' _batch_bottomk_rows
+                rows = np.flatnonzero(ok)
+                order = rows[np.argsort(qv[rows], kind="stable")]
+                sq = qv[order]
+                starts = np.flatnonzero(np.r_[True, sq[1:] != sq[:-1]])
+                ends = np.r_[starts[1:], sq.size]
+                out_q, out_v, out_d = [], [], []
+                for s0, e0 in zip(starts, ends):
+                    g = order[s0:e0]
+                    dd = dist[g]
+                    if g.size > kk:
+                        thr = np.partition(dd, kk - 1)[kk - 1]
+                        g = g[dd <= thr]
+                    out_q.append(qv[g])
+                    out_v.append(ids[g])
+                    out_d.append(dist[g])
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q)),
+                        pa.array(np.concatenate(out_v)),
+                        pa.array(np.concatenate(out_d)),
+                    ],
+                    names=["qid", "vec_id", "dist"],
+                )
+
+    short = adc.select("qid", "vec_id")
+    cand = (
+        widen_partitions(emb, "vec_id")
+        .select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+        .join(F.broadcast(short.select(F.col("qid").cast("long").alias("qid"),
+                                       F.col("vec_id").cast("long").alias("vec_id"))),
+              on="vec_id")
+        .select("qid", "vec_id", "embedding")
+    )
+    rescored = cand.mapInArrow(
+        kernel, schema="qid long, vec_id long, dist double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", (F.col("rank") - 1).cast("long").alias("rank"), "vec_id", "dist")
+    )
 
 
 def _exact_rerank(
-    emb: DataFrame, query_ids, adc: DataFrame, k: int
+    emb: DataFrame, query_ids, adc: DataFrame, k: int,
+    keep: int | None = None, dim: int | None = None, impl: str = "sql",
 ) -> DataFrame:
     """Exact re-rank of an ADC shortlist (the "+R" of IVFADC+R):
     broadcast the (|q| * k * rerank)-row shortlist, hash-probe the
     corpus for those vectors only, fold the exact squared L2 in-row
     against the raw query vectors.  Shared by pq_topk and the
-    composed arrow route so the re-rank contract cannot drift."""
+    composed arrow route so the re-rank contract cannot drift.
+
+    ``impl`` routes the SCORING FOLD only (the candidates join is
+    identical either way): ``"sql"`` keeps the interpreted
+    ``_sqdist`` expression (the fully-lazy form the plan pins
+    assert); ``"arrow"`` runs the vectorized ``_exact_rerank_arrow``
+    pass; ``"auto"`` estimates the rescore work driver-side with NO
+    job -- |query_ids| * keep pairs x dim * 8 bytes, the same
+    pair-work currency as ``_ARROW_AUTO_MIN_WORK_BYTES`` -- and takes
+    the kernel above the shared threshold.  This routing is
+    deliberately INDEPENDENT of how the ADC pass ran: a candidates-
+    restricted or long-form ADC scan stays relational by rule, but
+    its rerank-grade shortlist is exactly where the rescore fold
+    dominates (round-12 batch table: rerank=auto at 600k x 256q
+    spent 59 s vs brute 34 s), and the rerank kernel's emission IS
+    pruned to ~k
+    rows per query per batch."""
+    if impl == "auto":
+        est = (
+            None
+            if keep is None or dim is None
+            else len(list(query_ids)) * int(keep) * int(dim) * 8
+        )
+        impl = (
+            "sql"
+            if est is not None and est < _ARROW_AUTO_MIN_WORK_BYTES
+            else "arrow"
+        )
+    if impl == "arrow":
+        out = _exact_rerank_arrow(emb, query_ids, adc, k)
+        if out is not None:
+            return out
+        # no resolved query vectors: both forms are provably empty --
+        # serve the lazy relational one (same note as cosine_topk)
     short = adc.select("qid", "vec_id")
     qraw = F.broadcast(
         emb.filter(F.col("vec_id").isin(query_ids)).select(
@@ -2381,13 +2775,29 @@ def ivf_pq_topk(
             if adc is not None:
                 if rerank is None:
                     return adc
-                return _exact_rerank(emb, query_ids, adc, k)
+                return _exact_rerank(
+                    emb, query_ids, adc, k, keep=keep, dim=dim, impl=impl
+                )
     cand = assign.join(
         F.broadcast(_probe_cells(q, cents, n_probe)), on="cell"
     ).select("qid", "vec_id")
-    return pq_topk(
-        emb, query_ids, pq_cents, dim, m=m, k=k,
-        codes=codes, rerank=rerank, candidates=cand, impl="sql",
+    if rerank is None or impl == "sql":
+        return pq_topk(
+            emb, query_ids, pq_cents, dim, m=m, k=k,
+            codes=codes, rerank=rerank, candidates=cand, impl="sql",
+        )
+    # relational ADC scan (candidates always run there) but the
+    # rescore fold still routes on its own pair work: large
+    # shortlists keep the scan relational by design, yet their
+    # rescore is exactly the fold the kernel wins (round 13)
+    keep = k * int(rerank)
+    adc = pq_topk(
+        emb, query_ids, pq_cents, dim, m=m, k=keep,
+        codes=codes, rerank=None, candidates=cand, impl="sql",
+    )
+    return _exact_rerank(
+        emb, query_ids, adc, k, keep=keep, dim=dim,
+        impl="auto" if impl == "auto" else "arrow",
     )
 
 

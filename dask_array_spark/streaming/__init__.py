@@ -1,1 +1,1 @@
-from . import dedup, embeddings, events, governance  # noqa: F401
+from . import dedup, embeddings, events, governance, serving  # noqa: F401

@@ -702,3 +702,183 @@ def test_ivf_sq8_topk_arrow_matches_sql(spark):
         ts = [tuple(r) for r in s.collect()]
         assert ta == ts, f"qids={qids} k={k}: {ta} != {ts}"
     assign.unpersist(); codes.unpersist()
+
+
+def test_pq_rerank_arrow_matches_sql_hostile(spark):
+    """The vectorized re-rank scoring pass (round 13: _exact_rerank's
+    interpreted zip_with fold was the last serving leg slower than
+    brute) must agree with the relational fold bit-for-bit on a
+    corpus whose SHORTLIST rows are hostile at rescore time: the
+    packed index still carries codes for vectors whose raw embedding
+    has since gone NULL / ragged / NaN / element-holed, the SQL
+    filter excludes each from the exact re-rank, and the kernel must
+    drop exactly the same rows.  Queries with a NULL element serve
+    (NULL poisons only the fold it touches -- here the whole rescore
+    per pair, so that query keeps its un-rescorable candidates
+    excluded identically)."""
+    import numpy as np
+
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(1313)
+    vecs = rng.normal(size=(40, 8)) * 2
+    clean = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = SIM.pq_train(clean, dim=8, m=2, n_codes=4, iters=1).persist()
+    cents.count()
+    packed = SIM.pq_pack(SIM.pq_encode(clean, cents, dim=8, m=2)).persist()
+    packed.count()
+    # the serving-time corpus: vec 1 NULL, vec 2 ragged, vec 3 NaN
+    # payload, vec 4 holed element -- all still in the packed index
+    rows = []
+    for i, v in enumerate(vecs):
+        e = [float(x) for x in v]
+        if i == 1:
+            e = None
+        elif i == 2:
+            e = e[:5]
+        elif i == 3:
+            e[0] = float("nan")
+        elif i == 4:
+            e[3] = None
+        rows.append((i, e))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for qids, k, rr in ([[0, 4, 9], 3, 5], [[7, 30], 6, 3]):
+        a = SIM.pq_topk(emb, qids, cents, dim=8, m=2, k=k, codes=packed,
+                        rerank=rr, impl="arrow").orderBy("qid", "rank")
+        s = SIM.pq_topk(emb, qids, cents, dim=8, m=2, k=k, codes=packed,
+                        rerank=rr, impl="sql").orderBy("qid", "rank")
+        ta = [tuple(r) for r in a.collect()]
+        ts = [tuple(r) for r in s.collect()]
+        assert ta == ts, f"qids={qids} k={k} rr={rr}: {ta} != {ts}"
+        # hostile vectors never survive the exact re-rank
+        assert not any(t[2] in (1, 2, 3) for t in ta)
+    cents.unpersist(); packed.unpersist()
+
+
+def test_pq_rerank_empty_query_scores_empty_rows(spark):
+    """Degenerate d=0 contract: an EMPTY query embedding's exact fold
+    against an EMPTY corpus row is the init 0.0 (a real distance, not
+    NULL) -- the arrow rescore's d=0 group must preserve it.  Driven
+    through _exact_rerank directly (no ADC tier reaches this shape:
+    dim=0 cannot train), parity against the relational form."""
+    from dask_array_spark.functions.similarity import _exact_rerank
+
+    emb = spark.createDataFrame(
+        [(0, []), (1, []), (2, [1.0, 2.0]), (3, None)],
+        "vec_id long, embedding array<double>",
+    )
+    short = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "qid long, rank long"
+    ).selectExpr("qid", "rank as vec_id", "0.0 as dist")
+    a = _exact_rerank(emb, [0], short, 2, impl="arrow").orderBy("rank")
+    s = _exact_rerank(emb, [0], short, 2, impl="sql").orderBy("rank")
+    ta = [tuple(r) for r in a.collect()]
+    ts = [tuple(r) for r in s.collect()]
+    assert ta == ts == [(0, 0, 1, 0.0)]
+
+
+def test_pq_rerank_duplicate_query_rows_fall_back(spark):
+    """A corpus with DUPLICATE query vec_ids scores every duplicate
+    row in the relational join; the arrow resolver declines (returns
+    the relational form) so the multi-row semantics are preserved."""
+    from dask_array_spark.functions.similarity import _exact_rerank
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (0, [10.0, 10.0]), (1, [1.0, 1.0]),
+         (2, [3.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    short = spark.createDataFrame(
+        [(0, 1), (0, 2)], "qid long, vec_id long"
+    ).selectExpr("qid", "vec_id", "0.0 as dist")
+    a = _exact_rerank(emb, [0], short, 4, impl="arrow").orderBy(
+        "rank", "vec_id")
+    s = _exact_rerank(emb, [0], short, 4, impl="sql").orderBy(
+        "rank", "vec_id")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in s.collect()]
+
+
+def test_pq_topk_arrow_threshold_route_matches_sql(spark):
+    """Rerank-grade shortlists (keep > _ARROW_ADC_MAX_KEEP) route
+    through the exact-threshold pruning scan (round 13): parity with
+    the relational form on a corpus LARGER than keep (real pruning),
+    on tie-heavy data (boundary ties must survive the <= gate), and
+    on a corpus SMALLER than keep (threshold +inf, no pruning)."""
+    import numpy as np
+
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(313)
+    # tie-heavy: coordinates from a 3-value alphabet so many vectors
+    # collapse onto identical ADC distances around the keep boundary
+    vecs = rng.choice([0.0, 1.0, 2.0], size=(2000, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = SIM.pq_train(emb, dim=8, m=2, n_codes=4, iters=1).persist()
+    cents.count()
+    packed = SIM.pq_pack(SIM.pq_encode(emb, cents, dim=8, m=2)).persist()
+    packed.count()
+    assert SIM._ARROW_ADC_MAX_KEEP == 1024  # the routing bound pinned
+    for qids, k, rr in ([[0, 7], 2, 700],      # keep=1400 < n: prunes
+                        [[3], 2, 1200]):       # keep=2400 > n: t=inf
+        a = SIM.pq_topk(emb, qids, cents, dim=8, m=2, k=k, codes=packed,
+                        rerank=rr, impl="arrow").orderBy("qid", "rank")
+        s = SIM.pq_topk(emb, qids, cents, dim=8, m=2, k=k, codes=packed,
+                        rerank=rr, impl="sql").orderBy("qid", "rank")
+        ta = [tuple(r) for r in a.collect()]
+        ts = [tuple(r) for r in s.collect()]
+        assert ta == ts, f"qids={qids} k={k} rr={rr}"
+        assert len(ta) == len(qids) * k
+    # and the pure-ADC large-k form (no rerank, keep=k) prunes too
+    a = SIM.pq_topk(emb, [0], cents, dim=8, m=2, k=1100, codes=packed,
+                    impl="arrow").orderBy("rank")
+    s = SIM.pq_topk(emb, [0], cents, dim=8, m=2, k=1100, codes=packed,
+                    impl="sql").orderBy("rank")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in s.collect()]
+    cents.unpersist(); packed.unpersist()
+
+
+def test_adc_thresholds_exact(spark):
+    """_adc_thresholds returns the exact per-query keep-th smallest
+    VALID ADC distance (multiplicity included, self excluded), +inf
+    when fewer than keep valid rows exist -- checked against a
+    driver-side replay of the same LUT."""
+    import numpy as np
+
+    from dask_array_spark.functions import similarity as SIM
+    from dask_array_spark.sources.ingest import widen_partitions
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(99)
+    vecs = rng.normal(size=(300, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = SIM.pq_train(emb, dim=8, m=2, n_codes=4, iters=1)
+    packed = SIM.pq_pack(SIM.pq_encode(emb, cents, dim=8, m=2))
+    qids_in = [0, 5]
+    layout = SIM._adc_lut(emb, qids_in, cents, 8, 2)
+    qids, lut, lutv, seen, code_vals = layout
+    src = widen_partitions(packed, "vec_id").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "codes"
+    )
+    for keep in (7, 250, 400):
+        t = SIM._adc_thresholds(
+            src, 2, code_vals, lut, lutv, seen, qids, keep
+        )
+        # replay: full ADC distances via the relational form at k=n
+        full = SIM.pq_topk(emb, qids_in, cents, dim=8, m=2, k=10**6,
+                           codes=packed, impl="sql").collect()
+        by_q = {}
+        for r in full:
+            by_q.setdefault(int(r["qid"]), []).append(float(r["dist"]))
+        for j, q in enumerate(qids):
+            ds = sorted(by_q.get(int(q), []))
+            want = ds[keep - 1] if len(ds) >= keep else float("inf")
+            assert t[j] == want, (keep, q, t[j], want)

@@ -209,6 +209,12 @@ def test_similarity_arrow_path_scan_shape(spark, sf_dir):
         SIM.sq8_topk(emb, [0, 1, 2], k=5, codes=sq, impl="arrow"),
         SIM.pq_topk(emb, [0, 1, 2], pqc, dim=64, m=4, k=5,
                     codes=packed, impl="arrow"),
+        # the +R form: ADC scan AND the exact-rescore fold both run
+        # as mapInArrow kernels (round 13 -- the rescore was the last
+        # interpreted serving leg); the shortlist side is the only
+        # broadcast and it is |q| x k x r bounded
+        SIM.pq_topk(emb, [0, 1, 2], pqc, dim=64, m=4, k=5,
+                    codes=packed, rerank=4, impl="arrow"),
         # the composed cell-blocked kernels: the probed-cell
         # restriction is a plain IN filter on the assignment index,
         # never a broadcast of anything corpus-sized
@@ -266,6 +272,40 @@ def test_similarity_auto_small_corpus_stays_lazy(spark, sf_dir, monkeypatch):
     # and the small-corpus auto route IS the relational form
     assert "lambdafunction" in _optimized(df).lower()
     assert "mapinarrow" not in _plan(df2).lower()
+
+
+def test_rerank_impl_routing(spark, sf_dir):
+    """The exact re-rank's scoring fold routes INDEPENDENTLY of the
+    ADC scan (round 13): impl='sql' keeps the whole +R pipeline
+    relational (zero mapInArrow -- the form the sql plan pins and the
+    DuckDB oracle replicate), impl='arrow' runs BOTH kernels, and
+    'auto' picks by |q| x keep x dim x 8 rescore work -- tiny
+    shortlists stay relational, the 600k x 256q x dim shape that
+    measured 59 s vs brute 34 s routes to the kernel."""
+    from dask_array_spark.functions import similarity as SIM
+    from dask_array_spark.sources import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pqc = SIM.pq_train(emb, dim=64, m=4, n_codes=4, iters=1)
+    packed = SIM.pq_pack(SIM.pq_encode(emb, pqc, dim=64, m=4))
+    n_arrow = lambda df: _plan(df).lower().count("mapinarrow")
+    assert n_arrow(SIM.pq_topk(emb, [0, 1], pqc, dim=64, m=4, k=5,
+                               codes=packed, rerank=4, impl="sql")) == 0
+    assert n_arrow(SIM.pq_topk(emb, [0, 1], pqc, dim=64, m=4, k=5,
+                               codes=packed, rerank=4, impl="arrow")) == 2
+    # auto, tiny rescore work (2 queries x 20 keep x 64 dim x 8 =
+    # 20 KB << 8 MB): the rescore stays relational even when the ADC
+    # scan routed to the kernel
+    from dask_array_spark.functions.similarity import _exact_rerank
+
+    short = SIM.pq_topk(emb, [0, 1], pqc, dim=64, m=4, k=20,
+                        codes=packed, impl="sql")
+    assert n_arrow(_exact_rerank(emb, [0, 1], short, 5, keep=20,
+                                 dim=64, impl="auto")) == 0
+    # auto, at-scale rescore work (1024 queries x 10k keep x 64 dim
+    # x 8 = 5 GB >> 8 MB): kernel
+    assert n_arrow(_exact_rerank(emb, [0, 1], short, 5, keep=10_000_000,
+                                 dim=64, impl="auto")) == 1
 
 
 def test_lsh_pair_generation_is_partition_parallel(spark, sf_dir):
