@@ -1976,35 +1976,42 @@ def _adc_thresholds(src, m, code_vals, lut, lutv, seen, qids, keep):
             if dj.size > kk:
                 dj = np.partition(dj, kk - 1)[:kk]
             out_q.append(int(qids[j]))
-            out_d.append(np.sort(dj))
+            out_d.append(dj)
         if not out_q:
             return
+        # zero-copy list column: |q| x keep doubles per partition is
+        # real data -- boxing it through python lists measured ~8 s
+        # of the whole pass at 600k x 256q
+        lens = np.asarray([d.size for d in out_d], dtype="int64")
+        offs = np.zeros(lens.size + 1, dtype="int32")
+        np.cumsum(lens, out=offs[1:])
+        dvals = pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(np.concatenate(out_d))
+        )
         yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(np.asarray(out_q, dtype="int64")),
-                pa.array([d.tolist() for d in out_d],
-                         type=pa.list_(pa.float64())),
-            ],
+            [pa.array(np.asarray(out_q, dtype="int64")), dvals],
             names=["qid", "dvals"],
         )
 
     def merge_kernel(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         by_q: dict[int, list] = {}
-        counts: dict[int, int] = {}
         for batch in batches:
             names = batch.schema.names
             qv = np.asarray(batch.column(names.index("qid")), dtype="int64")
             dcol = batch.column(names.index("dvals"))
             if isinstance(dcol, pa.ChunkedArray):
                 dcol = dcol.combine_chunks()
-            pl = dcol.to_pylist()
+            lens = np.asarray(pc.list_value_length(dcol), dtype="int64")
+            flat = np.asarray(dcol.flatten(), dtype="float64")
+            offs = np.zeros(lens.size + 1, dtype="int64")
+            np.cumsum(lens, out=offs[1:])
             for i in range(batch.num_rows):
-                q = int(qv[i])
-                d = np.asarray(pl[i], dtype="float64")
-                by_q.setdefault(q, []).append(d)
-                counts[q] = counts.get(q, 0) + d.size
+                by_q.setdefault(int(qv[i]), []).append(
+                    flat[offs[i]:offs[i + 1]]
+                )
         if not by_q:
             return
         out_q, out_t = [], []
@@ -2025,7 +2032,16 @@ def _adc_thresholds(src, m, code_vals, lut, lutv, seen, qids, keep):
             names=["qid", "t"],
         )
 
-    partials = src.mapInArrow(
+    # partial size is |q| x min(keep, partition rows) doubles PER
+    # PARTITION: rerank-grade keep usually exceeds a scan partition's
+    # row count, so the bottom-keep truncation never bites and the
+    # merge shuffle grows linearly in partition count (measured
+    # ~1.2 GB at 600k x 256q x 64 partitions).  Coalesce the
+    # threshold scan to a handful of keep-sized partitions -- the
+    # fold is vectorized NumPy, so a few fat tasks lose little
+    # compute parallelism and cut the merge shuffle ~partitions-fold.
+    par = max(1, src.sparkSession.sparkContext.defaultParallelism)
+    partials = src.coalesce(min(8, par)).mapInArrow(
         partial_kernel, schema="qid long, dvals array<double>"
     )
     trows = (
