@@ -120,11 +120,14 @@ def main() -> None:
     assert a == b, "partitioned/flat serving answers diverged"
     print(f"parity: {len(a)} rows identical", flush=True)
 
+    # collect() so the metrics belong to THIS DataFrame's own
+    # QueryExecution (a write wraps the plan in a fresh one and the
+    # walked nodes stay unexecuted, metrics zero)
     dfp = serve(part)
-    dfp.write.format("noop").mode("overwrite").save()
+    dfp.collect()
     mp = scan_metrics(dfp, "_part")
     dff = serve(flat)
-    dff.write.format("noop").mode("overwrite").save()
+    dff.collect()
     mf = scan_metrics(dff, "_flat")
 
     res = {

@@ -32,10 +32,11 @@ def _serve_collect(spark, qdir, emb, waves, tmp, **kw):
         got.extend(tuple(r) for r in df.collect())
 
     os.makedirs(qdir, exist_ok=True)
-    # schema seed so the stream reader can infer before wave 1
-    spark.createDataFrame([(waves[0][0],)], "vec_id long").write.mode(
-        "overwrite"
-    ).parquet(qdir)
+    # wave 1 lands before the stream starts (it doubles as the
+    # reader's schema seed)
+    spark.createDataFrame(
+        [(int(v),) for v in waves[0]], "vec_id long"
+    ).write.mode("overwrite").parquet(qdir)
     q = stream_topk_serve(
         spark, qdir, emb, sink,
         checkpoint=os.path.join(tmp, "ckpt"), **kw
