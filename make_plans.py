@@ -75,6 +75,39 @@ def main() -> None:
                 "```",
                 "",
             ]
+            # the +R pipeline at rerank-grade keep (round 13): ADC
+            # serving kernel gated by the exact per-query keep-th
+            # distance (computed in an EAGER threshold job at plan
+            # build -- not part of this serving plan) -> exact rank
+            # window over ~|q| x keep rows -> broadcast-shortlist
+            # candidates join -> mapInArrow exact rescore -> final
+            # rank window.  TWO kernels, no corpus x queries sort.
+            pqc = SIM.pq_train(emb, dim=64, m=4, n_codes=4, iters=1)
+            packed = SIM.pq_pack(SIM.pq_encode(emb, pqc, dim=64, m=4))
+            rdf = SIM.pq_topk(emb, [0, 1, 2], pqc, dim=64, m=4, k=3,
+                              codes=packed, rerank=400, impl="arrow")
+            rplan = rdf._jdf.queryExecution().executedPlan().toString()
+            out += [
+                "## pq_topk rerank impl='arrow' at rerank-grade keep "
+                "(round 13)",
+                "",
+                "The vectorized +R pipeline: the ADC mapInArrow scan "
+                "additionally gates on the EXACT per-query keep-th "
+                "distance (one eager `_adc_thresholds` job at plan "
+                "build; keep = k x rerank = 1200 > 1024 here), so the "
+                "shortlist window ranks ~|q| x keep rows instead of "
+                "total-sorting corpus x queries (keep sits above "
+                "Spark's window group-limit pushdown bound -- SCALE.md "
+                "round 13); the exact rescore is the second mapInArrow "
+                "kernel over the broadcast-shortlist candidates join.  "
+                "Pinned by test_plans.py::test_rerank_impl_routing and "
+                "the arrow scan-shape pin.",
+                "",
+                "```",
+                rplan.strip()[:3000],
+                "```",
+                "",
+            ]
     with open(os.path.join(os.path.dirname(__file__), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
     print("PLANS.md written")
