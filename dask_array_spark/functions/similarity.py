@@ -1914,10 +1914,79 @@ def _adc_score_batch(batch, m, code_vals, lut, lutv, seen, qids):
     return ids, dist, ok
 
 
-def _adc_thresholds(src, m, code_vals, lut, lutv, seen, qids, keep):
+def _adc_score_cell_blocks(
+    batch, m, code_vals, lut, lutv, seen, qids, lut_cells, allowed
+):
+    """Cell-blocked variant of ``_adc_score_batch`` for the composed
+    IVF x PQ path: yields (ids, dist, ok, qsel) per probed-cell block
+    of one arrow batch of (vec_id, cell, codes) rows, where ``qsel``
+    indexes the queries probing that block's cell -- the blocking
+    that keeps compute equal to the relational candidate pair count.
+    Shared by the composed serving kernel and the composed threshold
+    kernel so the two passes score on one contract."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if batch.num_rows == 0:
+        return
+    names = batch.schema.names
+    ccol = batch.column(names.index("codes"))
+    if isinstance(ccol, pa.ChunkedArray):
+        ccol = ccol.combine_chunks()
+    lens = pc.fill_null(pc.list_value_length(ccol), -1)
+    keep_rows = pc.and_(pc.is_valid(ccol), pc.equal(lens, m))
+    if not pc.all(keep_rows).as_py():
+        batch = batch.filter(keep_rows)
+        if batch.num_rows == 0:
+            return
+        ccol = batch.column(names.index("codes"))
+        if isinstance(ccol, pa.ChunkedArray):
+            ccol = ccol.combine_chunks()
+    n = batch.num_rows
+    ids = np.asarray(batch.column(names.index("vec_id")), dtype="int64")
+    cellv = np.asarray(batch.column(names.index("cell")), dtype="int64")
+    C = np.asarray(ccol.flatten(), dtype="int64").reshape(n, m)
+    order = np.argsort(cellv, kind="stable")
+    sc = cellv[order]
+    starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+    ends = np.r_[starts[1:], sc.size]
+    for s0, e0 in zip(starts, ends):
+        qsel = allowed[np.searchsorted(lut_cells, sc[s0]), :]
+        qsel = np.flatnonzero(qsel)
+        if qsel.size == 0:
+            continue
+        rows = order[s0:e0]
+        idsb = ids[rows]
+        Db = np.zeros((rows.size, qsel.size))
+        matched = np.zeros(rows.size, dtype="int64")
+        valid_any = np.zeros((rows.size, qsel.size), dtype=bool)
+        with np.errstate(all="ignore"):
+            for s in range(m):
+                inr, idx = _code_index(code_vals, C[rows, s])
+                hit = inr & seen[s, idx]
+                v = lutv[s][idx][:, qsel] & hit[:, None]
+                Db += np.where(v, lut[s][idx][:, qsel], 0.0)
+                valid_any |= v
+                matched += hit
+            dist = _spark_round6_signed(Db) + 0.0
+            ok = (
+                (idsb[:, None] != qids[qsel][None, :])
+                & ~np.isnan(dist)
+                & (matched > 0)[:, None]
+                & valid_any
+            )
+        yield idsb, dist, ok, qsel
+
+
+def _adc_thresholds(src, score_blocks, qids, keep):
     """EXACT per-query ``keep``-th smallest valid ADC distance over
-    the packed relation -- the pruning bound for large-shortlist
-    serving (round 13).  Returns t[len(qids)] float64 (+inf when a
+    ``src`` -- the pruning bound for large-shortlist serving (round
+    13).  ``score_blocks(batch)`` yields (ids, dist, ok, qsel) blocks
+    (the flat scorer wraps ``_adc_score_batch`` with qsel = all; the
+    composed path passes ``_adc_score_cell_blocks``), so the
+    threshold pass prices EXACTLY the candidate pairs its serving
+    kernel will score.  Returns t[len(qids)] float64 (+inf when a
     query has fewer than ``keep`` valid rows: no pruning, still
     exact).
 
@@ -1951,23 +2020,19 @@ def _adc_thresholds(src, m, code_vals, lut, lutv, seen, qids, keep):
         bufs = [[] for _ in range(nq)]
         sizes = np.zeros(nq, dtype="int64")
         for batch in batches:
-            scored = _adc_score_batch(
-                batch, m, code_vals, lut, lutv, seen, qids
-            )
-            if scored is None:
-                continue
-            ids, dist, ok = scored
-            for j in range(nq):
-                dj = dist[ok[:, j], j]
-                if dj.size == 0:
-                    continue
-                bufs[j].append(dj)
-                sizes[j] += dj.size
-                if sizes[j] > 4 * kk:
-                    merged = np.concatenate(bufs[j])
-                    merged = np.partition(merged, kk - 1)[:kk]
-                    bufs[j] = [merged]
-                    sizes[j] = merged.size
+            for ids, dist, ok, qsel in score_blocks(batch):
+                for jj in range(qsel.size):
+                    j = int(qsel[jj])
+                    dj = dist[ok[:, jj], jj]
+                    if dj.size == 0:
+                        continue
+                    bufs[j].append(dj)
+                    sizes[j] += dj.size
+                    if sizes[j] > 4 * kk:
+                        merged = np.concatenate(bufs[j])
+                        merged = np.partition(merged, kk - 1)[:kk]
+                        bufs[j] = [merged]
+                        sizes[j] = merged.size
         out_q, out_d = [], []
         for j in range(nq):
             if not bufs[j]:
@@ -2104,8 +2169,14 @@ def _pq_topk_arrow(
     # total-sorts (keep above Spark's group-limit pushdown bound):
     # prune with the EXACT per-query keep-th distance instead -- one
     # eager scan, then the serving emission is ~|q| x keep rows
+    def score_blocks(batch):
+        scored = _adc_score_batch(batch, m, code_vals, lut, lutv, seen, qids)
+        if scored is not None:
+            ids, dist, ok = scored
+            yield ids, dist, ok, np.arange(len(qids))
+
     thr = (
-        _adc_thresholds(src, m, code_vals, lut, lutv, seen, qids, kk)
+        _adc_thresholds(src, score_blocks, qids, kk)
         if kk > _ARROW_ADC_MAX_KEEP
         else None
     )
@@ -2579,7 +2650,11 @@ def _ivf_pq_topk_arrow(
     ``_pq_topk_arrow``'s driver-LUT fold restricted per cell to the
     queries probing it (``_ivf_topk_arrow``'s blocking), over the
     probed fraction of the packed codes relation -- bit-identical to
-    the relational ``pq_topk(candidates=...)`` composition."""
+    the relational ``pq_topk(candidates=...)`` composition.  A
+    rerank-grade keep (> ``_ARROW_ADC_MAX_KEEP``) runs the same
+    exact-threshold pruning as the flat path (round 13), priced over
+    exactly the probed candidate pairs via the shared cell-blocked
+    scorer."""
     import numpy as np
 
     from ..sources.ingest import widen_partitions
@@ -2595,71 +2670,7 @@ def _ivf_pq_topk_arrow(
     allowed = _allowed_matrix(cells_by_qid, union_cells, qids)
     kk = int(keep)
 
-    def kernel(batches):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            names = batch.schema.names
-            ccol = batch.column(names.index("codes"))
-            if isinstance(ccol, pa.ChunkedArray):
-                ccol = ccol.combine_chunks()
-            lens = pc.fill_null(pc.list_value_length(ccol), -1)
-            keep_rows = pc.and_(pc.is_valid(ccol), pc.equal(lens, m))
-            if not pc.all(keep_rows).as_py():
-                batch = batch.filter(keep_rows)
-                if batch.num_rows == 0:
-                    continue
-                ccol = batch.column(names.index("codes"))
-                if isinstance(ccol, pa.ChunkedArray):
-                    ccol = ccol.combine_chunks()
-            n = batch.num_rows
-            ids = np.asarray(
-                batch.column(names.index("vec_id")), dtype="int64"
-            )
-            cellv = np.asarray(
-                batch.column(names.index("cell")), dtype="int64"
-            )
-            C = np.asarray(ccol.flatten(), dtype="int64").reshape(n, m)
-            order = np.argsort(cellv, kind="stable")
-            sc = cellv[order]
-            starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
-            ends = np.r_[starts[1:], sc.size]
-            for s0, e0 in zip(starts, ends):
-                qsel = allowed[np.searchsorted(lut_cells, sc[s0]), :]
-                qsel = np.flatnonzero(qsel)
-                if qsel.size == 0:
-                    continue
-                rows = order[s0:e0]
-                idsb = ids[rows]
-                Db = np.zeros((rows.size, qsel.size))
-                matched = np.zeros(rows.size, dtype="int64")
-                valid_any = np.zeros((rows.size, qsel.size), dtype=bool)
-                with np.errstate(all="ignore"):
-                    for s in range(m):
-                        inr, idx = _code_index(code_vals, C[rows, s])
-                        hit = inr & seen[s, idx]
-                        v = lutv[s][idx][:, qsel] & hit[:, None]
-                        Db += np.where(v, lut[s][idx][:, qsel], 0.0)
-                        valid_any |= v
-                        matched += hit
-                    dist = _spark_round6_signed(Db) + 0.0
-                    ok = (
-                        (idsb[:, None] != qids[qsel][None, :])
-                        & ~np.isnan(dist)
-                        & (matched > 0)[:, None]
-                        & valid_any
-                    )
-                arrays = _batch_bottomk_rows(idsb, dist, ok, qids[qsel], kk)
-                if arrays is None:
-                    continue
-                yield pa.RecordBatch.from_arrays(
-                    arrays, names=["qid", "vec_id", "dist"]
-                )
-
-    src = (
+    src = widen_partitions(
         assign.filter(F.col("cell").isin([int(c) for c in union_cells]))
         .select(
             F.col("vec_id").cast("long").alias("vec_id"),
@@ -2670,9 +2681,36 @@ def _ivf_pq_topk_arrow(
                 F.col("vec_id").cast("long").alias("vec_id"), "codes"
             ),
             on="vec_id",
-        )
+        ),
+        "vec_id",
     )
-    cand = widen_partitions(src, "vec_id").mapInArrow(
+
+    def score_blocks(batch):
+        yield from _adc_score_cell_blocks(
+            batch, m, code_vals, lut, lutv, seen, qids, lut_cells, allowed
+        )
+
+    thr = (
+        _adc_thresholds(src, score_blocks, qids, kk)
+        if kk > _ARROW_ADC_MAX_KEEP
+        else None
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            for idsb, dist, ok, qsel in score_blocks(batch):
+                if thr is not None:
+                    ok = ok & (dist <= thr[qsel][None, :])
+                arrays = _batch_bottomk_rows(idsb, dist, ok, qids[qsel], kk)
+                if arrays is None:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    arrays, names=["qid", "vec_id", "dist"]
+                )
+
+    cand = src.mapInArrow(
         kernel, schema="qid long, vec_id long, dist double"
     )
     w = Window.partitionBy("qid").orderBy(
@@ -2730,12 +2768,13 @@ def ivf_pq_topk(
     corpus-sized is ever broadcast or collected.
 
     ``impl``: like ``ivf_topk`` -- with a PACKED ``codes`` relation,
-    ``"auto"`` routes on pair work scaled by the probe fraction AND
-    the kept shortlist size (<= ``_ARROW_ADC_MAX_KEEP``): the arrow
-    form is ``_ivf_pq_topk_arrow`` (cell-blocked driver-LUT ADC,
-    bit-identical, fuzz-pinned) followed by the shared
-    ``_exact_rerank``.  Explicit ``impl="arrow"`` without packed
-    codes raises (same rule as ``pq_topk``)."""
+    ``"auto"`` routes on pair work scaled by the probe fraction: the
+    arrow form is ``_ivf_pq_topk_arrow`` (cell-blocked driver-LUT
+    ADC, bit-identical, fuzz-pinned; rerank-grade keeps add the
+    round-13 exact-threshold pruning scan) followed by the shared
+    ``_exact_rerank`` (itself impl-routed on rescore work).  Explicit
+    ``impl="arrow"`` without packed codes raises (same rule as
+    ``pq_topk``)."""
     cents = _codebook(emb, n_cells, ivf_cents)
     if assign is None:
         assign = ivf_assign(emb, n_cells, cents)
@@ -2777,9 +2816,7 @@ def ivf_pq_topk(
                 * max(1, int(n_probe))
                 / max(1, int(n_cells))
             )
-            use = (
-                est is None or est >= _ARROW_AUTO_MIN_WORK_BYTES
-            ) and keep <= _ARROW_ADC_MAX_KEEP
+            use = est is None or est >= _ARROW_AUTO_MIN_WORK_BYTES
         if use:
             probes = _probe_cells(
                 q, cents, n_probe

@@ -868,10 +868,16 @@ def test_adc_thresholds_exact(spark):
     src = widen_partitions(packed, "vec_id").select(
         F.col("vec_id").cast("long").alias("vec_id"), "codes"
     )
+
+    def score_blocks(batch):
+        scored = SIM._adc_score_batch(batch, 2, code_vals, lut, lutv,
+                                      seen, qids)
+        if scored is not None:
+            ids, dist, ok = scored
+            yield ids, dist, ok, np.arange(len(qids))
+
     for keep in (7, 250, 400):
-        t = SIM._adc_thresholds(
-            src, 2, code_vals, lut, lutv, seen, qids, keep
-        )
+        t = SIM._adc_thresholds(src, score_blocks, qids, keep)
         # replay: full ADC distances via the relational form at k=n
         full = SIM.pq_topk(emb, qids_in, cents, dim=8, m=2, k=10**6,
                            codes=packed, impl="sql").collect()
@@ -882,3 +888,43 @@ def test_adc_thresholds_exact(spark):
             ds = sorted(by_q.get(int(q), []))
             want = ds[keep - 1] if len(ds) >= keep else float("inf")
             assert t[j] == want, (keep, q, t[j], want)
+
+
+def test_ivf_pq_topk_arrow_threshold_route_matches_sql(spark):
+    """The composed path's rerank-grade keep also routes through the
+    exact-threshold pruning (round 13), priced over exactly the
+    probed candidate pairs: parity with the relational
+    pq_topk(candidates=...) composition with keep above and below the
+    probed pools' sizes."""
+    import numpy as np
+
+    from dask_array_spark.functions import similarity as SIM
+
+    rng = np.random.default_rng(1717)
+    vecs = rng.choice([0.0, 1.0, 2.0], size=(2400, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    trained = SIM.kmeans_fit(emb, k=4, iters=1)
+    assign = SIM.ivf_assign(emb, 4, trained).persist(); assign.count()
+    cents = SIM.pq_train(emb, dim=8, m=2, n_codes=4, iters=1).persist()
+    cents.count()
+    packed = SIM.pq_pack(SIM.pq_encode(emb, cents, dim=8, m=2)).persist()
+    packed.count()
+    for qids, k, rr in ([[0, 7], 2, 600],     # keep=1200: prunes pools
+                        [[3], 2, 1500]):      # keep=3000 > any pool
+        a = SIM.ivf_pq_topk(
+            emb, qids, cents, dim=8, m=2, k=k, n_cells=4, n_probe=2,
+            ivf_cents=trained, assign=assign, codes=packed, rerank=rr,
+            impl="arrow",
+        ).orderBy("qid", "rank")
+        s = SIM.ivf_pq_topk(
+            emb, qids, cents, dim=8, m=2, k=k, n_cells=4, n_probe=2,
+            ivf_cents=trained, assign=assign, codes=packed, rerank=rr,
+            impl="sql",
+        ).orderBy("qid", "rank")
+        ta = [tuple(r) for r in a.collect()]
+        ts = [tuple(r) for r in s.collect()]
+        assert ta == ts, f"qids={qids} k={k} rr={rr}"
+    assign.unpersist(); cents.unpersist(); packed.unpersist()
