@@ -34,6 +34,7 @@ COLLECT_ALLOWED = {
     "core/diagnostics.py",       # plan metadata
     "streaming/governance.py",   # benchmark n-gram set (eval-suite sized)
     "functions/similarity.py",   # train-loop codebook (m x n_codes model rows)
+    "streaming/serving.py",      # per-micro-batch query ids (|batch| rows)
 }
 
 # the single sanctioned collect pattern inside the pipeline tier:
