@@ -143,3 +143,32 @@ def test_stream_serve_unknown_tier(spark, emb, tmp_path):
     with pytest.raises(ValueError, match="tier"):
         stream_topk_serve(spark, str(tmp_path), emb, lambda d, b: None,
                           tier="hnsw")
+
+
+def test_stream_pq_serve_matches_batch(spark, emb, tmp_path):
+    """The pq tier streams with its positional model surface riding
+    in kwargs (cents/dim/codes), rerank included."""
+    from dask_array_spark.functions.similarity import (
+        pq_encode, pq_pack, pq_topk, pq_train,
+    )
+
+    cents = pq_train(emb, dim=64, m=4, n_codes=4, iters=1).persist()
+    cents.count()
+    packed = pq_pack(pq_encode(emb, cents, dim=64, m=4)).persist()
+    packed.count()
+    try:
+        waves = [[0], [3, 6]]
+        got = _serve_collect(
+            spark, str(tmp_path / "q"), emb, waves, str(tmp_path),
+            k=3, tier="pq", cents=cents, dim=64, m=4, codes=packed,
+            rerank=4,
+        )
+        all_ids = sorted({v for w in waves for v in w})
+        want = [
+            tuple(r)
+            for r in pq_topk(emb, all_ids, cents, dim=64, m=4, k=3,
+                             codes=packed, rerank=4).collect()
+        ]
+        assert sorted(got) == sorted(want)
+    finally:
+        cents.unpersist(); packed.unpersist()
