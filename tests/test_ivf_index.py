@@ -95,27 +95,38 @@ def test_index_roundtrip(spark, emb, index_path):
 
 
 def test_probe_filter_is_partition_filter(spark, emb, index_path):
-    """The arrow serving route's `cell IN (probed)` restriction must
-    land in PartitionFilters on the partitioned layout -- directory
-    pruning, the planning-time half of the IO claim."""
-    from dask_array_spark.functions.similarity import ivf_read_index, ivf_topk
+    """EVERY cell-blocked serving tier's `cell IN (probed)`
+    restriction must land in PartitionFilters on the partitioned
+    layout -- directory pruning, the planning-time half of the IO
+    claim -- because they all share the same assign-filter shape."""
+    from dask_array_spark.functions import similarity as SIM
 
-    assign = ivf_read_index(spark, index_path)
-    df = ivf_topk(emb, [0, 1], k=3, n_cells=4, n_probe=2,
-                  assign=assign, impl="arrow")
-    fmt = df._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
+    assign = SIM.ivf_read_index(spark, index_path)
+    sq = SIM.sq8_encode(emb).localCheckpoint()
+    pqc = SIM.pq_train(emb, dim=64, m=4, n_codes=4, iters=1)
+    packed = SIM.pq_pack(SIM.pq_encode(emb, pqc, dim=64, m=4))
+    for df in (
+        SIM.ivf_topk(emb, [0, 1], k=3, n_cells=4, n_probe=2,
+                     assign=assign, impl="arrow"),
+        SIM.ivf_sq8_topk(emb, [0, 1], k=3, n_cells=4, n_probe=2,
+                         assign=assign, codes=sq, impl="arrow"),
+        SIM.ivf_pq_topk(emb, [0, 1], pqc, dim=64, m=4, k=3, n_cells=4,
+                        n_probe=2, assign=assign, codes=packed,
+                        impl="arrow"),
+    ):
+        fmt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
         )
-    )
-    scan = next(
-        b for b in fmt.split("\n\n")
-        if "ivf" in b and "PartitionFilters" in b
-    )
-    pf = next(l for l in scan.splitlines() if "PartitionFilters" in l)
-    assert "cell" in pf and " IN (" in pf, pf
-    # and NOT a row-level pushed filter doing the same work twice
-    assert "Location: InMemoryFileIndex" in scan
+        scan = next(
+            b for b in fmt.split("\n\n")
+            if "ivf" in b and "PartitionFilters" in b
+        )
+        pf = next(l for l in scan.splitlines() if "PartitionFilters" in l)
+        assert "cell" in pf and " IN (" in pf, pf
+        # and NOT a row-level pushed filter doing the same work twice
+        assert "Location: InMemoryFileIndex" in scan
 
 
 def test_pruned_scan_reads_only_probed_cells(spark, emb, index_path):
