@@ -858,7 +858,11 @@ def ivf_topk(
     ingest and queries pay only probe selection + the candidate scan;
     recomputing the assignment per query costs a full corpus pass of
     n_cells distance folds, which can exceed the brute-force scan it
-    is supposed to avoid (n_cells > |queries|).
+    is supposed to avoid (n_cells > |queries|).  Persist it with
+    ``ivf_write_index`` (cell-partitioned) and read it back with
+    ``ivf_read_index``: the probe restriction then PARTITION-prunes
+    the scan to ~n_probe/n_cells of the index bytes (round 13,
+    plan-pinned + measured in SCALE.md).
 
     Choosing n_probe (measured, SCALE.md round 11, 600k corpus /
     256-query batch): cost is linear in probes and recall is
@@ -2752,9 +2756,10 @@ def ivf_pq_topk(
 
     ``assign`` / ``codes`` are the two persisted index relations a
     production deployment builds once at ingest (``ivf_assign`` +
-    ``pq_pack(pq_encode(...))``); recomputing either per query re-pays
-    the full corpus pass (the amortization trap SCALE.md measures for
-    ivf_topk).  ``ivf_cents`` swaps the stub coarse codebook for a
+    ``pq_pack(pq_encode(...))``; land the assignment through
+    ``ivf_write_index`` so the probe restriction partition-prunes);
+    recomputing either per query re-pays the full corpus pass (the
+    amortization trap SCALE.md measures for ivf_topk).  ``ivf_cents`` swaps the stub coarse codebook for a
     trained one, independently of the PQ codebook.  ``rerank="auto"``
     here calibrates on the PROBED pool (n * n_probe / n_cells), not
     the full corpus -- ADC tie collapse scales with what each query

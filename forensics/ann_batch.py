@@ -89,6 +89,15 @@ def main() -> None:
                 emb, qids, pq_cents, dim=64, m=pq_m, k=k, codes=codes,
                 rerank="auto",
             ),
+            # the composed IVFADC+R production path (round 13: its
+            # rerank-grade keep routes through the exact-threshold
+            # pruning too -- forensics/r13_composed_rerank.json
+            # carries the first arrow-vs-sql A/B)
+            "ivf_pq_rerank_auto": lambda: SIM.ivf_pq_topk(
+                emb, qids, pq_cents, dim=64, m=pq_m, k=k,
+                n_cells=n_cells, n_probe=n_probe, ivf_cents=trained,
+                assign=index, codes=codes, rerank="auto",
+            ),
             "sq8_topk": lambda: SIM.sq8_topk(emb, qids, k=k, codes=sq_codes),
         }
         reps = {}
@@ -142,6 +151,9 @@ def main() -> None:
             "ivf": recall(cos_exact, legs["ivf_topk"]()),
             "pq_adc": recall(l2_exact, legs["pq_adc_topk"]()),
             "pq_rerank_auto": recall(l2_exact, legs["pq_rerank_auto"]()),
+            "ivf_pq_rerank_auto": recall(
+                l2_exact, legs["ivf_pq_rerank_auto"]()
+            ),
             "sq8": recall(cos_exact, legs["sq8_topk"]()),
         }
         print(f"batch {batch} recall: {row['recall']}", flush=True)
