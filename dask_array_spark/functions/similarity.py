@@ -40,6 +40,10 @@ __all__ = [
     "ivf_assign",
     "ivf_write_index",
     "ivf_read_index",
+    "pq_write_index",
+    "pq_read_index",
+    "sq8_write_index",
+    "sq8_read_index",
     "ivf_topk",
     "ann_recall",
     "semantic_dedup",
@@ -637,6 +641,79 @@ def ivf_read_index(spark, path: str) -> DataFrame:
     inference would make it int), so the serving tiers' probe filter
     compares without a cast and partition pruning applies."""
     return spark.read.schema("vec_id long, cell long").parquet(path)
+
+
+def pq_write_index(
+    packed: DataFrame, assign: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist the PACKED PQ codes CELL-PARTITIONED: one ingest-time
+    join of ``pq_pack`` output with the coarse assignment, laid out
+    one parquet directory per cell -- (vec_id, codes) rows under
+    ``cell=<c>/``.  This moves the ``ivf_write_index`` IO story onto
+    the relation that actually dominates a 100-TB serve: the probed
+    restriction in ``ivf_pq_topk`` becomes a PARTITION filter on the
+    CODES scan itself, so a probe reads ~n_probe/n_cells of the codes
+    BYTES and the per-query assign-to-codes shuffle join disappears
+    entirely (the index embeds the assignment -- serving derives
+    ``assign`` from its (vec_id, cell) columns).  Codes are cast to
+    array<long> so the reader's explicit schema round-trips exactly."""
+    packed.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("codes").cast("array<long>").alias("codes"),
+    ).join(
+        assign.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+        ),
+        on="vec_id",
+    ).write.partitionBy("cell").mode(mode).parquet(path)
+
+
+def pq_read_index(spark, path: str) -> DataFrame:
+    """Read a cell-partitioned packed-PQ index back with the canonical
+    (vec_id long, codes array<long>, cell long) schema -- the explicit
+    schema keeps ``cell`` LONG natively so the probed ``cell IN``
+    restriction partition-prunes without a cast (same rationale as
+    ``ivf_read_index``).  Feed the result to ``ivf_pq_topk(codes=)``;
+    the embedded cell column makes a separate ``assign`` unnecessary."""
+    return spark.read.schema(
+        "vec_id long, codes array<long>, cell long"
+    ).parquet(path)
+
+
+def sq8_write_index(
+    codes: DataFrame, assign: DataFrame, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist the SQ8 codes CELL-PARTITIONED -- ``pq_write_index``'s
+    layout for the int8 family: (vec_id, scale, q, nrm) rows under
+    ``cell=<c>/``, with the stored dequantized norm (the round-9
+    index contract) so serving never recomputes it.  ``ivf_sq8_topk``
+    fed this index partition-prunes its codes scan and skips the
+    assign join."""
+    if "nrm" not in codes.columns:
+        codes = codes.withColumn("nrm", _sq8_nrm())
+    codes.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("scale").cast("double").alias("scale"),
+        F.col("q").cast("array<int>").alias("q"),
+        F.col("nrm").cast("double").alias("nrm"),
+    ).join(
+        assign.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+        ),
+        on="vec_id",
+    ).write.partitionBy("cell").mode(mode).parquet(path)
+
+
+def sq8_read_index(spark, path: str) -> DataFrame:
+    """Read a cell-partitioned SQ8 index back with the canonical
+    (vec_id long, scale double, q array<int>, nrm double, cell long)
+    schema -- cell stays LONG natively so the probed restriction
+    partition-prunes (same rationale as ``ivf_read_index``)."""
+    return spark.read.schema(
+        "vec_id long, scale double, q array<int>, nrm double, cell long"
+    ).parquet(path)
 
 
 def _probe_cells(q: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
@@ -2674,20 +2751,35 @@ def _ivf_pq_topk_arrow(
     allowed = _allowed_matrix(cells_by_qid, union_cells, qids)
     kk = int(keep)
 
-    src = widen_partitions(
-        assign.filter(F.col("cell").isin([int(c) for c in union_cells]))
-        .select(
-            F.col("vec_id").cast("long").alias("vec_id"),
-            F.col("cell").cast("long").alias("cell"),
-        )
-        .join(
-            packed.select(
-                F.col("vec_id").cast("long").alias("vec_id"), "codes"
+    if "cell" in packed.columns:
+        # cell-partitioned packed index (pq_write_index layout): the
+        # probed restriction is a PARTITION filter on the codes scan
+        # itself and the assign join disappears -- the index embeds it
+        src = widen_partitions(
+            packed.filter(
+                F.col("cell").isin([int(c) for c in union_cells])
+            ).select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("cell").cast("long").alias("cell"),
+                "codes",
             ),
-            on="vec_id",
-        ),
-        "vec_id",
-    )
+            "vec_id",
+        )
+    else:
+        src = widen_partitions(
+            assign.filter(F.col("cell").isin([int(c) for c in union_cells]))
+            .select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("cell").cast("long").alias("cell"),
+            )
+            .join(
+                packed.select(
+                    F.col("vec_id").cast("long").alias("vec_id"), "codes"
+                ),
+                on="vec_id",
+            ),
+            "vec_id",
+        )
 
     def score_blocks(batch):
         yield from _adc_score_cell_blocks(
@@ -2779,10 +2871,22 @@ def ivf_pq_topk(
     round-13 exact-threshold pruning scan) followed by the shared
     ``_exact_rerank`` (itself impl-routed on rescore work).  Explicit
     ``impl="arrow"`` without packed codes raises (same rule as
-    ``pq_topk``)."""
+    ``pq_topk``).
+
+    The production layout is a ``pq_read_index`` relation for
+    ``codes`` (packed codes persisted CELL-PARTITIONED): the probed
+    restriction then partition-prunes the codes scan itself, serving
+    reads ~n_probe/n_cells of the codes bytes with NO assign join,
+    and ``assign`` may be omitted -- the index's (vec_id, cell)
+    columns ARE the assignment."""
     cents = _codebook(emb, n_cells, ivf_cents)
     if assign is None:
-        assign = ivf_assign(emb, n_cells, cents)
+        if codes is not None and "cell" in codes.columns:
+            # cell-partitioned index: the assignment rides in it --
+            # never re-pay the corpus assignment pass
+            assign = codes.select("vec_id", "cell")
+        else:
+            assign = ivf_assign(emb, n_cells, cents)
     if impl not in ("auto", "arrow", "sql"):
         raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
     q = emb.filter(F.col("vec_id").isin(query_ids)).select(
@@ -3224,20 +3328,31 @@ def _ivf_sq8_topk_arrow(
                         arrays, names=["qid", "vec_id", "cos"]
                     )
 
-    src = (
-        assign.filter(F.col("cell").isin([int(c) for c in union_cells]))
-        .select(
+    if "cell" in codes.columns:
+        # cell-partitioned SQ8 index (sq8_write_index layout): probed
+        # restriction = PARTITION filter on the codes scan, no join
+        src = codes.filter(
+            F.col("cell").isin([int(c) for c in union_cells])
+        ).select(
             F.col("vec_id").cast("long").alias("vec_id"),
             F.col("cell").cast("long").alias("cell"),
+            "scale", "q", "nrm",
         )
-        .join(
-            codes.select(
+    else:
+        src = (
+            assign.filter(F.col("cell").isin([int(c) for c in union_cells]))
+            .select(
                 F.col("vec_id").cast("long").alias("vec_id"),
-                "scale", "q", "nrm",
-            ),
-            on="vec_id",
+                F.col("cell").cast("long").alias("cell"),
+            )
+            .join(
+                codes.select(
+                    F.col("vec_id").cast("long").alias("vec_id"),
+                    "scale", "q", "nrm",
+                ),
+                on="vec_id",
+            )
         )
-    )
     cand = widen_partitions(src, "vec_id").mapInArrow(
         kernel, schema="qid long, vec_id long, cos double"
     )
@@ -3286,12 +3401,22 @@ def ivf_sq8_topk(
     pair work scaled by the probe fraction (CODES size estimate x
     |query_ids| x n_probe/n_cells vs the shared threshold); the arrow
     form is ``_ivf_sq8_topk_arrow`` (cell-blocked dequantized-cosine
-    kernel, bit-identical, fuzz-pinned)."""
+    kernel, bit-identical, fuzz-pinned).
+
+    The production layout is an ``sq8_read_index`` relation for
+    ``codes`` (the int8 codes persisted CELL-PARTITIONED): the probed
+    restriction then partition-prunes the codes scan itself and the
+    assign join disappears; ``assign`` may be omitted -- the index's
+    (vec_id, cell) columns ARE the assignment."""
     if impl not in ("auto", "arrow", "sql"):
         raise ValueError(f"impl must be 'auto', 'arrow' or 'sql', got {impl!r}")
     cents = _codebook(emb, n_cells, ivf_cents)
     if assign is None:
-        assign = ivf_assign(emb, n_cells, cents)
+        if codes is not None and "cell" in codes.columns:
+            # cell-partitioned index: the assignment rides in it
+            assign = codes.select("vec_id", "cell")
+        else:
+            assign = ivf_assign(emb, n_cells, cents)
     if codes is None:
         codes = sq8_encode(emb)
     if "nrm" not in codes.columns:

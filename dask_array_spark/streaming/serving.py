@@ -9,8 +9,9 @@ Shape: ``foreachBatch``.  Each micro-batch of arriving query rows is
 a plain batch DataFrame, so the handler extracts the batch's query
 ids (a micro-batch-BOUNDED collect -- the same bounded class as the
 batch tiers' own query-side collects) and calls the UNMODIFIED batch
-serving function (cosine_topk / ivf_topk / sq8_topk / pq_topk)
-against the static corpus and its persisted index relations.
+serving function (cosine_topk / ivf_topk / sq8_topk / pq_topk, or
+the composed ivf_pq_topk / ivf_sq8_topk) against the static corpus
+and its persisted index relations.
 Bit-parity with batch is therefore structural -- the streamed answer
 IS the batch answer for that id set, union'd across micro-batches
 (per-query results are independent, so the micro-batch split cannot
@@ -38,8 +39,12 @@ __all__ = ["stream_topk_serve"]
 
 # tier name -> batch serving callable (emb, query_ids, k=..., **kw).
 # pq_topk's extra positional surface (cents, dim) rides in **kw as
-# keywords; every tier keeps its own impl routing untouched.
-_TIERS = ("cosine", "ivf", "sq8", "pq")
+# keywords; every tier keeps its own impl routing untouched.  The
+# composed tiers serve a production deployment's full index stack --
+# pass the cell-partitioned relation from pq_read_index /
+# sq8_read_index as codes= and the probed restriction partition-prunes
+# the codes scan inside each micro-batch (no assign needed).
+_TIERS = ("cosine", "ivf", "sq8", "pq", "ivf_pq", "ivf_sq8")
 
 
 def stream_topk_serve(
@@ -75,6 +80,8 @@ def stream_topk_serve(
         "ivf": SIM.ivf_topk,
         "sq8": SIM.sq8_topk,
         "pq": SIM.pq_topk,
+        "ivf_pq": SIM.ivf_pq_topk,
+        "ivf_sq8": SIM.ivf_sq8_topk,
     }
     if tier not in fns:
         raise ValueError(f"tier must be one of {_TIERS}, got {tier!r}")

@@ -172,3 +172,57 @@ def test_stream_pq_serve_matches_batch(spark, emb, tmp_path):
         assert sorted(got) == sorted(want)
     finally:
         cents.unpersist(); packed.unpersist()
+
+
+def test_stream_composed_serve_from_codes_index(spark, emb, tmp_path):
+    """The full production index stack on a stream: both composed
+    tiers served every micro-batch from their cell-partitioned codes
+    index (pq_write_index / sq8_write_index read-backs, no assign
+    argument -- the index embeds it), bit-parity with the batch call
+    on the same persisted relations."""
+    from dask_array_spark.functions.similarity import (
+        ivf_assign, ivf_pq_topk, ivf_sq8_topk, pq_encode, pq_pack,
+        pq_read_index, pq_train, pq_write_index, sq8_encode,
+        sq8_read_index, sq8_write_index,
+    )
+
+    assign = ivf_assign(emb, n_cells=4)
+    cents = pq_train(emb, dim=64, m=4, n_codes=4, iters=1).persist()
+    cents.count()
+    pq_path = str(tmp_path / "pq_index")
+    pq_write_index(pq_pack(pq_encode(emb, cents, dim=64, m=4)), assign, pq_path)
+    sq8_path = str(tmp_path / "sq8_index")
+    sq8_write_index(sq8_encode(emb), assign, sq8_path)
+    try:
+        waves = [[0, 3], [7]]
+        all_ids = sorted({v for w in waves for v in w})
+
+        pq_idx = pq_read_index(spark, pq_path)
+        got = _serve_collect(
+            spark, str(tmp_path / "q1"), emb, waves, str(tmp_path / "t1"),
+            k=3, tier="ivf_pq", pq_cents=cents, dim=64, m=4, n_cells=4,
+            n_probe=2, codes=pq_idx, rerank=2,
+        )
+        want = [
+            tuple(r)
+            for r in ivf_pq_topk(
+                emb, all_ids, cents, dim=64, m=4, k=3, n_cells=4,
+                n_probe=2, codes=pq_idx, rerank=2,
+            ).collect()
+        ]
+        assert sorted(got) == sorted(want)
+
+        sq8_idx = sq8_read_index(spark, sq8_path)
+        got = _serve_collect(
+            spark, str(tmp_path / "q2"), emb, waves, str(tmp_path / "t2"),
+            k=3, tier="ivf_sq8", n_cells=4, n_probe=2, codes=sq8_idx,
+        )
+        want = [
+            tuple(r)
+            for r in ivf_sq8_topk(
+                emb, all_ids, k=3, n_cells=4, n_probe=2, codes=sq8_idx
+            ).collect()
+        ]
+        assert sorted(got) == sorted(want)
+    finally:
+        cents.unpersist()
