@@ -615,7 +615,35 @@ def ivf_assign(
     )
 
 
-def ivf_write_index(assign: DataFrame, path: str, mode: str = "overwrite") -> None:
+def _cell_file_layout(df: DataFrame, files_per_cell: int | None) -> DataFrame:
+    """Bound the per-cell file fan-out of a partitionBy("cell") write:
+    ``partitionBy`` emits one file per (task, cell), so an index
+    written straight off a 32-partition shuffle scatters every cell
+    into 32 small files -- and the r13_codes_prune measurement shows
+    per-file open overhead eating the pruning's byte saving at small
+    scale.  Repartitioning on (cell, hash(vec_id) % files_per_cell)
+    co-locates each cell into ~files_per_cell tasks, so each cell
+    lands in at most that many files (hash collisions can merge some)
+    while staying wide enough that no single task writes a whole
+    100-TB cell.  ``None`` preserves the incoming partitioning."""
+    if files_per_cell is None:
+        return df
+    if int(files_per_cell) < 1:
+        raise ValueError(
+            f"files_per_cell must be >= 1, got {files_per_cell!r}"
+        )
+    return df.repartition(
+        F.col("cell"),
+        F.pmod(F.hash(F.col("vec_id")), F.lit(int(files_per_cell))),
+    )
+
+
+def ivf_write_index(
+    assign: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    files_per_cell: int | None = None,
+) -> None:
     """Persist an IVF assignment index CELL-PARTITIONED -- one parquet
     directory per cell (``df.write.partitionBy("cell")``).  This is
     the layout the 100-TB IO story rests on: the serving tiers
@@ -627,10 +655,15 @@ def ivf_write_index(assign: DataFrame, path: str, mode: str = "overwrite") -> No
     just PushedFilters; measured in forensics/ivf_partition_pruning).
     Cells number n_cells (hundreds-to-thousands at 100 TB), so the
     directory fan-out stays far below any filesystem limit and each
-    cell's files stay large enough to scan efficiently."""
-    assign.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("cell").cast("long").alias("cell"),
+    cell's files stay large enough to scan efficiently.
+    ``files_per_cell`` bounds the per-cell file count (see
+    ``_cell_file_layout``)."""
+    _cell_file_layout(
+        assign.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("cell").cast("long").alias("cell"),
+        ),
+        files_per_cell,
     ).write.partitionBy("cell").mode(mode).parquet(path)
 
 
@@ -644,7 +677,11 @@ def ivf_read_index(spark, path: str) -> DataFrame:
 
 
 def pq_write_index(
-    packed: DataFrame, assign: DataFrame, path: str, mode: str = "overwrite"
+    packed: DataFrame,
+    assign: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    files_per_cell: int | None = None,
 ) -> None:
     """Persist the PACKED PQ codes CELL-PARTITIONED: one ingest-time
     join of ``pq_pack`` output with the coarse assignment, laid out
@@ -656,16 +693,22 @@ def pq_write_index(
     BYTES and the per-query assign-to-codes shuffle join disappears
     entirely (the index embeds the assignment -- serving derives
     ``assign`` from its (vec_id, cell) columns).  Codes are cast to
-    array<long> so the reader's explicit schema round-trips exactly."""
-    packed.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("codes").cast("array<long>").alias("codes"),
-    ).join(
-        assign.select(
+    array<long> so the reader's explicit schema round-trips exactly.
+    ``files_per_cell`` bounds the per-cell file count (see
+    ``_cell_file_layout``; r13_codes_prune measured the unbounded
+    fan-out's per-file overhead eating the byte saving locally)."""
+    _cell_file_layout(
+        packed.select(
             F.col("vec_id").cast("long").alias("vec_id"),
-            F.col("cell").cast("long").alias("cell"),
+            F.col("codes").cast("array<long>").alias("codes"),
+        ).join(
+            assign.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("cell").cast("long").alias("cell"),
+            ),
+            on="vec_id",
         ),
-        on="vec_id",
+        files_per_cell,
     ).write.partitionBy("cell").mode(mode).parquet(path)
 
 
@@ -682,27 +725,35 @@ def pq_read_index(spark, path: str) -> DataFrame:
 
 
 def sq8_write_index(
-    codes: DataFrame, assign: DataFrame, path: str, mode: str = "overwrite"
+    codes: DataFrame,
+    assign: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    files_per_cell: int | None = None,
 ) -> None:
     """Persist the SQ8 codes CELL-PARTITIONED -- ``pq_write_index``'s
     layout for the int8 family: (vec_id, scale, q, nrm) rows under
     ``cell=<c>/``, with the stored dequantized norm (the round-9
     index contract) so serving never recomputes it.  ``ivf_sq8_topk``
     fed this index partition-prunes its codes scan and skips the
-    assign join."""
+    assign join.  ``files_per_cell`` bounds the per-cell file count
+    (see ``_cell_file_layout``)."""
     if "nrm" not in codes.columns:
         codes = codes.withColumn("nrm", _sq8_nrm())
-    codes.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        F.col("scale").cast("double").alias("scale"),
-        F.col("q").cast("array<int>").alias("q"),
-        F.col("nrm").cast("double").alias("nrm"),
-    ).join(
-        assign.select(
+    _cell_file_layout(
+        codes.select(
             F.col("vec_id").cast("long").alias("vec_id"),
-            F.col("cell").cast("long").alias("cell"),
+            F.col("scale").cast("double").alias("scale"),
+            F.col("q").cast("array<int>").alias("q"),
+            F.col("nrm").cast("double").alias("nrm"),
+        ).join(
+            assign.select(
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("cell").cast("long").alias("cell"),
+            ),
+            on="vec_id",
         ),
-        on="vec_id",
+        files_per_cell,
     ).write.partitionBy("cell").mode(mode).parquet(path)
 
 

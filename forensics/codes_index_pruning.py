@@ -6,7 +6,11 @@ this cell records the same evidence for the PQ and SQ8 codes indexes
 executed CODES scan's numFiles/filesSize after pruning vs a flat
 single-directory layout of identical rows, timed serving legs on
 both, plus the pre-round-13 join form (assignment index + unindexed
-codes) for the shape the layout eliminates.
+codes) for the shape the layout eliminates, and the
+files_per_cell=4 COALESCED layout (the production-ingest knob the
+first measurement motivated: unbounded partitionBy scatters each
+cell across the whole shuffle width and per-file open overhead eats
+the byte saving at local scale).
 
 Same caveat as the assignment cell: at local 600k the codes relation
 is small so TIME deltas are noise -- the recorded claim is the BYTES
@@ -68,10 +72,14 @@ def main() -> None:
         "query_batch": batch, "pq": {"m": M, "n_codes": N_CODES},
     }
 
-    def record(tier, part_path, flat_path, serve_from, join_form):
-        part_b, flat_b = dir_bytes(part_path), dir_bytes(flat_path)
+    def record(tier, part_path, coal_path, flat_path, serve_from, join_form):
+        part_b, coal_b = dir_bytes(part_path), dir_bytes(coal_path)
+        flat_b = dir_bytes(flat_path)
         dfp = serve_from(tier_read[tier](spark, part_path))
         a = sorted(tuple(r) for r in dfp.collect())
+        dfc = serve_from(tier_read[tier](spark, coal_path))
+        ac = sorted(tuple(r) for r in dfc.collect())
+        assert a == ac, f"{tier}: partitioned/coalesced answers diverged"
         dff = serve_from(
             spark.read.schema(tier_schema[tier]).parquet(flat_path)
         )
@@ -81,23 +89,35 @@ def main() -> None:
         assert a == c, f"{tier}: index/join-form answers diverged"
         print(f"{tier} parity: {len(a)} rows identical", flush=True)
         mp = scan_metrics(dfp, "_part")
+        mc = scan_metrics(dfc, "_coal")
         mf = scan_metrics(dff, "_flat")
         return {
             "index_bytes_on_disk": {
-                "partitioned_total": part_b, "flat_total": flat_b,
+                "partitioned_total": part_b,
+                "coalesced_total": coal_b,
+                "flat_total": flat_b,
             },
             "scan_metrics": {
                 "partitioned": [
                     {"numFiles": f, "filesSize": s} for f, s in mp
+                ],
+                "coalesced": [
+                    {"numFiles": f, "filesSize": s} for f, s in mc
                 ],
                 "flat": [{"numFiles": f, "filesSize": s} for f, s in mf],
             },
             "bytes_read_fraction": (
                 round(sum(s for _, s in mp) / part_b, 4) if mp else None
             ),
+            "coalesced_bytes_read_fraction": (
+                round(sum(s for _, s in mc) / coal_b, 4) if mc else None
+            ),
             "times_sec": {
                 "partitioned": time_leg(
                     lambda: serve_from(tier_read[tier](spark, part_path))
+                ),
+                "coalesced": time_leg(
+                    lambda: serve_from(tier_read[tier](spark, coal_path))
                 ),
                 "flat": time_leg(
                     lambda: serve_from(
@@ -123,7 +143,9 @@ def main() -> None:
     # ---- PQ codes index -------------------------------------------------
     packed = SIM.pq_pack(SIM.pq_encode(emb, pqc, dim=DIM, m=M))
     pq_part, pq_flat = base + "_pq_part", base + "_pq_flat"
+    pq_coal = base + "_pq_coal"
     SIM.pq_write_index(packed, assign_df, pq_part)
+    SIM.pq_write_index(packed, assign_df, pq_coal, files_per_cell=4)
     # flat layout: identical rows, single directory (cell is a data
     # column, the probed restriction only row-filters)
     SIM.pq_read_index(spark, pq_part).write.mode("overwrite").parquet(pq_flat)
@@ -136,7 +158,7 @@ def main() -> None:
     )
 
     res["pq_codes_index"] = record(
-        "pq", pq_part, pq_flat,
+        "pq", pq_part, pq_coal, pq_flat,
         lambda idx: SIM.ivf_pq_topk(
             emb, qids, pqc, dim=DIM, m=M, k=k, n_cells=n_cells,
             n_probe=n_probe, ivf_cents=trained, codes=idx, impl="arrow",
@@ -151,7 +173,9 @@ def main() -> None:
     # ---- SQ8 codes index ------------------------------------------------
     sq = SIM.sq8_encode(emb)
     sq_part, sq_flat = base + "_sq8_part", base + "_sq8_flat"
+    sq_coal = base + "_sq8_coal"
     SIM.sq8_write_index(sq, assign_df, sq_part)
+    SIM.sq8_write_index(sq, assign_df, sq_coal, files_per_cell=4)
     SIM.sq8_read_index(spark, sq_part).write.mode("overwrite").parquet(sq_flat)
     sq_plain = base + "_sq8_plain"
     SIM.sq8_read_index(spark, sq_part).select(
@@ -162,7 +186,7 @@ def main() -> None:
     ).parquet(sq_plain)
 
     res["sq8_codes_index"] = record(
-        "sq8", sq_part, sq_flat,
+        "sq8", sq_part, sq_coal, sq_flat,
         lambda idx: SIM.ivf_sq8_topk(
             emb, qids, k=k, n_cells=n_cells, n_probe=n_probe,
             ivf_cents=trained, codes=idx, impl="arrow",

@@ -108,6 +108,44 @@ def main() -> None:
                 "```",
                 "",
             ]
+            # the joinless composed serve off a cell-partitioned
+            # CODES index (round 13): pq_write_index embeds the
+            # assignment, so the probed restriction plans as a
+            # PARTITION filter on the codes scan and the per-query
+            # assign-to-codes join disappears entirely
+            import tempfile
+
+            idxdir = os.path.join(
+                tempfile.mkdtemp(prefix="plans_pqidx_"), "index"
+            )
+            SIM.pq_write_index(
+                packed, SIM.ivf_assign(emb, 4), idxdir, files_per_cell=2
+            )
+            idx = SIM.pq_read_index(spark, idxdir)
+            jdf = SIM.ivf_pq_topk(
+                emb, [0, 1], pqc, dim=64, m=4, k=3, n_cells=4,
+                n_probe=2, codes=idx, impl="arrow",
+            )
+            jplan = jdf._jdf.queryExecution().executedPlan().toString()
+            out += [
+                "## ivf_pq_topk off a cell-partitioned codes index "
+                "(round 13)",
+                "",
+                "The production serving layout: pq_write_index lands "
+                "the packed codes partitionBy(cell) with the "
+                "assignment embedded, so the probed-cell restriction "
+                "is a PartitionFilters entry on the codes scan itself "
+                "(directories pruned at planning; bytes fraction = "
+                "probed-cell fraction, forensics/r13_codes_prune) and "
+                "the plan contains NO assign join -- one pruned scan "
+                "feeds the cell-blocked ADC kernel directly.  Pinned "
+                "by test_pq_index.py.",
+                "",
+                "```",
+                jplan.strip()[:2500],
+                "```",
+                "",
+            ]
     with open(os.path.join(os.path.dirname(__file__), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))
     print("PLANS.md written")

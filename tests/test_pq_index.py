@@ -246,3 +246,35 @@ def test_pq_index_scan_reads_only_probed_cells(
     got_files, got_bytes = metrics[0]
     assert got_files == want_files
     assert got_bytes == want_bytes < total_bytes
+
+
+def test_files_per_cell_bounds_fanout(spark, emb, packed, assign, tmp_path):
+    """files_per_cell is the production-ingest knob r13_codes_prune
+    motivates: partitionBy emits one file per (task, cell), so an
+    unbounded write scatters each cell across the whole shuffle
+    width; the bounded layout must cap per-cell files while keeping
+    values identical."""
+    from dask_array_spark.functions.similarity import (
+        ivf_write_index, pq_read_index, pq_write_index,
+    )
+
+    wide, tight = str(tmp_path / "wide"), str(tmp_path / "tight")
+    pq_write_index(packed, assign, wide)
+    pq_write_index(packed, assign, tight, files_per_cell=2)
+    for cell, (nf, _) in _cell_files(tight).items():
+        assert nf <= 2, f"cell {cell}: {nf} files"
+    assert sum(nf for nf, _ in _cell_files(wide).values()) >= sum(
+        nf for nf, _ in _cell_files(tight).values()
+    )
+    a = {
+        (r["vec_id"], tuple(r["codes"]), r["cell"])
+        for r in pq_read_index(spark, wide).collect()
+    }
+    b = {
+        (r["vec_id"], tuple(r["codes"]), r["cell"])
+        for r in pq_read_index(spark, tight).collect()
+    }
+    assert a == b
+
+    with pytest.raises(ValueError, match="files_per_cell"):
+        ivf_write_index(assign, str(tmp_path / "bad"), files_per_cell=0)
