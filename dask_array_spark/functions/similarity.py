@@ -109,6 +109,12 @@ _ARROW_AUTO_MIN_WORK_BYTES = 8 << 20
 # 600k x 256q -- SCALE.md round 13).
 _ARROW_ADC_MAX_KEEP = 1024
 
+# Row-block size for the ADC scoring fold: the (block, |q|) float64
+# accumulator must stay L2-resident across the m subspace passes
+# (2048 x 256 queries x 8 B = 4 MB; at small query batches smaller
+# still).  Measured against the unblocked form in SCALE.md round 13.
+_ADC_ROW_BLOCK = 2048
+
 
 def _plan_stats_bytes(df: DataFrame) -> int | None:
     """Catalyst's optimized-plan size estimate for ``df`` -- file
@@ -178,12 +184,15 @@ def _cosine_topk_arrow(emb: DataFrame, query_ids: list[int], k: int):
     ranks the metadata-sized union.  Returns None only when NO query
     id resolves to a usable vector (both forms are then empty).
 
-    Exactness contract (the reason this beats a plain GEMM port):
-    - dot and norm accumulate SEQUENTIALLY over elements j=0..d-1 in
-      float64, the same left-fold order as the SQL
-      zip_with/aggregate expressions -- bit-identical sums, so the
-      shared round-6 contract yields bit-identical cos and the SQL
-      and arrow forms cannot disagree at rounding boundaries;
+    Exactness contract (what a plain GEMM port would get wrong):
+    - the norm accumulates SEQUENTIALLY over elements j=0..d-1 in
+      float64 (the SQL aggregate's left-fold order); the (n, nq) dot
+      runs as a BLAS GEMM whose entries are PROVEN to round-6
+      identically to that same left-fold -- entries within the
+      summation-error radius of a half-decimal boundary are
+      recomputed through the exact sequential fold
+      (``_gemm_seqfold_cos``), so the SQL and arrow forms cannot
+      disagree at rounding boundaries;
     - exclusions replicate the SQL guard exactly: zero denominator
       (SQL x/0.0 -> NULL), NaN cos (NaN payloads), self-match, NULL
       or wrong-length embeddings (SQL zip_with pads -> NULL fold);
@@ -232,16 +241,19 @@ def _cosine_topk_arrow(emb: DataFrame, query_ids: list[int], k: int):
                 ids = np.asarray(sub.column(0), dtype="int64")
                 X = np.asarray(scol.flatten(), dtype="float64").reshape(n, d)
                 with np.errstate(all="ignore"):  # NaN/Inf masked below
-                    # sequential left-fold accumulation, SQL fold order
+                    # the per-row norm stays a sequential left-fold
+                    # (SQL fold order; d passes over an (n,) array
+                    # are cache-resident and cheap) -- the (n, nq)
+                    # dot goes through the BLAS + boundary-fixup
+                    # helper, bit-equal after round6
                     nrm = np.zeros(n)
-                    D = np.zeros((n, nq))
                     for j in range(d):
                         xj = X[:, j]
                         nrm += xj * xj
-                        D += xj[:, None] * Q[None, :, j]
                     nrm = np.sqrt(nrm)
                     denom = nrm[:, None] * qnrm[None, :]
-                    cos = _spark_round6_signed(D / denom) + 0.0
+                    x = _gemm_seqfold_cos(X, Q, denom)
+                    cos = _spark_round6_signed(x) + 0.0
                     ok = (
                         (denom != 0.0)
                         & ~np.isnan(cos)
@@ -352,6 +364,87 @@ def _spark_round6_signed(a: "np.ndarray") -> "np.ndarray":
     import numpy as np
 
     return np.copysign(_spark_round6_np(np.abs(a)), a)
+
+
+def _seqfold_dot_pairs(X, Q, rows, cols):
+    """Exact sequential left-fold dot for selected (row, col) pairs:
+    per pair, fl(fl(x_j * q_j) + acc) over j=0..d-1 -- the SQL
+    zip_with/aggregate fold order, element for element, vectorized
+    ACROSS pairs (the j order each element sees is unchanged).  The
+    bit-exact fallback for entries ``_gemm_seqfold_cos`` flags."""
+    import numpy as np
+
+    acc = np.zeros(rows.size)
+    Xs, Qs = X[rows], Q[cols]
+    for j in range(X.shape[1]):
+        acc += Xs[:, j] * Qs[:, j]
+    return acc
+
+
+def _gemm_seqfold_cos(C, Q, denom, scale=None):
+    """The (rows x queries) pre-round cosine/score matrix
+    ``x = [scale *] (C . Q^T) / denom`` with a PROVABLE round-6
+    bit-parity contract against the sequential-fold form, at BLAS
+    cost instead of d full passes over the (n, nq) accumulator.
+
+    Why this is exact: the served value is ``round6_signed(x) + 0.0``
+    -- a step function of x whose output changes ONLY at half-decimal
+    boundaries (k + 0.5) * 1e-6 (HALF_UP; the sign-restore flips at
+    x = 0, where both magnitudes round to the same grid point and
+    ``+ 0.0`` normalizes the zero sign).  Any two summation orders of
+    the same products -- the SQL left-fold and the BLAS GEMM, FMA or
+    not -- agree with the exact sum within gamma_d * sum|c_j q_j|
+    (Higham, Accuracy and Stability of Numerical Algorithms, ch. 3;
+    the standard backward-error bound used by the reference's own
+    tree-reduction tolerance arguments), so their difference is
+    bounded by an elementwise, cheaply-computable radius.  Entries
+    whose GEMM value sits FARTHER than that radius (plus the
+    downstream multiply/divide ulps and ``_spark_round6_np``'s own
+    repr guard band) from every boundary provably round identically;
+    only the flagged sliver -- plus every non-finite entry, where the
+    bound says nothing -- is recomputed through the exact sequential
+    fold (``_seqfold_dot_pairs``) and overwritten.  On real distance
+    data the flagged set is measure-~zero (same argument as
+    ``_spark_round6_np``'s Decimal fallback); on hostile data it is
+    merely slow, never wrong.  Parity is fuzz-pinned against the
+    naive-loop replica in tests/test_seqfold_gemm.py and end-to-end
+    by the arrow==sql suites."""
+    import numpy as np
+
+    d = C.shape[1]
+    eps = np.finfo(np.float64).eps
+    with np.errstate(all="ignore"):
+        Dg = C @ Q.T
+        # |Dg - Dseq| <= 2 * gamma_{d} * sum_j |c_j q_j| (either order
+        # vs the exact sum); 2*(d + 2)*eps over-covers gamma_d twice
+        errd = (2.0 * (d + 2) * eps) * (np.abs(C) @ np.abs(Q).T)
+        if scale is not None:
+            num = scale[:, None] * Dg
+            errn = np.abs(scale)[:, None] * errd + 4.0 * np.spacing(
+                np.abs(num)
+            )
+        else:
+            num, errn = Dg, errd
+        x = num / denom
+        errx = errn / np.abs(denom) + 4.0 * np.spacing(np.abs(x))
+        # flag: within the error radius of a half-decimal boundary
+        # (including round6's own repr guard band), possibly
+        # sign-flipped, or outside the bound's reach entirely
+        y = np.abs(x) * 1e6
+        frac = y - np.floor(y)
+        band = 1e6 * errx + 8.0 * np.spacing(np.maximum(y, 1.0))
+        risky = (
+            (np.abs(frac - 0.5) <= band)
+            | (np.abs(x) <= errx)
+            | ~np.isfinite(x)
+            | ~np.isfinite(errx)
+        )
+        if risky.any():
+            r, c = np.nonzero(risky)
+            ds = _seqfold_dot_pairs(C, Q, r, c)
+            ns = scale[r] * ds if scale is not None else ds
+            x[r, c] = ns / denom[r, c]
+    return x
 
 
 def cosine_topk(
@@ -2023,17 +2116,28 @@ def _adc_score_batch(batch, m, code_vals, lut, lutv, seen, qids):
     ids = np.asarray(batch.column(names.index("vec_id")), dtype="int64")
     C = np.asarray(ccol.flatten(), dtype="int64").reshape(n, m)
     nq = len(qids)
-    D = np.zeros((n, nq))
+    D = np.empty((n, nq))
     matched = np.zeros(n, dtype="int64")
-    valid_any = np.zeros((n, nq), dtype=bool)
+    valid_any = np.empty((n, nq), dtype=bool)
     with np.errstate(all="ignore"):
-        for s in range(m):
-            inr, idx = _code_index(code_vals, C[:, s])
-            hit = inr & seen[s, idx]
-            v = lutv[s, idx, :] & hit[:, None]
-            D += np.where(v, lut[s, idx, :], 0.0)
-            valid_any |= v
-            matched += hit
+        # row-blocked accumulation: the (block, nq) working set stays
+        # cache-resident across the m subspace passes instead of m
+        # full DRAM round-trips over an (n, nq) accumulator -- the
+        # per-element op sequence (ascending s, where/add) is
+        # unchanged, so the fold stays bit-identical
+        for r0 in range(0, n, _ADC_ROW_BLOCK):
+            r1 = min(n, r0 + _ADC_ROW_BLOCK)
+            Db = np.zeros((r1 - r0, nq))
+            vb = np.zeros((r1 - r0, nq), dtype=bool)
+            for s in range(m):
+                inr, idx = _code_index(code_vals, C[r0:r1, s])
+                hit = inr & seen[s, idx]
+                v = lutv[s, idx, :] & hit[:, None]
+                Db += np.where(v, lut[s, idx, :], 0.0)
+                vb |= v
+                matched[r0:r1] += hit
+            D[r0:r1] = Db
+            valid_any[r0:r1] = vb
         dist = _spark_round6_signed(D) + 0.0
         # matched>0: the relational group exists (>=1 join row);
         # valid_any: dist is not the all-NULL SUM
@@ -2094,11 +2198,15 @@ def _adc_score_cell_blocks(
         matched = np.zeros(rows.size, dtype="int64")
         valid_any = np.zeros((rows.size, qsel.size), dtype=bool)
         with np.errstate(all="ignore"):
+            qcols = qsel[None, :]
             for s in range(m):
                 inr, idx = _code_index(code_vals, C[rows, s])
                 hit = inr & seen[s, idx]
-                v = lutv[s][idx][:, qsel] & hit[:, None]
-                Db += np.where(v, lut[s][idx][:, qsel], 0.0)
+                # direct (rows, |qsel|) gather -- the chained
+                # [idx][:, qsel] form materializes the full (rows,
+                # |q|) slab first, paying the unprobed columns
+                v = lutv[s][idx[:, None], qcols] & hit[:, None]
+                Db += np.where(v, lut[s][idx[:, None], qcols], 0.0)
                 valid_any |= v
                 matched += hit
             dist = _spark_round6_signed(Db) + 0.0
@@ -3074,10 +3182,11 @@ def _sq8_topk_arrow(codes: DataFrame, emb: DataFrame, query_ids, k: int):
     """Arrow scan for ``sq8_topk`` (no-candidates form): one
     mapInArrow pass over the 4x-smaller (vec_id, scale, q, nrm)
     relation, replicating the SQL expression bit-for-bit -- the
-    integer-code dot accumulates sequentially in float64 in the SQL
-    fold order, then round6((scale * dot) / (nrm * qnrm)) + 0.0 with
-    the same exclusion set (zero denominator, NaN, self, NULL/ragged
-    codes).  Query resolution, per-length grouping, and threshold
+    integer-code dot runs as a BLAS GEMM proven round-6-equal to the
+    SQL sequential fold (boundary-flagged entries recomputed through
+    the exact left-fold, ``_gemm_seqfold_cos``), then
+    round6((scale * dot) / (nrm * qnrm)) + 0.0 with the same
+    exclusion set (zero denominator, NaN, self, NULL/ragged codes).  Query resolution, per-length grouping, and threshold
     pruning follow ``_cosine_topk_arrow`` exactly (shared helpers).
     Returns None only when no query id resolves to a usable vector
     (both forms are then empty)."""
@@ -3127,12 +3236,12 @@ def _sq8_topk_arrow(codes: DataFrame, emb: DataFrame, query_ids, k: int):
                 )
                 C = np.asarray(scol.flatten(), dtype="float64").reshape(n, d)
                 with np.errstate(all="ignore"):
-                    D = np.zeros((n, nq))
-                    for j in range(d):
-                        D += C[:, j][:, None] * Q[None, :, j]
-                    num = scale[:, None] * D
                     denom = nrm[:, None] * qnrm[None, :]
-                    cos = _spark_round6_signed(num / denom) + 0.0
+                    # BLAS dot + provable boundary fixup: bit-equal
+                    # to the sequential fold after round6 (see
+                    # _gemm_seqfold_cos), ~d x less memory traffic
+                    x = _gemm_seqfold_cos(C, Q, denom, scale=scale)
+                    cos = _spark_round6_signed(x) + 0.0
                     ok = (
                         (denom != 0.0)
                         & ~np.isnan(cos)
