@@ -463,10 +463,11 @@ def cosine_topk(
     kernel (``_cosine_topk_arrow``): per-batch threshold-pruned
     candidates, then the identical global window over a candidates
     relation of ~partitions x queries x ~k rows.  The kernel
-    replicates the SQL expression BIT-FOR-BIT (sequential left-fold
-    accumulation in the same element order, the shared round-6
+    replicates the SQL expression BIT-FOR-BIT (BLAS dot with the
+    ``_gemm_seqfold_cos`` boundary fixup -- provably round-6-equal to
+    the SQL left-fold element order -- under the shared round-6
     contract), so the two forms agree exactly -- pinned by
-    test_fuzz_similarity.  The arrow path resolves the query vectors
+    test_fuzz_similarity and test_seqfold_gemm.  The arrow path resolves the query vectors
     with one |query_ids|-bounded collect AT PLAN-BUILD TIME -- the
     engine's one documented laziness exception, pinned by
     test_plans.py.  ``"auto"`` (default) routes on estimated PAIR
@@ -1000,15 +1001,17 @@ def _ivf_topk_arrow(
                     qnrmc = qnrm[qsel]
                     qidsc = qids[qsel]
                     with np.errstate(all="ignore"):
+                        # sequential-fold norm; BLAS + boundary-fixup
+                        # dot, bit-equal after round6 (the shared
+                        # _gemm_seqfold_cos contract)
                         nrm = np.zeros(rows.size)
-                        D = np.zeros((rows.size, qsel.size))
                         for j in range(d):
                             xj = Xc[:, j]
                             nrm += xj * xj
-                            D += xj[:, None] * Qc[None, :, j]
                         nrm = np.sqrt(nrm)
                         denom = nrm[:, None] * qnrmc[None, :]
-                        cos = _spark_round6_signed(D / denom) + 0.0
+                        x = _gemm_seqfold_cos(Xc, Qc, denom)
+                        cos = _spark_round6_signed(x) + 0.0
                         ok = (
                             (denom != 0.0)
                             & ~np.isnan(cos)
@@ -3470,12 +3473,14 @@ def _ivf_sq8_topk_arrow(
                     qnrmc = qnrm[qsel]
                     qidsc = qids[qsel]
                     with np.errstate(all="ignore"):
-                        D = np.zeros((rows.size, qsel.size))
-                        for j in range(d):
-                            D += Cc[:, j][:, None] * Qc[None, :, j]
-                        num = scale[rows][:, None] * D
+                        # BLAS + boundary-fixup dot, bit-equal after
+                        # round6 (the shared _gemm_seqfold_cos
+                        # contract)
                         denom = nrm[rows][:, None] * qnrmc[None, :]
-                        cos = _spark_round6_signed(num / denom) + 0.0
+                        x = _gemm_seqfold_cos(
+                            Cc, Qc, denom, scale=scale[rows]
+                        )
+                        cos = _spark_round6_signed(x) + 0.0
                         ok = (
                             (denom != 0.0)
                             & ~np.isnan(cos)
