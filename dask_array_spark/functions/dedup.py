@@ -323,14 +323,19 @@ def jaccard_on_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_col(text_col: str = "text", bits: int = 16):
+def simhash_col(text_col: str = "text", bits: int = 16, toks=None):
     """SimHash of the whitespace tokens as ONE in-row Column: token
     polyhashes compute once into an array, each hash votes +-1 per bit
     (duplicate tokens vote once per occurrence == the count-weighted
     definition), and the sign of each vote total sets the output bit.
     Pure JVM fold -- zero shuffles, composes with streams; ``bits``
-    stays within the uniform low bits of the mod-P hash."""
-    th = F.transform(tokens_col(text_col), lambda t: polyhash_col(t))
+    stays within the uniform low bits of the mod-P hash.  ``toks``: a
+    pre-materialized token array (text.with_tokens) so suites that
+    compose many token signals tokenize once per document."""
+    th = F.transform(
+        tokens_col(text_col) if toks is None else toks,
+        lambda t: polyhash_col(t),
+    )
     pows = F.array([F.lit(1 << i).cast("long") for i in range(bits)])
     votes = F.aggregate(
         th,

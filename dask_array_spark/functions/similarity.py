@@ -1445,11 +1445,13 @@ def kmeans_fit(
     re-seed; at k << n this never happens in practice).
 
     Scale shape (the 100 TB story): NOTHING is collected -- each
-    round is (a) one broadcast of the k x dim codebook (tiny) with
-    in-row distance folds and a partial-aggregated argmin, and (b)
-    one posexplode + groupBy(cell, pos) mean -- a single linear
-    shuffle carrying corpus x dim scalar rows with map-side partial
-    sums, independent of k.  The new codebook reassembles with a
+    round is ONE broadcast of the k x dim codebook (tiny) feeding a
+    fused assign+mean pass: the partial-aggregated argmin carries the
+    embedding through (F.first), so the round's single linear shuffle
+    moves each embedding array exactly once and the per-(cell, pos)
+    means posexplode AFTER assignment with map-side partial sums,
+    independent of k (round 13 removed the per-round corpus x dim
+    join the unfused form paid).  The new codebook reassembles with a
     dim-bounded collect_list per cell and eagerly localCheckpoints:
     each round's plan references the previous codebook more than
     once, so persist (which caches data but keeps full lineage) would
@@ -1487,14 +1489,42 @@ def kmeans_fit(
                 .localCheckpoint()
             )
             continue
-        # pass the resolved impl through: the default auto would run a
-        # cents.count() job EVERY Lloyd round just to re-derive the
-        # answer already fixed by k (the round-11 kmeans_codebook
-        # bench drift, ~3 extra jobs per fit -- SCALE.md round 12)
-        asg = kmeans_assign(emb, cents, impl=assign_impl).select("vec_id", "cell")
-        ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "e"))
+        # FUSED assign+mean round (optimization round 13): the round-12
+        # form ran kmeans_assign, then joined the assignment back onto
+        # the posexploded corpus -- a corpus x dim row shuffle PLUS a
+        # join, every Lloyd round, just to re-attach each vector to its
+        # own argmin.  Carrying the embedding THROUGH the argmin
+        # aggregate (F.first -- constant within the vec_id group)
+        # removes the join and the exploded shuffle outright: one
+        # partial-aggregated min_by shuffle per round carries each
+        # embedding exactly once, then the per-(cell, pos) means are
+        # map-side partial sums of the already-assigned arrays.  Same
+        # distances (shared _sqdist + round-6 pre-argmin), same
+        # tie-break, same multiset of coordinates into each avg --
+        # value-identical to the unfused form (oracle-verified).
+        sq = _sqdist("embedding", "cemb")
+        scored = (
+            emb.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "embedding",
+                "cell",
+                (F.round(sq, 6) + F.lit(0.0)).alias("dist"),
+            )
+        )
+        best = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.min_by(F.struct("cell", "dist"), F.struct("dist", "cell")).alias(
+                    "__m"
+                ),
+                F.first("embedding").alias("embedding"),
+            )
+            .select(F.col("__m.cell").cast("long").alias("cell"), "embedding")
+        )
         newc = (
-            ex.join(asg, on="vec_id")
+            best.select("cell", F.posexplode("embedding").alias("pos", "e"))
             .groupBy("cell", "pos")
             .agg(
                 (F.round(F.avg(F.col("e").cast("double")), 6) + F.lit(0.0)).alias(

@@ -55,6 +55,29 @@ def tokens_col(text: Column | str) -> Column:
     return F.filter(F.split(c, " "), lambda x: x != "")
 
 
+TOKS = "__toks"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Materialize the token array ONCE in a lower projection (column
+    ``__toks``).  The composite text expressions below reference the
+    token array many times; higher-order functions fall out of
+    whole-stage codegen and the interpreted projection does NOT share
+    the repeated split+filter subtrees (measured: the 6-reference
+    quality projection runs ~3x slower than the same expression over a
+    materialized array -- optimization round 13).  CollapseProject
+    keeps the two projections separate exactly because the alias is
+    non-cheap and multiply referenced, so each document tokenizes once
+    regardless of how many signals a suite composes.  Consumers that
+    reference the array only once collapse back to a single projection
+    -- identical to the historical plan."""
+    return df.withColumn(TOKS, tokens_col(text_col))
+
+
+def _toks_or(text_col: str, toks: Column | None) -> Column:
+    return tokens_col(text_col) if toks is None else toks
+
+
 def polyhash_col(s: Column) -> Column:
     """Deterministic polynomial rolling hash over characters
     (document fingerprinting; cross-engine reproducible)."""
@@ -72,11 +95,16 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def token_stats_cols(text_col: str = "text") -> list[Column]:
+def token_stats_cols(
+    text_col: str = "text", toks: Column | None = None
+) -> list[Column]:
     """Token statistics as standalone aliased Columns (single-
-    projection suites and streams compose them join-free; Catalyst
-    subexpression elimination shares the repeated token array)."""
-    toks = tokens_col(text_col)
+    projection suites and streams compose them join-free).  Pass a
+    materialized ``toks`` column (see ``with_tokens``) so the token
+    array is computed once per document instead of once per reference
+    -- the interpreted projection does not share the repeated
+    higher-order subtrees."""
+    toks = _toks_or(text_col, toks)
     n = F.size(toks).cast("double")
     total_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("long")),
@@ -104,15 +132,20 @@ def token_stats_cols(text_col: str = "text") -> list[Column]:
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token statistics: counts, mean token length,
-    distinct-token ratio, stopword ratio."""
-    return df.select("doc_id", *token_stats_cols(text_col))
+    distinct-token ratio, stopword ratio.  Tokenizes once per document
+    (``with_tokens``)."""
+    base = with_tokens(df.select("doc_id", text_col), text_col)
+    return base.select(
+        "doc_id", *token_stats_cols(text_col, toks=F.col(TOKS))
+    )
 
 
-def quality_col(text_col: str = "text") -> Column:
+def quality_col(text_col: str = "text", toks: Column | None = None) -> Column:
     """The quality score as a standalone Column expression (streaming
-    pipelines compose it into one join-free projection; Catalyst's
-    subexpression elimination shares the repeated token array)."""
-    toks = tokens_col(text_col)
+    pipelines compose it into one join-free projection).  Pass a
+    materialized ``toks`` column (``with_tokens``) to tokenize once
+    per document -- measured ~3x on this projection alone."""
+    toks = _toks_or(text_col, toks)
     n = F.size(toks).cast("double")
     length_term = F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
     diversity = F.size(F.array_distinct(toks)).cast("double") / n
@@ -136,14 +169,20 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     diversity - stopword saturation (heuristic; the plumbing is the
     point -- a per-row projection that scales to any corpus).
     Computed from RAW ratios (not the 6-decimal-rounded stats) so the
-    only rounding step is the final one."""
-    return df.select("doc_id", quality_col(text_col).alias("quality"))
+    only rounding step is the final one.  Tokenizes once per document
+    (``with_tokens`` -- measured ~3x on this projection)."""
+    base = with_tokens(df.select("doc_id", text_col), text_col)
+    return base.select(
+        "doc_id", quality_col(text_col, toks=F.col(TOKS)).alias("quality")
+    )
 
 
-def lang_id_col(text_col: str = "text") -> Column:
+def lang_id_col(text_col: str = "text", toks: Column | None = None) -> Column:
     """Predicted language as a standalone Column (marker-token scores
-    with deterministic alphabetical tie-break)."""
-    toks = tokens_col(text_col)
+    with deterministic alphabetical tie-break).  ``toks``: see
+    ``with_tokens`` -- this expression references the token array once
+    per language marker list."""
+    toks = _toks_or(text_col, toks)
 
     def marker_filter(m):
         # single-parameter closure: a 2-arg lambda would be treated by
@@ -165,8 +204,12 @@ def lang_id_col(text_col: str = "text") -> Column:
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Marker-token language scoring with deterministic alphabetical
     tie-break -- n-gram/function-word heuristic shaped like a real
-    langid pass (per-row, no shuffle)."""
-    return df.select("doc_id", lang_id_col(text_col).alias("pred_lang"))
+    langid pass (per-row, no shuffle).  Tokenizes once per document
+    (``with_tokens``)."""
+    base = with_tokens(df.select("doc_id", text_col), text_col)
+    return base.select(
+        "doc_id", lang_id_col(text_col, toks=F.col(TOKS)).alias("pred_lang")
+    )
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -207,14 +250,31 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffles, linear in corpus size.  The in-row mode computation
     (sorted-array run fold) replaces the groupBy a naive per-ngram
     count would need -- at 100 TB that groupBy would shuffle ~n_tokens
-    rows per document."""
-    return df.select("doc_id", *repetition_cols(text_col))
+    rows per document.
+
+    Tokenizes once per document and materializes the trigram array
+    once (``with_tokens`` + a ``__tg3`` projection): the dup3gram
+    signal references the trigram array three times and the
+    interpreted projection does not share repeated higher-order
+    subtrees (optimization round 13)."""
+    base = with_tokens(df.select("doc_id", text_col), text_col)
+    base = base.withColumn("__tg3", _ngram_strings(F.col(TOKS), 3))
+    return base.select(
+        "doc_id",
+        *repetition_cols(text_col, toks=F.col(TOKS), tg3=F.col("__tg3")),
+    )
 
 
-def repetition_cols(text_col: str = "text") -> list[Column]:
+def repetition_cols(
+    text_col: str = "text",
+    toks: Column | None = None,
+    tg3: Column | None = None,
+) -> list[Column]:
     """The repetition signals as standalone aliased Columns (single-
-    projection suites compose them join-free)."""
-    toks = tokens_col(text_col)
+    projection suites compose them join-free).  ``toks``/``tg3``: see
+    ``with_tokens`` / ``repetition_stats`` -- pass materialized token
+    and trigram arrays so neither is rebuilt per reference."""
+    toks = _toks_or(text_col, toks)
     nc = F.length(text_col).cast("double")
     # most-frequent bigram: sort the in-row bigram array, then a fold
     # tracks the current and best run (strict > keeps the first = the
@@ -237,15 +297,24 @@ def repetition_cols(text_col: str = "text") -> list[Column]:
             F.when(newrun > acc["best"], x).otherwise(acc["bestg"]).alias("bestg"),
         )
 
-    top = F.aggregate(sorted_bg, init, step)
+    # the finish lambda collapses the fold to its final scalar so the
+    # aggregate is REFERENCED once -- the former top["best"] /
+    # top["bestg"] pair duplicated the entire fold expression per
+    # field access (optimization round 13; same chars-covered value)
+    top_chars = F.aggregate(
+        sorted_bg,
+        init,
+        step,
+        lambda acc: acc["best"].cast("double") * F.length(acc["bestg"]),
+    )
     # empty-text guard: Spark's non-ANSI x/0 yields NULL while DuckDB's
     # IEEE division yields NaN -- pin 0.0 like dup3gram_frac does
     top_frac = F.when(
         nc > 0,
-        F.round(top["best"].cast("double") * F.length(top["bestg"]) / nc, 6),
+        F.round(top_chars / nc, 6),
     ).otherwise(F.lit(0.0))
 
-    tg = _ngram_strings(toks, 3)
+    tg = _ngram_strings(toks, 3) if tg3 is None else tg3
     m = F.size(tg).cast("double")
     dup3 = F.when(
         m > 0, F.round((m - F.size(F.array_distinct(tg)).cast("double")) / m, 6)

@@ -2804,11 +2804,11 @@ def q_pipeline_clean(spark, sf):
     # dedup representatives (a hash agg + semi-join), the fuzzy-dedup
     # drop list (pair-sized), and the sparse contamination hits
     # (broadcast-bench + left anti) are joins
-    base = docs.select(
+    base = T.with_tokens(docs.select("doc_id", "lang", "text")).select(
         "doc_id",
         "lang",
-        T.quality_col("text").alias("quality"),
-        F.size(T.tokens_col("text")).cast("long").alias("n_tokens"),
+        T.quality_col("text", toks=F.col(T.TOKS)).alias("quality"),
+        F.size(F.col(T.TOKS)).cast("long").alias("n_tokens"),
         G.split_col("doc_id").alias("split"),
     )
     reps = D.exact_groups(docs).select(F.col("rep_id").alias("doc_id"))
@@ -4236,14 +4236,22 @@ def q_text_suite(spark, sf):
         )
         <= 25
     )
-    base = docs.select(
+    # tokenize ONCE per document and materialize the trigram array:
+    # the 22-column projection references the token array dozens of
+    # times and the interpreted projection does not share repeated
+    # higher-order subtrees (text.with_tokens, optimization round 13)
+    db = T.with_tokens(docs).withColumn(
+        "__tg3", T._ngram_strings(F.col(T.TOKS), 3)
+    )
+    tk = F.col(T.TOKS)
+    base = db.select(
         "doc_id",
-        *T.token_stats_cols("text"),
-        T.quality_col("text").alias("quality"),
-        T.lang_id_col("text").alias("pred_lang"),
+        *T.token_stats_cols("text", toks=tk),
+        T.quality_col("text", toks=tk).alias("quality"),
+        T.lang_id_col("text", toks=tk).alias("pred_lang"),
         T.polyhash_col(F.col("text")).alias("fp"),
-        D.simhash_col("text", 16).alias("simhash"),
-        *T.repetition_cols("text"),
+        D.simhash_col("text", 16, toks=tk).alias("simhash"),
+        *T.repetition_cols("text", toks=tk, tg3=F.col("__tg3")),
         G.split_col("doc_id").alias("split"),
         in_sample.alias("in_sample"),
         TK.bpe_count_col("text").alias("n_bpe_tokens"),

@@ -34,7 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.governance import split_col
-from ..functions.text import P, polyhash_col, quality_col, tokens_col
+from ..functions.text import P, TOKS, polyhash_col, quality_col, tokens_col, with_tokens
 from .dedup import _read_docs_stream
 
 __all__ = ["ngram_hash_array", "stream_decontaminate", "stream_clean_corpus"]
@@ -144,9 +144,9 @@ def stream_clean_corpus(
     stream = _read_docs_stream(spark, docs_path)
     # every gate is a Column expression, so the whole pipeline is ONE
     # join-free projection over the stream -- no state, no watermark
-    enriched = stream.select(
+    enriched = with_tokens(stream).select(
         "doc_id",
-        quality_col("text").alias("quality"),
+        quality_col("text", toks=F.col(TOKS)).alias("quality"),
         n_hits(ngram_hash_array("text", n)).alias("n_contam"),
         split_col("doc_id").alias("split"),
     )
