@@ -81,19 +81,34 @@ def _binary_views(col: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return np.diff(off), data, starts
 
 
+# regime switch for the byte kernels (measured, optimization round 13):
+# the batch-vectorized forms pay ~8x the payload bytes in row-index /
+# flattened-key temporaries, which wins when rows are tiny (the many-
+# rows regime where per-row Python overhead dominates) but LOSES
+# memory-bandwidth-bound once payloads are media-sized -- at 20 KB
+# rows the all-at-once bincount form measured 2.4x slower than a
+# per-row loop over the same zero-copy buffer (and 3x for the
+# weighted-bincount moments).  Batches whose mean payload exceeds
+# this many bytes take the per-row path over NumPy views into the
+# shared Arrow data buffer (still no per-row ``bytes`` boxing).
+_VEC_MAX_AVG_BYTES = 2048
+
+
 def byte_histogram(df: DataFrame, media_col: str = "media", id_col: str = "doc_id",
                    bins: int = 16) -> DataFrame:
     """Per-item byte-value histogram (bins of 256/bins): the canonical
     decode-free media feature, computed in an Arrow-batched mapInArrow
     kernel.  Output (id, bin, n).
 
-    The kernel is batch-vectorized (optimization round 13): ONE
-    bincount over (row-index x bins + byte-bin) covers every payload
-    in the batch -- no per-row Python loop, and mapInArrow reads the
-    binary column's contiguous Arrow buffer directly instead of
-    boxing each payload into a Python ``bytes`` the way the previous
-    mapInPandas form did.  Emission order (per doc, bin ascending) and
-    every count are identical to the per-row form."""
+    The kernel is adaptive (optimization round 13): small-payload
+    batches take ONE bincount over (row-index x bins + byte-bin) --
+    no per-row Python loop; media-sized payloads (mean length >
+    ``_VEC_MAX_AVG_BYTES``) bincount per row over zero-copy NumPy
+    views into the batch's contiguous Arrow buffer, because the
+    vectorized form's row-index temporaries are ~8x the payload bytes
+    and lose once the work is memory-bound.  Either way no payload is
+    ever boxed into a Python ``bytes``; emission order (per doc, bin
+    ascending) and every count are identical between the paths."""
     width = 256 // bins
     from ..sources.ingest import widen_partitions
 
@@ -105,10 +120,18 @@ def byte_histogram(df: DataFrame, media_col: str = "media", id_col: str = "doc_i
             if not n:
                 continue
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype("int64")
-            lengths, data, _ = _binary_views(batch.column(1))
-            row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
-            flat = row_idx * bins + data // width
-            counts = np.bincount(flat, minlength=n * bins).reshape(n, bins)
+            lengths, data, starts = _binary_views(batch.column(1))
+            if len(data) <= n * _VEC_MAX_AVG_BYTES:
+                row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+                flat = row_idx * bins + data // width
+                counts = np.bincount(flat, minlength=n * bins).reshape(n, bins)
+            else:
+                counts = np.zeros((n, bins), dtype=np.int64)
+                for i in range(n):
+                    s = starts[i]
+                    counts[i] = np.bincount(
+                        data[s : s + lengths[i]] // width, minlength=bins
+                    )[:bins]
             rows, cols = np.nonzero(counts)  # row-major: doc by doc, bin asc
             if not len(rows):
                 continue
@@ -140,19 +163,33 @@ def fake_decode_features(df: DataFrame, media_col: str = "media",
             if not n:
                 continue
             ids = batch.column(0).to_numpy(zero_copy_only=False).astype("int64")
-            lengths, data, _ = _binary_views(batch.column(1))
-            row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
-            px = data.astype("float64")
-            # batch-vectorized sufficient statistics (optimization round
-            # 13): byte sums and square sums are integers < 2^53, so the
-            # float64 accumulations are EXACT and s1/n equals the
-            # per-row np.mean bit-for-bit; the variance uses the same
-            # E[x^2]-E[x]^2 identity the DuckDB oracle replays.  Only
-            # the final per-DOC rounding stays a Python loop (Python
-            # round(), matching the historical kernel exactly).
-            s1 = np.bincount(row_idx, weights=px, minlength=n)
-            s2 = np.bincount(row_idx, weights=px * px, minlength=n)
+            lengths, data, starts = _binary_views(batch.column(1))
+            # sufficient statistics (optimization round 13): byte sums
+            # and square sums are integers < 2^53, so EVERY float64
+            # accumulation order is EXACT and s1/n equals the per-row
+            # np.mean bit-for-bit; the variance uses the same
+            # E[x^2]-E[x]^2 identity the DuckDB oracle replays.  Small
+            # payloads vectorize via weighted bincount; media-sized
+            # payloads (see _VEC_MAX_AVG_BYTES) sum per row over
+            # zero-copy views -- the weighted-bincount temporaries are
+            # ~16x the payload bytes and lose once memory-bound.  Both
+            # paths produce identical s1/s2 (exact integers), then the
+            # identical mean/std expressions.  Only the final per-DOC
+            # rounding stays a Python loop (Python round(), matching
+            # the historical kernel exactly).
             cnt = lengths.astype("float64")
+            if len(data) <= n * _VEC_MAX_AVG_BYTES:
+                row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+                px = data.astype("float64")
+                s1 = np.bincount(row_idx, weights=px, minlength=n)
+                s2 = np.bincount(row_idx, weights=px * px, minlength=n)
+            else:
+                s1 = np.empty(n, dtype=np.float64)
+                s2 = np.empty(n, dtype=np.float64)
+                for i in range(n):
+                    b = data[starts[i] : starts[i] + lengths[i]].astype("float64")
+                    s1[i] = b.sum()
+                    s2[i] = np.dot(b, b)
             with np.errstate(invalid="ignore", divide="ignore"):
                 mean = s1 / cnt
                 std = np.sqrt(s2 / cnt - mean * mean)

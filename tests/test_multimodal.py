@@ -131,3 +131,65 @@ def test_media_metadata_has_content_hash(spark, sf_dir):
     n_hashes = md.select("content_hash").distinct().count()
     dup_groups = d.select("media").distinct().count()
     assert n_hashes == dup_groups <= n_docs
+
+
+def test_byte_kernels_vectorized_and_rowloop_paths_identical(spark):
+    """The adaptive byte kernels (optimization round 13) pick between a
+    batch-vectorized path (small payloads) and a per-row loop over
+    zero-copy buffer views (media-sized payloads) by mean payload
+    length -- the two paths must emit identical rows, including the
+    empty-payload edge (nan moments)."""
+    from pyspark.sql import functions as F
+
+    from dask_array_spark.functions import multimodal as MM
+
+    big = (
+        spark.range(64, numPartitions=4)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") == 7, F.encode(F.lit(""), "utf-8"))
+            .otherwise(
+                F.encode(
+                    F.concat_ws(
+                        "",
+                        F.array(
+                            *[
+                                F.sha2(
+                                    F.concat(F.col("id").cast("string"), F.lit(i)), 256
+                                )
+                                for i in range(40)
+                            ]
+                        ),
+                    ),
+                    "utf-8",
+                )
+            )
+            .alias("media"),
+        )
+        .persist()
+    )
+    big.count()
+
+    def canon(df):
+        out = []
+        for r in sorted(tuple(x) for x in df.collect()):
+            out.append(
+                tuple("nan" if isinstance(v, float) and v != v else v for v in r)
+            )
+        return out
+
+    orig = MM._VEC_MAX_AVG_BYTES
+    try:
+        for fn in (
+            lambda: MM.byte_histogram(big, bins=16),
+            lambda: MM.fake_decode_features(big),
+        ):
+            MM._VEC_MAX_AVG_BYTES = 10**9
+            vec = canon(fn())
+            MM._VEC_MAX_AVG_BYTES = 0
+            loop = canon(fn())
+            assert vec == loop
+            assert len(vec) > 0
+    finally:
+        MM._VEC_MAX_AVG_BYTES = orig
+    big.unpersist()
