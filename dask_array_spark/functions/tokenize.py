@@ -319,19 +319,36 @@ def oov_rate(
         probe = "inrow" if n_vocab <= OOV_INROW_MAX else "join"
     if probe == "inrow":
         vrow = vocab.agg(F.array_sort(F.collect_list("token")).alias("__vocab"))
-        toks = tokens_col(text_col)
-        n_tok = F.size(toks).cast("long")
-        n_oov = F.size(
-            F.filter(toks, lambda t: ~F.array_contains(F.col("__vocab"), t))
-        ).cast("long")
-        return (
+        # materialize the token array and both counts in LOWER
+        # projections (optimization round 13): composing the rate from
+        # the n_oov/n_tok Column trees re-evaluated tokenization 4x
+        # and the per-token vocab scan 2x per document, because the
+        # interpreted projection does not share repeated higher-order
+        # subtrees (same measured class as text.with_tokens, ~3x on
+        # the quality projection).  CollapseProject keeps the levels
+        # separate exactly because each alias is non-cheap and
+        # multiply referenced; values are identical.
+        counts = (
             df.crossJoin(F.broadcast(vrow))
+            .withColumn("__toks", tokens_col(text_col))
             .select(
                 "doc_id",
-                n_tok.alias("n_tokens"),
-                n_oov.alias("n_oov"),
-                _rate(n_oov, n_tok),
+                F.size("__toks").cast("long").alias("n_tokens"),
+                F.size(
+                    F.filter(
+                        F.col("__toks"),
+                        lambda t: ~F.array_contains(F.col("__vocab"), t),
+                    )
+                )
+                .cast("long")
+                .alias("n_oov"),
             )
+        )
+        return counts.select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            _rate(F.col("n_oov"), F.col("n_tokens")),
         )
     if probe != "join":
         raise ValueError(f"probe must be auto|inrow|join, got {probe!r}")
