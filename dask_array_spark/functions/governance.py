@@ -101,16 +101,26 @@ def split_col(
     (streaming pipelines compose it into one join-free projection)."""
     if sum(weights) != 100:
         raise ValueError(f"weights must sum to 100, got {weights}")
-    bucket = (
-        polyhash_col(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-        % F.lit(100)
-    )
     t_end = weights[0]
     v_end = weights[0] + weights[1]
-    return (
-        F.when(bucket < t_end, F.lit("train"))
-        .when(bucket < v_end, F.lit("valid"))
-        .otherwise(F.lit("test"))
+
+    # decide inside the hash aggregate's finish lambda (optimization
+    # round 13): the CaseWhen's two branch conditions each referenced
+    # the bucket expression, embedding the whole per-char polyhash
+    # fold TWICE per document in the interpreted projection.  The
+    # finish step sees the final accumulator once; bucket arithmetic
+    # on the bound value is O(1).  Same hash, same boundaries, same
+    # assignment.
+    def pick(h: Column) -> Column:
+        b = h % F.lit(100)
+        return (
+            F.when(b < t_end, F.lit("train"))
+            .when(b < v_end, F.lit("valid"))
+            .otherwise(F.lit("test"))
+        )
+
+    return polyhash_col(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")), finish=pick
     )
 
 

@@ -3195,12 +3195,18 @@ def sq8_encode(emb: DataFrame) -> DataFrame:
     first bench cut of sq8_topk SLOWER than the brute scan it
     compresses.  Storing it is also how production int8 indexes ship
     (norm alongside codes) and costs 8 bytes against the 4x win."""
-    mx = F.aggregate(
+    # the zero-guard folds into the aggregate's finish lambda
+    # (optimization round 13): a CaseWhen over the fold's result
+    # embedded the whole max-|e| fold twice per vector (condition +
+    # ELSE branch) in the interpreted projection.  Same fold, same
+    # guard, same scale; a NULL embedding still yields NULL (the
+    # aggregate short-circuits before finish).
+    scale = F.aggregate(
         "embedding",
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        lambda mx: F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0)),
     )
-    scale = F.when(mx == 0.0, F.lit(1.0)).otherwise(mx / F.lit(127.0))
     return emb.select(
         "vec_id",
         scale.alias("scale"),

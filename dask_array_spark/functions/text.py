@@ -78,15 +78,23 @@ def _toks_or(text_col: str, toks: Column | None) -> Column:
     return tokens_col(text_col) if toks is None else toks
 
 
-def polyhash_col(s: Column) -> Column:
+def polyhash_col(s: Column, finish=None) -> Column:
     """Deterministic polynomial rolling hash over characters
-    (document fingerprinting; cross-engine reproducible)."""
+    (document fingerprinting; cross-engine reproducible).
+
+    ``finish``: optional lambda applied to the final accumulator
+    INSIDE the aggregate (optimization round 13).  A caller that
+    branches on the hash (e.g. ``split_col``'s CaseWhen over the
+    bucket) would otherwise embed the whole per-char fold once per
+    branch -- the interpreted projection does not share repeated
+    higher-order subtrees -- so the decision folds into the
+    aggregate's finish step and the string hashes exactly once."""
     chars = F.filter(F.split(s, ""), lambda x: x != "")
-    return F.aggregate(
-        chars,
-        F.lit(SEED).cast("long"),
-        lambda acc, x: (acc * 31 + F.ascii(x)) % F.lit(P),
-    )
+    init = F.lit(SEED).cast("long")
+    merge = lambda acc, x: (acc * 31 + F.ascii(x)) % F.lit(P)  # noqa: E731
+    if finish is None:
+        return F.aggregate(chars, init, merge)
+    return F.aggregate(chars, init, merge, finish)
 
 
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -146,22 +154,40 @@ def quality_col(text_col: str = "text", toks: Column | None = None) -> Column:
     materialized ``toks`` column (``with_tokens``) to tokenize once
     per document -- measured ~3x on this projection alone."""
     toks = _toks_or(text_col, toks)
-    n = F.size(toks).cast("double")
-    length_term = F.least(F.size(toks).cast("double") / F.lit(100.0), F.lit(1.0))
-    diversity = F.size(F.array_distinct(toks)).cast("double") / n
-    stop_pen = (
-        F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double") / n * 0.5
-    )
-    return F.when(
-        n > 0,
-        F.round(
-            F.greatest(
-                F.lit(0.0),
-                F.least(F.lit(1.0), length_term * 0.4 + diversity * 0.6 - stop_pen),
+
+    # bind the token array ONCE via a higher-order lambda (optimization
+    # round 13): the score references the array 6x, and when Catalyst
+    # pushes a filter on the quality column below the tokenize-once
+    # projection it INLINES the alias into every reference -- the
+    # pipeline_clean_corpus quality gate was re-tokenizing every
+    # document 6x inside the pushed Filter.  With the array bound to a
+    # lambda variable, any inlining carries exactly one tokenization;
+    # lambda-variable references are reads of the already-evaluated
+    # value.  Values are identical (same expression over the same
+    # array; a NULL token array still yields 0.0 through the n>0 gate).
+    def q(t: Column) -> Column:
+        n = F.size(t).cast("double")
+        length_term = F.least(F.size(t).cast("double") / F.lit(100.0), F.lit(1.0))
+        diversity = F.size(F.array_distinct(t)).cast("double") / n
+        stop_pen = (
+            F.size(F.filter(t, lambda w: w.isin(STOPWORDS))).cast("double")
+            / n
+            * 0.5
+        )
+        return F.when(
+            n > 0,
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    F.least(
+                        F.lit(1.0), length_term * 0.4 + diversity * 0.6 - stop_pen
+                    ),
+                ),
+                6,
             ),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
+        ).otherwise(F.lit(0.0))
+
+    return F.transform(F.array(toks), q)[0]
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:

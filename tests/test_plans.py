@@ -468,3 +468,41 @@ def test_ivf_pq_serving_shape(spark, sf_dir):
         ), "broadcast hint on an unbounded side:\n" + window
     # the ADC distance folds stay in-row
     assert "lambdafunction" in _optimized(df).lower()
+
+
+def test_quality_filter_pushdown_tokenizes_once(spark, sf_dir):
+    """Round-13 bind-once pin: a filter on the quality column gets
+    pushed below the tokenize-once projection and Catalyst INLINES the
+    token-array alias into the pushed condition.  quality_col binds
+    the array via a higher-order lambda, so the inlined condition must
+    carry exactly ONE tokenization (the r12 form carried six -- one
+    per array reference, re-evaluated per document per filter scan)."""
+    from dask_array_spark.functions import text as T
+    from dask_array_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    db = T.with_tokens(docs.select("doc_id", "text"))
+    df = db.select(
+        "doc_id", T.quality_col("text", toks=F.col(T.TOKS)).alias("quality")
+    ).filter(F.col("quality") >= 0.5)
+    plan = _plan(df)
+    # every physical operator (one per rendered line) may tokenize at
+    # most ONCE -- the r12 form put six tokenizations in the pushed
+    # Filter line and the un-collapsed projection
+    for line in plan.splitlines():
+        assert line.count("split(text") <= 1, (
+            "an operator re-tokenizes per reference:\n" + line[:500]
+        )
+
+
+def test_split_col_hashes_once(spark, sf_dir):
+    """Round-13 bind-once pin: split_col's train/valid/test CaseWhen
+    decides inside the polyhash aggregate's finish lambda -- the plan
+    must contain exactly one per-char hash fold, not one per branch."""
+    from dask_array_spark.functions import governance as G
+    from dask_array_spark.sources import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    df = docs.select("doc_id", G.split_col().alias("split"))
+    plan = _plan(df)
+    assert plan.count("ascii(") == 1, plan[:800]
