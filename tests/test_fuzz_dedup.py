@@ -270,3 +270,54 @@ def test_crc32c_strict_modes(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CRC32C_STRICT", "raise")
     with pytest.raises(RuntimeError, match="forbids unverified"):
         I._crc32c_check(body, good, "test chunk")
+
+
+def test_simhash_null_contract_and_reference_fold(spark):
+    """Round-13 pin for the per-bit-majority simhash: (a) NULL token
+    array -> NULL, any NULL token hash -> 0 (the r12 vote fold's
+    poisoning, replicated as explicit guards); (b) values equal an
+    independent per-doc Python replay of the definition (token
+    polyhashes vote +-1 per bit, count-weighted, sign sets the bit)."""
+    from pyspark.sql import functions as F
+
+    from dask_array_spark.functions.dedup import simhash_col
+    from dask_array_spark.functions.text import P, SEED
+
+    raw = spark.createDataFrame(
+        [
+            (1, None),
+            (2, []),
+            (3, ["ab", None, "cd"]),
+            (4, ["the", "the", "of"]),
+            (5, ["x"]),
+            (6, ["alpha", "beta", "gamma", "alpha"]),
+        ],
+        "doc_id long, tk array<string>",
+    )
+    got = {
+        int(r["doc_id"]): r["sh"]
+        for r in raw.select(
+            "doc_id", simhash_col("x", 16, toks=F.col("tk")).alias("sh")
+        ).collect()
+    }
+    assert got[1] is None
+    assert got[2] == 0
+    assert got[3] == 0
+
+    def polyhash(s):
+        h = SEED
+        for c in s:
+            h = (h * 31 + ord(c)) % P
+        return h
+
+    def simhash_ref(tokens, bits=16):
+        votes = [0] * bits
+        for t in tokens:
+            h = polyhash(t)
+            for i in range(bits):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(bits) if votes[i] > 0)
+
+    for doc_id, toks in ((4, ["the", "the", "of"]), (5, ["x"]),
+                         (6, ["alpha", "beta", "gamma", "alpha"])):
+        assert got[doc_id] == simhash_ref(toks), doc_id
