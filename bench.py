@@ -125,6 +125,11 @@ def _headline():
         emb = Q._embs(spark, sf_dir)
         return SIM.kmeans_assign(emb, SIM.kmeans_fit(emb, k=4, iters=2))
 
+    def simhash_demo(spark, sf_dir):
+        from dask_array_spark.functions import dedup as D
+
+        return D.simhash(Q._docs(spark, sf_dir))
+
     return [
         # r1-comparable names (same building-block plans as BENCH_r01)
         ("elemwise_arith", Q.q_elemwise_arith),
@@ -150,6 +155,13 @@ def _headline():
         # final assignment -- broadcast codebook, in-row distance
         # folds, one linear mean shuffle per round)
         ("kmeans_codebook", kmeans_demo),
+        # round-13 ADDITIONS (existing slots untouched -- the driver
+        # contract allows adding entries): the two text-stack
+        # projections this optimization round restructured (lang-ID
+        # argmax fold 2.43x, per-bit-majority simhash 1.79x), so the
+        # driver measures them round-over-round like text_quality
+        ("text_lang_id", Q.q_lang_id),
+        ("text_simhash", simhash_demo),
     ]
 
 
