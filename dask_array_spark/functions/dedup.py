@@ -331,7 +331,21 @@ def simhash_col(text_col: str = "text", bits: int = 16, toks=None):
     Pure JVM fold -- zero shuffles, composes with streams; ``bits``
     stays within the uniform low bits of the mod-P hash.  ``toks``: a
     pre-materialized token array (text.with_tokens) so suites that
-    compose many token signals tokenize once per document."""
+    compose many token signals tokenize once per document -- pass the
+    COLUMN NAME (str) to keep the single-parse fast path below; a
+    Column is also accepted (legacy constructor path, same values).
+
+    Construction cost (optimization round 13): the Column-API form of
+    this expression is ~250 py4j round-trips (the per-bit loop), a
+    measured 0.41 s of DRIVER time per construction -- comparable to
+    executing the query at sf0.1.  When ``text_col``/``toks`` are
+    names, the same expression tree now builds as ONE ``F.expr`` SQL
+    parse (sub-ms): identical Catalyst tree modulo lambda-variable
+    names, values pinned equal by test_fuzz_dedup (corpus parity was
+    proven on 3 SFs x bits in {8,16,32} + hostile edges, zero
+    mismatches; benched slot form 0.804 -> 0.555 min-of-6 ABAB)."""
+    if isinstance(text_col, str) and (toks is None or isinstance(toks, str)):
+        return _simhash_expr(text_col, bits, toks)
     th = F.transform(
         tokens_col(text_col) if toks is None else toks,
         lambda t: polyhash_col(t),
@@ -367,6 +381,45 @@ def simhash_col(text_col: str = "text", bits: int = 16, toks=None):
         )
 
     return F.transform(F.array(th), body)[0]
+
+
+def _ident(name: str) -> str:
+    """Backtick-quote a column name for embedding in an expr string."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _simhash_expr(text_col: str, bits: int, toks: str | None):
+    """simhash_col's expression built as ONE SQL parse.  The string
+    spells out EXACTLY the tree the Column-API branch constructs --
+    same casts, same literal types (SEED/0/2^i as BIGINT casts, 31/P
+    as INT literals), same CASE structure, same fold shapes -- so the
+    two branches are the same Catalyst expression up to lambda-
+    variable naming."""
+    from .text import SEED
+
+    toks_sql = (
+        f"filter(split({_ident(text_col)}, ' '), x -> x != '')"
+        if toks is None
+        else _ident(toks)
+    )
+    poly = (
+        "aggregate(filter(split(t, ''), x -> x != ''), "
+        f"CAST({SEED} AS BIGINT), (acc, x) -> (acc * 31 + ascii(x)) % {P})"
+    )
+    th = f"transform({toks_sql}, t -> {poly})"
+    out = "CAST(0 AS BIGINT)"
+    for i in range(bits):
+        ones = f"size(filter(h_arr, h -> (shiftright(h, {i}) % 2) = 1))"
+        out = (
+            f"({out} + CASE WHEN ({ones} * 2) > size(h_arr) "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    body = (
+        "CASE WHEN h_arr IS NULL THEN CAST(NULL AS BIGINT) "
+        "WHEN exists(h_arr, h -> h IS NULL) THEN CAST(0 AS BIGINT) "
+        f"ELSE {out} END"
+    )
+    return F.expr(f"transform(array({th}), h_arr -> {body})[0]")
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:

@@ -4250,7 +4250,9 @@ def q_text_suite(spark, sf):
         T.quality_col("text", toks=tk).alias("quality"),
         T.lang_id_col("text", toks=tk).alias("pred_lang"),
         T.polyhash_col(F.col("text")).alias("fp"),
-        D.simhash_col("text", 16, toks=tk).alias("simhash"),
+        # pass the NAME, not the Column: simhash_col's single-parse
+        # expr path skips the 0.4 s per-build py4j constructor loop
+        D.simhash_col("text", 16, toks=T.TOKS).alias("simhash"),
         *T.repetition_cols("text", toks=tk, tg3=F.col("__tg3")),
         G.split_col("doc_id").alias("split"),
         in_sample.alias("in_sample"),

@@ -321,3 +321,52 @@ def test_simhash_null_contract_and_reference_fold(spark):
     for doc_id, toks in ((4, ["the", "the", "of"]), (5, ["x"]),
                          (6, ["alpha", "beta", "gamma", "alpha"])):
         assert got[doc_id] == simhash_ref(toks), doc_id
+
+
+def test_simhash_expr_and_column_paths_identical(spark):
+    """Round-13 construction-cost pin: simhash_col builds via ONE
+    F.expr parse when text_col/toks are names (the Column-API loop is
+    ~250 py4j round-trips = 0.41 s of driver time per build), and via
+    the legacy Column constructors when toks is a Column.  The two
+    branches must stay value-identical -- including the NULL contract
+    -- on hostile token arrays, and the str-toks form must equal the
+    Column-toks form."""
+    from pyspark.sql import functions as F
+
+    from dask_array_spark.functions.dedup import simhash_col
+
+    raw = spark.createDataFrame(
+        [
+            (1, None),
+            (2, []),
+            (3, ["ab", None, "cd"]),
+            (4, ["the", "the", "of"]),
+            (5, ["x"]),
+            (6, ["alpha", "beta", "gamma", "alpha"]),
+            (7, ["émoji", "😀", "日本語"]),
+            (8, ["same"] * 33),
+        ],
+        "doc_id long, tk array<string>",
+    )
+    for bits in (8, 16, 32):
+        rows = raw.select(
+            "doc_id",
+            simhash_col("x", bits, toks="tk").alias("fast"),
+            simhash_col("x", bits, toks=F.col("tk")).alias("legacy"),
+        ).collect()
+        for r in rows:
+            assert r["fast"] == r["legacy"], (bits, r["doc_id"])
+    # text_col-only form: both branches over raw text
+    txt = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b a"), (4, "émoji 😀 mixed")],
+        "doc_id long, text string",
+    )
+    from dask_array_spark.functions.text import tokens_col
+
+    rows = txt.select(
+        "doc_id",
+        simhash_col("text", 16).alias("fast"),
+        simhash_col("text", 16, toks=tokens_col("text")).alias("legacy"),
+    ).collect()
+    for r in rows:
+        assert r["fast"] == r["legacy"], r["doc_id"]
