@@ -112,33 +112,52 @@ def exact_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
 M_COMB = 1_000_003
 
 
+def _kgram_combine_sql(n: int) -> str:
+    """SQL fragment: the rolling combine of ``n`` consecutive token
+    hashes starting at 1-based position ``i`` of ``__th`` -- the same
+    tree the historical Column-API loop built (int literals for
+    M_COMB/P, long arithmetic via the element type)."""
+    h = "element_at(__th, i)"
+    for k in range(1, n):
+        h = f"({h} * {M_COMB} + element_at(__th, i + {k})) % {P}"
+    return h
+
+
+def _token_hashes_sql(text_col: str) -> str:
+    """SQL fragment: per-token polyhash array over the whitespace
+    tokens of ``text_col`` (fragments from functions/text.py -- the
+    single definition pair shared with the Column forms)."""
+    from .text import polyhash_sql, sql_ident, tokens_sql
+
+    return f"transform({tokens_sql(sql_ident(text_col))}, t -> {polyhash_sql('t')})"
+
+
 def shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct hashed token n-gram shingles per document: (doc_id,
     sh).  Each TOKEN is polyhashed once (char-level work is linear in
     corpus size) and a shingle hash combines n consecutive token
     hashes -- ~n x cheaper than hashing every shingle string, and the
-    combine products stay < 2^63 (th < 1e9+7, multiplier 1e6+3)."""
+    combine products stay < 2^63 (th < 1e9+7, multiplier 1e6+3).
+
+    Constructed as TWO ``F.expr`` parses (optimization round 14, guide
+    §7.3/§5): the per-token hash transform plus the shingle fold were
+    ~100 ms of py4j round-trips of driver time per build; the SQL
+    strings spell out the identical Catalyst tree (values pinned equal
+    by the expr-vs-Column parity test)."""
     from ..sources.ingest import widen_partitions
 
-    toks = tokens_col(text_col)
-    d = widen_partitions(df, "doc_id").select(
-        "doc_id", F.transform(toks, lambda t: polyhash_col(t)).alias("__th")
+    d = widen_partitions(df, "doc_id").selectExpr(
+        "doc_id", f"{_token_hashes_sql(text_col)} AS __th"
     ).filter(F.size("__th") >= n)
-    # 1-based shingle start positions 1 .. len-n+1
-    idx = F.sequence(F.lit(1), F.size("__th") - (n - 1))
-
-    def combine(i):
-        h = F.element_at(F.col("__th"), i)
-        for k in range(1, n):
-            h = (h * M_COMB + F.element_at(F.col("__th"), i + F.lit(k))) % F.lit(P)
-        return h
-
     # array_distinct already dedups within the row and doc_id makes
     # rows unique across documents, so no post-explode distinct (a
-    # redundant full shuffle of the shingle table) is needed
-    return d.select(
+    # redundant full shuffle of the shingle table) is needed;
+    # 1-based shingle start positions 1 .. len-n+1
+    return d.selectExpr(
         "doc_id",
-        F.explode(F.array_distinct(F.transform(idx, combine))).alias("sh"),
+        "explode(array_distinct(transform("
+        f"sequence(1, size(__th) - {n - 1}), i -> {_kgram_combine_sql(n)}"
+        "))) AS sh",
     )
 
 
@@ -157,13 +176,16 @@ def minhash_signatures(shingles: DataFrame, k: int = 16) -> DataFrame:
     for i in range(k):
         # fold the affine constants in PYTHON (arbitrary precision):
         # int32 literals would silently wrap (B_ADD * 16 > 2^31) in the
-        # engine's non-ANSI session
+        # engine's non-ANSI session.  One F.expr parse per hash
+        # function instead of ~10 Column-API py4j round-trips each
+        # (optimization round 14): the string spells the same tree --
+        # CAST(a/b AS BIGINT) literals, int P literal.
         a_i = A_MUL * (i + 1) % P
         b_i = B_ADD * (i + 1)
-        h = (
-            F.lit(a_i).cast("long") * F.col("sh") + F.lit(b_i).cast("long")
-        ) % F.lit(P)
-        aggs.append(F.min(h).alias(f"__s{i}"))
+        aggs.append(F.expr(
+            f"min((CAST({a_i} AS BIGINT) * sh + CAST({b_i} AS BIGINT))"
+            f" % {P}) AS __s{i}"
+        ))
     wide = shingles.groupBy("doc_id").agg(*aggs)
     stack = ", ".join(f"{i}L, __s{i}" for i in range(k))
     return wide.selectExpr(
@@ -234,14 +256,12 @@ def lsh_candidate_pairs(
     partition-parallel."""
     if rows_per_band == 1:
         # one signature row per band: the fold below collapses to a
-        # single affine step -- no aggregate, no shuffle
-        bh = sigs.select(
+        # single affine step -- no aggregate, no shuffle (single-parse
+        # construction, optimization round 14)
+        bh = sigs.selectExpr(
             "doc_id",
-            F.col("sig_id").alias("band"),
-            (
-                (F.lit(17).cast("long") * M_COMB + F.col("sig") % F.lit(P))
-                % F.lit(P)
-            ).alias("bh"),
+            "sig_id AS band",
+            f"(CAST(17 AS BIGINT) * {M_COMB} + sig % {P}) % {P} AS bh",
         )
     else:
         banded = sigs.withColumn(
@@ -385,7 +405,9 @@ def simhash_col(text_col: str = "text", bits: int = 16, toks=None):
 
 def _ident(name: str) -> str:
     """Backtick-quote a column name for embedding in an expr string."""
-    return "`" + name.replace("`", "``") + "`"
+    from .text import sql_ident
+
+    return sql_ident(name)
 
 
 def _simhash_expr(text_col: str, bits: int, toks: str | None):
@@ -394,18 +416,14 @@ def _simhash_expr(text_col: str, bits: int, toks: str | None):
     same casts, same literal types (SEED/0/2^i as BIGINT casts, 31/P
     as INT literals), same CASE structure, same fold shapes -- so the
     two branches are the same Catalyst expression up to lambda-
-    variable naming."""
-    from .text import SEED
+    variable naming.  The tokenize/hash fragments come from
+    functions/text.py (tokens_sql / polyhash_sql), the SAME source the
+    Column forms document as their twins -- one definition pair, no
+    string drift (round-13 ADVICE)."""
+    from .text import polyhash_sql, tokens_sql
 
-    toks_sql = (
-        f"filter(split({_ident(text_col)}, ' '), x -> x != '')"
-        if toks is None
-        else _ident(toks)
-    )
-    poly = (
-        "aggregate(filter(split(t, ''), x -> x != ''), "
-        f"CAST({SEED} AS BIGINT), (acc, x) -> (acc * 31 + ascii(x)) % {P})"
-    )
+    toks_sql = tokens_sql(_ident(text_col)) if toks is None else _ident(toks)
+    poly = polyhash_sql("t")
     th = f"transform({toks_sql}, t -> {poly})"
     out = "CAST(0 AS BIGINT)"
     for i in range(bits):
@@ -435,24 +453,19 @@ def kgram_positions(
 ) -> DataFrame:
     """(doc_id, p, h): hash of the k-token gram starting at 0-based
     token position p -- the positional (non-distinct) variant of
-    shingle_hashes that substring matching needs."""
+    shingle_hashes that substring matching needs.  Single-parse
+    construction (optimization round 14), same device and same shared
+    SQL fragments as shingle_hashes."""
     from ..sources.ingest import widen_partitions
 
-    toks = tokens_col(text_col)
-    d = widen_partitions(df, "doc_id").select(
-        "doc_id", F.transform(toks, lambda t: polyhash_col(t)).alias("__th")
+    d = widen_partitions(df, "doc_id").selectExpr(
+        "doc_id", f"{_token_hashes_sql(text_col)} AS __th"
     ).filter(F.size("__th") >= k)
-    idx = F.sequence(F.lit(1), F.size("__th") - (k - 1))
-
-    def combine(i):
-        h = F.element_at(F.col("__th"), i)
-        for j in range(1, k):
-            h = (h * M_COMB + F.element_at(F.col("__th"), i + F.lit(j))) % F.lit(P)
-        return h
-
-    return d.select(
+    return d.selectExpr(
         "doc_id",
-        F.posexplode(F.transform(idx, combine)).alias("p", "h"),
+        "posexplode(transform("
+        f"sequence(1, size(__th) - {k - 1}), i -> {_kgram_combine_sql(k)}"
+        ")) AS (p, h)",
     )
 
 
@@ -504,8 +517,6 @@ def duplicated_spans(
         min_tokens = k
     if min_tokens < k:
         raise ValueError(f"min_tokens ({min_tokens}) must be >= k ({k})")
-    from pyspark.sql import Window
-
     # persist-at-fan-out, same policy as lsh_candidate_pairs (round
     # 8): the position table feeds the hot-gram count, the anti probe,
     # and BOTH self-join branches -- unpersisted, Catalyst re-plans
@@ -532,19 +543,24 @@ def duplicated_spans(
         )
         pos = pos.join(F.broadcast(hot), on="h", how="left_anti")
         pos = _track_persist(pos) if persist else pos
-    a = pos.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "h")
-    b = pos.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "h")
+    a = pos.selectExpr("doc_id AS doc_a", "p AS pa", "h")
+    b = pos.selectExpr("doc_id AS doc_b", "p AS pb", "h")
     seeds = a.join(b, on="h").filter(F.col("doc_a") < F.col("doc_b"))
-    diag = (F.col("pa") - F.col("pb")).alias("diag")
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = (
-        seeds.select("doc_a", "doc_b", diag, "pa", "pb")
-        .withColumn("__grp", F.col("pa") - F.row_number().over(w))
+    # the diag projection and the islands window fuse into ONE
+    # selectExpr (optimization round 14): partitioning by the
+    # expression `pa - pb` is the same deterministic key as the
+    # two-step alias-then-partition form (it is also exactly how the
+    # DuckDB oracle spells it), and one Dataset op replaces three --
+    # each op eagerly analyzes the whole plan on the driver.
+    runs = seeds.selectExpr(
+        "doc_a", "doc_b", "pa - pb AS diag", "pa", "pb",
+        "pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb"
+        " ORDER BY pa) AS __grp",
     )
     spans = runs.groupBy("doc_a", "doc_b", "diag", "__grp").agg(
-        F.min("pa").cast("long").alias("a_start"),
-        F.min("pb").cast("long").alias("b_start"),
-        (F.count(F.lit(1)) + F.lit(k - 1)).cast("long").alias("length"),
+        F.expr("CAST(min(pa) AS BIGINT) AS a_start"),
+        F.expr("CAST(min(pb) AS BIGINT) AS b_start"),
+        F.expr(f"CAST(count(1) + {k - 1} AS BIGINT) AS length"),
     )
     out = spans.filter(F.col("length") >= min_tokens).select(
         "doc_a", "doc_b", "a_start", "b_start", "length"
@@ -703,10 +719,8 @@ def clip_duplicated_spans(
     text anywhere else."""
     from pyspark.sql.window import Window
 
-    sp = spans.select(
-        F.col("doc_b").alias("doc_id"),
-        F.col("b_start").alias("s"),
-        (F.col("b_start") + F.col("length")).alias("e"),
+    sp = spans.selectExpr(
+        "doc_b AS doc_id", "b_start AS s", "b_start + length AS e"
     )
     w_prev = (
         Window.partitionBy("doc_id")
@@ -722,15 +736,14 @@ def clip_duplicated_spans(
     brk = F.when(pmax.isNull() | (F.col("s") > pmax), 1).otherwise(0)
     islands = sp.withColumn("__grp", F.sum(brk).over(w_run))
     mg = islands.groupBy("doc_id", "__grp").agg(
-        F.min("s").alias("s"), F.max("e").alias("e")
+        F.expr("min(s) AS s"), F.expr("max(e) AS e")
     )
     grouped = mg.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__mg")
+        F.expr("array_sort(collect_list(struct(s, e))) AS __mg")
     )
-    merged = F.col("__mg")
-    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
-    toks = F.col("__toks")
-    n_all = F.size(toks).cast("long")
+    from .text import sql_ident, tokens_sql
+
+    tc = sql_ident(text_col)
     # keep token i (0-based) unless a merged interval covers it; the
     # two-arg filter lambda binds (element, index) -- no index array
     # to build, and crucially no F.sequence(0, size-1), which COUNTS
@@ -740,34 +753,33 @@ def clip_duplicated_spans(
     # corpus) short-circuit past the per-token exists() scan: an empty
     # __m keeps every token, so the whole filter is the identity
     # (optimization round 13; CaseWhen evaluates only the taken branch)
-    kept = F.when(
-        F.size("__m") == 0,
-        toks,
-    ).otherwise(
-        F.filter(
-            toks,
-            lambda t, i: ~F.exists(
-                F.col("__m"),
-                lambda s: (i >= s["s"]) & (i < s["e"]),
-            ),
-        )
+    kept = (
+        "CASE WHEN size(__m) = 0 THEN __toks ELSE "
+        "filter(__toks, (t, i) -> NOT exists(__m,"
+        " m -> i >= m.s AND i < m.e)) END"
     )
+    # the three projection LEVELS below are load-bearing for execution
+    # (each alias is non-cheap and multiply referenced -- tokenize
+    # once, clip once; optimization round 13), but each level now
+    # builds as ONE selectExpr parse instead of a withColumn chain
+    # (optimization round 14: every Dataset op eagerly re-analyzes the
+    # whole plan on the driver).  Tokenization materializes AFTER the
+    # join so the join exchange carries the raw text, not the wider
+    # token array.
     return (
         df.join(grouped, on="doc_id", how="left")
-        .withColumn("__m", F.coalesce(merged, empty))
-        # tokenize ONCE into a materialized column: the clip projection
-        # references the token array several times (filter + counts) and
-        # the interpreted projection does not share repeated higher-order
-        # subtrees (same measured effect as text.with_tokens, ~3x on the
-        # quality projection -- optimization round 13).  Materialized
-        # AFTER the join so the join exchange carries the raw text, not
-        # the wider token array.
-        .withColumn("__toks", tokens_col(text_col))
-        .withColumn("__k", kept)
-        .select(
+        .selectExpr(
+            "*",
+            "coalesce(__mg, CAST(array() AS"
+            " ARRAY<STRUCT<s: BIGINT, e: BIGINT>>)) AS __m",
+            f"{tokens_sql(tc)} AS __toks",
+        )
+        .selectExpr("doc_id", "__toks", f"{kept} AS __k")
+        .selectExpr(
             "doc_id",
-            F.concat_ws(" ", F.col("__k")).alias(text_col),
-            F.size("__k").cast("long").alias("n_tokens_kept"),
-            (n_all - F.size("__k")).cast("long").alias("n_tokens_removed"),
+            f"concat_ws(' ', __k) AS {tc}",
+            "CAST(size(__k) AS BIGINT) AS n_tokens_kept",
+            "CAST(CAST(size(__toks) AS BIGINT) - size(__k) AS BIGINT)"
+            " AS n_tokens_removed",
         )
     )

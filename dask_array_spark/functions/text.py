@@ -50,9 +50,43 @@ STOPWORDS = ["a", "the", "and", "of"]
 
 
 def tokens_col(text: Column | str) -> Column:
-    """Whitespace tokenization (single-space corpus)."""
+    """Whitespace tokenization (single-space corpus).
+
+    SQL-fragment twin: ``tokens_sql`` below -- any semantic edit here
+    MUST be mirrored there (one test-pinned definition pair; the
+    fast-path constructors in functions/dedup.py build from the SQL
+    fragments)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.filter(F.split(c, " "), lambda x: x != "")
+
+
+def sql_ident(name: str) -> str:
+    """Backtick-quote a TOP-LEVEL column name for embedding in an
+    ``F.expr`` string.  Single-part identifier semantics: a dotted
+    name stays one column (matching ``F.col`` would instead resolve
+    multipart struct fields -- callers passing such names must use the
+    Column-API paths)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def tokens_sql(text_expr: str) -> str:
+    """``tokens_col`` as a SQL fragment (``text_expr`` is an already-
+    quoted identifier or a SQL expression).  Same Catalyst tree as the
+    Column form modulo lambda-variable naming -- the single-parse
+    constructor device of optimization rounds 13/14 (a Column-API
+    build of these folds costs hundreds of py4j round-trips of DRIVER
+    time per query construction; one ``F.expr`` parse is sub-ms)."""
+    return f"filter(split({text_expr}, ' '), x -> x != '')"
+
+
+def polyhash_sql(s_expr: str) -> str:
+    """``polyhash_col`` (no ``finish``) as a SQL fragment over the
+    string-valued SQL expression ``s_expr``.  Mirrors the Column form
+    EXACTLY: same SEED/31/P literals and cast placement."""
+    return (
+        f"aggregate(filter(split({s_expr}, ''), x -> x != ''), "
+        f"CAST({SEED} AS BIGINT), (acc, x) -> (acc * 31 + ascii(x)) % {P})"
+    )
 
 
 TOKS = "__toks"
@@ -81,6 +115,11 @@ def _toks_or(text_col: str, toks: Column | None) -> Column:
 def polyhash_col(s: Column, finish=None) -> Column:
     """Deterministic polynomial rolling hash over characters
     (document fingerprinting; cross-engine reproducible).
+
+    SQL-fragment twin: ``polyhash_sql`` above -- any semantic edit
+    here MUST be mirrored there (the single-parse fast paths in
+    functions/dedup.py build from that fragment; parity is pinned by
+    the expr-vs-Column tests).
 
     ``finish``: optional lambda applied to the final accumulator
     INSIDE the aggregate (optimization round 13).  A caller that

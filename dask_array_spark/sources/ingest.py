@@ -293,6 +293,17 @@ def _parse_fill(fill, kind: str):
     return fill
 
 
+# read_table schema memo (optimization round 14, guide §7.3/§5): a
+# bare spark.read.parquet infers the schema on the DRIVER per call
+# (~80-105 ms of footer listing/reading); supplying the schema reads
+# in ~15 ms.  The memo holds SCHEMAS (plan metadata), never data or
+# results -- every execution still scans the parquet inputs.  Keyed by
+# (resolved path, dir mtime) so a rewritten table (different schema,
+# regenerated test fixture) re-infers instead of serving a stale
+# schema.
+_SCHEMA_MEMO: dict = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the caller's session may not be ours (the driver creates its
     # own): Spark 4 defaults ANSI mode ON, which turns the engine's
@@ -309,7 +320,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = (os.path.abspath(path), os.stat(path).st_mtime_ns)
+    except OSError:
+        key = None
+    schema = _SCHEMA_MEMO.get(key) if key is not None else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_MEMO[key] = df.schema
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -423,28 +445,30 @@ def with_dense_index(
     """
     parted = df.repartitionByRange(*(num_partitions,) if num_partitions else (), *order_cols)
     parted = parted.sortWithinPartitions(*order_cols).persist()
-    counts = (
-        parted.groupBy(F.spark_partition_id().alias("__pid"))
-        .count()
-        .collect()
+    # per-partition offsets computed JVM-SIDE as a lazy subplan
+    # (optimization round 14, guide §5/§7.3): the former form ran a
+    # collect() job plus a driver createDataFrame PER BUILD (~0.3 s of
+    # driver time before any timed work).  The offsets table is one
+    # row per partition, so the running sum is a trivially small
+    # single-partition window; both it and the main projection read
+    # the SAME persisted frame, so partition ids are consistent, and
+    # the tiny result broadcasts exactly like the old driver-built
+    # table did.  No action runs at construction time.
+    offs_df = parted.groupBy(F.spark_partition_id().alias("__pid")).agg(
+        F.count(F.lit(1)).alias("__n")
+    ).selectExpr(
+        "__pid",
+        "CAST(coalesce(sum(__n) OVER (ORDER BY __pid ROWS BETWEEN"
+        " UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS __off",
     )
-    acc = 0
-    offs = []
-    for row in sorted(counts, key=lambda r: r["__pid"]):
-        offs.append((row["__pid"], acc))
-        acc += row["count"]
-    spark = df.sparkSession
-    offs_df = spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
     d = parted.select(
         "*",
         F.spark_partition_id().alias("__pid"),
         F.monotonically_increasing_id().alias("__mid"),
     )
     local = F.col("__mid") - (F.col("__pid").cast("long") * F.lit(1 << 33))
-    return (
-        d.join(F.broadcast(offs_df), on="__pid", how="inner")
-        .withColumn(index_name, (F.col("__off") + local).cast("long"))
-        .drop("__pid", "__mid", "__off")
+    return d.join(F.broadcast(offs_df), on="__pid", how="inner").select(
+        *df.columns, (F.col("__off") + local).cast("long").alias(index_name)
     )
 
 
