@@ -191,7 +191,10 @@ def tensordot(a: Array, b: Array, axes=2) -> Array:
         F.sum(F.col("__va") * F.col("__vb")).alias(VALUE_COL)
     )
     shape = tuple(a.shape[k] for k in keep_a) + tuple(b.shape[k] for k in keep_b)
-    return Array(agg.select(*names, VALUE_COL), shape)
+    # the groupBy's aliased keys already yield (i0.., v) in order --
+    # re-selecting them was one more full-plan analysis pass on the
+    # driver per construction (optimization round 14)
+    return Array(agg, shape)
 
 
 def vdot(a: Array, b: Array) -> Array:

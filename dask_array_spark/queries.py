@@ -1947,19 +1947,18 @@ def q_dedup_substring_spans(spark, sf):
 
     docs = _docs(spark, sf)
     spans = D.duplicated_spans(docs, k=8).persist()
-    k = lambda n: F.lit(n).cast("long").alias("kind")
-    k0 = spans.select(
-        k(0), F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
-        F.col("a_start").alias("c"), F.col("b_start").alias("d"),
-        F.col("length").alias("e"),
+    # single-parse projections (optimization round 14): same trees as
+    # the historical Column-API selects; the fingerprint fragment is
+    # text.polyhash_sql, the pinned twin of polyhash_col
+    k0 = spans.selectExpr(
+        "CAST(0 AS BIGINT) AS kind", "doc_a AS a", "doc_b AS b",
+        "a_start AS c", "b_start AS d", "length AS e",
     )
     clipped = D.clip_duplicated_spans(docs, spans)
-    k1 = clipped.select(
-        k(1), F.col("doc_id").alias("a"),
-        F.col("n_tokens_kept").alias("b"),
-        F.col("n_tokens_removed").alias("c"),
-        T.polyhash_col(F.col("text")).alias("d"),
-        F.lit(-1).cast("long").alias("e"),
+    k1 = clipped.selectExpr(
+        "CAST(1 AS BIGINT) AS kind", "doc_id AS a",
+        "n_tokens_kept AS b", "n_tokens_removed AS c",
+        f"{T.polyhash_sql('text')} AS d", "CAST(-1 AS BIGINT) AS e",
     )
     return k0.unionByName(k1)
 
