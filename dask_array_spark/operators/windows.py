@@ -110,16 +110,37 @@ def _scan_1d(a: Array, kind: str, block: int = _BLOCK_1D) -> Array:
     single-partition window ever sees more than the limit.
     NaN propagation matches the plain scans: a NaN cell poisons every
     later position, across block boundaries too."""
-    d = a.df.withColumn(
-        "__blk", F.floor(F.col("i0") / F.lit(block)).cast("long")
-    ).persist()
+    # the cached frame is RANGE-partitioned on the block key and
+    # sorted by (block, position) BEFORE the persist (optimization
+    # round 14, guide §2.4 -- two operations keyed the same way share
+    # one exchange): RangePartitioning(__blk) satisfies the clustering
+    # the pass-1 aggregate and the pass-2 window both require, and the
+    # stored sort order satisfies the window's (__blk, i0) ordering,
+    # so the per-execution hash Exchange AND the full-width Sort of
+    # the old plan disappear -- the one shuffle happens at cache build
+    # and every consumer reads pre-clustered, pre-sorted partitions.
+    # Block keys are equal-sized by construction, so range partitions
+    # are balanced at any scale.
+    d = (
+        a.df.withColumn("__blk", F.floor(F.col("i0") / F.lit(block)).cast("long"))
+        .repartitionByRange("__blk")
+        .sortWithinPartitions("__blk", "i0")
+        .persist()
+    )
     v = F.col(VALUE_COL)
+    # per-block FIRST-NULL / FIRST-ZERO POSITIONS instead of boolean
+    # flags (optimization round 14): the old pass 2 tracked "any null
+    # so far" / "any zero so far" with a per-row running max window --
+    # a second (and third) running aggregate over every row.  "Any
+    # null at j <= i within the block" is exactly i >= min(null
+    # position), so a per-block scalar comparison replaces the running
+    # aggregate; the cross-block part stays in the tiny prefix frame.
     partials = d.groupBy("__blk").agg(
         F.sum(v).alias("__s"),
         F.sum(F.when(v != 0, F.log(F.abs(v)))).alias("__lg"),
         F.sum((v.isNotNull() & (v < 0)).cast("long")).alias("__neg"),
-        F.max((v == 0).cast("int")).alias("__zero"),
-        F.max(v.isNull().cast("int")).alias("__null"),
+        F.min(F.when(v == 0, F.col("i0"))).alias("__zp"),
+        F.min(F.when(v.isNull(), F.col("i0"))).alias("__np"),
     )
     n = a.shape[0]
     nblocks = None if n is None else (n + block - 1) // block
@@ -132,8 +153,8 @@ def _scan_1d(a: Array, kind: str, block: int = _BLOCK_1D) -> Array:
             F.sum("__s").alias("__ss"),
             F.sum("__lg").alias("__slg"),
             F.sum("__neg").alias("__sneg"),
-            F.max("__zero").alias("__szero"),
-            F.max("__null").alias("__snull"),
+            F.max(F.col("__zp").isNotNull().cast("int")).alias("__szero"),
+            F.max(F.col("__np").isNotNull().cast("int")).alias("__snull"),
         )
         wsp = Window.orderBy("__sb").rowsBetween(Window.unboundedPreceding, -1)
         sprefix = sp.select(
@@ -149,6 +170,8 @@ def _scan_1d(a: Array, kind: str, block: int = _BLOCK_1D) -> Array:
         )
         prefix = partials.join(sprefix, on="__sb").select(
             "__blk",
+            "__zp",
+            "__np",
             (F.coalesce(F.sum("__s").over(wp2), F.lit(0.0)) + F.col("__sps")).alias("__ps"),
             (F.coalesce(F.sum("__lg").over(wp2), F.lit(0.0)) + F.col("__splg")).alias("__plg"),
             (
@@ -156,37 +179,65 @@ def _scan_1d(a: Array, kind: str, block: int = _BLOCK_1D) -> Array:
                 + F.col("__spneg")
             ).alias("__pneg"),
             F.greatest(
-                F.coalesce(F.max("__zero").over(wp2), F.lit(0)), F.col("__spzero")
+                F.coalesce(
+                    F.max(F.col("__zp").isNotNull().cast("int")).over(wp2), F.lit(0)
+                ),
+                F.col("__spzero"),
             ).alias("__pzero"),
             F.greatest(
-                F.coalesce(F.max("__null").over(wp2), F.lit(0)), F.col("__spnull")
+                F.coalesce(
+                    F.max(F.col("__np").isNotNull().cast("int")).over(wp2), F.lit(0)
+                ),
+                F.col("__spnull"),
             ).alias("__pnull"),
         )
     else:
         wp = Window.orderBy("__blk").rowsBetween(Window.unboundedPreceding, -1)
         prefix = partials.select(
             "__blk",
+            "__zp",
+            "__np",
             F.coalesce(F.sum("__s").over(wp), F.lit(0.0)).alias("__ps"),
             F.coalesce(F.sum("__lg").over(wp), F.lit(0.0)).alias("__plg"),
             F.coalesce(F.sum("__neg").over(wp), F.lit(0).cast("long")).alias("__pneg"),
-            F.coalesce(F.max("__zero").over(wp), F.lit(0)).alias("__pzero"),
-            F.coalesce(F.max("__null").over(wp), F.lit(0)).alias("__pnull"),
+            F.coalesce(
+                F.max(F.col("__zp").isNotNull().cast("int")).over(wp), F.lit(0)
+            ).alias("__pzero"),
+            F.coalesce(
+                F.max(F.col("__np").isNotNull().cast("int")).over(wp), F.lit(0)
+            ).alias("__pnull"),
         )
-    j = d.join(prefix, on="__blk")  # P rows: AQE broadcasts
+    # EXPLICIT broadcast when the prefix frame is provably bounded
+    # (nblocks <= the partials window limit, ~6 MB of rows): a plain
+    # join plans as SortMergeJoin and EnsureRequirements re-exchanges
+    # AND re-sorts the corpus side, throwing away the cached range
+    # partitioning -- the static BroadcastHashJoin preserves the
+    # streamed side's partitioning and ordering, so the pass-2 window
+    # runs with NO Exchange and NO Sort.  Unknown or huge block counts
+    # keep the planner's choice (AQE broadcasts when small).
+    if nblocks is not None and nblocks <= _PARTIALS_WINDOW_LIMIT:
+        j = d.join(F.broadcast(prefix), on="__blk")
+    else:
+        j = d.join(prefix, on="__blk")  # P rows: AQE broadcasts
     w = Window.partitionBy("__blk").orderBy("i0").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # block-local "seen a null/zero at j <= i": position compare
+    # against the per-block first-occurrence scalar (exact -- see the
+    # partials comment), not a running max window
+    blk_null = F.col("__np").isNotNull() & (F.col("i0") >= F.col("__np"))
+    blk_zero = F.col("__zp").isNotNull() & (F.col("i0") >= F.col("__zp"))
     if kind in ("cumsum", "nancumsum"):
         run = F.coalesce(F.sum(v).over(w), F.lit(0.0)) + F.col("__ps")
         if kind == "cumsum":
-            seen_null = F.greatest(
-                F.max(v.isNull().cast("int")).over(w), F.col("__pnull")
-            )
-            c = F.when(seen_null == 1, F.lit(None)).otherwise(run)
+            seen_null = (F.col("__pnull") == 1) | blk_null
+            c = F.when(seen_null, F.lit(None)).otherwise(run)
         else:
             c = run
     else:  # cumprod / nancumprod
-        zeros = F.greatest(F.max((v == 0).cast("int")).over(w), F.col("__pzero"))
+        zeros = F.when((F.col("__pzero") == 1) | blk_zero, F.lit(1)).otherwise(
+            F.lit(0)
+        )
         negs = (
             F.coalesce(
                 F.sum((v.isNotNull() & (v < 0)).cast("long")).over(w),
@@ -201,10 +252,8 @@ def _scan_1d(a: Array, kind: str, block: int = _BLOCK_1D) -> Array:
         sign = F.when(negs % 2 == 1, F.lit(-1.0)).otherwise(F.lit(1.0))
         c = F.when(zeros == 1, F.lit(0.0)).otherwise(sign * mag)
         if kind == "cumprod":
-            seen_null = F.greatest(
-                F.max(v.isNull().cast("int")).over(w), F.col("__pnull")
-            )
-            c = F.when(seen_null == 1, F.lit(None)).otherwise(c)
+            seen_null = (F.col("__pnull") == 1) | blk_null
+            c = F.when(seen_null, F.lit(None)).otherwise(c)
     return Array(j.select("i0", c.cast("double").alias(VALUE_COL)), a.shape)
 
 
