@@ -196,22 +196,43 @@ def _run_slots(spark, sf_dir, slots, runs, extra, settle):
     stages, spins up the Arrow workers -- round-6 adjudication chased
     a phantom boolean_mask regression caused exactly by that cold
     spike), then max(runs, extra) timed executions.  Returns
-    (min_times, spreads, per_rep_times)."""
+    (min_times, spreads, per_rep_times, build_times, exec_times).
+
+    Round 14 (verdict ask 4, observability only): each rep's span is
+    recorded as its two components -- ``build`` (fn(spark, sf_dir):
+    driver-side DataFrame construction, py4j + analysis) and ``exec``
+    (the noop-sink action: the distributed run).  The reported rep
+    time is their SUM, measured over the same operations as the
+    historical single span (one extra perf_counter read per rep), so
+    mins stay comparable round-over-round; the split lets a
+    round-over-round regression self-diagnose as construction vs
+    engine (round 13's forensics found ~5.5 s of the 19-slot total was
+    construction, invisible in the aggregate number)."""
     results: dict[str, float] = {}
     spreads: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
+    builds: dict[str, float] = {}
+    execs: dict[str, float] = {}
     for name, fn in slots:
         _noop_write(fn(spark, sf_dir))
         times = []
+        parts = []
         for _ in range(max(runs, extra.get(name, 0))):
             t0 = time.perf_counter()
-            _noop_write(fn(spark, sf_dir))
-            times.append(time.perf_counter() - t0)
-        results[name] = round(min(times), 3)
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            _noop_write(df)
+            t2 = time.perf_counter()
+            times.append(t2 - t0)
+            parts.append((t1 - t0, t2 - t1))
+        best = min(range(len(times)), key=times.__getitem__)
+        results[name] = round(times[best], 3)
         spreads[name] = round(max(times) - min(times), 3)
         reps[name] = [round(t, 3) for t in times]
+        builds[name] = round(parts[best][0], 3)
+        execs[name] = round(parts[best][1], 3)
         time.sleep(settle)
-    return results, spreads, reps
+    return results, spreads, reps, builds, execs
 
 
 def _wait_for_quiet() -> dict:
@@ -304,7 +325,7 @@ def main() -> None:
             _noop_write(fn(spark, sf_dir))
         warmup_sweep_sec = round(time.perf_counter() - t0, 1)
 
-    results, spreads, reps = _run_slots(spark, sf_dir, slots, runs, extra, settle)
+    results, spreads, reps, builds, execs = _run_slots(spark, sf_dir, slots, runs, extra, settle)
 
     load_end = os.getloadavg()
     ncpus = os.cpu_count() or 1
@@ -319,6 +340,12 @@ def main() -> None:
         # background process) reads as one outlier rep instead
         # of a slot regression (round-7 verdict ask 3)
         "reps": reps,
+        # the min rep's split into driver-side plan construction vs
+        # distributed execution (round-14 verdict ask 4): build + exec
+        # = the reported min; a round-over-round delta now
+        # self-diagnoses as py4j/analysis churn vs engine time
+        "build_sec": builds,
+        "exec_sec": execs,
         "runs": runs,
         "warmup_sweep_sec": warmup_sweep_sec,
         # machine-contention evidence for regression
@@ -352,7 +379,11 @@ def main() -> None:
             json.dump(payload, f)
     except OSError:
         full_path = None
-    compact = {k: v for k, v in payload.items() if k not in ("reps", "spread")}
+    compact = {
+        k: v
+        for k, v in payload.items()
+        if k not in ("reps", "spread", "build_sec", "exec_sec")
+    }
     compact["max_spread"] = round(max(spreads.values()), 3) if spreads else 0.0
     compact["full"] = os.path.basename(full_path) if full_path else None
     line = json.dumps(compact)
@@ -477,7 +508,7 @@ def _ivf_vs_brute(spark, sf1_dir, runs, settle):
     def sq8(spark, sf_dir):
         return SIM.sq8_topk(Q._embs(spark, sf_dir), qids, k=k, codes=sq_codes)
 
-    res, _, reps = _run_slots(
+    res, _, reps, _, _ = _run_slots(
         spark, sf1_dir,
         [
             ("brute_cosine_topk", brute),
@@ -590,8 +621,8 @@ def sf1_main() -> None:
     spark = _bench_session()
     slots = [(n, f) for n, f in _headline() if n in SF1_SLOTS]
     extra = {k: v for k, v in EXTRA_RUNS.items() if k in SF1_SLOTS}
-    base, _, base_reps = _run_slots(spark, sf01_dir, slots, runs, extra, settle)
-    scaled, _, scaled_reps = _run_slots(spark, sf1_dir, slots, runs, extra, settle)
+    base, _, base_reps, _, _ = _run_slots(spark, sf01_dir, slots, runs, extra, settle)
+    scaled, _, scaled_reps, _, _ = _run_slots(spark, sf1_dir, slots, runs, extra, settle)
     ratios = {
         n: round(scaled[n] / max(base[n], 1e-9), 1) for n in base
     }
