@@ -1360,6 +1360,60 @@ def semantic_dedup(
     )
 
 
+# -- guarded hash-aggregatable argmin (optimization round 14, verdict
+# ask 6) -------------------------------------------------------------------
+# min_by(struct(cell, dist), struct(dist, cell)) is not hash-
+# aggregatable (struct min falls to SortAggregate: per-group sort
+# machinery on every argmin shuffle).  For the engine's distance
+# contract -- dist = round(x, 6) + 0.0, i.e. non-negative or NULL or
+# NaN, never -0.0 -- the ordering packs EXACTLY into one BIGINT:
+#   cell outside [0, 2^20)           -> raise_error (loud, not wrong)
+#   dist IS NULL  -> -2^20 + cell       (NULL sorts FIRST, ties by cell
+#                                        -- probed min_by semantics)
+#   isnan(dist)   ->  2^62 + cell       (NaN sorts LAST, above every
+#                                        finite packed value)
+#   dl >= 2^42    -> raise_error        (would overflow into the NaN
+#                                        band; dl = round(dist * 1e6))
+#   else          ->  dl * 2^20 + cell  (dist asc, then cell asc)
+# min(packed) is then an ordinary long min -> HashAggregate, partial-
+# aggregated.  The round-13 unguarded form was REJECTED for silently
+# corrupting hostile distances; these guards turn that class into a
+# loud error instead (hostile-distance parity + guard tests pinned).
+# Decode is exact: dist was already 6-decimal-rounded, so
+# (dl DIV 2^20) / 1e6 reproduces the same nearest double bit-for-bit.
+_ARGMIN_CELL_CAP = 1 << 20
+_ARGMIN_DL_CAP = 1 << 42
+_ARGMIN_NAN_BASE = 1 << 62
+
+
+def _argmin_packed_sql(cell: str, dist: str) -> str:
+    """SQL fragment: the order-preserving BIGINT packing above."""
+    return (
+        f"CASE WHEN {cell} < 0 OR {cell} >= {_ARGMIN_CELL_CAP} THEN "
+        f"CAST(raise_error('argmin cell id out of [0, 2^20)') AS BIGINT) "
+        f"WHEN {dist} IS NULL THEN CAST({-(1 << 20)} AS BIGINT) + {cell} "
+        f"WHEN isnan({dist}) THEN CAST({_ARGMIN_NAN_BASE} AS BIGINT) + {cell} "
+        f"WHEN CAST(round({dist} * 1000000.0) AS BIGINT) >= {_ARGMIN_DL_CAP} "
+        f"THEN CAST(raise_error("
+        f"'argmin dist too large to pack (>= 2^42/1e6)') AS BIGINT) "
+        f"ELSE CAST(round({dist} * 1000000.0) AS BIGINT) * {_ARGMIN_CELL_CAP}"
+        f" + {cell} END"
+    )
+
+
+def _argmin_cell_sql(p: str) -> str:
+    return f"CAST(pmod({p}, {_ARGMIN_CELL_CAP}) AS BIGINT)"
+
+
+def _argmin_dist_sql(p: str) -> str:
+    return (
+        f"CASE WHEN {p} < 0 THEN CAST(NULL AS DOUBLE) "
+        f"WHEN {p} >= CAST({_ARGMIN_NAN_BASE} AS BIGINT) THEN "
+        f"CAST('NaN' AS DOUBLE) "
+        f"ELSE CAST({p} DIV {_ARGMIN_CELL_CAP} AS DOUBLE) / 1000000.0 END"
+    )
+
+
 def kmeans_assign(
     emb: DataFrame, cents: DataFrame, impl: str = "auto"
 ) -> DataFrame:
@@ -1418,16 +1472,15 @@ def kmeans_assign(
         .select("vec_id", "cell", (F.round(sq, 6) + F.lit(0.0)).alias("dist"))
     )
     return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct("cell", "dist"), F.struct("dist", "cell")
-            ).alias("__m")
+        scored.selectExpr(
+            "vec_id", f"{_argmin_packed_sql('cell', 'dist')} AS __pp"
         )
-        .select(
+        .groupBy("vec_id")
+        .agg(F.expr("min(__pp) AS __p"))
+        .selectExpr(
             "vec_id",
-            F.col("__m.cell").cast("long").alias("cell"),
-            F.col("__m.dist").alias("dist"),
+            f"{_argmin_cell_sql('__p')} AS cell",
+            f"{_argmin_dist_sql('__p')} AS dist",
         )
     )
 
@@ -1514,14 +1567,17 @@ def kmeans_fit(
             )
         )
         best = (
-            scored.groupBy("vec_id")
+            scored.selectExpr(
+                "vec_id",
+                "embedding",
+                f"{_argmin_packed_sql('cell', 'dist')} AS __pp",
+            )
+            .groupBy("vec_id")
             .agg(
-                F.min_by(F.struct("cell", "dist"), F.struct("dist", "cell")).alias(
-                    "__m"
-                ),
+                F.expr("min(__pp) AS __p"),
                 F.first("embedding").alias("embedding"),
             )
-            .select(F.col("__m.cell").cast("long").alias("cell"), "embedding")
+            .selectExpr(f"{_argmin_cell_sql('__p')} AS cell", "embedding")
         )
         newc = (
             best.select("cell", F.posexplode("embedding").alias("pos", "e"))
@@ -1612,13 +1668,16 @@ def _pq_assign(sub: DataFrame, cents: DataFrame, id_col: str = "vec_id") -> Data
         id_col, "s", "code", (F.round(sq, 6) + F.lit(0.0)).alias("dist")
     )
     return (
-        scored.groupBy(id_col, "s")
-        .agg(F.min_by(F.struct("code", "dist"), F.struct("dist", "code")).alias("__m"))
-        .select(
+        scored.selectExpr(
+            id_col, "s", f"{_argmin_packed_sql('code', 'dist')} AS __pp"
+        )
+        .groupBy(id_col, "s")
+        .agg(F.expr("min(__pp) AS __p"))
+        .selectExpr(
             id_col,
             "s",
-            F.col("__m.code").cast("long").alias("code"),
-            F.col("__m.dist").alias("dist"),
+            f"{_argmin_cell_sql('__p')} AS code",
+            f"{_argmin_dist_sql('__p')} AS dist",
         )
     )
 
