@@ -242,7 +242,31 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id_col(text_col: str = "text", toks: Column | None = None) -> Column:
+def _lang_id_expr(text_col: str, toks: str | None) -> Column:
+    """lang_id_col's expression as ONE SQL parse (optimization round
+    14, same single-parse device as functions/dedup._simhash_expr):
+    the string spells exactly the Column branch's tree -- same struct
+    shapes, same -2 init, same strict-> fold and ==0 'und' finish --
+    from the shared tokens_sql fragment."""
+    toks_sql_ = tokens_sql(sql_ident(text_col)) if toks is None else sql_ident(toks)
+    entries = ", ".join(
+        "struct(size(filter({t}, t -> t IN ({m}))) AS s, '{lang}' AS l)".format(
+            t=toks_sql_,
+            m=", ".join("'" + w.replace("'", "''") + "'" for w in markers),
+            lang=lang,
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    )
+    return F.expr(
+        f"aggregate(array({entries}), struct(-2 AS s, 'und' AS l), "
+        "(acc, x) -> CASE WHEN x.s > acc.s THEN x ELSE acc END, "
+        "acc -> CASE WHEN acc.s = 0 THEN 'und' ELSE acc.l END)"
+    )
+
+
+def lang_id_col(
+    text_col: str = "text", toks: "Column | str | None" = None
+) -> Column:
     """Predicted language as a standalone Column (marker-token scores
     with deterministic alphabetical tie-break).  ``toks``: see
     ``with_tokens`` -- each language's marker scan runs once per
@@ -254,7 +278,15 @@ def lang_id_col(text_col: str = "text", toks: Column | None = None) -> Column:
     are not shared -- evaluated the 5 marker scans ~3-6x per document).
     Tie-break is identical: strict > keeps the FIRST struct, and the
     array is built in sorted(lang) order, so the alphabetically
-    smallest max-score language wins; a 0 best score stays 'und'."""
+    smallest max-score language wins; a 0 best score stays 'und'.
+
+    When ``text_col``/``toks`` are NAMES the identical tree builds as
+    ONE F.expr parse (optimization round 14; the Column-API loop was
+    ~70 py4j round-trips of driver time per construction) -- pass the
+    column NAME to keep the fast path; a Column is still accepted
+    (legacy constructor below, same values, pinned by test)."""
+    if isinstance(text_col, str) and (toks is None or isinstance(toks, str)):
+        return _lang_id_expr(text_col, toks)
     toks = _toks_or(text_col, toks)
 
     def marker_filter(m):
@@ -293,7 +325,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     (``with_tokens``)."""
     base = with_tokens(df.select("doc_id", text_col), text_col)
     return base.select(
-        "doc_id", lang_id_col(text_col, toks=F.col(TOKS)).alias("pred_lang")
+        "doc_id", lang_id_col(text_col, toks=TOKS).alias("pred_lang")
     )
 
 

@@ -4247,7 +4247,8 @@ def q_text_suite(spark, sf):
         "doc_id",
         *T.token_stats_cols("text", toks=tk),
         T.quality_col("text", toks=tk).alias("quality"),
-        T.lang_id_col("text", toks=tk).alias("pred_lang"),
+        # NAME, not Column: lang_id_col's single-parse expr path
+        T.lang_id_col("text", toks=T.TOKS).alias("pred_lang"),
         T.polyhash_col(F.col("text")).alias("fp"),
         # pass the NAME, not the Column: simhash_col's single-parse
         # expr path skips the 0.4 s per-build py4j constructor loop

@@ -256,7 +256,7 @@ def _collect_c1d(arr, n):
     return out
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(seed=st.integers(0, 2**31), n=st.integers(2, 60))
 def test_fuzz_fft_any_length(spark, seed, n):
     import numpy as np
@@ -274,7 +274,7 @@ def test_fuzz_fft_any_length(spark, seed, n):
     np.testing.assert_allclose(gr, np.fft.rfft(x), atol=1e-8)
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(seed=st.integers(0, 2**31), k=st.integers(2, 8), m=st.integers(2, 8))
 def test_fuzz_fft_long_composite_split(spark, seed, k, m):
     """four-step split N = n1 x n2 for arbitrary factorizations,
@@ -291,7 +291,7 @@ def test_fuzz_fft_long_composite_split(spark, seed, k, m):
     np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-8)
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(seed=st.integers(0, 2**31), n=st.integers(2, 40))
 def test_fuzz_complex_algebra(spark, seed, n):
     import numpy as np

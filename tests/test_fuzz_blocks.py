@@ -66,7 +66,7 @@ def einsum_case(draw):
     return specs, out_labels, sizes
 
 
-@settings(max_examples=14, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(einsum_case(), st.integers(0, 10_000))
 def test_einsum_random_specs(spark, case, seed):
     from dask_array_spark.operators import linalg as LA
@@ -81,7 +81,7 @@ def test_einsum_random_specs(spark, case, seed):
     assert_eq(got, want, rtol=1e-9)
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(einsum_case(), st.integers(0, 10_000))
 def test_einsum_implicit_output(spark, case, seed):
     from dask_array_spark.operators import linalg as LA
@@ -113,7 +113,7 @@ def test_einsum_diagonal_and_trace(spark):
 # ---------------------------------------------------------------- map_blocks
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.integers(1, 9),
     st.integers(1, 7),
@@ -136,7 +136,7 @@ def test_map_blocks_random_grid_demean(spark, n, m, bn, bm, seed):
     assert_eq(got, want)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.integers(1, 9), st.integers(1, 5), st.integers(0, 10_000))
 def test_map_blocks_block_info_offsets(spark, n, bn, seed):
     """block_info array-location offsets must match the grid math."""
@@ -166,7 +166,7 @@ AXIS_FUNCS = [
 ]
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.integers(1, 4),
     st.integers(1, 4),
@@ -203,7 +203,7 @@ GUFUNC_CASES = [
 LOOP_SHAPES = [(), (3,), (2, 2)]
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.sampled_from(GUFUNC_CASES),
     st.sampled_from(LOOP_SHAPES),

@@ -104,7 +104,7 @@ def corpora(draw):
     return [" ".join(d) for d in docs]
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(corpora())
 def test_minhash_lsh_chain_matches_python(spark, texts):
     from dask_array_spark.functions import dedup as D
@@ -158,7 +158,7 @@ def test_minhash_lsh_chain_matches_python(spark, texts):
         assert got_sz == {v: sizes[r] for v, r in model_rep.items()}
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(corpora())
 def test_exact_groups_matches_python(spark, texts):
     from dask_array_spark.functions import dedup as D

@@ -60,7 +60,7 @@ def _df(spark, texts):
     )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(corpus_and_bench())
 def test_contamination_counts_matches_python(spark, data):
     from dask_array_spark.functions import governance as G
@@ -80,7 +80,7 @@ def test_contamination_counts_matches_python(spark, data):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
     st.sampled_from([(80, 10, 10), (60, 20, 20), (98, 1, 1), (0, 50, 50)]),
@@ -102,7 +102,7 @@ def test_assign_split_matches_python(spark, ids, weights, salt):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 500), st.sampled_from(["en", "fr", "de"])),
@@ -132,7 +132,7 @@ def test_stratified_sample_matches_python(spark, rows, k):
     assert got == exp
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 500), st.sampled_from(["en", "fr", "de"])),

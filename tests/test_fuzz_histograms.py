@@ -27,7 +27,7 @@ def _arr(spark, x):
 VALS = st.lists(st.integers(0, 8), min_size=1, max_size=30)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(VALS, st.integers(0, 12))
 def test_bincount_random(spark, vals, minlength):
     from dask_array_spark.operators import reductions as R
@@ -41,7 +41,7 @@ def test_bincount_random(spark, vals, minlength):
     np.testing.assert_array_equal(g, want)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(VALS, st.integers(0, 10_000))
 def test_bincount_weighted(spark, vals, seed):
     from dask_array_spark.operators import reductions as R
@@ -56,7 +56,7 @@ def test_bincount_weighted(spark, vals, seed):
     np.testing.assert_allclose(np.nan_to_num(g), want)
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(st.integers(-6, 12), min_size=1, max_size=40),
     st.integers(1, 6),
@@ -73,7 +73,7 @@ def test_histogram_edges(spark, vals, bins, lo, width):
     assert_eq(got, want)
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(st.tuples(st.integers(0, 6), st.integers(-3, 3)), min_size=1, max_size=30),
     st.integers(1, 4),
@@ -91,7 +91,7 @@ def test_histogram2d_edges(spark, pts, bx, by):
     assert_eq(got, want.astype("int64"))
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 4), st.integers(0, 3), st.integers(0, 2)),

@@ -69,7 +69,7 @@ SHAPE_12 = st.lists(st.integers(1, 7), min_size=1, max_size=2)
 SHAPE_13 = st.lists(st.integers(1, 6), min_size=1, max_size=3)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=3, deadline=None)
 @given(
     shape=SHAPE_12,
     seed=st.integers(0, 2**31),
@@ -90,7 +90,7 @@ def test_fuzz_zarr_roundtrip(spark, shape, seed, chunk_seed, comp, nan):
     _check_reductions(spark, back, x)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     shape=SHAPE_12,
     seed=st.integers(0, 2**31),
@@ -108,7 +108,7 @@ def test_fuzz_npy_stack_roundtrip(spark, shape, seed, files, nan):
     _check_reductions(spark, back, x)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(shape=SHAPE_13, seed=st.integers(0, 2**31), nan=st.booleans())
 def test_fuzz_hdf5_roundtrip(spark, shape, seed, nan):
     shape = tuple(shape)
@@ -122,7 +122,7 @@ def test_fuzz_hdf5_roundtrip(spark, shape, seed, nan):
     _check_reductions(spark, back, x)
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=3, deadline=None)
 @given(
     shape=SHAPE_13,
     seed=st.integers(0, 2**31),
@@ -180,7 +180,7 @@ def test_hdf5_chunked_multi_dataset_and_btree_depth(spark):
     np.testing.assert_allclose(from_hdf5(spark, path2, "/f").compute(), xf)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     shape=SHAPE_12,
     seed=st.integers(0, 2**31),
@@ -589,7 +589,7 @@ def _v3_expected(x, chunks, fill, omit):
     return exp
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     shape=SHAPE_12,
     seed=st.integers(0, 2**31),
@@ -624,7 +624,7 @@ def test_fuzz_zarr_v3_roundtrip(
     _check_reductions(spark, back, exp)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     shape=st.lists(st.integers(2, 9), min_size=1, max_size=2),
     seed=st.integers(0, 2**31),
@@ -759,7 +759,7 @@ def test_zarr_v3_garbled_inputs(spark):
     )
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     shape=SHAPE_12,
     seed=st.integers(0, 2**31),
@@ -785,7 +785,7 @@ def test_zarr_v2_v3_cross_format_equivalence(spark, shape, seed, chunk_seed, com
     assert_eq(b3, x)
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=3, deadline=None)
 @given(
     shape=st.lists(st.integers(2, 9), min_size=1, max_size=2),
     seed=st.integers(0, 2**31),
@@ -866,7 +866,7 @@ def test_zarr_dtype_follows_value_column(spark):
                 shards=(3, 4))
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     seed=st.integers(0, 2**31),
     pick=st.integers(0, 2**31),
@@ -1059,7 +1059,7 @@ def _assert_complex_eq(arr, x: np.ndarray) -> None:
     np.testing.assert_allclose(got.imag, x.imag, rtol=1e-9, equal_nan=True)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     shape=SHAPE_12,
     seed=st.integers(0, 2**31),
@@ -1087,7 +1087,7 @@ def test_complex_zarr_v3_sharded_roundtrip(spark):
     _assert_complex_eq(from_zarr(spark, url), x)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     shape=SHAPE_12,
     seed=st.integers(0, 2**31),
@@ -1194,7 +1194,7 @@ def test_v2_uint64_store_reads_exact(spark):
     np.testing.assert_array_equal(a.compute(), vals)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(shape=SHAPE_13, seed=st.integers(0, 2**31), nan=st.booleans())
 def test_fuzz_complex_hdf5_roundtrip(spark, shape, seed, nan):
     """Complex HDF5 (round 10): the writer emits the h5py compound

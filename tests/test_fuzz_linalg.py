@@ -24,7 +24,7 @@ def _from(spark, x, npartitions=4):
     return from_numpy(spark, x, npartitions=npartitions)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.integers(0, 10_000), st.integers(6, 24), st.integers(1, 5))
 def test_tsqr_qr_invariants(spark, seed, n, m):
     from dask_array_spark.operators import linalg as L
@@ -38,7 +38,7 @@ def test_tsqr_qr_invariants(spark, seed, n, m):
     assert np.allclose(rn, np.triu(rn))
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.integers(0, 10_000), st.integers(6, 20), st.integers(1, 4))
 def test_svd_invariants_and_values(spark, seed, n, m):
     from dask_array_spark.operators import linalg as L
@@ -91,7 +91,7 @@ def test_lu_solve_gen(spark, seed, n, nb):
     np.testing.assert_allclose(xs, np.linalg.solve(x, b), atol=1e-7)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.integers(0, 10_000), st.integers(5, 16), st.integers(1, 4))
 def test_lstsq_matches_numpy(spark, seed, n, m):
     from dask_array_spark.operators import linalg as L
@@ -105,7 +105,7 @@ def test_lstsq_matches_numpy(spark, seed, n, m):
         np.testing.assert_allclose(rss, res[0], atol=1e-8)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.integers(0, 10_000),
     st.integers(1, 6),

@@ -24,7 +24,7 @@ def _arr(spark, x):
 # ------------------------------------------------------------ conveniences
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(st.integers(-3, 3), min_size=1, max_size=12),
     st.integers(0, 10_000),
@@ -40,7 +40,7 @@ def test_allclose_flatnonzero_random(spark, vals, seed):
     assert_eq(CV.flatnonzero(_arr(spark, x)), np.flatnonzero(x).astype("float64"))
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.integers(1, 4), st.integers(1, 4), st.integers(0, 10_000))
 def test_broadcast_arrays_random(spark, n, m, seed):
     from dask_array_spark.operators import conveniences as CV
@@ -54,7 +54,7 @@ def test_broadcast_arrays_random(spark, n, m, seed):
         assert_eq(g, w)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(st.integers(-20, 20), min_size=2, max_size=25),
     st.integers(0, 100),
@@ -72,7 +72,7 @@ def test_percentile_spellings_random(spark, vals, p):
 # ----------------------------------------------------------------- skew
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(st.tuples(st.integers(0, 2), st.integers(-5, 5)), min_size=1, max_size=40),
     st.sampled_from(["sum", "count", "min", "max"]),
@@ -105,7 +105,7 @@ def test_salted_agg_matches_plain_groupby(spark, rows, agg, salt):
 # ------------------------------------------------------------ kth_smallest
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(st.integers(0, 4), min_size=3, max_size=30),
     st.integers(0, 10_000),

@@ -23,7 +23,7 @@ def _df(spark, payloads):
     )
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.lists(PAYLOAD, min_size=1, max_size=6), st.sampled_from([2, 4, 16, 64, 256]))
 def test_byte_histogram_model(spark, payloads, bins):
     from dask_array_spark.functions.multimodal import byte_histogram
@@ -38,7 +38,7 @@ def test_byte_histogram_model(spark, payloads, bins):
     assert got == want
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.lists(PAYLOAD, min_size=1, max_size=6))
 def test_fake_decode_features_model(spark, payloads):
     from dask_array_spark.functions.multimodal import fake_decode_features
@@ -52,7 +52,7 @@ def test_fake_decode_features_model(spark, payloads):
         assert r["std_px"] == pytest.approx(round(float(buf.std()), 6), abs=1e-9)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(PAYLOAD, min_size=1, max_size=5),
     st.integers(1, 80),
@@ -73,7 +73,7 @@ def test_frame_sample_model(spark, payloads, frame_bytes, stride):
     assert got == want
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.lists(PAYLOAD, min_size=1, max_size=6))
 def test_media_metadata_sizes(spark, payloads):
     from dask_array_spark.functions.multimodal import media_metadata

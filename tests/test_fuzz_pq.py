@@ -71,7 +71,7 @@ def _model_assign(subs, cents, n, m):
     return out
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.integers(5, 12),
     st.sampled_from([2, 4]),
@@ -116,7 +116,7 @@ def test_pq_train_encode_model(spark, n, m, n_codes, iters, seed):
     }
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.integers(6, 14),
     st.sampled_from([2, 4]),
@@ -164,7 +164,7 @@ def test_pq_topk_adc_model(spark, n, m, n_codes, k, seed):
             assert rk == order.index(v)  # 0-based
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.integers(6, 14),
     st.sampled_from([2, 4]),
@@ -193,7 +193,7 @@ def test_pq_train_arrow_equals_sql(spark, n, m, n_codes, iters, seed):
     assert got == want and got
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.integers(6, 16),
     st.sampled_from([2, 4]),
@@ -223,7 +223,7 @@ def test_pq_encode_arrow_equals_sql(spark, n, m, n_codes, seed):
     assert got == want and got
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.integers(6, 16), st.integers(2, 5), st.integers(0, 10_000))
 def test_kmeans_assign_arrow_equals_sql(spark, n, k, seed):
     """kmeans_assign through the m=1 encode kernel must produce
@@ -273,7 +273,7 @@ def test_pq_encode_impl_validation(spark):
         SIM.pq_encode(emb, cents, dim=8, m=2, impl="vectorized")
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.integers(6, 20), st.integers(2, 4), st.integers(1, 3),
        st.integers(0, 10_000))
 def test_kmeans_fit_arrow_equals_sql(spark, n, k, iters, seed):
@@ -367,7 +367,7 @@ def test_ivf_pq_composition(spark):
     assert got_all
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.integers(8, 16),
     st.integers(2, 3),

@@ -42,7 +42,7 @@ _gen = given(
     axis=st.sampled_from([None, 0, 1]),
 )
 _cfg = settings(
-    max_examples=10,
+    max_examples=4,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -133,7 +133,7 @@ def test_fuzz_nan_arg_reductions(spark, rows, cols, vals, nan_mask, axis):
 
 
 @settings(
-    max_examples=10,
+    max_examples=4,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -85,7 +85,7 @@ def py_ivf_topk(vecs, qids, k, n_cells, n_probe):
     return out
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=3, deadline=None)
 @given(CORPUS)
 def test_similarity_tier_matches_python(spark, vecs):
     from dask_array_spark.functions import similarity as SIM
@@ -155,7 +155,7 @@ def _round_int_half_up(v: float) -> int:
     return int(Decimal(repr(float(v))).quantize(Decimal(1), ROUND_HALF_UP))
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(
         st.lists(st.integers(-8, 8), min_size=4, max_size=4),
@@ -239,7 +239,7 @@ FVEC = st.lists(
 )
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.lists(FVEC, min_size=6, max_size=24), st.integers(1, 6))
 def test_cosine_topk_arrow_matches_sql(spark, vecs, k):
     from dask_array_spark.functions import similarity as SIM

@@ -33,7 +33,7 @@ VALS = st.lists(st.integers(-4, 4), min_size=1, max_size=24)
 
 # ---------------------------------------------------------------- sort
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(VALS)
 def test_sort_argsort_ties(spark, vals):
     from dask_array_spark.operators import sorting as S
@@ -46,7 +46,7 @@ def test_sort_argsort_ties(spark, vals):
 
 # ---------------------------------------------------------------- setops
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(VALS, VALS)
 def test_setops_random(spark, va, vb):
     from dask_array_spark.operators import setops as SO
@@ -71,7 +71,7 @@ def test_setops_disjoint_empty(spark):
 
 # ---------------------------------------------------------------- unique
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(VALS)
 def test_unique_counts_first_index(spark, vals):
     from dask_array_spark.operators import reductions as R
@@ -86,7 +86,7 @@ def test_unique_counts_first_index(spark, vals):
 
 # ---------------------------------------------------------------- topk
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.integers(2, 5),
     st.integers(2, 6),
@@ -110,7 +110,7 @@ def test_topk_argtopk_ties_2d(spark, n, m, k, seed):
 
 # ------------------------------------------------------------ searchsorted
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(VALS, VALS, st.sampled_from(["left", "right"]))
 def test_searchsorted_boundary_hits(spark, bounds, vals, side):
     from dask_array_spark.operators import slicing as SL

@@ -116,7 +116,7 @@ def _spans_set(df):
     }
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(corpora())
 def test_duplicated_spans_matches_python(spark, texts):
     from dask_array_spark.functions import dedup as D
@@ -137,7 +137,7 @@ def test_duplicated_spans_matches_python(spark, texts):
     assert got_v == got
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(corpora(), st.integers(2, 5))
 def test_hot_gram_cap_matches_python(spark, texts, cap):
     from dask_array_spark.functions import dedup as D
@@ -151,7 +151,7 @@ def test_hot_gram_cap_matches_python(spark, texts, cap):
     assert got == py_spans(texts, max_positions=cap)
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(corpora())
 def test_clip_matches_python(spark, texts):
     from dask_array_spark.functions import dedup as D

@@ -24,7 +24,7 @@ def _mk_docs(spark, token_lists):
     )
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.lists(TOKENS, min_size=1, max_size=6))
 def test_repetition_matches_python(spark, token_lists):
     from dask_array_spark.functions.text import repetition_stats
@@ -59,7 +59,7 @@ def test_repetition_matches_python(spark, token_lists):
         assert row["max_token_run"] == best, (i, toks)
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(TOKENS, st.integers(1, 8), st.integers(1, 8))
 def test_chunks_reassemble(spark, toks, window, stride):
     """Chunks at any (window, stride) start at multiples of stride,
@@ -87,7 +87,7 @@ def test_chunks_reassemble(spark, toks, window, stride):
         assert len(rows) == -(-len(toks) // stride)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.lists(st.integers(1, 40), min_size=1, max_size=30), st.integers(10, 60))
 def test_pack_matches_python_nextfit(spark, lengths, budget):
     from dask_array_spark.functions.tokenize import pack_sequences
@@ -104,7 +104,7 @@ def test_pack_matches_python_nextfit(spark, lengths, budget):
     assert [r["bin_id"] for r in out] == bins, (lengths, budget)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.lists(TOKENS, min_size=1, max_size=5))
 def test_tfidf_keywords_matches_python(spark, token_lists):
     """tfidf_keywords == the smoothed tf-idf formula + (score desc,
@@ -142,7 +142,7 @@ def test_tfidf_keywords_matches_python(spark, token_lists):
     assert got == want
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.lists(TOKENS, min_size=1, max_size=5))
 def test_oov_rate_matches_python(spark, token_lists):
     from dask_array_spark.functions.tokenize import oov_rate, vocab_top_k

@@ -49,7 +49,7 @@ def _chunks_model(text, window, stride):
     return out
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(CORPUS, st.integers(1, 6), st.integers(1, 8))
 def test_chunk_tokens_model(spark, docs, window, stride):
     from dask_array_spark.functions.tokenize import chunk_tokens
@@ -81,7 +81,7 @@ def _pack_model(doc_lens, budget, n_groups):
     return out
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(CORPUS, st.integers(1, 12), st.integers(1, 4))
 def test_pack_sequences_model(spark, docs, budget, n_groups):
     from dask_array_spark.functions.tokenize import pack_sequences
@@ -98,7 +98,7 @@ def test_pack_sequences_model(spark, docs, budget, n_groups):
 # ------------------------------------------------------------- BPE count
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(CORPUS)
 def test_bpe_token_count_model(spark, docs):
     from dask_array_spark.functions.tokenize import BPE_PATTERN, bpe_token_count
@@ -112,7 +112,7 @@ def test_bpe_token_count_model(spark, docs):
 # ------------------------------------------------------------- vocabulary
 
 
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(CORPUS, st.integers(1, 6))
 def test_vocab_top_k_model(spark, docs, k):
     from dask_array_spark.functions.tokenize import vocab_top_k
@@ -130,7 +130,7 @@ def test_vocab_top_k_model(spark, docs, k):
 # ------------------------------------------------------------- OOV rate
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(CORPUS, st.integers(1, 5), st.sampled_from(["inrow", "join"]))
 def test_oov_rate_model_both_probes(spark, docs, k, probe):
     from dask_array_spark.functions.tokenize import oov_rate
@@ -151,7 +151,7 @@ def test_oov_rate_model_both_probes(spark, docs, k, probe):
 # ------------------------------------------------------------- shard shuffle
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.integers(1, 40), st.integers(1, 6), st.sampled_from(["s1", "s2"]))
 def test_shuffle_shards_invariants(spark, n_docs, n_shards, seed):
     from dask_array_spark.functions.tokenize import shuffle_shards

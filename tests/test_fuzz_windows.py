@@ -29,7 +29,7 @@ def _arr(spark, x):
     return from_numpy(spark, x)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=3, deadline=None)
 @given(ARR)
 def test_cum_family_both_routes(spark, x):
     from dask_array_spark.operators import windows as W
@@ -63,7 +63,7 @@ def _push_model(x, limit):
     return out
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(ARR, st.one_of(st.none(), st.integers(1, 3)))
 def test_push_diff_gradient_both_routes(spark, x, limit):
     from dask_array_spark.operators import windows as W
@@ -78,7 +78,7 @@ def test_push_diff_gradient_both_routes(spark, x, limit):
     assert_eq(W.gradient(a, scalable=True), np.gradient(x))
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(CLEAN, st.integers(2, 5))
 def test_sliding_moving_coarsen(spark, x, size):
     from dask_array_spark.operators import windows as W

@@ -155,7 +155,7 @@ def _oracle(a, kern, depth, mode, cval):
     return out[sl]
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     seed=st.integers(0, 2**31),
     size=st.integers(4, 24),
@@ -178,7 +178,7 @@ def test_fuzz_map_overlap_1d(spark, seed, size, block, depth, mode):
     assert_eq(got, _oracle(a, kern, (depth,), mode, -1.5))
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     seed=st.integers(0, 2**31),
     n0=st.integers(3, 12),

@@ -69,7 +69,7 @@ def _denom(C, Q, scale=None):
         return nrm[:, None] * qn[None, :]
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.integers(1, 24).map(lambda d: d),
     st.integers(1, 12),
@@ -84,7 +84,7 @@ def test_random_magnitudes(d, n, nq, mag, rnd):
     _assert_round6_equal(C, Q, _denom(C, Q))
 
 
-@settings(max_examples=40, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.integers(2, 64), st.randoms(use_true_random=False))
 def test_sq8_form_with_scale(d, rnd):
     rng = np.random.default_rng(rnd.randrange(2**32))
