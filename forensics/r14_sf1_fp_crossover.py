@@ -41,7 +41,11 @@ def _polyhash_np(strs):
     np.cumsum(lens[:-1], out=offs[1:])
     exp = np.repeat(offs + lens - 1, lens) - np.arange(total, dtype=np.int64)
     term = flat * pw[exp] % P
-    segsum = np.add.reduceat(term, np.maximum(offs, 0))
+    # pad one zero so an empty string at the batch tail (offset ==
+    # total) stays a valid reduceat index WITHOUT stealing the last
+    # char from the preceding row; empty rows are zeroed below
+    term = np.append(term, np.int64(0))
+    segsum = np.add.reduceat(term, np.maximum(offs, 0))[: n]
     segsum[lens == 0] = 0
     return (SEED * pw[lens] + segsum) % P
 
