@@ -701,11 +701,19 @@ def ivf_assign(
         # kmeans_assign)
         F.round(dot / (F.col("nrm") * F.col("cnrm")), 6).alias("c"),
     )
-    # argmax with deterministic ties (higher cosine, then smaller cell)
-    return scored.groupBy("vec_id").agg(
-        F.max_by("cell", F.struct(F.col("c"), (-F.col("cell")).alias("nc")))
-        .cast("long")
-        .alias("cell")
+    # argmax with deterministic ties (higher cosine, then smaller
+    # cell) through the guarded packed form -- max(packed) is an
+    # ordinary long max, so the argmax hash-aggregates instead of
+    # falling to SortAggregate (optimization round 14; NULL/NaN/Inf
+    # ordering engine-probed and replicated exactly, zero-norm parity
+    # pinned by tests)
+    return (
+        scored.selectExpr(
+            "vec_id", f"{_argmax_cos_packed_sql('cell', 'c')} AS __pp"
+        )
+        .groupBy("vec_id")
+        .agg(F.expr("max(__pp) AS __p"))
+        .selectExpr("vec_id", f"{_argmax_cell_sql('__p')} AS cell")
     )
 
 
@@ -1403,6 +1411,38 @@ def _argmin_packed_sql(cell: str, dist: str) -> str:
 
 def _argmin_cell_sql(p: str) -> str:
     return f"CAST(pmod({p}, {_ARGMIN_CELL_CAP}) AS BIGINT)"
+
+
+def _argmax_cos_packed_sql(cell: str, c: str) -> str:
+    """The MAX-side twin for the cosine argmax (ivf_assign):
+    max_by(cell, struct(c, -cell)) with c = round(cos, 6) -- finite in
+    [-1e6, 1e6] after scaling, or NULL / NaN / +-Inf for zero-norm
+    rows (double division by zero is Inf/NaN in the non-ANSI session).
+    Engine-probed ascending order: NULL < -Inf < finite < +Inf < NaN,
+    ties to the SMALLER cell -- packed so max(packed) replicates it:
+    inverted cell in the low 20 bits (smaller cell = larger inv),
+    +-2^61 bands for +-Inf, +-2^62 for NaN/NULL, c6 * 2^20 for finite
+    (|c6 * 2^20| <= ~2^40, strictly inside the bands).  Out-of-range
+    cells or |c6| > 2^40 raise loudly."""
+    inv = f"({_ARGMIN_CELL_CAP - 1} - {cell})"
+    c6 = f"CAST(round({c} * 1000000.0) AS BIGINT)"
+    return (
+        f"CASE WHEN {cell} < 0 OR {cell} >= {_ARGMIN_CELL_CAP} THEN "
+        f"CAST(raise_error('argmax cell id out of [0, 2^20)') AS BIGINT) "
+        f"WHEN {c} IS NULL THEN CAST({-(1 << 62)} AS BIGINT) + {inv} "
+        f"WHEN isnan({c}) THEN CAST({1 << 62} AS BIGINT) + {inv} "
+        f"WHEN {c} = double('Infinity') THEN CAST({1 << 61} AS BIGINT) + {inv} "
+        f"WHEN {c} = double('-Infinity') THEN CAST({-(1 << 61)} AS BIGINT) + {inv} "
+        f"WHEN abs({c6}) > {1 << 40} THEN "
+        f"CAST(raise_error('argmax cosine too large to pack') AS BIGINT) "
+        f"ELSE {c6} * {_ARGMIN_CELL_CAP} + {inv} END"
+    )
+
+
+def _argmax_cell_sql(p: str) -> str:
+    return (
+        f"CAST({_ARGMIN_CELL_CAP - 1} - pmod({p}, {_ARGMIN_CELL_CAP}) AS BIGINT)"
+    )
 
 
 def _argmin_dist_sql(p: str) -> str:

@@ -81,3 +81,51 @@ def test_packed_argmin_guards_raise_loudly(spark, row):
     df = spark.createDataFrame([row], "vec_id long, cell long, dist double")
     with pytest.raises(Exception, match="argmin"):
         df.selectExpr(f"{_argmin_packed_sql('cell', 'dist')} AS p").collect()
+
+
+def _old_argmax(df):
+    return df.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("c"), (-F.col("cell")).alias("nc")))
+        .cast("long")
+        .alias("cell")
+    )
+
+
+def _new_argmax(df):
+    from dask_array_spark.functions.similarity import (
+        _argmax_cell_sql,
+        _argmax_cos_packed_sql,
+    )
+
+    return (
+        df.selectExpr("vec_id", f"{_argmax_cos_packed_sql('cell', 'c')} AS __pp")
+        .groupBy("vec_id")
+        .agg(F.expr("max(__pp) AS __p"))
+        .selectExpr("vec_id", f"{_argmax_cell_sql('__p')} AS cell")
+    )
+
+
+def test_packed_argmax_matches_max_by_on_hostile_cosines(spark):
+    """ivf_assign's cosine argmax packing: NULL < -Inf < finite <
+    +Inf < NaN ascending, ties to the smaller cell (engine-probed
+    max_by semantics) -- including the zero-norm division artifacts
+    (NaN, +-Inf) the round-9 bug class is about."""
+    import random
+
+    inf, nan = float("inf"), float("nan")
+    rng = random.Random(41)
+    vals = [None, nan, inf, -inf, -1.0, 1.0, 0.0, -0.0, 0.123456, -0.999999]
+    rows = []
+    for vid in range(600):
+        for cell in range(rng.randint(1, 5)):
+            rows.append((vid, cell, rng.choice(vals)))
+    rows += [(9001, 0, 0.5), (9001, 1, 0.5), (9002, 0, nan), (9002, 1, nan),
+             (9003, 1, None), (9003, 0, -inf), (9004, 0, -0.0), (9004, 1, 0.0)]
+    df = spark.createDataFrame(rows, "vec_id long, cell long, c double")
+    a, b = _old_argmax(df), _new_argmax(df)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    plan = _new_argmax(df)._sc._jvm.PythonSQLUtils.explainString(
+        _new_argmax(df)._jdf.queryExecution(), "simple"
+    )
+    assert "SortAggregate" not in plan and "HashAggregate" in plan
