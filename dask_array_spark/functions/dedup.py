@@ -364,7 +364,16 @@ def simhash_col(text_col: str = "text", bits: int = 16, toks=None):
     names, values pinned equal by test_fuzz_dedup (corpus parity was
     proven on 3 SFs x bits in {8,16,32} + hostile edges, zero
     mismatches; benched slot form 0.804 -> 0.555 min-of-6 ABAB)."""
-    if isinstance(text_col, str) and (toks is None or isinstance(toks, str)):
+    if (
+        isinstance(text_col, str)
+        and (toks is None or isinstance(toks, str))
+        # dotted names resolve as MULTIPART struct-field references
+        # through F.col but as a single quoted identifier through the
+        # expr fast path (round-13 ADVICE): route them to the legacy
+        # Column branch so both spellings keep F.col semantics
+        and "." not in text_col
+        and (toks is None or "." not in toks)
+    ):
         return _simhash_expr(text_col, bits, toks)
     th = F.transform(
         tokens_col(text_col) if toks is None else toks,

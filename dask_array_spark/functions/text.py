@@ -285,7 +285,16 @@ def lang_id_col(
     ~70 py4j round-trips of driver time per construction) -- pass the
     column NAME to keep the fast path; a Column is still accepted
     (legacy constructor below, same values, pinned by test)."""
-    if isinstance(text_col, str) and (toks is None or isinstance(toks, str)):
+    if (
+        isinstance(text_col, str)
+        and (toks is None or isinstance(toks, str))
+        # dotted names resolve as MULTIPART struct-field references
+        # through F.col but as a single quoted identifier through the
+        # expr fast path (round-13 ADVICE): route them to the legacy
+        # Column branch so both spellings keep F.col semantics
+        and "." not in text_col
+        and (toks is None or "." not in toks)
+    ):
         return _lang_id_expr(text_col, toks)
     toks = _toks_or(text_col, toks)
 
